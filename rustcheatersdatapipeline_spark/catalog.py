@@ -1,0 +1,53 @@
+"""Test-table catalog: the driver's synthetic TPC-H-ish parquet tables.
+
+``TESTDATA.md``: tables live at ``{sf_dir}/{name}.parquet``. Reads are
+plain ``spark.read.parquet`` — Catalyst gets predicate pushdown, column
+pruning and (for partitioned layouts) partition pruning for free, which is
+the scale path the reference lacked (its CSV text round-trips re-read and
+re-parse every column on every hop, reference ``dags/scripts/helpers.py:97``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always joinable via broadcast-hash at any SF the
+# engine targets (region/nation are bounded; the rest scale with SF).
+SMALL_DIMS = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one synthetic table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright; we read it as raw long nanos (runtime conf)
+    and truncate to a micros TimestampType — the same truncation DuckDB
+    applies when it narrows ns→us, so both engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,525 @@
+"""SURVEY.md §2.9 declared queries Q1-Q30 — the reference-parity contract.
+
+Each ``q*`` builder takes ``(spark, sf_dir)`` and returns a lazy DataFrame
+expressed with the DataFrame API (Catalyst plans the physical strategy).
+``ORACLE_SQL`` holds the semantically-equivalent DuckDB SQL the driver
+runs side-by-side; column names/types are aligned between both engines.
+
+Determinism rules (SURVEY.md §2.9 / BASELINE.md):
+- UTC session timezone in both engines.
+- Every query ends with a total ``ORDER BY``.
+- Aggregated floats are computed on DECIMAL(18,2) casts.
+- Timestamps cross the comparison boundary as formatted UTC strings.
+- Double→integer casts go through ``floor`` in BOTH engines: DuckDB's
+  ``CAST(DOUBLE AS BIGINT)`` rounds-to-nearest while Spark/Java truncates,
+  so the raw cast is not portable (events.value is fractional).
+
+Reference-parity citations: each query names the SURVEY.md §2 operator row
+it exercises; those rows cite the reference file:line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, IntegerType
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1-Q11: scans, projections, filters, row-level transforms (§2.2)
+# --------------------------------------------------------------------------
+
+def q1(spark, sf_dir):
+    """P3 scan + projection (reference dags/scripts/rust_twitter_steam_dims.py:535-551)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q2(spark, sf_dir):
+    """S2/P6 conjunctive filter (reference dags/scripts/helpers.py:35-39)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q3(spark, sf_dir):
+    """P7 inequality + IN predicate (reference rust_twitter_steam_facts.py:526)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_mktsegment") != "BUILDING") & F.col("c_nationkey").isin(1, 2, 3))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q4(spark, sf_dir):
+    """P18 containment / LIKE (reference SteamToS3Operator.py:37-39)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("green"))
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+def q5(spark, sf_dir):
+    """P8 null-drop (reference rust_twitter_steam_dims.py:33)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .na.drop(subset=["c_name", "c_acctbal"])
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q6(spark, sf_dir):
+    """P10 null-fill (reference rust_twitter_steam_dims.py:115-116)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("bal"))
+        .orderBy("c_custkey")
+    )
+
+
+def q7(spark, sf_dir):
+    """P9 conditional overwrite (reference rust_twitter_steam_dims.py:29)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.when(F.col("p_brand") == "", F.col("p_name"))
+            .otherwise(F.col("p_brand"))
+            .alias("brand"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q8(spark, sf_dir):
+    """P12 dtype cast (reference rust_twitter_steam_dims.py:128-137).
+
+    l_quantity is integral-valued, so truncation == rounding here; the
+    general fractional case is pinned by floor (see module docstring).
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q9(spark, sf_dir):
+    """P13 epoch→timestamp formatting (reference rust_twitter_steam_facts.py:31-33)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format(
+                F.timestamp_seconds(F.floor(F.col("value")).cast("long")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("ts_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q10(spark, sf_dir):
+    """P14 date arithmetic (reference rust_twitter_steam_facts.py:213-216)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format(F.date_sub(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+                "d30"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q11(spark, sf_dir):
+    """P17 string split/extract (reference helpers.py:42-43)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", F.split(F.col("p_type"), " ").getItem(0).alias("t1"))
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12-Q14: dedup / distinct / assertions (§2.3)
+# --------------------------------------------------------------------------
+
+def q12(spark, sf_dir):
+    """D1 keyed dedup with deterministic survivor (reference rust_twitter_steam_dims.py:533).
+
+    pandas drop_duplicates keeps first-in-file-order; the engine pins the
+    survivor with an explicit row_number ordering (SURVEY.md §7.3.3).
+    """
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey")
+        .orderBy("c_nationkey")
+    )
+
+
+def q13(spark, sf_dir):
+    """D1 distinct (§2.3)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q14(spark, sf_dir):
+    """D2 duplicate-row assertion as a query (reference rust_twitter_steam_dims.py:49-50)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))).alias(
+            "dup_cnt"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15-Q18: joins (§2.4) and anti-join upsert semantics (§2.5)
+# --------------------------------------------------------------------------
+
+def q15(spark, sf_dir):
+    """J1/J5 multi-way inner equi-join (reference sql_queries.py:20-29).
+
+    nation/customer are dimension-sized → Catalyst picks broadcast-hash
+    joins (AQE enforces it even if stats are stale).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name")
+        .orderBy("o_orderkey")
+    )
+
+
+def q16(spark, sf_dir):
+    """J2 composite-key join (reference sql_queries.py:57-64, 5-col key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on=["l_orderkey", "l_linenumber", "l_partkey"])
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q17(spark, sf_dir):
+    """J9 expression-key (date) join (reference sql_queries.py:28-29)."""
+    o = _t(spark, sf_dir, "orders")
+    dd = (
+        o.select(F.col("o_orderdate").cast("date").alias("full_date"))
+        .distinct()
+    )
+    return (
+        o.join(
+            F.broadcast(dd),
+            F.col("o_orderdate").cast("date") == dd.full_date,
+        )
+        .select("o_orderkey", F.date_format("full_date", "yyyy-MM-dd").alias("full_date"))
+        .orderBy("o_orderkey")
+    )
+
+
+def q18(spark, sf_dir):
+    """D11 insert-if-absent = left-anti join (reference LoadDimsOperator.py:25-28)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .select("o_custkey")
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19-Q21: upsert / surrogate keys / date dim (§2.5)
+# --------------------------------------------------------------------------
+
+def q19(spark, sf_dir):
+    """D12 upsert latest-wins (reference sql_queries.py:95-101)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q20(spark, sf_dir):
+    """D14 surrogate-key generation (reference data_warehouse.sql:25 sequences).
+
+    Deterministic row_number over the natural key — NOT
+    monotonically_increasing_id, which is partition-layout-dependent
+    (SURVEY.md §7.3.1).
+    """
+    return (
+        _t(spark, sf_dir, "nation")
+        .select("n_name")
+        .distinct()
+        .select(
+            "n_name",
+            F.row_number().over(Window.orderBy("n_name")).alias("nation_sk"),
+        )
+        .orderBy("nation_sk")
+    )
+
+
+def q21(spark, sf_dir):
+    """D15 date-dimension derivation (reference data_warehouse.sql:65-74)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("full_date")).distinct()
+    return (
+        d.select(
+            F.date_format("full_date", "yyyy-MM-dd").alias("full_date"),
+            F.dayofmonth("full_date").cast(IntegerType()).alias("day"),
+            F.month("full_date").cast(IntegerType()).alias("month"),
+            F.year("full_date").cast(IntegerType()).alias("year"),
+            F.date_format("full_date", "EEEE").alias("week_day"),
+        )
+        .orderBy("full_date")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22-Q28: aggregations / sorts / limits / unions (§2.6, §2.7)
+# --------------------------------------------------------------------------
+
+def q22(spark, sf_dir):
+    """A1/A8 group-by count (reference README.md:40,74-80)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q23(spark, sf_dir):
+    """A3/A6 top-k with tiebreak (reference README.md:44-50) — Catalyst
+    plans TakeOrderedAndProject, no full sort."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "c_mktsegment")
+        .limit(3)
+    )
+
+
+def q24(spark, sf_dir):
+    """A5 histogram binning (reference README.md:54)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.floor(F.col("c_acctbal") / 1000).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def q25(spark, sf_dir):
+    """A1 join+agg: bans-per-country shape (reference README.md:40)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "n_name")
+    )
+
+
+def q26(spark, sf_dir):
+    """D13 union of batches (reference: hourly UNION ALL accumulation)."""
+    o = _t(spark, sf_dir, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_orderkey").alias("x"))
+    odd = o.filter(F.col("o_orderkey") % 2 == 1).select(F.col("o_orderkey").alias("x"))
+    return even.unionByName(odd).orderBy("x")
+
+
+def q27(spark, sf_dir):
+    """Exact decimal aggregation (A-class sums; determinism rule)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q28(spark, sf_dir):
+    """§2.7 tumbling 1h window, batch form (reference helpers.py:35-39).
+
+    Uses the streaming-grade window() operator (not date_trunc) so the
+    same expression works under readStream; start is compared as a
+    formatted UTC string per the determinism rules.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("h"), "cnt")
+        .orderBy("h")
+    )
+
+
+def q29(spark, sf_dir):
+    """P1 explode/unnest (reference rust_twitter_steam_dims.py:21-23)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", F.explode(F.split(F.col("p_type"), " ")).alias("t"))
+        .orderBy("p_partkey", "t")
+    )
+
+
+def q30(spark, sf_dir):
+    """J10 time-of-day projection (reference sql_queries.py:21; no Spark
+    TIME type → 'HH:mm:ss' string contract, SURVEY.md §7.3)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.date_format(F.col("ts"), "HH:mm:ss").alias("tod"))
+        .orderBy("event_id")
+    )
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    f"q{i}": globals()[f"q{i}"] for i in range(1, 31)
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q1": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q2": "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000 ORDER BY o_orderkey",
+    "q3": "SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING' AND c_nationkey IN (1,2,3) ORDER BY c_custkey",
+    "q4": "SELECT p_partkey FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey",
+    "q5": "SELECT c_custkey FROM customer WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL ORDER BY c_custkey",
+    "q6": "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS bal FROM customer ORDER BY c_custkey",
+    "q7": "SELECT p_partkey, CASE WHEN p_brand = '' THEN p_name ELSE p_brand END AS brand FROM part ORDER BY p_partkey",
+    "q8": "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q9": (
+        "SELECT event_id, strftime(make_timestamp(CAST(FLOOR(value) AS BIGINT) * 1000000), "
+        "'%Y-%m-%d %H:%M:%S') AS ts_s FROM events ORDER BY event_id"
+    ),
+    "q10": (
+        "SELECT o_orderkey, strftime(CAST(o_orderdate - INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS d30 "
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    "q11": "SELECT p_partkey, split_part(p_type, ' ', 1) AS t1 FROM part ORDER BY p_partkey",
+    "q12": (
+        "SELECT c_nationkey, c_custkey FROM (SELECT c_nationkey, c_custkey, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) rn FROM customer) "
+        "WHERE rn = 1 ORDER BY c_nationkey"
+    ),
+    "q13": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q14": "SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_cnt FROM lineitem",
+    "q15": (
+        "SELECT o_orderkey, c_name, n_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey ORDER BY o_orderkey"
+    ),
+    "q16": (
+        "SELECT a.l_orderkey, a.l_linenumber FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber "
+        "AND a.l_partkey = b.l_partkey ORDER BY a.l_orderkey, a.l_linenumber"
+    ),
+    "q17": (
+        "WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders) "
+        "SELECT o_orderkey, strftime(dd.full_date, '%Y-%m-%d') AS full_date FROM orders JOIN dd "
+        "ON CAST(o_orderdate AS DATE) = dd.full_date ORDER BY o_orderkey"
+    ),
+    "q18": (
+        "SELECT o_custkey FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) ORDER BY o_custkey"
+    ),
+    "q19": (
+        "SELECT user_id, event_type, value FROM (SELECT user_id, event_type, value, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn "
+        "FROM events) WHERE rn = 1 ORDER BY user_id, event_type"
+    ),
+    "q20": (
+        "SELECT n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INTEGER) AS nation_sk "
+        "FROM (SELECT DISTINCT n_name FROM nation) ORDER BY nation_sk"
+    ),
+    "q21": (
+        "SELECT strftime(d, '%Y-%m-%d') AS full_date, CAST(EXTRACT(DAY FROM d) AS INTEGER) AS day, "
+        "CAST(EXTRACT(MONTH FROM d) AS INTEGER) AS month, "
+        "CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS year, dayname(d) AS week_day "
+        "FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) ORDER BY full_date"
+    ),
+    "q22": "SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+    "q23": (
+        "SELECT c_mktsegment, cnt FROM (SELECT c_mktsegment, COUNT(*) cnt FROM customer "
+        "GROUP BY c_mktsegment) ORDER BY cnt DESC, c_mktsegment LIMIT 3"
+    ),
+    "q24": (
+        "SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket, COUNT(*) AS cnt "
+        "FROM customer GROUP BY 1 ORDER BY bucket"
+    ),
+    "q25": (
+        "SELECT n_name, COUNT(*) AS cnt FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY cnt DESC, n_name"
+    ),
+    "q26": (
+        "SELECT x FROM (SELECT o_orderkey AS x FROM orders WHERE o_orderkey % 2 = 0 "
+        "UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1) ORDER BY x"
+    ),
+    "q27": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    "q28": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, COUNT(*) AS cnt "
+        "FROM events GROUP BY 1 ORDER BY h"
+    ),
+    "q29": (
+        "SELECT p_partkey, u.t FROM part, UNNEST(string_split(p_type, ' ')) AS u(t) "
+        "ORDER BY p_partkey, u.t"
+    ),
+    "q30": "SELECT event_id, strftime(ts, '%H:%M:%S') AS tod FROM events ORDER BY event_id",
+}

@@ -1,0 +1,14 @@
+"""DuckDB-oracle differential tests for SURVEY.md §2.9 Q1-Q30
+(SURVEY.md §5.2.3). Mirrors the driver's CORRECTNESS gate locally."""
+
+import pytest
+
+from rustcheatersdatapipeline_spark.plans import queries as Q
+
+from .helpers import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(Q.SPARK_QUERIES, key=lambda s: int(s[1:])))
+def test_query_matches_oracle(spark, ddb, sf_dir, name):
+    df = Q.SPARK_QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ddb, Q.ORACLE_SQL[name], name)
