@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rustcheatersdatapipeline_spark.plans import queries as _q  # noqa: E402
+from rustcheatersdatapipeline_spark.plans import training as _tr  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_q.SPARK_QUERIES)
+    out.update(_tr.SPARK_QUERIES)
     return out
 
 
@@ -36,4 +38,5 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query."""
     out: dict[str, str] = {}
     out.update(_q.ORACLE_SQL)
+    out.update(_tr.ORACLE_SQL)
     return out

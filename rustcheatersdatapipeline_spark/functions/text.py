@@ -1,0 +1,75 @@
+"""Text-analysis primitives (JVM-side, codegen-friendly).
+
+Cross-engine portability contract: every primitive here has an exact
+DuckDB-SQL equivalent (used by the oracle strings in plans/training.py).
+The shared building block is ``portable_hash64``:
+
+    Spark : CAST(conv(substr(md5(s),1,15), 16, 10) AS BIGINT)
+    DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+
+md5 agrees byte-for-byte across engines, 15 hex chars = 60 bits < 63 so
+the BIGINT parse can't overflow, and downstream modular arithmetic on
+(a*h + b) % P with P = 1e9+7 stays under 2^61 — no wraparound anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Modulus for all hash-derived modular arithmetic (30 bits — products
+#: with 30-bit coefficients fit comfortably in int64 on both engines).
+PRIME = 1_000_000_007
+
+#: Marker stopwords per language for the n-gram/stopword lang-id
+#: heuristic. Order matters: ties resolve in this priority order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "zh": ("de5", "shi4", "zai4", "he2", "you3"),
+}
+
+#: English-ish stopwords for the quality score.
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+
+def portable_hash64(col: Column) -> Column:
+    """60-bit deterministic string hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def char_shingles(df, text_col: str, id_col: str, k: int = 3):
+    """Distinct character k-grams per document: (id_col, g).
+
+    Expressed as sequence+explode+substring so the whole expansion stays
+    in whole-stage codegen (no Python). At 100 TB this is the shingle
+    exploder that feeds MinHash — it only shuffles at the downstream
+    groupBy, never here.
+    """
+    return (
+        df.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("i"),
+            text_col,
+        )
+        .select(id_col, F.expr(f"substring({text_col}, i, {k})").alias("g"))
+        .distinct()
+    )
+
+
+def ws_tokens(text_col: str) -> Column:
+    """Whitespace tokens with empties removed (array<string>)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def token_explode(df, text_col: str, id_col: str):
+    """One row per token occurrence (keeps duplicates — SimHash weights
+    by occurrence count)."""
+    return df.select(id_col, F.explode(ws_tokens(text_col)).alias("w"))
+
+
+def marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
+    """Number of token occurrences that are in ``markers``."""
+    return F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x.isin(*markers)))

@@ -1,0 +1,650 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings``.
+
+These extend the reference's operator surface with the operations a
+large-scale training-data pipeline needs (deduplication, similarity
+search, text analysis) — each a ``queries()`` entry, and every
+SQL-expressible one paired with a DuckDB oracle that computes the SAME
+deterministic algorithm (shared literal constants, identical expression
+shapes, bit-identical doubles).
+
+Scale design notes (the 100 TB story, per operator):
+
+- Exact dedup: hash-groupBy — one shuffle on the digest, map-side
+  partial agg, no skew (md5 is uniform).
+- N-gram Jaccard: inverted-index self-join on shingle. At 100 TB the
+  raw self-join on common shingles explodes; the MinHash+LSH variant
+  below is the scale path (bounded candidates), with the exact-Jaccard
+  verification only on candidate pairs.
+- MinHash+LSH: shingle→hash→16-perm signature (one shuffle with
+  map-side combine) → 8 banded join keys → candidate pairs → verify.
+  Everything is equi-join/groupBy — AQE handles band-key skew.
+- SimHash: 32 per-bit vote sums in ONE aggregation pass; near-dup pairs
+  via 4-band pigeonhole join (provably complete for hamming ≤ 3, so it
+  equals the brute-force oracle while staying O(candidates) not O(n²)).
+- Embedding cosine: brute-force is the correctness baseline; the
+  LSH-bucketed variant (random hyperplanes, Pandas UDF) is the scale
+  path — bucket-local search only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.similarity import (
+    MINHASH_PERMS,
+    SIMHASH_BITS,
+    as_double_array,
+    cosine,
+    dot_product,
+    minhash_bands,
+    minhash_signature,
+    simhash_column,
+    simhash_from_votes,
+)
+from ..functions.text import (
+    LANG_MARKERS,
+    PRIME,
+    STOPWORDS,
+    char_shingles,
+    marker_count,
+    portable_hash64,
+    ws_tokens,
+)
+
+JACCARD_THRESHOLD = 0.8
+#: Character shingle width. k=7 on this corpus drives background Jaccard
+#: to ~0.1 while lightly-edited near-dup pairs stay ≥ 0.85 — the
+#: separation that makes prefix filtering and LSH banding effective.
+SHINGLE_K = 7
+COSINE_THRESHOLD = 0.45
+HAMMING_MAX = 3
+KNN_K = 5
+KNN_QUERY_MAX_ID = 20
+#: generate_series upper bound for oracle-side shingling; must exceed
+#: the longest document at the oracle SF (max n_chars ≈ 550 at sf0.01).
+_MAX_DOC_LEN = 4096
+
+
+# --------------------------------------------------------------------------
+# shared DuckDB SQL fragments (kept in lockstep with the Spark builders)
+# --------------------------------------------------------------------------
+
+_H = "(('0x'||substr(md5({expr}),1,15))::BIGINT)"
+
+_SHINGLE_CTE = (
+    f"pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+    f"sh AS (SELECT DISTINCT doc_id, substring(text, i, {SHINGLE_K}) AS g "
+    f"FROM documents JOIN pos ON i <= length(text) - {SHINGLE_K - 1}), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"
+)
+
+_EMB_CTE = (
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS e, "
+    "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm FROM embeddings)"
+)
+
+_COS = "list_dot_product(a.e, b.e) / (sqrt(a.nrm) * sqrt(b.nrm))"
+
+
+def _minhash_sql_cte() -> str:
+    from ..functions.similarity import MINHASH_BAND_ROWS as R
+
+    mins = ", ".join(
+        f"min(({a}*h+{b}) % {PRIME}) AS m{k}" for k, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        f"concat_ws('-', {', '.join(f'm{R * j + i}' for i in range(R))}) AS band_val FROM mh"
+        for j in range(len(MINHASH_PERMS) // R)
+    )
+    return (
+        f"hh AS (SELECT doc_id, {_H.format(expr='g')} % {PRIME} AS h FROM sh), "
+        f"mh AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id), "
+        f"bands AS ({bands})"
+    )
+
+
+def _simhash_sql_cte() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        "tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+        "FROM documents), "
+        f"th AS (SELECT doc_id, {_H.format(expr='w')} AS h FROM tok), "
+        f"votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, {fold} AS simhash FROM votes)"
+    )
+
+
+def _lang_case(score: Callable[[str], str]) -> str:
+    """Shared tie-break CASE: priority order en > es > de > fr > zh."""
+    langs = list(LANG_MARKERS)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{score(lang)} >= {score(o)}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), min-id survivor.
+
+    Reference analogue: D1 keyed dedup (rust_twitter_steam_dims.py:533)
+    generalized to content hashing. One uniform shuffle at any scale.
+    """
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_doc_id", "dup_cnt")
+        .orderBy("keep_doc_id")
+    )
+
+
+def _jaccard_verify(cand, sh):
+    """Exact Jaccard on candidate pairs via broadcast shingle arrays.
+
+    Collecting each document's (distinct) shingles into one array and
+    intersecting with ``array_intersect`` keeps verification a single
+    broadcast-join + codegen'd expression — no exploded (pair, shingle)
+    intermediate, which is what made the naive verify O(cand × |doc|)
+    shuffle rows. At cluster scale where the array table outgrows the
+    broadcast threshold this degrades gracefully to a shuffle hash join
+    on doc_id (same plan shape, still no explosion).
+    """
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("g").alias("arr"), F.count(F.lit(1)).alias("n")
+    )
+    a = arrs.alias("sa")
+    b = arrs.alias("sb")
+    i = F.size(F.array_intersect(F.col("sa.arr"), F.col("sb.arr")))
+    jac = (i / (F.col("sa.n") + F.col("sb.n") - i)).alias("jac")
+    return (
+        cand.join(F.broadcast(a), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(b), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact k-gram Jaccard near-dup pairs (j ≥ 0.8) with PPJoin-style
+    prefix filtering.
+
+    A naive inverted-index self-join on shingles is O(Σ df(g)²) — ~1e9
+    intermediate rows on this corpus at sf0.1, and unbounded at 100 TB.
+    Prefix filtering is the exact (lossless) fix: order each document's
+    shingles by global document frequency ascending (rarest first,
+    tiebreak on the shingle itself), keep only the first
+    n - ceil(t·n) + 1 of them, and generate candidates from the prefix
+    join. Any pair with J ≥ t MUST share a prefix shingle (Chaudhuri
+    et al. SSJoin / Xiao et al. PPJoin), so verification over the full
+    shingle sets returns exactly the same pairs as the naive join — the
+    oracle runs the naive algorithm, making this an optimizer-vs-spec
+    equivalence test. ceil(t·n) is computed in integer arithmetic
+    ((8n+9) div 10) to avoid float-boundary drift.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "text", "doc_id", k=SHINGLE_K)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        sh.join(F.broadcast(dfreq), "g")
+        .join(F.broadcast(sz), "doc_id")
+        .select(
+            "doc_id",
+            "g",
+            "n",
+            F.row_number().over(w).alias("rn"),
+            (F.col("n") - F.expr("(8 * n + 9) div 10") + 1).alias("plen"),
+        )
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "g", "n", "rn")
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    # PPJoin candidate conditions, all exact (lossless):
+    #  - share a prefix shingle;
+    #  - length filter: t ≤ n_a/n_b ≤ 1/t  (×10 integer arithmetic);
+    #  - positional filter: the overlap upper bound from the first
+    #    shared prefix position must reach ceil(t/(1+t)·(n_a+n_b)),
+    #    i.e. (1 + min(n_a-rn_a, n_b-rn_b)) · 18 ≥ 8 · (n_a+n_b).
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pb.n") * 10 >= F.col("pa.n") * 8)
+            & (F.col("pa.n") * 10 >= F.col("pb.n") * 8)
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("pa.n") - F.col("pa.rn"), F.col("pb.n") - F.col("pb.rn")
+                    )
+                )
+                * 18
+                >= (F.col("pa.n") + F.col("pb.n")) * 8
+            ),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16 perms) + LSH(4 bands × r=4) candidates, verified with
+    exact Jaccard — the scale path for near-dedup at 100 TB.
+
+    The oracle replicates the identical signature/banding computation,
+    so recall differences are impossible by construction: both engines
+    derive the same candidate set, then the same verification. r=4
+    keeps unrelated pairs (background j ≈ 0.1) at P(candidate) ≈ 4e-4
+    while j ≥ 0.85 planted dups collide with P ≥ 0.9.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "text", "doc_id", k=SHINGLE_K)
+    hashed = sh.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
+    sig = minhash_signature(hashed)
+    bands = minhash_bands(sig)
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh)
+
+
+def simhash_docs(spark, sf_dir):
+    """Per-document 32-bit SimHash over token occurrences — one
+    aggregation pass computing 32 vote sums map-side."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ws_tokens("text")).alias("w"))
+    th = tok.select("doc_id", portable_hash64(F.col("w")).alias("h"))
+    votes = th.groupBy("doc_id").agg(*simhash_column())
+    return votes.select("doc_id", simhash_from_votes().alias("simhash")).orderBy("doc_id")
+
+
+def simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) via 4-band pigeonhole join.
+
+    4 bands × 8 bits: any pair within hamming 3 shares ≥ 1 intact band,
+    so the banded equi-join finds EVERY qualifying pair — provably equal
+    to the brute-force pairwise oracle, at O(candidates) cost.
+    """
+    sim = simhash_docs(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(255).alias("band_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _vectors(spark, sf_dir, partitions: int | None = None):
+    """Vectors with precomputed squared norms.
+
+    A small parquet reads as ONE partition, which would serialize the
+    downstream nested-loop pair join on a single core — repartition so
+    the O(n²) work spreads across the cluster.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    if partitions:
+        emb = emb.repartition(partitions)
+    e = as_double_array("embedding")
+    return emb.select("vec_id", e.alias("e"), dot_product(e, e).alias("nrm"))
+
+
+def embed_neardup_cosine(spark, sf_dir):
+    """All-pairs cosine near-dup (cos ≥ 0.45) — correctness baseline.
+
+    O(n²): only valid at verification scale. The scale path is
+    ann_lsh_buckets (bucketed candidates).
+    """
+    v = _vectors(spark, sf_dir, partitions=64)
+    a = v.alias("a")
+    b = _vectors(spark, sf_dir).alias("b")
+    cos = cosine(
+        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
+    ).alias("cos")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos)
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embed_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k (k=5) for query vectors vec_id < 20.
+
+    The query side is tiny → Spark broadcasts it; every executor scans
+    its slice of the corpus once. This is the exact-ANN baseline; ties
+    broken by neighbor_id for determinism.
+    """
+    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_QUERY_MAX_ID).alias("a")
+    x = _vectors(spark, sf_dir, partitions=64).alias("b")
+    cos = cosine(
+        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
+    ).alias("cos")
+    pairs = (
+        F.broadcast(q)
+        .join(x, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH bucketing (16-bit signature).
+
+    The signature is computed by an Arrow-batched Pandas UDF (numpy
+    matmul over fixed seed-42 hyperplanes) — the vectorized-Python path
+    for compute Spark built-ins can't express efficiently. Downstream
+    search joins only within buckets. No SQL oracle (approximate
+    operator) → driver records the rows-only check.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # 8 hyperplanes → 256 buckets: at corpus sizes ≥ thousands each bucket
+    # holds multiple vectors (the point of an ANN index); more planes →
+    # higher precision, fewer candidates — tune per corpus size.
+    planes = np.random.RandomState(42).randn(8, 64)
+
+    def _signature(emb):
+        mat = np.stack(emb.to_numpy())  # (batch, 64)
+        bits = (mat @ planes.T) > 0  # (batch, 8)
+        out = np.zeros(len(emb), dtype=np.int64)
+        for j in range(planes.shape[0]):
+            out |= bits[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    # explicit non-deferred hints so pandas_udf sees real pd.Series types
+    _signature.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    signature = pandas_udf("long")(_signature)
+
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", signature(as_double_array("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def lang_id(spark, sf_dir):
+    """Marker-stopword language ID with deterministic tie-break."""
+    docs = table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        "lang",
+        *[marker_count("text", m).alias(f"s_{lang}") for lang, m in LANG_MARKERS.items()],
+    )
+    pred = F.expr(_lang_case(lambda lang: f"s_{lang}"))
+    return (
+        scores.select(
+            "doc_id",
+            pred.alias("lang_pred"),
+            F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_score(spark, sf_dir):
+    """Heuristic quality scoring: token count, avg word length, stopword
+    ratio → composite double score (identical expression shape in the
+    oracle → bit-identical)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tok = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    stop_cnt = marker_count("text", STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_alpha / n_tok).alias("avg_word_len"),
+        (stop_cnt / n_tok).alias("stopword_ratio"),
+    )
+    quality = (F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0)) * (
+        F.lit(1.0) - F.col("stopword_ratio")
+    )
+    return base.select(
+        "doc_id", "n_tokens", "avg_word_len", "stopword_ratio", quality.alias("quality")
+    ).orderBy("doc_id")
+
+
+def token_count(spark, sf_dir):
+    """Whitespace + regex ('BPE-ish' [a-z0-9]+) token counting."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias(
+            "n_re_tokens"
+        ),
+        F.length("text").alias("n_chars_obs"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint (k=8-gram rolling hash, window w=4 minima).
+
+    Standard document-fingerprint scheme: distinct per-window minimum
+    k-gram hashes. Window function over in-doc positions — partitioned
+    by doc_id so no global sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    kg = pos.select(
+        "doc_id",
+        "len",
+        "i",
+        (portable_hash64(F.expr("substring(text, i, 8)")) % PRIME).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wm = kg.select("doc_id", "len", "i", F.min("h").over(w).alias("mh"))
+    fp = wm.filter(F.col("i") <= F.col("len") - 10).select("doc_id", "mh").distinct()
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"), F.min("mh").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_docs": simhash_docs,
+    "simhash_neardup": simhash_neardup,
+    "embed_neardup_cosine": embed_neardup_cosine,
+    "embed_knn_bruteforce": embed_knn_bruteforce,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+
+def _jaccard_tail(pair_src: str) -> str:
+    return (
+        f"inter AS (SELECT doc_a, doc_b, count(*) AS i FROM {pair_src} GROUP BY doc_a, doc_b), "
+        "j AS (SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jac "
+        "FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id) "
+        f"SELECT doc_a, doc_b, jac FROM j WHERE jac >= {JACCARD_THRESHOLD} "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+_LANG_SCORE = {
+    lang: f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(chr(39) + m + chr(39) for m in markers)})))"
+    for lang, markers in LANG_MARKERS.items()
+}
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": (
+        "SELECT min(doc_id) AS keep_doc_id, COUNT(*) AS dup_cnt FROM documents "
+        "GROUP BY md5(text) ORDER BY keep_doc_id"
+    ),
+    "dedup_ngram_jaccard": (
+        f"WITH {_SHINGLE_CTE}, "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a "
+        "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id), "
+        + _jaccard_tail("pairs")
+    ),
+    "dedup_minhash_lsh": (
+        f"WITH {_SHINGLE_CTE}, {_minhash_sql_cte()}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+        "AND a.doc_id < b.doc_id), "
+        "cpairs AS (SELECT c.doc_a, c.doc_b FROM cand c "
+        "JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g), "
+        + _jaccard_tail("cpairs")
+    ),
+    "simhash_docs": (
+        f"WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+    ),
+    "simhash_neardup": (
+        f"WITH {_simhash_sql_cte()} "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX} "
+        "ORDER BY doc_a, doc_b"
+    ),
+    "embed_neardup_cosine": (
+        f"WITH {_EMB_CTE} "
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        f"WHERE {_COS} >= {COSINE_THRESHOLD} ORDER BY vec_a, vec_b"
+    ),
+    "embed_knn_bruteforce": (
+        f"WITH {_EMB_CTE}, "
+        f"p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos "
+        f"FROM v a JOIN v b ON a.vec_id < {KNN_QUERY_MAX_ID} AND b.vec_id <> a.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p) "
+        f"SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos FROM r WHERE rnk <= {KNN_K} "
+        "ORDER BY query_id, rnk"
+    ),
+    "lang_id": (
+        "SELECT doc_id, "
+        + _lang_case(lambda lang: _LANG_SCORE[lang])
+        + " AS lang_pred, CASE WHEN ("
+        + _lang_case(lambda lang: _LANG_SCORE[lang])
+        + ") = lang THEN 1 ELSE 0 END AS is_correct FROM documents ORDER BY doc_id"
+    ),
+    "quality_score": (
+        "WITH base AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, "
+        "length(replace(text, ' ', '')) AS n_alpha, "
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt "
+        "FROM documents) "
+        "SELECT doc_id, n_tokens, n_alpha / n_tokens AS avg_word_len, "
+        "stop_cnt / n_tokens AS stopword_ratio, "
+        "(LEAST(n_tokens, 200) / CAST(200.0 AS DOUBLE)) * "
+        "(CAST(1.0 AS DOUBLE) - stop_cnt / n_tokens) AS quality "
+        "FROM base ORDER BY doc_id"
+    ),
+    "token_count": (
+        "SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens, "
+        "len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens, "
+        "length(text) AS n_chars_obs FROM documents ORDER BY doc_id"
+    ),
+    "doc_fingerprint": (
+        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        "kg AS (SELECT doc_id, length(text) AS len, i, "
+        f"{_H.format(expr='substring(text, i, 8)')} % {PRIME} AS h "
+        "FROM documents JOIN pos ON i <= length(text) - 7), "
+        "wm AS (SELECT doc_id, len, i, "
+        "MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh "
+        "FROM kg), "
+        "fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= len - 10) "
+        "SELECT doc_id, COUNT(*) AS n_fp, MIN(mh) AS min_fp FROM fp GROUP BY doc_id ORDER BY doc_id"
+    ),
+    # ann_lsh_buckets: intentionally no oracle — approximate operator,
+    # driver records the rows-only check.
+}
