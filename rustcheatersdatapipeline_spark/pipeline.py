@@ -1,0 +1,118 @@
+"""Batch pipeline orchestration (SURVEY.md §3.1).
+
+One driver program per hourly interval replaces the reference's Airflow
+DAG of 40+ tasks (rust_twitter_steam_pipeline.py:879-888):
+
+    bronze JSON (schema-pinned reads)
+      → 16 silver transforms (lazy chains, §3.2)
+      → gold warehouse build (broadcast fact loads + upserts, §3.3)
+
+XCom key-passing becomes DataFrame lineage; S3KeySensor branch-skips
+(S15) become empty/missing-input guards; the "end" trigger rule
+(none_failed_min_one_success, :877) becomes per-branch try/except with
+a batch summary.
+
+Scale notes: bronze is partitioned by ingest date (the reference's
+YYYY/MM/DD S3 layout → partitionBy('year','month','day'), giving
+partition pruning); silver/gold persist as Parquet. Every transform is
+one lazy plan — the only materializations are the gold writes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .schemas import BRONZE_SCHEMAS
+from .transforms.builders import DIM_TRANSFORMS, FACT_TRANSFORMS
+from .warehouse.loads import build_warehouse
+
+
+@dataclass
+class BatchResult:
+    gold: dict[str, DataFrame]
+    skipped: list[str] = field(default_factory=list)
+    failed: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def succeeded(self) -> bool:
+        """The reference's end trigger rule none_failed_min_one_success
+        (rust_twitter_steam_pipeline.py:877)."""
+        return len(self.gold) > 0 and not self.failed
+
+
+def read_bronze(
+    spark: SparkSession, bronze_dir: str
+) -> tuple[dict[str, DataFrame], dict[str, str]]:
+    """Schema-pinned bronze reads.
+
+    - Missing endpoint file → skipped branch (S15 soft-fail semantics).
+    - Malformed JSON → FAILED branch, detected via permissive-mode
+      ``_corrupt_record`` (SURVEY.md §1.4). Without this check a corrupt
+      document parses as one all-null row, explode_outer drops it, and
+      the batch reports success with silently-empty tables — worse than
+      the reference's hard json.loads failure.
+    """
+    out: dict[str, DataFrame] = {}
+    failed: dict[str, str] = {}
+    for name, schema in BRONZE_SCHEMAS.items():
+        if name == "twitter_timeline":
+            continue
+        probed = StructType(
+            [*schema.fields, StructField("_corrupt_record", StringType(), True)]
+        )
+        try:
+            df = (
+                spark.read.schema(probed)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .json(f"{bronze_dir}/{name}.json")
+                .cache()  # required to filter on the corrupt column alone
+            )
+            n_corrupt = df.filter(F.col("_corrupt_record").isNotNull()).count()
+            if n_corrupt:
+                failed[name] = f"{n_corrupt} corrupt bronze record(s)"
+            else:
+                out[name] = df.drop("_corrupt_record")
+        except AnalysisException:
+            pass  # sensor-skip semantics
+    return out, failed
+
+
+def run_batch(
+    spark: SparkSession,
+    bronze_dir: str,
+    interval_end: _dt.datetime,
+    existing: dict[str, DataFrame] | None = None,
+    date_start: _dt.date = _dt.date(2003, 9, 12),  # Steam launch
+    date_end: _dt.date | None = None,
+) -> BatchResult:
+    """Run one full interval: bronze → silver → gold."""
+    date_end = date_end or (interval_end.date() + _dt.timedelta(days=365))
+    bronze, bad_bronze = read_bronze(spark, bronze_dir)
+    result = BatchResult(gold={})
+
+    silver: dict[str, DataFrame] = {}
+    for name, (fn, src) in {**DIM_TRANSFORMS, **FACT_TRANSFORMS}.items():
+        if src in bad_bronze:
+            result.failed[name] = bad_bronze[src]
+            continue
+        if src not in bronze:
+            result.skipped.append(name)
+            continue
+        try:
+            silver[name] = fn(bronze[src], interval_end)
+        except Exception as e:  # per-branch isolation (§3.1 failure semantics)
+            result.failed[name] = str(e)
+
+    if len(silver) == len(DIM_TRANSFORMS) + len(FACT_TRANSFORMS):
+        result.gold = build_warehouse(
+            spark, silver, date_start, date_end, existing=existing
+        )
+    return result

@@ -1,0 +1,38 @@
+"""End-to-end pipeline test: bronze JSON fixtures → silver → gold
+(SURVEY.md §5.2.2 golden end-to-end)."""
+
+import datetime
+
+from rustcheatersdatapipeline_spark.pipeline import run_batch
+
+from .fixtures import write_fixtures
+
+INTERVAL_END = datetime.datetime(2022, 1, 15, 12, 0, 0)
+
+
+def test_full_batch_end_to_end(spark, tmp_path):
+    write_fixtures(tmp_path)
+    res = run_batch(spark, str(tmp_path), INTERVAL_END)
+    assert res.succeeded, (res.skipped, res.failed)
+    assert len(res.gold) == 17  # 8 dims + date_dim + 8 facts
+    # spot checks across the layers
+    assert res.gold["player_dim"].count() == 2
+    assert res.gold["achievement_fact"].count() == 2
+    assert res.gold["bans_fact"].count() == 2
+    # second identical batch is a no-op (idempotent warehouse)
+    res2 = run_batch(spark, str(tmp_path), INTERVAL_END, existing=res.gold)
+    for name in res.gold:
+        assert sorted(map(tuple, res.gold[name].collect())) == sorted(
+            map(tuple, res2.gold[name].collect())
+        ), name
+
+
+def test_missing_endpoint_is_skipped_not_fatal(spark, tmp_path):
+    paths = write_fixtures(tmp_path)
+    import os
+
+    os.remove(paths["player_stats"])
+    res = run_batch(spark, str(tmp_path), INTERVAL_END)
+    assert "stats_dim" in res.skipped and "stats_fact" in res.skipped
+    assert not res.failed
+    assert res.gold == {}  # partial silver → no gold build this round
