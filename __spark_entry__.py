@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from rustcheatersdatapipeline_spark.plans import analytics as _an  # noqa: E402
 from rustcheatersdatapipeline_spark.plans import queries as _q  # noqa: E402
 from rustcheatersdatapipeline_spark.plans import training as _tr  # noqa: E402
 
@@ -31,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_q.SPARK_QUERIES)
     out.update(_tr.SPARK_QUERIES)
+    out.update(_an.SPARK_QUERIES)
     return out
 
 
@@ -39,4 +41,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_q.ORACLE_SQL)
     out.update(_tr.ORACLE_SQL)
+    out.update(_an.ORACLE_SQL)
     return out

@@ -1,0 +1,115 @@
+"""Additional pipeline analytics queries: multimodal featurization and
+gap-based sessionization.
+
+Both are oracle-paired like everything in plans/: the multimodal query
+proves the binary-column + mapInPandas plumbing end-to-end (the oracle
+recomputes the deterministic fake decode in SQL); sessionization is the
+classic stateful per-key operator expressed with window functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.multimodal import featurize_media, media_table
+
+SESSION_GAP_MIN = 30
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary media pipeline over Arrow batches (mapInPandas).
+
+    documents.text is encoded to a binary payload (standing in for
+    image/audio bytes — the container has no codecs, see
+    functions/multimodal.py), featurized by the deterministic fake
+    decode, and projected with the frame-sample list as a CSV string so
+    the comparison is array-free.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text/plain")
+    feats = featurize_media(media, fake=True, frame_step=2)
+    return feats.select(
+        "item_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.concat_ws(",", F.transform(F.col("sampled_frames"), lambda x: x.cast("string"))).alias(
+            "sampled_frames"
+        ),
+        "checksum",
+    ).orderBy("item_id")
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a new session starts when a user is idle
+    > 30 minutes. lag + running-sum windows — one shuffle on user_id,
+    arbitrarily parallel across users at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s").over(w).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_features": multimodal_features,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "multimodal_features": (
+        "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents), "
+        "pos AS (SELECT i FROM generate_series(1, 4096) t(i)), "
+        "ch AS (SELECT doc_id, CAST(SUM(ord(substring(text, i, 1))) AS BIGINT) AS checksum "
+        "FROM b JOIN pos ON i <= length(text) GROUP BY doc_id) "
+        "SELECT b.doc_id AS item_id, 'text/plain' AS mime, CAST(n AS INT) AS n_bytes, "
+        "CAST(16 + n % 64 AS INT) AS width, CAST(16 + (n // 64) % 64 AS INT) AS height, "
+        "CAST(1 + n % 8 AS INT) AS n_frames, "
+        "array_to_string(range(0, CAST(1 + n % 8 AS INT), 2), ',') AS sampled_frames, "
+        "ch.checksum FROM b JOIN ch ON b.doc_id = ch.doc_id ORDER BY item_id"
+    ),
+    "events_sessionize": (
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        f"OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, CAST(SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS session_id FROM flagged) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+        "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end "
+        "FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"
+    ),
+}
