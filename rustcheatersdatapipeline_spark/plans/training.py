@@ -201,7 +201,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ((8n+9) div 10) to avoid float-boundary drift.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "text", "doc_id", k=SHINGLE_K)
+    # sh feeds four subtrees (df, sizes, prefix, verification) — cache it
+    # so the explode+distinct shuffle runs once, not four times
+    sh = char_shingles(docs, "text", "doc_id", k=SHINGLE_K).cache()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
@@ -261,7 +263,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     while j ≥ 0.85 planted dups collide with P ≥ 0.9.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "text", "doc_id", k=SHINGLE_K)
+    sh = char_shingles(docs, "text", "doc_id", k=SHINGLE_K).cache()
     hashed = sh.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
     sig = minhash_signature(hashed)
     bands = minhash_bands(sig)

@@ -1,0 +1,55 @@
+"""applyInPandasWithState sessionization: closed sessions emitted by the
+stream must equal the batch sessionization's closed sessions."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from rustcheatersdatapipeline_spark.catalog import table
+from rustcheatersdatapipeline_spark.plans.analytics import events_sessionize
+from rustcheatersdatapipeline_spark.streaming.stateful import stream_sessionize
+
+from .test_streaming import EVENTS_LONG_TS
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_LONG_TS)
+        .parquet(str(events_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        # huge idle timeout → only gap-closed sessions emit (deterministic)
+        stream_sessionize(src, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"].strftime("%Y-%m-%d %H:%M:%S"), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    # batch truth: all sessions; the stream (one batch, no timeout fired)
+    # emits only CLOSED sessions — i.e. every session except each user's last
+    batch = events_sessionize(spark, sf_dir).collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r["user_id"]] = max(
+            last_per_user.get(r["user_id"], 0), r["session_id"]
+        )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch
+        if r["session_id"] != last_per_user[r["user_id"]]
+    }
+    assert got == want and len(got) > 0
