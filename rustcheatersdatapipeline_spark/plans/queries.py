@@ -78,10 +78,15 @@ def q4(spark, sf_dir):
 
 
 def q5(spark, sf_dir):
-    """P8 null-drop (reference rust_twitter_steam_dims.py:33)."""
+    """P8 null-drop (reference rust_twitter_steam_dims.py:33).
+
+    Uses the engine's drop_null_rows (IsNotNull conjunction), not
+    na.drop — AtLeastNNonNulls never pushes to the parquet scan.
+    """
+    from ..operators.cleaning import drop_null_rows
+
     return (
-        _t(spark, sf_dir, "customer")
-        .na.drop(subset=["c_name", "c_acctbal"])
+        drop_null_rows(_t(spark, sf_dir, "customer"), ["c_name", "c_acctbal"])
         .select("c_custkey")
         .orderBy("c_custkey")
     )

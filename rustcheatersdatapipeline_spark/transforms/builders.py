@@ -20,7 +20,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.cleaning import conditional_overwrite, epoch_to_ts
+from ..operators.cleaning import conditional_overwrite, drop_null_rows, epoch_to_ts
 from ..operators.dedup import keyed_dedup
 from ..operators.flatten import explode_wrapper
 
@@ -41,7 +41,7 @@ def achievement_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
         bronze, ["responses", "playerstats", "achievements"], outer=True
     ).select("name", "description")
     df = conditional_overwrite(df, "description", "name")  # dims.py:29
-    df = df.na.drop(subset=["name"])  # dims.py:33
+    df = drop_null_rows(df, ["name"])  # dims.py:33
     return keyed_dedup(df, ["name", "description"])  # dims.py:43
 
 
@@ -57,7 +57,7 @@ def badges_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
         F.col("xp").cast("int").alias("xp"),
         F.col("level").cast("int").alias("level"),
     )
-    df = df.na.drop(subset=["badge_id"])  # dims.py:112
+    df = drop_null_rows(df, ["badge_id"])  # dims.py:112
     return keyed_dedup(df, ["badge_id", "app_id", "community_item_id", "xp", "level"])
 
 
@@ -66,7 +66,7 @@ def relationship_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
     df = explode_wrapper(
         bronze, ["responses", "friendslist", "friends"], outer=True
     ).select("relationship")
-    df = df.na.drop(subset=["relationship"])
+    df = drop_null_rows(df, ["relationship"])
     return keyed_dedup(df, ["relationship"])  # dims.py:202
 
 
@@ -80,7 +80,7 @@ def game_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
             "has_community_visible_stats"
         ),  # dims.py:269-273 fillna 0
     )
-    df = df.na.drop(subset=["game_id", "name"])  # dims.py:266
+    df = drop_null_rows(df, ["game_id", "name"])  # dims.py:266
     return keyed_dedup(df, ["game_id", "name"])  # dims.py:291
 
 
@@ -89,14 +89,14 @@ def stats_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
     df = explode_wrapper(
         bronze, ["responses", "playerstats", "stats"], outer=True
     ).select("name")
-    df = df.na.drop(subset=["name"])  # dims.py:356
+    df = drop_null_rows(df, ["name"])  # dims.py:356
     return keyed_dedup(df, ["name"])  # dims.py:359
 
 
 def group_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
     """reference rust_twitter_steam_dims.py:410-452 (transform_group_dim)."""
     df = explode_wrapper(bronze, ["responses", "response", "groups"], outer=True)
-    df = df.select(F.col("gid").cast("long").alias("group_id")).na.drop()
+    df = df.select(F.col("gid").cast("long").alias("group_id")).transform(lambda d: drop_null_rows(d, d.columns))
     return keyed_dedup(df, ["group_id"])  # dims.py:425
 
 
@@ -124,14 +124,14 @@ def player_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
         F.col("locstatecode").alias("loc_state_code"),
         F.col("loccityid").cast("int").alias("loc_city_id"),
     )
-    df = df.na.drop(subset=["steam_id"])
+    df = drop_null_rows(df, ["steam_id"])
     return keyed_dedup(df, ["steam_id"])  # dims.py:533
 
 
 def friend_dim(bronze: DataFrame, interval_end=None) -> DataFrame:
     """reference rust_twitter_steam_dims.py:587-643 (transform_friend_dim)."""
     df = explode_wrapper(bronze, ["responses", "friendslist", "friends"], outer=True)
-    df = df.select(F.col("steamid").cast("long").alias("steam_id")).na.drop()
+    df = df.select(F.col("steamid").cast("long").alias("steam_id")).transform(lambda d: drop_null_rows(d, d.columns))
     return keyed_dedup(df, ["steam_id"])  # dims.py:612
 
 
@@ -180,7 +180,7 @@ def badges_fact(bronze: DataFrame, interval_end=None) -> DataFrame:
         F.col("scarcity").cast("int").alias("scarcity"),
         F.col("steam_level_raw").cast("int").alias("steam_level"),  # facts.py:608
     )
-    return df.na.drop(subset=["steam_id", "badge_id"])  # facts.py:593,631
+    return df.transform(lambda d: drop_null_rows(d, ["steam_id", "badge_id"]))  # facts.py:593,631
 
 
 def bans_fact(bronze: DataFrame, interval_end: _dt.datetime | None = None) -> DataFrame:
@@ -204,7 +204,7 @@ def bans_fact(bronze: DataFrame, interval_end: _dt.datetime | None = None) -> Da
             F.col("EconomyBan").alias("economy_ban"),
             F.col("VACBanned").alias("vac_banned"),
         )
-        .na.drop(subset=["steam_id"])
+        .transform(lambda d: drop_null_rows(d, ["steam_id"]))
     )
 
 
@@ -223,7 +223,7 @@ def friends_fact(bronze: DataFrame, interval_end=None) -> DataFrame:
             epoch_to_ts("friend_since").alias("friend_since"),  # facts.py:298-300
             F.col("relationship"),
         )
-        .na.drop(subset=["steam_id", "friend_steam_id"])
+        .transform(lambda d: drop_null_rows(d, ["steam_id", "friend_steam_id"]))
     )
 
 
@@ -240,7 +240,7 @@ def game_playing_banned_fact(
             F.col("gameid").cast("long").alias("game_id"),
             F.lit(interval_end).cast("timestamp").alias("date"),  # facts.py:513
         )
-        .na.drop(subset=["steam_id"])  # facts.py:516
+        .transform(lambda d: drop_null_rows(d, ["steam_id"]))  # facts.py:516
     )
 
 
@@ -272,7 +272,7 @@ def game_playtime_fact(
             .cast("long")
             .alias("playtime_two_weeks_mins"),
         )
-        .na.drop(subset=["steam_id", "game_id"])  # facts.py:112
+        .transform(lambda d: drop_null_rows(d, ["steam_id", "game_id"]))  # facts.py:112
     )
 
 
@@ -290,7 +290,7 @@ def groups_fact(bronze: DataFrame, interval_end: _dt.datetime | None = None) -> 
             F.col("gid").cast("long").alias("group_id"),
             F.lit(interval_end).cast("timestamp").alias("date"),  # facts.py:373
         )
-        .na.drop(subset=["steam_id", "group_id"])
+        .transform(lambda d: drop_null_rows(d, ["steam_id", "group_id"]))
     )
 
 
@@ -310,7 +310,7 @@ def stats_fact(bronze: DataFrame, interval_end: _dt.datetime | None = None) -> D
             F.lit(interval_end).cast("timestamp").alias("date"),  # facts.py:450
             F.col("value").cast("float").alias("value"),
         )
-        .na.drop(subset=["steam_id", "name"])
+        .transform(lambda d: drop_null_rows(d, ["steam_id", "name"]))
     )
 
 
