@@ -44,12 +44,15 @@ def char_shingles(df, text_col: str, id_col: str, k: int = 3):
     """Distinct character k-grams per document: (id_col, g).
 
     Expressed as sequence+explode+substring so the whole expansion stays
-    in whole-stage codegen (no Python). At 100 TB this is the shingle
-    exploder that feeds MinHash — it only shuffles at the downstream
-    groupBy, never here.
+    in whole-stage codegen (no Python). The input is repartitioned first:
+    a document table small enough to arrive as one scan partition would
+    otherwise run the ~250× row expansion single-threaded — repartition
+    shuffles only the cheap pre-explode rows, never the shingles.
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(
+        df.repartition(parallelism, id_col)
+        .select(
             id_col,
             F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("i"),
             text_col,

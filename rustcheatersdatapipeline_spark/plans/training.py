@@ -532,6 +532,83 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+def embed_label_centroids(spark, sf_dir):
+    """Per-label centroid computation (the IVF training step).
+
+    Floats are widened to double (exact), scaled by 1e10 and floored to
+    int64 — integer sums are order-independent, so the per-dimension
+    mean is bit-identical across engines with no decimal rounding-mode
+    concerns. One posexplode + one groupBy: at 100 TB this is the
+    canonical map-side-combined centroid job (k·d cells of state).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(as_double_array("embedding")).alias("dim0", "v"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.floor(F.col("v") * 1e10).cast("bigint").alias("s"))
+    return (
+        x.groupBy("label", "dim")
+        .agg(F.sum("s").alias("ssum"), F.count(F.lit(1)).alias("cnt"))
+        .select("label", "dim", (F.col("ssum") / F.col("cnt")).alias("centroid_scaled"), "cnt")
+        .orderBy("label", "dim")
+    )
+
+
+def ann_ivf_assign(spark, sf_dir):
+    """IVF assignment step: vectors vec_id < 16 act as deterministic seed
+    centroids; every vector maps to its nearest centroid by cosine
+    (ties → lower centroid id). Broadcast the 16 centroids; one pass
+    over the corpus — the bucketing that makes IVF probe-local at scale.
+    """
+    v = _vectors(spark, sf_dir, partitions=32)
+    c = _vectors(spark, sf_dir).filter(F.col("vec_id") < 16)
+    cc = c.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos = cosine(dot_product(F.col("e"), F.col("ce")), F.col("nrm"), F.col("cnrm"))
+    pairs = v.join(F.broadcast(cc), how="cross").select(
+        "vec_id", "centroid_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "centroid_id")
+    return (
+        pairs.select("vec_id", "centroid_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .orderBy("vec_id")
+    )
+
+
+def ngram_freq_top(spark, sf_dir):
+    """Corpus-level word-bigram frequency table (top-100, tie-broken):
+    the n-gram language-model building block."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(100)
+    )
+
+
+def doc_length_histogram(spark, sf_dir):
+    """Document length distribution in 50-char buckets (corpus QA)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.floor(F.length("text") / 50).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -545,6 +622,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "embed_label_centroids": embed_label_centroids,
+    "ann_ivf_assign": ann_ivf_assign,
+    "ngram_freq_top": ngram_freq_top,
+    "doc_length_histogram": doc_length_histogram,
 }
 
 
@@ -649,4 +730,31 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # ann_lsh_buckets: intentionally no oracle — approximate operator,
     # driver records the rows-only check.
+    "embed_label_centroids": (
+        "WITH x AS (SELECT label, i AS dim, "
+        "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000000) AS BIGINT) AS s "
+        "FROM embeddings, generate_series(1, 64) t(i)) "
+        "SELECT label, dim, SUM(s) / COUNT(*) AS centroid_scaled, COUNT(*) AS cnt "
+        "FROM x GROUP BY label, dim ORDER BY label, dim"
+    ),
+    "ann_ivf_assign": (
+        f"WITH {_EMB_CTE}, "
+        "c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16), "
+        "p AS (SELECT a.vec_id, c.centroid_id, "
+        "list_dot_product(a.e, c.ce) / (sqrt(a.nrm) * sqrt(c.cnrm)) AS cos FROM v a, c), "
+        "r AS (SELECT vec_id, centroid_id, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn FROM p) "
+        "SELECT vec_id, centroid_id FROM r WHERE rn = 1 ORDER BY vec_id"
+    ),
+    "ngram_freq_top": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "bg AS (SELECT unnest(list_transform(list_slice(w, 1, len(w) - 1), "
+        "(x, i) -> concat(x, ' ', w[i + 1]))) AS bigram FROM toks) "
+        "SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram "
+        "ORDER BY cnt DESC, bigram LIMIT 100"
+    ),
+    "doc_length_histogram": (
+        "SELECT CAST(FLOOR(length(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS cnt "
+        "FROM documents GROUP BY 1 ORDER BY bucket"
+    ),
 }
