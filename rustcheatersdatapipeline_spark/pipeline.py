@@ -29,9 +29,39 @@ from pyspark.sql.utils import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from .operators.dedup import ValidationError, assert_no_duplicates, assert_no_nulls
 from .schemas import BRONZE_SCHEMAS
 from .transforms.builders import DIM_TRANSFORMS, FACT_TRANSFORMS
 from .warehouse.loads import build_warehouse
+
+#: D2/D3 contracts per silver table, mirroring the reference's per-
+#: transform assertion wiring (SURVEY.md §2.3): full-row duplicate check
+#: everywhere; null check on all columns EXCEPT the documented
+#: exemptions (unlock_ts at facts.py:53; steam_id-only checks for
+#: badges/game_playing at facts.py:631,516; dims check duplicates only).
+NULL_CHECK_EXEMPT: dict[str, list[str]] = {
+    "achievement_fact": ["unlock_ts"],
+    "badges_fact": [
+        "badge_id", "app_id", "community_item_id", "xp", "level",
+        "completion_time", "scarcity", "steam_level",
+    ],
+    "game_playing_banned_fact": ["game_id", "date"],
+    # player_dim optional profile fields are nullable by contract
+    "player_dim": [
+        "created_at", "comment_permission", "real_name", "primary_clan_id",
+        "loc_country_code", "loc_state_code", "loc_city_id",
+    ],
+}
+
+
+def validate_silver(name: str, df: DataFrame) -> None:
+    """Apply the reference's runtime contracts to one silver table."""
+    assert_no_duplicates(df)  # D2: all 16 transforms
+    if name.endswith("_fact") or name == "player_dim":
+        exempt = set(NULL_CHECK_EXEMPT.get(name, []))
+        cols = [c for c in df.columns if c not in exempt]
+        if cols:
+            assert_no_nulls(df, cols)  # D3
 
 
 @dataclass
@@ -92,8 +122,14 @@ def run_batch(
     existing: dict[str, DataFrame] | None = None,
     date_start: _dt.date = _dt.date(2003, 9, 12),  # Steam launch
     date_end: _dt.date | None = None,
+    validate: bool = True,
 ) -> BatchResult:
-    """Run one full interval: bronze → silver → gold."""
+    """Run one full interval: bronze → silver → gold.
+
+    ``validate`` applies the reference's D2/D3 runtime contracts to each
+    silver table; a violation fails that branch (reference task failure
+    semantics), not the whole batch.
+    """
     date_end = date_end or (interval_end.date() + _dt.timedelta(days=365))
     bronze, bad_bronze = read_bronze(spark, bronze_dir)
     result = BatchResult(gold={})
@@ -107,8 +143,11 @@ def run_batch(
             result.skipped.append(name)
             continue
         try:
-            silver[name] = fn(bronze[src], interval_end)
-        except Exception as e:  # per-branch isolation (§3.1 failure semantics)
+            df = fn(bronze[src], interval_end)
+            if validate:
+                validate_silver(name, df)
+            silver[name] = df
+        except (ValidationError, Exception) as e:  # per-branch isolation (§3.1)
             result.failed[name] = str(e)
 
     if len(silver) == len(DIM_TRANSFORMS) + len(FACT_TRANSFORMS):
