@@ -82,9 +82,32 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (p50/p90/p99).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation formula over the two straddling sorted values, so the
+    doubles match bit-for-bit (probed, not assumed). Exact percentile
+    sorts within each group; the approx_percentile sketch is the
+    100 TB alternative when exactness isn't contractual.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
+    "events_quantiles": events_quantiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -111,5 +134,11 @@ ORACLE_SQL: dict[str, str] = {
         "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
         "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end "
         "FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"
+    ),
+    "events_quantiles": (
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, "
+        "quantile_cont(value, 0.99) AS p99 "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
 }
