@@ -609,6 +609,68 @@ def doc_length_histogram(spark, sf_dir):
     )
 
 
+def stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (data mixing).
+
+    Each source stratum keeps documents whose portable content hash
+    lands under the stratum's per-mille threshold — the reproducible
+    alternative to rand()-based sampling (same rows on any cluster, any
+    partitioning, any run). Weights: src0/src1 keep 50%, others 20%.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("text")) % 1000
+    thresh = F.when(F.col("source").isin("src0", "src1"), 500).otherwise(200)
+    return (
+        docs.select("doc_id", "source", bucket.alias("b"), thresh.alias("t"))
+        .filter(F.col("b") < F.col("t"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 13-char
+    gram with the 'benchmark' set (doc_id < 10 stands in for an eval
+    suite). The benchmark gram set is tiny → broadcast inverted-index
+    semi-join; the corpus side streams through one stage at any scale.
+    """
+    docs = table(spark, sf_dir, "documents")
+    k = 13
+    grams = char_shingles(docs, "text", "doc_id", k=k)
+    bench = grams.filter(F.col("doc_id") < 10).select(F.col("g").alias("bg")).distinct()
+    hits = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), F.col("g") == F.col("bg"), "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return hits.orderBy("doc_id")
+
+
+def redact_pii(spark, sf_dir):
+    """PII redaction pass: mask email-/phone-/id-shaped substrings and
+    report per-doc redaction counts. Pure regexp_replace — stays in
+    codegen; the patterns use portable RE2/Java-common syntax.
+    """
+    docs = table(spark, sf_dir, "documents")
+    email = "[a-z0-9._]+@[a-z0-9.-]+"
+    longnum = "[0-9]{9,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), longnum, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(longnum), F.lit(0))).alias(
+            "n_longnums"
+        ),
+        F.length(redacted).alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_digest"),
+    ).orderBy("doc_id")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -626,6 +688,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_assign": ann_ivf_assign,
     "ngram_freq_top": ngram_freq_top,
     "doc_length_histogram": doc_length_histogram,
+    "stratified_sample": stratified_sample,
+    "decontaminate": decontaminate,
+    "redact_pii": redact_pii,
 }
 
 
@@ -756,5 +821,29 @@ ORACLE_SQL: dict[str, str] = {
     "doc_length_histogram": (
         "SELECT CAST(FLOOR(length(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS cnt "
         "FROM documents GROUP BY 1 ORDER BY bucket"
+    ),
+    "stratified_sample": (
+        f"SELECT doc_id, source FROM (SELECT doc_id, source, {_H.format(expr='text')} % 1000 AS b, "
+        "CASE WHEN source IN ('src0', 'src1') THEN 500 ELSE 200 END AS t FROM documents) "
+        "WHERE b < t ORDER BY doc_id"
+    ),
+    "decontaminate": (
+        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        "grams AS (SELECT DISTINCT doc_id, substring(text, i, 13) AS g "
+        "FROM documents JOIN pos ON i <= length(text) - 12), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10) "
+        "SELECT doc_id, COUNT(*) AS n_shared_grams FROM grams "
+        "WHERE doc_id >= 10 AND g IN (SELECT g FROM bench) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "redact_pii": (
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails, "
+        "len(regexp_extract_all(text, '[0-9]{9,}')) AS n_longnums, "
+        "length(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'), "
+        "'[0-9]{9,}', '<NUM>', 'g')) AS n_chars_redacted, "
+        "md5(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'), "
+        "'[0-9]{9,}', '<NUM>', 'g')) AS redacted_digest "
+        "FROM documents ORDER BY doc_id"
     ),
 }
