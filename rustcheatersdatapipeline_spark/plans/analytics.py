@@ -104,10 +104,46 @@ def events_quantiles(spark, sf_dir):
     )
 
 
+def events_rollup(spark, sf_dir):
+    """ROLLUP aggregation: per (event_type, value-bucket) counts with
+    subtotal and grand-total rows. Beyond the reference's surface (it
+    has no grouping sets — SURVEY.md §2 intro) but standard engine
+    capability; nulls mark the rollup levels, ordered NULLS FIRST in
+    both engines for determinism."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.floor(F.col("value") / 100).alias("vbucket"))
+        .rollup("event_type", "vbucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("vbucket").asc_nulls_first()
+        )
+    )
+
+
+def events_pivot(spark, sf_dir):
+    """PIVOT: event counts per user-id-decile with one column per event
+    type (explicit value list → deterministic schema; nulls filled 0 to
+    match conditional-aggregation semantics)."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        ev.select((F.col("user_id") % 10).alias("decile"), "event_type")
+        .groupBy("decile")
+        .pivot("event_type", types)
+        .count()
+    )
+    return p.select(
+        "decile", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("decile")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
     "events_quantiles": events_quantiles,
+    "events_rollup": events_rollup,
+    "events_pivot": events_pivot,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -140,5 +176,19 @@ ORACLE_SQL: dict[str, str] = {
         "quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, "
         "quantile_cont(value, 0.99) AS p99 "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "events_rollup": (
+        "SELECT event_type, CAST(FLOOR(value / 100) AS BIGINT) AS vbucket, COUNT(*) AS cnt "
+        "FROM events GROUP BY ROLLUP (event_type, vbucket) "
+        "ORDER BY event_type NULLS FIRST, vbucket NULLS FIRST"
+    ),
+    "events_pivot": (
+        "SELECT user_id % 10 AS decile, "
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, "
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS \"error\", "
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, "
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS \"view\" "
+        "FROM events GROUP BY 1 ORDER BY decile"
     ),
 }

@@ -167,6 +167,8 @@ def _jaccard_verify(cand, sh):
     broadcast threshold this degrades gracefully to a shuffle hash join
     on doc_id (same plan shape, still no explosion).
     """
+    # note: hashing shingles to int64 before intersecting was measured
+    # SLOWER here — the per-shingle md5 outweighs cheaper long equality
     arrs = sh.groupBy("doc_id").agg(
         F.collect_list("g").alias("arr"), F.count(F.lit(1)).alias("n")
     )
@@ -434,7 +436,7 @@ def ann_lsh_buckets(spark, sf_dir):
     _signature.__annotations__ = {"emb": pd.Series, "return": pd.Series}
     signature = pandas_udf("long")(_signature)
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").repartition(32)
     return (
         emb.select("vec_id", signature(as_double_array("embedding")).alias("bucket"))
         .groupBy("bucket")
