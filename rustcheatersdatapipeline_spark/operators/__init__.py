@@ -7,6 +7,7 @@ tests/test_operators.py.
 
 from .cleaning import (
     conditional_overwrite,
+    drop_null_rows,
     ensure_columns,
     epoch_to_ts,
     time_of_day,
@@ -24,6 +25,7 @@ __all__ = [
     "assert_no_duplicates",
     "assert_no_nulls",
     "conditional_overwrite",
+    "drop_null_rows",
     "ensure_columns",
     "epoch_to_ts",
     "explode_wrapper",

@@ -138,12 +138,55 @@ def events_pivot(spark, sf_dir):
     ).orderBy("decile")
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark lacks natively, composed from
+    union + window (the scalable pattern: one shuffle on the key, no
+    range-join explosion).
+
+    For every 'purchase' event, attach the most recent 'view' by the
+    same user at ts ≤ purchase ts. Right side is pre-deduped to one row
+    per (user, ts) (max event_id) so the match is unique-deterministic.
+    The union-window trick: tag right rows, sort (ts, right-first) per
+    user, carry the last non-null right id forward — at 100 TB this is
+    one partitioned sort, versus the quadratic naive range join. Oracle:
+    DuckDB's native ASOF LEFT JOIN over the same deduped inputs.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("l_id")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_id"))
+    )
+    tagged = right.select(
+        "user_id", "ts", "r_id", F.lit(None).cast("long").alias("l_id"), F.lit(1).alias("is_r")
+    ).unionByName(
+        left.select("user_id", "ts", F.lit(None).cast("long").alias("r_id"), "l_id", F.lit(0).alias("is_r"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_r", F.last("r_id", ignorenulls=True).over(w))
+        .filter(F.col("is_r") == 0)
+        .select("l_id", F.col("asof_r").alias("r_id"))
+        .orderBy("l_id")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
     "events_quantiles": events_quantiles,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -190,5 +233,12 @@ ORACLE_SQL: dict[str, str] = {
         "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, "
         "COUNT(*) FILTER (WHERE event_type = 'view') AS \"view\" "
         "FROM events GROUP BY 1 ORDER BY decile"
+    ),
+    "events_asof_join": (
+        "WITH l AS (SELECT user_id, ts, event_id AS l_id FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts, MAX(event_id) AS r_id FROM events WHERE event_type = 'view' "
+        "GROUP BY user_id, ts) "
+        "SELECT l.l_id, r.r_id FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l_id"
     ),
 }
