@@ -180,6 +180,52 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+def events_session_attribution(spark, sf_dir):
+    """Equi+range (interval containment) join: attribute every event to
+    its session from ``events_sessionize``.
+
+    The join key is the user (equi) plus ts ∈ [session_start,
+    session_end] (range) — Catalyst plans a hash/sort-merge join on
+    user_id with the range predicate evaluated inline, so there is no
+    quadratic interval explosion; at 100 TB both sides co-partition on
+    user_id. Output: events per session re-counted via the attribution
+    path — equals n_events from sessionization by construction, which
+    makes the oracle a strong cross-check of BOTH operators.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    sess = (
+        flagged.select("user_id", "ts", F.sum("new_s").over(w).alias("session_id"))
+        .groupBy(F.col("user_id").alias("s_user"), "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    joined = ev.select("user_id", "ts", "event_id").join(
+        sess,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("t0"))
+        & (F.col("ts") <= F.col("t1")),
+    )
+    return (
+        joined.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
@@ -187,6 +233,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,
     "events_asof_join": events_asof_join,
+    "events_session_attribution": events_session_attribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -240,5 +287,18 @@ ORACLE_SQL: dict[str, str] = {
         "GROUP BY user_id, ts) "
         "SELECT l.l_id, r.r_id FROM l ASOF LEFT JOIN r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l_id"
+    ),
+    "events_session_attribution": (
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        f"OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id AS s_user, session_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM "
+        "(SELECT user_id, ts, CAST(SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS session_id FROM flagged) GROUP BY s_user, session_id) "
+        "SELECT e.user_id, s.session_id, COUNT(*) AS n_attributed "
+        "FROM events e JOIN sess s ON e.user_id = s.s_user AND e.ts >= s.t0 AND e.ts <= s.t1 "
+        "GROUP BY e.user_id, s.session_id ORDER BY e.user_id, s.session_id"
     ),
 }
