@@ -57,10 +57,12 @@ from ..functions.text import (
 )
 
 JACCARD_THRESHOLD = 0.8
-#: Character shingle width. k=7 on this corpus drives background Jaccard
-#: to ~0.1 while lightly-edited near-dup pairs stay ≥ 0.85 — the
-#: separation that makes prefix filtering and LSH banding effective.
-SHINGLE_K = 7
+#: Character shingle width. k=9 on this corpus drives background Jaccard
+#: near zero while lightly-edited near-dup pairs stay ≥ 0.85 (the ≥0.8
+#: pair set is identical for k∈{5,7,9}); larger k also means rarer
+#: shingles → smaller prefix-join groups → fewer candidates for both
+#: the exact PPJoin and the LSH verification.
+SHINGLE_K = 9
 COSINE_THRESHOLD = 0.45
 HAMMING_MAX = 3
 KNN_K = 5
