@@ -226,6 +226,21 @@ def events_session_attribution(spark, sf_dir):
     )
 
 
+def events_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: the inverse of events_pivot — wide per-type count
+    columns back to long (decile, event_type, cnt) rows via stack()."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = events_pivot(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) as (event_type, cnt)".format(
+        n=len(types), args=", ".join(f"'{t}', {t}" for t in types)
+    )
+    return (
+        wide.selectExpr("decile", stack_expr)
+        .filter(F.col("cnt") > 0)  # empty cells exist only in the wide form
+        .orderBy("decile", "event_type")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
@@ -234,6 +249,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": events_pivot,
     "events_asof_join": events_asof_join,
     "events_session_attribution": events_session_attribution,
+    "events_unpivot": events_unpivot,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -300,5 +316,9 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT e.user_id, s.session_id, COUNT(*) AS n_attributed "
         "FROM events e JOIN sess s ON e.user_id = s.s_user AND e.ts >= s.t0 AND e.ts <= s.t1 "
         "GROUP BY e.user_id, s.session_id ORDER BY e.user_id, s.session_id"
+    ),
+    "events_unpivot": (
+        "SELECT user_id % 10 AS decile, event_type, COUNT(*) AS cnt FROM events "
+        "GROUP BY 1, 2 ORDER BY decile, event_type"
     ),
 }
