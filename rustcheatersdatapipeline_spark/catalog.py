@@ -38,6 +38,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and truncate to a micros TimestampType — the same truncation DuckDB
     applies when it narrows ns→us, so both engines see identical values.
     """
+    # engine invariant (SURVEY.md §7.3.5): formatted-timestamp outputs
+    # assume UTC; enforce it even on externally-built sessions (the
+    # conf is runtime-settable, unlike most session configs)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
