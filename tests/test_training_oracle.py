@@ -15,7 +15,8 @@ def test_training_matches_oracle(spark, ddb, sf_dir, name):
 
 def test_ann_lsh_buckets_runs(spark, sf_dir):
     rows = T.ann_lsh_buckets(spark, sf_dir).collect()
-    assert len(rows) > 0
-    assert sum(r["n_vecs"] for r in rows) == 500 * (
-        1 if sf_dir.endswith("0.001") or sf_dir.endswith("0.01") else 10
-    ) or sum(r["n_vecs"] for r in rows) > 0
+    assert 0 < len(rows) <= 256  # 8-bit signature space
+    total = sum(r["n_vecs"] for r in rows)
+    from rustcheatersdatapipeline_spark.catalog import table
+
+    assert total == table(spark, sf_dir, "embeddings").count()  # every vector bucketed
