@@ -48,10 +48,16 @@ def char_shingles(df, text_col: str, id_col: str, k: int = 3):
     a document table small enough to arrive as one scan partition would
     otherwise run the ~250× row expansion single-threaded — repartition
     shuffles only the cheap pre-explode rows, never the shingles.
+
+    Documents shorter than k yield zero shingles (pre-filtered: Spark's
+    ``sequence(lo, hi)`` DESCENDS when hi < lo, so an unguarded
+    ``sequence(1, length-k+1)`` would emit truncated partial shingles
+    for short docs that the SQL oracles never produce).
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(parallelism, id_col)
+        df.filter(F.length(text_col) >= k)
+        .repartition(parallelism, id_col)
         .select(
             id_col,
             F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("i"),

@@ -68,10 +68,14 @@ def q3(spark, sf_dir):
 
 
 def q4(spark, sf_dir):
-    """P18 containment / LIKE (reference SteamToS3Operator.py:37-39)."""
+    """P18 containment / LIKE (reference SteamToS3Operator.py:37-39).
+
+    Substring chosen to match ~250 rows at sf0.01 so the oracle compare
+    is non-vacuous (two engines agreeing on an empty set proves nothing).
+    """
     return (
         _t(spark, sf_dir, "part")
-        .filter(F.col("p_name").contains("green"))
+        .filter(F.col("p_name").contains("red"))
         .select("p_partkey")
         .orderBy("p_partkey")
     )
@@ -261,13 +265,24 @@ def q17(spark, sf_dir):
 
 
 def q18(spark, sf_dir):
-    """D11 insert-if-absent = left-anti join (reference LoadDimsOperator.py:25-28)."""
-    o = _t(spark, sf_dir, "orders")
+    """D11 insert-if-absent = left-anti join (reference LoadDimsOperator.py:25-28).
+
+    The 'existing' side is the customers holding finished ('F') orders —
+    modeling the already-loaded slice of a dimension — so the anti-join
+    returns the genuinely-absent keys (71 rows at sf0.01, non-vacuous;
+    the round-1 orders⟕customer direction matched zero rows because every
+    FK resolves).
+    """
     c = _t(spark, sf_dir, "customer")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    loaded = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
         .select("o_custkey")
-        .orderBy("o_custkey")
+    )
+    return (
+        c.join(loaded, c.c_custkey == loaded.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
     )
 
 
@@ -440,7 +455,7 @@ ORACLE_SQL: dict[str, str] = {
     "q1": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q2": "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000 ORDER BY o_orderkey",
     "q3": "SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING' AND c_nationkey IN (1,2,3) ORDER BY c_custkey",
-    "q4": "SELECT p_partkey FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey",
+    "q4": "SELECT p_partkey FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey",
     "q5": "SELECT c_custkey FROM customer WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL ORDER BY c_custkey",
     "q6": "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS bal FROM customer ORDER BY c_custkey",
     "q7": "SELECT p_partkey, CASE WHEN p_brand = '' THEN p_name ELSE p_brand END AS brand FROM part ORDER BY p_partkey",
@@ -477,8 +492,9 @@ ORACLE_SQL: dict[str, str] = {
         "ON CAST(o_orderdate AS DATE) = dd.full_date ORDER BY o_orderkey"
     ),
     "q18": (
-        "SELECT o_custkey FROM orders WHERE o_custkey NOT IN "
-        "(SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) ORDER BY o_custkey"
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL) "
+        "ORDER BY c_custkey"
     ),
     "q19": (
         "SELECT user_id, event_type, value FROM (SELECT user_id, event_type, value, "
