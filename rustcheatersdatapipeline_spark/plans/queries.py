@@ -39,10 +39,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q1(spark, sf_dir):
-    """P3 scan + projection (reference dags/scripts/rust_twitter_steam_dims.py:535-551)."""
+    """P3 scan + projection, P12 dtype cast in one pass (reference
+    dags/scripts/rust_twitter_steam_dims.py:535-551, :128-137).
+
+    l_quantity is integral-valued, so truncation == rounding for the
+    cast; the general fractional case is pinned by floor (see module
+    docstring). The standalone cast variant lives on as q8 in the
+    tests-only suite.
+    """
     return (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -82,16 +94,26 @@ def q4(spark, sf_dir):
 
 
 def q5(spark, sf_dir):
-    """P8 null-drop (reference rust_twitter_steam_dims.py:33).
+    """P8 null-drop + P10 null-fill in one pass (reference
+    rust_twitter_steam_dims.py:33, :115-116).
 
-    Uses the engine's drop_null_rows (IsNotNull conjunction), not
-    na.drop — AtLeastNNonNulls never pushes to the parquet scan.
+    The raw test tables contain no nulls (every column fully populated
+    at every SF), so nulls are derived with NULLIF to make both ops
+    non-vacuous: MACHINERY rows are dropped through the null path and
+    BUILDING rows are filled to 'UNKNOWN'. Uses the engine's
+    drop_null_rows (IsNotNull conjunction), not na.drop —
+    AtLeastNNonNulls never pushes to the parquet scan.
     """
     from ..operators.cleaning import drop_null_rows
 
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("nullif(c_mktsegment, 'MACHINERY')").alias("seg_drop"),
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg_fill"),
+    )
     return (
-        drop_null_rows(_t(spark, sf_dir, "customer"), ["c_name", "c_acctbal"])
-        .select("c_custkey")
+        drop_null_rows(base, ["seg_drop"])
+        .select("c_custkey", F.coalesce(F.col("seg_fill"), F.lit("UNKNOWN")).alias("seg"))
         .orderBy("c_custkey")
     )
 
@@ -137,7 +159,11 @@ def q8(spark, sf_dir):
 
 
 def q9(spark, sf_dir):
-    """P13 epoch→timestamp formatting (reference rust_twitter_steam_facts.py:31-33)."""
+    """P13 epoch→timestamp formatting + P19/J10 time-of-day projection
+    (reference rust_twitter_steam_facts.py:31-33, sql_queries.py:21).
+
+    No Spark TIME type → 'HH:mm:ss' string contract (SURVEY.md §7.3).
+    """
     return (
         _t(spark, sf_dir, "events")
         .select(
@@ -146,6 +172,7 @@ def q9(spark, sf_dir):
                 F.timestamp_seconds(F.floor(F.col("value")).cast("long")),
                 "yyyy-MM-dd HH:mm:ss",
             ).alias("ts_s"),
+            F.date_format(F.col("ts"), "HH:mm:ss").alias("tod"),
         )
         .orderBy("event_id")
     )
@@ -248,7 +275,8 @@ def q16(spark, sf_dir):
 
 
 def q17(spark, sf_dir):
-    """J9 expression-key (date) join (reference sql_queries.py:28-29)."""
+    """J9 expression-key (date) join + P14 date arithmetic (reference
+    sql_queries.py:28-29, rust_twitter_steam_facts.py:213-216)."""
     o = _t(spark, sf_dir, "orders")
     dd = (
         o.select(F.col("o_orderdate").cast("date").alias("full_date"))
@@ -259,7 +287,11 @@ def q17(spark, sf_dir):
             F.broadcast(dd),
             F.col("o_orderdate").cast("date") == dd.full_date,
         )
-        .select("o_orderkey", F.date_format("full_date", "yyyy-MM-dd").alias("full_date"))
+        .select(
+            "o_orderkey",
+            F.date_format("full_date", "yyyy-MM-dd").alias("full_date"),
+            F.date_format(F.date_sub(F.col("full_date"), 30), "yyyy-MM-dd").alias("d30"),
+        )
         .orderBy("o_orderkey")
     )
 
@@ -446,27 +478,40 @@ def q30(spark, sf_dir):
     )
 
 
+#: Query numbers folded into composite declared queries (their operators
+#: stay driver-verified there; the standalone builders stay in the
+#: tests-only suite below): q6→q5 (P10), q8→q1 (P12), q10→q17 (P14),
+#: q30→q9 (P19/J10). The driver's correctness gate records at most 50
+#: entries, so the declared surface is kept at exactly 50 — coverage is
+#: preserved by compositing, not dropping.
+_TESTS_ONLY = (6, 8, 10, 30)
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    f"q{i}": globals()[f"q{i}"] for i in range(1, 31)
+    f"q{i}": globals()[f"q{i}"] for i in range(1, 31) if i not in _TESTS_ONLY
+}
+
+TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    f"q{i}": globals()[f"q{i}"] for i in _TESTS_ONLY
 }
 
 
 ORACLE_SQL: dict[str, str] = {
-    "q1": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q1": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_quantity AS BIGINT) AS q "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ),
     "q2": "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000 ORDER BY o_orderkey",
     "q3": "SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING' AND c_nationkey IN (1,2,3) ORDER BY c_custkey",
     "q4": "SELECT p_partkey FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey",
-    "q5": "SELECT c_custkey FROM customer WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL ORDER BY c_custkey",
-    "q6": "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS bal FROM customer ORDER BY c_custkey",
+    "q5": (
+        "SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg "
+        "FROM customer WHERE NULLIF(c_mktsegment, 'MACHINERY') IS NOT NULL ORDER BY c_custkey"
+    ),
     "q7": "SELECT p_partkey, CASE WHEN p_brand = '' THEN p_name ELSE p_brand END AS brand FROM part ORDER BY p_partkey",
-    "q8": "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q9": (
         "SELECT event_id, strftime(make_timestamp(CAST(FLOOR(value) AS BIGINT) * 1000000), "
-        "'%Y-%m-%d %H:%M:%S') AS ts_s FROM events ORDER BY event_id"
-    ),
-    "q10": (
-        "SELECT o_orderkey, strftime(CAST(o_orderdate - INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS d30 "
-        "FROM orders ORDER BY o_orderkey"
+        "'%Y-%m-%d %H:%M:%S') AS ts_s, strftime(ts, '%H:%M:%S') AS tod "
+        "FROM events ORDER BY event_id"
     ),
     "q11": "SELECT p_partkey, split_part(p_type, ' ', 1) AS t1 FROM part ORDER BY p_partkey",
     "q12": (
@@ -488,7 +533,9 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "q17": (
         "WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders) "
-        "SELECT o_orderkey, strftime(dd.full_date, '%Y-%m-%d') AS full_date FROM orders JOIN dd "
+        "SELECT o_orderkey, strftime(dd.full_date, '%Y-%m-%d') AS full_date, "
+        "strftime(CAST(dd.full_date - INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS d30 "
+        "FROM orders JOIN dd "
         "ON CAST(o_orderdate AS DATE) = dd.full_date ORDER BY o_orderkey"
     ),
     "q18": (
@@ -541,6 +588,20 @@ ORACLE_SQL: dict[str, str] = {
     "q29": (
         "SELECT p_partkey, u.t FROM part, UNNEST(string_split(p_type, ' ')) AS u(t) "
         "ORDER BY p_partkey, u.t"
+    ),
+}
+
+#: Oracles for the tests-only builders — same compare, run by pytest
+#: (tests/test_queries_oracle.py) instead of the driver.
+TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "q6": "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS bal FROM customer ORDER BY c_custkey",
+    "q8": (
+        "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ),
+    "q10": (
+        "SELECT o_orderkey, strftime(CAST(o_orderdate - INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS d30 "
+        "FROM orders ORDER BY o_orderkey"
     ),
     "q30": "SELECT event_id, strftime(ts, '%H:%M:%S') AS tod FROM events ORDER BY event_id",
 }

@@ -8,7 +8,11 @@ from rustcheatersdatapipeline_spark.plans import queries as Q
 from .helpers import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(Q.SPARK_QUERIES, key=lambda s: int(s[1:])))
+_ALL_QUERIES = {**Q.SPARK_QUERIES, **Q.TESTS_ONLY_QUERIES}
+_ALL_ORACLES = {**Q.ORACLE_SQL, **Q.TESTS_ONLY_ORACLE_SQL}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_QUERIES, key=lambda s: int(s[1:])))
 def test_query_matches_oracle(spark, ddb, sf_dir, name):
-    df = Q.SPARK_QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, ddb, Q.ORACLE_SQL[name], name)
+    df = _ALL_QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ddb, _ALL_ORACLES[name], name)

@@ -7,10 +7,14 @@ from rustcheatersdatapipeline_spark.plans import training as T
 from .helpers import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(T.ORACLE_SQL))
+_ALL_QUERIES = {**T.SPARK_QUERIES, **T.TESTS_ONLY_QUERIES}
+_ALL_ORACLES = {**T.ORACLE_SQL, **T.TESTS_ONLY_ORACLE_SQL}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_training_matches_oracle(spark, ddb, sf_dir, name):
-    df = T.SPARK_QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, ddb, T.ORACLE_SQL[name], name)
+    df = _ALL_QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ddb, _ALL_ORACLES[name], name)
 
 
 def test_ann_lsh_buckets_runs(spark, sf_dir):
