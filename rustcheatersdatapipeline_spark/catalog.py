@@ -29,6 +29,23 @@ TABLES = (
 # engine targets (region/nation are bounded; the rest scale with SF).
 SMALL_DIMS = ("region", "nation")
 
+#: Sessions whose catalog invariants are already applied (conf writes
+#: are once per session, not per table() call).
+_CONFIGURED: set[int] = set()
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Engine invariants (SURVEY.md §7.3.5), applied once per session:
+    formatted-timestamp outputs assume UTC (enforced even on
+    externally-built sessions — runtime-settable, unlike most session
+    configs), and nanos parquet timestamps read as raw longs."""
+    key = id(spark)
+    if key in _CONFIGURED:
+        return
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONFIGURED.add(key)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one synthetic table.
@@ -38,12 +55,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and truncate to a micros TimestampType — the same truncation DuckDB
     applies when it narrows ns→us, so both engines see identical values.
     """
-    # engine invariant (SURVEY.md §7.3.5): formatted-timestamp outputs
-    # assume UTC; enforce it even on externally-built sessions (the
-    # conf is runtime-settable, unlike most session configs)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_session_confs(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -69,6 +69,12 @@ class BatchResult:
     gold: dict[str, DataFrame]
     skipped: list[str] = field(default_factory=list)
     failed: dict[str, str] = field(default_factory=dict)
+    #: gold tables that could not load this batch (their silver branch
+    #: or a dim dependency was absent) and had no prior state to carry
+    not_loaded: list[str] = field(default_factory=list)
+    #: branches that failed once and succeeded on the bounded re-attempt
+    #: (reference retries: 1, rust_twitter_steam_pipeline.py:40-41)
+    retried: list[str] = field(default_factory=list)
 
     @property
     def succeeded(self) -> bool:
@@ -128,7 +134,14 @@ def run_batch(
 
     ``validate`` applies the reference's D2/D3 runtime contracts to each
     silver table; a violation fails that branch (reference task failure
-    semantics), not the whole batch.
+    semantics), not the whole batch. A failed branch gets ONE bounded
+    re-attempt (reference ``retries: 1``,
+    rust_twitter_steam_pipeline.py:40-41) before it is reported.
+
+    Gold builds from the SUCCESSFUL branches (the reference's
+    none_failed_min_one_success end rule + per-task loads): a failed or
+    skipped branch holds back only the loads that depend on it —
+    build_warehouse carries prior state for those and loads the rest.
     """
     date_end = date_end or (interval_end.date() + _dt.timedelta(days=365))
     bronze, bad_bronze = read_bronze(spark, bronze_dir)
@@ -142,16 +155,23 @@ def run_batch(
         if src not in bronze:
             result.skipped.append(name)
             continue
-        try:
-            df = fn(bronze[src], interval_end)
-            if validate:
-                validate_silver(name, df)
-            silver[name] = df
-        except (ValidationError, Exception) as e:  # per-branch isolation (§3.1)
-            result.failed[name] = str(e)
+        for attempt in (1, 2):  # reference retries: 1
+            try:
+                df = fn(bronze[src], interval_end)
+                if validate:
+                    validate_silver(name, df)
+                silver[name] = df
+                result.failed.pop(name, None)
+                if attempt == 2:
+                    result.retried.append(name)
+                break
+            except (ValidationError, Exception) as e:  # per-branch isolation (§3.1)
+                result.failed[name] = str(e)
 
-    if len(silver) == len(DIM_TRANSFORMS) + len(FACT_TRANSFORMS):
+    if silver:
         result.gold = build_warehouse(
             spark, silver, date_start, date_end, existing=existing
         )
+        expected = set(DIM_TRANSFORMS) | set(FACT_TRANSFORMS) | {"date_dim"}
+        result.not_loaded = sorted(expected - set(result.gold))
     return result

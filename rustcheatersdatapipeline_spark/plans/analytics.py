@@ -253,11 +253,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    # checksum is BYTE-based on both sides: Spark's fake decode sums the
+    # UTF-8 buffer, so the oracle sums hex(encode(text)) byte pairs —
+    # ord() over code points would silently diverge on non-ASCII text.
     "multimodal_features": (
-        "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents), "
-        "pos AS (SELECT i FROM generate_series(1, 4096) t(i)), "
-        "ch AS (SELECT doc_id, CAST(SUM(ord(substring(text, i, 1))) AS BIGINT) AS checksum "
-        "FROM b JOIN pos ON i <= length(text) GROUP BY doc_id) "
+        "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, "
+        "hex(encode(text)) AS hx, text FROM documents), "
+        "pos AS (SELECT i FROM generate_series(1, 8192) t(i)), "
+        "ch AS (SELECT doc_id, "
+        "CAST(SUM(('0x' || substring(hx, 2 * i - 1, 2))::BIGINT) AS BIGINT) AS checksum "
+        "FROM b JOIN pos ON i <= n GROUP BY doc_id) "
         "SELECT b.doc_id AS item_id, 'text/plain' AS mime, CAST(n AS INT) AS n_bytes, "
         "CAST(16 + n % 64 AS INT) AS width, CAST(16 + (n // 64) % 64 AS INT) AS height, "
         "CAST(1 + n % 8 AS INT) AS n_frames, "

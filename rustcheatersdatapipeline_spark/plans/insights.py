@@ -5,8 +5,11 @@ The reference serves these from a BI tool over the Postgres warehouse
 tables produced by ``warehouse.build_warehouse``. Each takes the gold
 dict so they compose with any warehouse state (fixture-built in tests,
 full-scale in production). All are dimension-sized aggregations after
-broadcast joins — Catalyst plans TakeOrderedAndProject for the top-k
-shapes, so no full sort materializes at any scale.
+joins — bounded dims (game) carry a broadcast hint, population-scaled
+dims (player, group) are left to AQE (a forced broadcast of a
+population-sized table is a driver OOM at 100 TB). Catalyst plans
+TakeOrderedAndProject for the top-k shapes, so no full sort
+materializes at any scale.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ def bans_per_country(gold: dict[str, DataFrame]) -> DataFrame:
     """A1 (reference README.md:40): ban counts by player country."""
     return (
         gold["bans_fact"]
-        .join(F.broadcast(gold["player_dim"]), "player_sk")
+        .join(gold["player_dim"], "player_sk")  # population-scaled: AQE decides
         .groupBy("loc_country_code")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "loc_country_code")
@@ -90,7 +93,7 @@ def top_groups(gold: dict[str, DataFrame], k: int = 3) -> DataFrame:
     """A7 (reference README.md:64-70)."""
     return (
         gold["groups_fact"]
-        .join(F.broadcast(gold["group_dim"]), "group_sk")
+        .join(gold["group_dim"], "group_sk")  # population-scaled: AQE decides
         .groupBy("group_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "group_id")
@@ -105,6 +108,26 @@ def profile_visibility_counts(gold: dict[str, DataFrame]) -> DataFrame:
         .groupBy("community_vis_state")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("community_vis_state")
+    )
+
+
+def bans_per_country_in_range(
+    gold: dict[str, DataFrame], date_sk_lo: int, date_sk_hi: int
+) -> DataFrame:
+    """A1 restricted to a date_sk range — the incremental/dashboard
+    shape. Over gold persisted by ``persist.write_gold`` (facts
+    partitioned by date_sk) the range lands in PartitionFilters and the
+    scan reads only the touched dates; pinned by
+    tests/test_skew_and_bucketing.py."""
+    return (
+        gold["bans_fact"]
+        .filter(
+            (F.col("date_sk") >= date_sk_lo) & (F.col("date_sk") <= date_sk_hi)
+        )
+        .join(gold["player_dim"], "player_sk")  # population-scaled: AQE decides
+        .groupBy("loc_country_code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "loc_country_code")
     )
 
 

@@ -159,15 +159,19 @@ def dedup_exact(spark, sf_dir):
 
 
 def _jaccard_verify(cand, sh):
-    """Exact Jaccard on candidate pairs via broadcast shingle arrays.
+    """Exact Jaccard on candidate pairs via shingle-array joins.
 
     Collecting each document's (distinct) shingles into one array and
-    intersecting with ``array_intersect`` keeps verification a single
-    broadcast-join + codegen'd expression — no exploded (pair, shingle)
-    intermediate, which is what made the naive verify O(cand × |doc|)
-    shuffle rows. At cluster scale where the array table outgrows the
-    broadcast threshold this degrades gracefully to a shuffle hash join
-    on doc_id (same plan shape, still no explosion).
+    intersecting with ``array_intersect`` keeps verification a join +
+    codegen'd expression — no exploded (pair, shingle) intermediate,
+    which is what made the naive verify O(cand × |doc|) shuffle rows.
+
+    Deliberately NO broadcast hint: the shingle-array table grows with
+    the corpus, and a forced broadcast of an unbounded side is a driver
+    OOM at cluster scale. AQE broadcasts it when it is actually under
+    the threshold (the local-test case) and falls back to a shuffle
+    hash join on doc_id otherwise — same plan shape, still no
+    explosion.
     """
     # note: hashing shingles to int64 before intersecting was measured
     # SLOWER here — the per-shingle md5 outweighs cheaper long equality
@@ -179,8 +183,8 @@ def _jaccard_verify(cand, sh):
     i = F.size(F.array_intersect(F.col("sa.arr"), F.col("sb.arr")))
     jac = (i / (F.col("sa.n") + F.col("sb.n") - i)).alias("jac")
     return (
-        cand.join(F.broadcast(a), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(b), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(a, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(b, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac)
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")

@@ -5,11 +5,16 @@ against the dims, exactly as the reference's SQL templates do
 (dags/scripts/sql_queries.py:20-29 and siblings), then applies the
 upsert semantics from SURVEY.md §2.5 (D11 DO NOTHING / D12 DO UPDATE).
 
-Physical strategy: every dim side is broadcast (dims are key-dictionary
-sized by construction, facts are the big side) — at 100 TB the fact
-scan streams through 4 broadcast-hash joins in one stage with zero
-fact-side shuffles; the J9 expression key (to_date(ts)) is computed
-inline, no pre-materialization.
+Physical strategy: BOUNDED dims (relationship, game, achievement,
+badges, stats, date) carry an explicit broadcast hint — they are
+key-dictionary sized by construction, so the fact scan streams through
+broadcast-hash joins with zero fact-side shuffles at any scale. Dims
+that grow with the user population (player, friend, group) are NOT
+hinted: a forced broadcast of the player dictionary is a driver OOM at
+100 TB. AQE broadcasts them while they fit (the local-test case) and
+degrades to a shuffle hash join once they don't — the correct trade at
+scale, chosen at runtime from real sizes. The J9 expression key
+(to_date(ts)) is computed inline, no pre-materialization.
 """
 
 from __future__ import annotations
@@ -37,7 +42,14 @@ DIM_KEYS: dict[str, tuple[list[str], str]] = {
 
 
 def _b(df: DataFrame) -> DataFrame:
+    """Broadcast hint — apply ONLY to bounded (catalog-sized) dims."""
     return F.broadcast(df)
+
+
+def _u(df: DataFrame) -> DataFrame:
+    """Population-scaled dim (player/friend/group): no hint; AQE picks
+    broadcast vs shuffle from runtime sizes."""
+    return df
 
 
 def _date_join(fact: DataFrame, dates: DataFrame, ts_col: str) -> DataFrame:
@@ -54,7 +66,7 @@ def load_achievement_fact(staged, dims, dates):
     gm = dims["game_dim"].withColumnRenamed("name", "g_name")
     out = (
         staged.join(_b(ach.select("achievement_sk", "name")), "name")
-        .join(_b(ply.select("player_sk", "steam_id")), "steam_id")
+        .join(_u(ply.select("player_sk", "steam_id")), "steam_id")
         .join(_b(gm.select("game_sk", "g_name")), staged.game_name == F.col("g_name"))
     )
     out = _date_join(out, dates, "unlock_ts")
@@ -76,7 +88,7 @@ def load_badges_fact(staged, dims, dates):
             _b(bd),
             on=["badge_id", "app_id", "community_item_id", "xp", "level"],  # :59-60
         )
-        .join(_b(ply.select("player_sk", "steam_id")), "steam_id")
+        .join(_u(ply.select("player_sk", "steam_id")), "steam_id")
     )
     out = _date_join(out, dates, "completion_time")
     return out.select(
@@ -92,7 +104,7 @@ def load_badges_fact(staged, dims, dates):
 def load_bans_fact(staged, dims, dates):
     """J3 (reference sql_queries.py:89-94)."""
     ply = dims["player_dim"]
-    out = staged.join(_b(ply.select("player_sk", "steam_id")), "steam_id")
+    out = staged.join(_u(ply.select("player_sk", "steam_id")), "steam_id")
     out = _date_join(out, dates, "last_ban_date")
     return out.select(
         "player_sk",
@@ -112,8 +124,8 @@ def load_friends_fact(staged, dims, dates):
     fr = dims["friend_dim"].withColumnRenamed("steam_id", "friend_steam_id")
     rel = dims["relationship_dim"]
     out = (
-        staged.join(_b(ply.select("player_sk", "steam_id")), "steam_id")
-        .join(_b(fr), "friend_steam_id")
+        staged.join(_u(ply.select("player_sk", "steam_id")), "steam_id")
+        .join(_u(fr), "friend_steam_id")
         .join(_b(rel), "relationship")
     )
     out = _date_join(out, dates, "friend_since")
@@ -130,7 +142,7 @@ def _simple_game_fact(staged, dims, dates, extra: list[str]):
     ply = dims["player_dim"]
     gm = dims["game_dim"]
     out = (
-        staged.join(_b(ply.select("player_sk", "steam_id")), "steam_id")
+        staged.join(_u(ply.select("player_sk", "steam_id")), "steam_id")
         .join(_b(gm.select("game_sk", "game_id")), "game_id")
     )
     out = _date_join(out, dates, "date")
@@ -162,8 +174,8 @@ def load_groups_fact(staged, dims, dates):
     ply = dims["player_dim"]
     gr = dims["group_dim"]
     out = (
-        staged.join(_b(ply.select("player_sk", "steam_id")), "steam_id")
-        .join(_b(gr), "group_id")
+        staged.join(_u(ply.select("player_sk", "steam_id")), "steam_id")
+        .join(_u(gr), "group_id")
     )
     out = _date_join(out, dates, "date")
     return out.select("player_sk", "group_sk", "date_sk")
@@ -176,12 +188,25 @@ def load_stats_fact(staged, dims, dates):
     st = dims["stats_dim"]
     out = (
         staged.join(_b(st), "name")
-        .join(_b(ply.select("player_sk", "steam_id")), "steam_id")
+        .join(_u(ply.select("player_sk", "steam_id")), "steam_id")
         .join(_b(gm.select("game_sk", "g_name")), staged.game == F.col("g_name"))
     )
     out = _date_join(out, dates, "date")
     return out.select("stats_sk", "player_sk", "game_sk", "date_sk", "value")
 
+
+#: fact → dims its load joins against (used to decide whether a fact
+#: can load in a partial batch: every dep dim must be present in gold).
+FACT_DIM_DEPS: dict[str, list[str]] = {
+    "achievement_fact": ["achievement_dim", "player_dim", "game_dim"],
+    "badges_fact": ["badges_dim", "player_dim"],
+    "bans_fact": ["player_dim"],
+    "friends_fact": ["player_dim", "friend_dim", "relationship_dim"],
+    "game_playing_banned_fact": ["player_dim", "game_dim"],
+    "game_playtime_fact": ["player_dim", "game_dim"],
+    "groups_fact": ["player_dim", "group_dim"],
+    "stats_fact": ["stats_dim", "player_dim", "game_dim"],
+}
 
 #: fact → (loader, upsert keys, mode) per the reference's ON CONFLICT
 #: wiring (D11 sites at rust_twitter_steam_pipeline.py:588-698,
@@ -219,11 +244,20 @@ def build_warehouse(
 ) -> dict[str, DataFrame]:
     """One batch of the gold build (SURVEY.md §3.3 as one driver program).
 
-    ``silver`` maps the 16 staged table names to DataFrames; ``existing``
+    ``silver`` maps staged table names to DataFrames; ``existing``
     is the prior warehouse state (for cross-batch upsert accumulation,
-    D13). Returns the 17 gold tables. Dim loads are D11 insert-if-absent
+    D13). Returns the gold tables. Dim loads are D11 insert-if-absent
     except player_dim's D12 profile refresh
     (reference rust_twitter_steam_pipeline.py:659-670).
+
+    Partial batches (the none_failed_min_one_success rule,
+    rust_twitter_steam_pipeline.py:877): a silver table may be absent
+    when its branch was skipped or failed. An absent dim carries the
+    prior state forward (or is omitted on the first batch); a fact loads
+    only when its staged input AND every dim it joins (FACT_DIM_DEPS)
+    are present, otherwise it carries prior state / is omitted. Loaded
+    branches never wait on failed ones — per-branch isolation exactly
+    like the reference's per-task loads.
     """
     existing = existing or {}
     gold: dict[str, DataFrame] = {}
@@ -232,6 +266,11 @@ def build_warehouse(
     gold["date_dim"] = dates
 
     for dim, (nat_keys, sk) in DIM_KEYS.items():
+        if dim not in silver:
+            prior = existing.get(dim)
+            if prior is not None:
+                gold[dim] = prior
+            continue
         incoming = silver[dim]
         prior = existing.get(dim)
         if prior is not None:
@@ -255,6 +294,12 @@ def build_warehouse(
             gold[dim] = with_surrogate_key(incoming, nat_keys, sk)
 
     for fact, (loader, keys, mode) in FACT_LOADS.items():
+        deps_ok = fact in silver and all(d in gold for d in FACT_DIM_DEPS[fact])
+        if not deps_ok:
+            prior = existing.get(fact)
+            if prior is not None:
+                gold[fact] = prior
+            continue
         batch = loader(silver[fact], gold, dates)
         prior = existing.get(fact)
         if prior is None:

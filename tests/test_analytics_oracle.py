@@ -19,6 +19,32 @@ def test_analytics_matches_oracle(spark, ddb, sf_dir, name):
     assert_matches_oracle(df, ddb, A.ORACLE_SQL[name], name)
 
 
+def test_multimodal_checksum_is_byte_based_for_non_ascii(spark, tmp_path):
+    """The fake decode sums UTF-8 BYTES; the oracle must too. A
+    code-point oracle (ord per char) agrees on ASCII and silently
+    diverges on anything else — pinned here with multi-byte text."""
+    import duckdb
+
+    rows = [
+        (1, "plain ascii text"),
+        (2, "héllo wörld — naïve café"),
+        (3, "日本語のテキスト ✓"),
+        (4, "emoji 🎉🚀 and ½ fractions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    df = A.multimodal_features(spark, str(tmp_path))
+    assert_matches_oracle(df, con, A.ORACLE_SQL["multimodal_features"], "multimodal_nonascii")
+    # and the checksum really is the byte sum
+    got = {r["item_id"]: r["checksum"] for r in df.collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == sum(text.encode("utf-8")), doc_id
+
+
 def test_real_codec_path_is_marked_unimplemented(spark, sf_dir):
     from pyspark.sql import functions as F
 

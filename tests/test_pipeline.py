@@ -28,6 +28,8 @@ def test_full_batch_end_to_end(spark, tmp_path):
 
 
 def test_missing_endpoint_is_skipped_not_fatal(spark, tmp_path):
+    """S15 sensor-skip + none_failed_min_one_success: a skipped branch
+    holds back only its own loads; everything else still reaches gold."""
     paths = write_fixtures(tmp_path)
     import os
 
@@ -35,4 +37,31 @@ def test_missing_endpoint_is_skipped_not_fatal(spark, tmp_path):
     res = run_batch(spark, str(tmp_path), INTERVAL_END)
     assert "stats_dim" in res.skipped and "stats_fact" in res.skipped
     assert not res.failed
-    assert res.gold == {}  # partial silver → no gold build this round
+    # gold builds from the successful branches; only the stats pair is out
+    assert res.not_loaded == ["stats_dim", "stats_fact"]
+    assert len(res.gold) == 15  # 17 minus the stats pair
+    assert res.gold["player_dim"].count() == 2
+    assert res.gold["bans_fact"].count() == 2
+
+
+def test_failed_branch_retries_once_then_succeeds(spark, tmp_path, monkeypatch):
+    """Reference retries: 1 (rust_twitter_steam_pipeline.py:40-41) — a
+    transiently-failing transform succeeds on the bounded re-attempt."""
+    from rustcheatersdatapipeline_spark.transforms import builders
+
+    write_fixtures(tmp_path)
+    orig_fn, src = builders.DIM_TRANSFORMS["group_dim"]
+    calls = {"n": 0}
+
+    def flaky(df, interval_end):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return orig_fn(df, interval_end)
+
+    monkeypatch.setitem(builders.DIM_TRANSFORMS, "group_dim", (flaky, src))
+    res = run_batch(spark, str(tmp_path), INTERVAL_END)
+    assert res.succeeded, (res.skipped, res.failed)
+    assert "group_dim" in res.retried
+    assert "group_dim" not in res.failed
+    assert len(res.gold) == 17

@@ -39,6 +39,50 @@ def test_salted_join_equals_plain(spark):
     assert got == want
 
 
+def test_gold_tables_prune_and_bucket(spark, tmp_path):
+    """The persisted gold layout must deliver both 100 TB read paths:
+    (1) a date-ranged insight prunes to the touched date_sk partitions;
+    (2) fact⋈fact on player_sk runs bucket-co-located, no Exchange."""
+    import datetime
+
+    from rustcheatersdatapipeline_spark.pipeline import run_batch
+    from rustcheatersdatapipeline_spark.plans.insights import bans_per_country_in_range
+    from rustcheatersdatapipeline_spark.warehouse.persist import write_gold_tables
+
+    from .fixtures import write_fixtures
+
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    write_fixtures(bronze)
+    res = run_batch(spark, str(bronze), datetime.datetime(2022, 1, 15, 12, 0, 0))
+    assert res.succeeded
+    write_gold_tables(spark, res.gold, "goldtest", f"{tmp_path}/gold")
+    back = {
+        name: spark.table(f"goldtest.{name}") for name in res.gold
+    }
+
+    # (1) partition pruning on the date-ranged insight
+    sks = sorted(r["date_sk"] for r in back["bans_fact"].select("date_sk").distinct().collect())
+    insight = bans_per_country_in_range(back, sks[0], sks[0])
+    plan = insight._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "date_sk" in pf, plan
+
+    # (2) player_sk fact-fact join: bucketed scans, no Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            back["bans_fact"].select("player_sk", "num_vac_bans")
+            .join(back["game_playtime_fact"].select("player_sk", "game_sk"), "player_sk")
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located bucketed tables join without an Exchange on either side
     — the pre-partitioning strategy for repeated big-big joins at scale."""

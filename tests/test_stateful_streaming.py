@@ -12,7 +12,7 @@ from rustcheatersdatapipeline_spark.streaming.stateful import stream_sessionize
 from .test_streaming import EVENTS_LONG_TS
 
 
-def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+def _assert_stream_matches_batch(spark, sf_dir, tmp_path, name):
     events_dir = tmp_path / "ev"
     events_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
@@ -27,7 +27,7 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
         # huge idle timeout → only gap-closed sessions emit (deterministic)
         stream_sessionize(src, idle_timeout_ms=3_600_000)
         .writeStream.format("memory")
-        .queryName("sessions_stream")
+        .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -36,7 +36,7 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
 
     got = {
         (r["user_id"], r["session_start"].strftime("%Y-%m-%d %H:%M:%S"), r["n_events"])
-        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
 
     # batch truth: all sessions; the stream (one batch, no timeout fired)
@@ -53,3 +53,16 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
         if r["session_id"] != last_per_user[r["user_id"]]
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    _assert_stream_matches_batch(spark, sf_dir, tmp_path, "sessions_stream")
+
+
+def test_stateful_sessionize_matches_batch_sf01(spark, tmp_path):
+    """VERDICT r1 #7: streaming parity at bench scale — the stateful
+    sessionizer over the sf0.1 events (~100k rows) must equal the batch
+    sessionization's closed sessions, not just the fixture-sized case."""
+    _assert_stream_matches_batch(
+        spark, "/root/testdata/sf0.1", tmp_path, "sessions_stream_sf01"
+    )
