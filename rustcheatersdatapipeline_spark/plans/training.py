@@ -739,6 +739,81 @@ def redact_pii(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def dedup_cluster(spark, sf_dir):
+    """Connected components over the SimHash near-dup pairs: every doc
+    in a near-dup relation gets its cluster's minimum doc_id as
+    ``cluster_id`` — the step that turns pairwise matches into dedup
+    GROUPS (keep one representative per cluster).
+
+    Iterative min-label propagation WITH pointer jumping,
+    driver-controlled: each round takes
+    label := min(label, label(label), min(neighbors' labels)) — the
+    label-of-label term halves chain depth every round, so convergence
+    is O(log diameter) instead of O(diameter) (a chain-shaped dup family
+    of 50 docs converges in ~6 rounds, not 50). Each round is two
+    equi-join shuffles on doc_id; ``localCheckpoint`` truncates lineage
+    so round N's plan does not replay rounds 1..N-1. The pytest oracle
+    recomputes the same components with a DuckDB recursive CTE
+    (tests-only: iterative queries are per-round plans, so the driver's
+    single-DataFrame harness sees only the converged result).
+    """
+    pairs = simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        grand = labels.select(
+            F.col("doc_id").alias("g_id"), F.col("label").alias("g_label")
+        )
+        new_labels = (
+            labels.join(grand, labels.label == grand.g_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("g_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .join(nbr, F.col("doc_id") == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
+        "doc_id"
+    )
+
+
 def text_metrics(spark, sf_dir):
     """Per-document text-analysis composite: language ID, token counts,
     and quality scoring in ONE scan of the corpus (the production shape
@@ -872,6 +947,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_cluster": dedup_cluster,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1046,6 +1122,17 @@ ORACLE_SQL: dict[str, str] = {
 #: Oracles for the tests-only builders — same compare, run by pytest
 #: (tests/test_training_oracle.py) instead of the driver.
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "dedup_cluster": (
+        f"WITH RECURSIVE {_simhash_sql_cte()}, "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}), "
+        "e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p), "
+        "reach(doc_id, r) AS ("
+        "SELECT DISTINCT doc_a, doc_a FROM e "
+        "UNION SELECT e.doc_a, reach.r FROM reach JOIN e ON e.doc_b = reach.doc_id) "
+        "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"
+    ),
     "simhash_docs": (
         f"WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id"
     ),
