@@ -859,6 +859,92 @@ def text_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    storage/bandwidth scale path (float32→int8 is 4× smaller scans and
+    SIMD-friendly distances; standard for 100 TB embedding stores).
+
+    Per vector: scale = 127 / max|e_i|, q_i = floor(e_i · scale). The
+    emitted summary keeps everything cross-engine-exact: the scale is
+    floored at 1e9, and the quantized sums are pure integer aggregates
+    (order-independent by construction). Array columns stay inside the
+    engine; only scalars cross the comparison boundary.
+    """
+    emb = _vectors(spark, sf_dir, partitions=32)
+    scale = F.lit(127.0) / F.aggregate(
+        F.transform(F.col("e"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    q = F.transform(F.col("e"), lambda x: F.floor(x * F.col("scale")).cast("bigint"))
+    return (
+        emb.select("vec_id", "e", scale.alias("scale"))
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * 1e9).cast("bigint").alias("scale_x1e9"),
+            q.alias("q"),
+        )
+        .select(
+            "vec_id",
+            "scale_x1e9",
+            F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+            F.aggregate(
+                "q", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+            ).alias("q_ssq"),
+            F.array_min("q").cast("bigint").alias("q_min"),
+            F.array_max("q").cast("bigint").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def lm_score(spark, sf_dir):
+    """Perplexity-proxy quality scoring: per-document mean log-probability
+    of its word bigrams under the corpus bigram model — the cheap
+    LM-based filter (docs whose n-grams are corpus-typical score high,
+    gibberish scores low).
+
+    Two shuffles at any scale: build the model (bigram → count, map-side
+    combined), then join docs' bigrams back and aggregate per doc. The
+    per-bigram log-prob is scaled by 1e6 and floored to int64 BEFORE the
+    per-doc sum, so the aggregation is order-independent integer
+    arithmetic — the only doubles crossing the engine boundary come from
+    one exact integer division (ln() itself is not guaranteed correctly
+    rounded, but a 1-ulp input difference flips the floored value only
+    on an exact 1e-6 boundary — probability ~1e-10 per bigram).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bigram"),
+    )
+    model = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("n_total"))
+    scored = model.crossJoin(F.broadcast(total)).select(
+        "bigram",
+        F.floor(F.log(F.col("cnt") / F.col("n_total")) * 1e6)
+        .cast("bigint")
+        .alias("logp_scaled"),
+    )
+    return (
+        bigrams.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_scaled").alias("sum_logp_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("sum_logp_scaled") / F.col("n_bigrams")).alias("avg_logp_scaled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def corpus_stats(spark, sf_dir):
     """Corpus-QA composite: top-100 word bigrams and the 50-char document
     length histogram as one tall (kind, k, cnt) result — the union of
@@ -948,6 +1034,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster": dedup_cluster,
+    "lm_score": lm_score,
+    "embed_quantize": embed_quantize,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1135,6 +1223,33 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
     ),
     "simhash_docs": (
         f"WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+    ),
+    "lm_score": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(list_slice(w, 1, len(w) - 1), "
+        "(x, i) -> concat(x, ' ', w[i + 1]))) AS bigram FROM toks), "
+        "model AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram), "
+        "tot AS (SELECT SUM(cnt) AS n_total FROM model), "
+        "scored AS (SELECT bigram, "
+        "CAST(FLOOR(ln(cnt / n_total) * 1000000) AS BIGINT) AS logp_scaled "
+        "FROM model, tot) "
+        "SELECT doc_id, COUNT(*) AS n_bigrams, "
+        "SUM(logp_scaled) / COUNT(*) AS avg_logp_scaled "
+        "FROM bg JOIN scored USING (bigram) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "embed_quantize": (
+        f"WITH {_EMB_CTE}, "
+        "s AS (SELECT vec_id, e, 127.0 / list_max(list_transform(e, x -> abs(x))) AS scale "
+        "FROM v), "
+        "q AS (SELECT vec_id, scale, "
+        "list_transform(e, x -> CAST(FLOOR(x * scale) AS BIGINT)) AS ql FROM s) "
+        "SELECT vec_id, CAST(FLOOR(scale * 1000000000) AS BIGINT) AS scale_x1e9, "
+        "CAST(list_aggregate(ql, 'sum') AS BIGINT) AS q_sum, "
+        "CAST(list_aggregate(list_transform(ql, x -> x * x), 'sum') AS BIGINT) AS q_ssq, "
+        "CAST(list_aggregate(ql, 'min') AS BIGINT) AS q_min, "
+        "CAST(list_aggregate(ql, 'max') AS BIGINT) AS q_max "
+        "FROM q ORDER BY vec_id"
     ),
     "lang_id": (
         "SELECT doc_id, "
