@@ -996,11 +996,16 @@ def sketch_bounds(spark, sf_dir):
         .select(
             "event_type",
             "n_users_exact",
+            # 1/0 ints, not booleans: the only bool-typed columns in the
+            # declared surface would ride untested through the driver's
+            # hash normalization — ints are a proven path
             (
                 F.abs(F.col("hll") - F.col("n_users_exact"))
                 <= 0.15 * F.col("n_users_exact")
-            ).alias("hll_ok"),
-            ((frac >= 0.45) & (frac <= 0.55)).alias("p50_rank_ok"),
+            )
+            .cast("int")
+            .alias("hll_ok"),
+            ((frac >= 0.45) & (frac <= 0.55)).cast("int").alias("p50_rank_ok"),
         )
         .orderBy("event_type")
     )
@@ -1178,7 +1183,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "sketch_bounds": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, "
-        "TRUE AS hll_ok, TRUE AS p50_rank_ok "
+        "CAST(1 AS INT) AS hll_ok, CAST(1 AS INT) AS p50_rank_ok "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "stratified_sample": (
