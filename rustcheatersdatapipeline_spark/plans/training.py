@@ -1018,6 +1018,73 @@ def sketch_bounds(spark, sf_dir):
 #: downstream consumers (simhash_docs → simhash_neardup,
 #: embed_label_centroids → ann_ivf_assign), move to the tests-only suite
 #: below — same oracle compare, run by pytest instead of the driver.
+def curate_corpus(spark, sf_dir):
+    """The end-to-end training-data curation pipeline as ONE lazy plan:
+
+        quality filter → exact dedup → near-dup drop → benchmark
+        decontamination → deterministic stratified sample
+
+    Every stage reuses the engine's standalone operators, so Catalyst
+    sees a single DAG and schedules the whole curation in one job: the
+    corpus is scanned once per independent feature (tokens, digest,
+    simhash, grams, sample hash) and the drops compose as semi/anti
+    joins — at 100 TB nothing materializes between stages.
+
+    Near-dup policy here is pairwise: drop any doc having a near-dup
+    with a smaller id (one-pass; keeps per-pair minima). The exact
+    component-representative policy is ``dedup_cluster`` — iterative,
+    so it cannot live inside a single lazy plan; a production run would
+    substitute its cluster map. The oracle replicates the identical
+    pairwise rule, so the compare is exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tok = F.size(toks)
+    stop_cnt = marker_count("text", STOPWORDS)
+    quality = (F.least(n_tok, F.lit(200)) / F.lit(200.0)) * (
+        F.lit(1.0) - stop_cnt / n_tok
+    )
+    base = docs.select("doc_id", "source", "text", quality.alias("q")).filter(
+        F.col("q") >= 0.2
+    )
+
+    # exact dedup: keep the smallest doc_id per content digest
+    keep_exact = (
+        base.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = base.join(keep_exact, "doc_id", "left_semi")
+
+    # near-dup drop: any doc with a smaller-id SimHash near-duplicate
+    pairs = simhash_neardup(spark, sf_dir).select(F.col("doc_b").alias("doc_id"))
+    survivors = survivors.join(pairs.distinct(), "doc_id", "left_anti")
+
+    # decontamination: drop the benchmark slice and anything with
+    # SUBSTANTIAL 13-gram overlap with it. The any-shared-gram rule
+    # (operator ``decontaminate``) is the conservative audit view; on
+    # this templated corpus it flags ~97% of docs (median background
+    # overlap ≈ 22 grams vs hundreds for genuine near-copies), so the
+    # curation policy thresholds at ≥ 100 shared grams.
+    contaminated = (
+        decontaminate(spark, sf_dir)
+        .filter(F.col("n_shared_grams") >= 100)
+        .select("doc_id")
+    )
+    survivors = survivors.filter(F.col("doc_id") >= 10).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # deterministic stratified sample (reproducible on any cluster)
+    bucket = portable_hash64(F.col("text")) % 1000
+    thresh = F.when(F.col("source").isin("src0", "src1"), 500).otherwise(200)
+    return (
+        survivors.filter(bucket < thresh)
+        .select("doc_id", "source", F.col("q").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1041,6 +1108,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster": dedup_cluster,
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
+    "curate_corpus": curate_corpus,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1242,6 +1310,34 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SUM(logp_scaled) / COUNT(*) AS avg_logp_scaled "
         "FROM bg JOIN scored USING (bigram) "
         "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "curate_corpus": (
+        f"WITH {_simhash_sql_cte()}, "
+        "qd AS (SELECT doc_id, source, text, "
+        "(LEAST(n_tokens, 200) / CAST(200.0 AS DOUBLE)) * "
+        "(CAST(1.0 AS DOUBLE) - stop_cnt / n_tokens) AS q FROM "
+        "(SELECT doc_id, source, text, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, "
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt "
+        "FROM documents)), "
+        "qf AS (SELECT * FROM qd WHERE q >= 0.2), "
+        "ke AS (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY md5(text)), "
+        "s1 AS (SELECT qf.* FROM qf JOIN ke USING (doc_id)), "
+        "nd AS (SELECT DISTINCT b.doc_id FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}), "
+        "s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM nd)), "
+        f"pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        "grams AS (SELECT DISTINCT doc_id, substring(text, i, 13) AS g "
+        "FROM documents JOIN pos ON i <= length(text) - 12), "
+        "cont AS (SELECT doc_id FROM grams WHERE doc_id >= 10 "
+        "AND g IN (SELECT g FROM grams WHERE doc_id < 10) "
+        "GROUP BY doc_id HAVING COUNT(*) >= 100), "
+        "s3 AS (SELECT * FROM s2 WHERE doc_id >= 10 "
+        "AND doc_id NOT IN (SELECT doc_id FROM cont)) "
+        "SELECT doc_id, source, q AS quality FROM s3 "
+        f"WHERE {_H.format(expr='text')} % 1000 < "
+        "(CASE WHEN source IN ('src0', 'src1') THEN 500 ELSE 200 END) "
+        "ORDER BY doc_id"
     ),
     "embed_quantize": (
         f"WITH {_EMB_CTE}, "

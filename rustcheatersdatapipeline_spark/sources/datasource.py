@@ -19,8 +19,13 @@ Usage::
 from __future__ import annotations
 
 import json
+import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 #: output schema: the reference's extracted profile-URL rows
@@ -47,6 +52,56 @@ class TwitterTimelineReader(DataSourceReader):
             )
 
 
+def _rows_from_capture(path: str):
+    with open(path) as fh:
+        doc = json.load(fh)
+    for row in doc.get("steam_profile_urls", []):
+        yield (
+            row.get("profile_name_at_ban"),
+            row.get("profile_url"),
+            row.get("tweet_created_time"),
+        )
+
+
+class TwitterTimelineStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the hourly pull (SURVEY.md §2.7): each capture
+    file the driver-side fetcher drops into ``dir`` is one
+    micro-batch's worth of rows. The offset is the count of consumed
+    files in lexicographic order (capture names embed the interval
+    timestamp, so arrival order == name order); ``readBetweenOffsets``
+    replays any committed range exactly, giving end-to-end exactly-once
+    with the checkpointed query + idempotent warehouse sink.
+    """
+
+    def __init__(self, options):
+        self.dir = options.get("dir")
+        if not self.dir:
+            raise ValueError("twitter_timeline stream requires option 'dir'")
+
+    def _files(self):
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".json")
+        )
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        files = self._files()
+        i = start["index"]
+        rows = []
+        for f in files[i:]:
+            rows.extend(_rows_from_capture(os.path.join(self.dir, f)))
+        return iter(rows), {"index": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        rows = []
+        for f in files[start["index"] : end["index"]]:
+            rows.extend(_rows_from_capture(os.path.join(self.dir, f)))
+        return iter(rows)
+
+
 class TwitterTimelineDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -57,3 +112,6 @@ class TwitterTimelineDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return TwitterTimelineReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return TwitterTimelineStreamReader(self.options)
