@@ -864,6 +864,36 @@ def text_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def repetition_score(spark, sf_dir):
+    """Within-document repetition: the fraction of 8-gram positions whose
+    gram already occurred earlier in the same document (duplicate-gram
+    ratio — the classic repetition quality gate for LLM corpora; highly
+    repetitive docs score near 1). Zero-shuffle array expressions, like
+    doc_fingerprint: n_grams - n_distinct over n_grams, computed per
+    row. Ratio is an exact integer division → bit-identical doubles.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = F.expr("transform(sequence(1, length(text)-7), i -> substring(text, i, 8))")
+    return (
+        docs.select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("g").cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct("g")).cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            ((F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")).alias(
+                "rep_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column — the
     storage/bandwidth scale path (float32→int8 is 4× smaller scans and
@@ -1114,6 +1144,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
     "curate_corpus": curate_corpus,
+    "repetition_score": repetition_score,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1315,6 +1346,14 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SUM(logp_scaled) / COUNT(*) AS avg_logp_scaled "
         "FROM bg JOIN scored USING (bigram) "
         "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "repetition_score": (
+        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        "g AS (SELECT doc_id, substring(text, i, 8) AS gram "
+        "FROM documents JOIN pos ON i <= length(text) - 7 WHERE length(text) >= 8) "
+        "SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct, "
+        "(COUNT(*) - COUNT(DISTINCT gram)) / COUNT(*) AS rep_ratio "
+        "FROM g GROUP BY doc_id ORDER BY doc_id"
     ),
     "curate_corpus": (
         f"WITH {_simhash_sql_cte()}, "
