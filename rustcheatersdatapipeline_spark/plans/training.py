@@ -750,72 +750,21 @@ def dedup_cluster(spark, sf_dir):
     ``cluster_id`` — the step that turns pairwise matches into dedup
     GROUPS (keep one representative per cluster).
 
-    Iterative min-label propagation WITH pointer jumping,
-    driver-controlled: each round takes
-    label := min(label, label(label), min(neighbors' labels)) — the
-    label-of-label term halves chain depth every round, so convergence
-    is O(log diameter) instead of O(diameter) (a chain-shaped dup family
-    of 50 docs converges in ~6 rounds, not 50). Each round is two
-    equi-join shuffles on doc_id; ``localCheckpoint`` truncates lineage
-    so round N's plan does not replay rounds 1..N-1. The pytest oracle
-    recomputes the same components with a DuckDB recursive CTE
-    (tests-only: iterative queries are per-round plans, so the driver's
-    single-DataFrame harness sees only the converged result).
+    Delegates to ``operators.graph.connected_components`` (min-label
+    propagation with pointer jumping: O(log diameter) rounds, two
+    shuffles per round, lineage truncated per round — see that module).
+    The pytest oracle recomputes the same components with a DuckDB
+    recursive CTE; a hypothesis property test checks the CC operator
+    against a Python union-find on arbitrary graphs (tests-only: the
+    driver's single-DataFrame harness can't hold an iterative program).
     """
+    from ..operators.graph import connected_components
+
     pairs = simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
-    while True:
-        nbr = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        grand = labels.select(
-            F.col("doc_id").alias("g_id"), F.col("label").alias("g_label")
-        )
-        new_labels = (
-            labels.join(grand, labels.label == grand.g_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("g_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .join(nbr, F.col("doc_id") == nbr.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
-        "doc_id"
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
     )
 
 

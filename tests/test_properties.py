@@ -74,3 +74,38 @@ def test_epoch_round_trip(spark, epochs):
     df = spark.createDataFrame([(e,) for e in epochs], "e long")
     out = df.select("e", F.unix_timestamp(epoch_to_ts("e")).alias("back")).collect()
     assert all(r["e"] == r["back"] for r in out)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=40
+    )
+)
+@_settings
+def test_connected_components_equals_union_find(spark, edges):
+    """CC contract on arbitrary graphs: every edge-touched node gets the
+    minimum id reachable from it (checked against a sequential
+    union-find)."""
+    from rustcheatersdatapipeline_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
