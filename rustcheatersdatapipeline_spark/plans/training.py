@@ -813,6 +813,112 @@ def text_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def bpe_train(spark, sf_dir, n_merges: int = 20):
+    """Distributed BPE tokenizer training: the top-``n_merges`` merge
+    rules learned from the corpus (classic byte-pair encoding over the
+    word-frequency dictionary, no end-of-word marker).
+
+    The scale shape: training operates on the DISTINCT-word table
+    weighted by count (bounded vocabulary — ~1M rows at 100 TB, not the
+    corpus), so each round is one adjacent-pair explode + map-side
+    combined groupBy, a 1-row argmax collect (tie-break: highest count,
+    then lexicographic), and a codegen array fold applying the merge
+    left-to-right non-overlapping. The driver loop is the iteration —
+    like connected_components, per-round lineage is truncated with
+    localCheckpoint. Verified against a sequential pure-Python BPE on
+    the identical word counts (tests/test_bpe.py): merge sequences
+    match exactly.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(ws_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(
+        "w", "cnt", F.split("w", "").alias("s")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            # single-symbol words have no pairs (and an unguarded
+            # sequence(1, 0) would DESCEND — see char_shingles)
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s)-1), "
+                        "i -> struct(s[i-1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merged = left + right
+        merges.append((rank, left, right, merged, int(c)))
+        fold = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("w", "cnt", fold.alias("s")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def pack_sequences(spark, sf_dir, window: int = 512):
+    """Sequence packing for pretraining batches: documents are
+    concatenated in deterministic (source, doc_id) order and cut into
+    fixed ``window``-token context rows — each doc gets its pack id and
+    intra-pack offset. This is the concat-and-cut packing real
+    pipelines use (no bin-packing search); expressed as one running-sum
+    window per source, so at 100 TB it is one shuffle on the source key
+    and packing streams within each partition. Output: where each doc
+    lands (pack_id, offset) plus whether it straddles a window
+    boundary (split docs need attention-mask resets downstream).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(ws_tokens("text")).cast("bigint").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = toks.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok"),
+    )
+    return (
+        cum.select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.floor(F.col("start_tok") / window).cast("bigint").alias("pack_id"),
+            (F.col("start_tok") % window).alias("offset"),
+            (
+                (F.col("start_tok") % window) + F.col("n_tok") > window
+            )
+            .cast("int")
+            .alias("straddles"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
 def repetition_score(spark, sf_dir):
     """Within-document repetition: the fraction of 8-gram positions whose
     gram already occurred earlier in the same document (duplicate-gram
@@ -1094,6 +1200,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize": embed_quantize,
     "curate_corpus": curate_corpus,
     "repetition_score": repetition_score,
+    "pack_sequences": pack_sequences,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1295,6 +1402,19 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SUM(logp_scaled) / COUNT(*) AS avg_logp_scaled "
         "FROM bg JOIN scored USING (bigram) "
         "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "pack_sequences": (
+        "WITH toks AS (SELECT source, doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok "
+        "FROM documents), "
+        "cum AS (SELECT source, doc_id, n_tok, "
+        "CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok FROM toks) "
+        "SELECT source, doc_id, n_tok, "
+        "CAST(FLOOR(start_tok / 512) AS BIGINT) AS pack_id, "
+        "start_tok % 512 AS offset, "
+        "CAST((start_tok % 512) + n_tok > 512 AS INT) AS straddles "
+        "FROM cum ORDER BY source, doc_id"
     ),
     "repetition_score": (
         f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
