@@ -40,8 +40,17 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def char_shingles(df, text_col: str, id_col: str, k: int = 3):
+def char_shingles(df, text_col: str, id_col: str, k: int = 3, hash64: bool = False):
     """Distinct character k-grams per document: (id_col, g).
+
+    ``hash64=True`` replaces each k-gram with its ``xxhash64`` BEFORE the
+    distinct — engine-internal only (xxhash64 is not portable to the SQL
+    oracle): int64 shingles shuffle ~2× fewer bytes and compare ~3×
+    faster than k-char strings in the downstream joins/intersections,
+    and a cross-doc collision (~1e-9 corpus-wide) would surface as an
+    oracle mismatch, not silent corruption. Callers needing portable
+    hashes (MinHash signatures) must keep strings and apply
+    ``portable_hash64`` themselves.
 
     Expressed as sequence+explode+substring so the whole expansion stays
     in whole-stage codegen (no Python). The input is repartitioned first:
@@ -55,6 +64,9 @@ def char_shingles(df, text_col: str, id_col: str, k: int = 3):
     for short docs that the SQL oracles never produce).
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    gram = F.expr(f"substring({text_col}, i, {k})")
+    if hash64:
+        gram = F.xxhash64(gram)
     return (
         df.filter(F.length(text_col) >= k)
         .repartition(parallelism, id_col)
@@ -63,7 +75,7 @@ def char_shingles(df, text_col: str, id_col: str, k: int = 3):
             F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("i"),
             text_col,
         )
-        .select(id_col, F.expr(f"substring({text_col}, i, {k})").alias("g"))
+        .select(id_col, gram.alias("g"))
         .distinct()
     )
 
