@@ -886,6 +886,43 @@ def bpe_train(spark, sf_dir, n_merges: int = 20):
     )
 
 
+def bpe_encode(docs, merges: list[tuple[str, str]], text_col: str = "text"):
+    """Encode documents with learned BPE merges: whitespace-split, then
+    apply each merge rule in rank order as a left-to-right
+    non-overlapping array fold. The whole encode is ONE lazy projection
+    (``n_merges`` chained codegen folds, zero shuffles, no Python) —
+    the plan a 100 TB tokenization job wants: pure map work that scales
+    with input splits. Returns (original columns…, tokens array,
+    n_bpe_tokens).
+    """
+    def merge_fold(left: str, right: str):
+        merged = left + right
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    def encode_word(w):
+        # merges apply WITHIN a word (the same boundary rule training
+        # uses) — fold rules in rank order over the char array
+        e = F.split(w, "")
+        for left, right in merges:
+            e = F.aggregate(e, F.array().cast("array<string>"), merge_fold(left, right))
+        return e
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = F.flatten(F.transform(words, encode_word))
+    return docs.withColumn("tokens", toks).withColumn(
+        "n_bpe_tokens", F.size("tokens").cast("bigint")
+    )
+
+
 def pack_sequences(spark, sf_dir, window: int = 512):
     """Sequence packing for pretraining batches: documents are
     concatenated in deterministic (source, doc_id) order and cut into

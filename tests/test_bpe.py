@@ -47,3 +47,35 @@ def test_bpe_train_matches_sequential_reference(spark, sf_dir):
     want = _py_bpe(dict(rows), N_MERGES)
 
     assert got == want and len(got) == N_MERGES
+
+
+def test_bpe_encode_matches_sequential_apply(spark, sf_dir):
+    """Encoding with the learned merges (one lazy plan, chained codegen
+    folds) must equal the sequential per-word merge application."""
+    from rustcheatersdatapipeline_spark.catalog import table
+    from rustcheatersdatapipeline_spark.plans.training import bpe_encode
+
+    trained = bpe_train(spark, sf_dir, n_merges=8)
+    merges = [(r["left"], r["right"]) for r in trained.collect()]
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).select("doc_id", "tokens", "n_bpe_tokens").collect()
+    }
+
+    def encode_word(w):
+        s = list(w)
+        for left, right in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for w in r["text"].split(" ") if w for t in encode_word(w)]
+        assert got[r["doc_id"]] == (toks, len(toks)), r["doc_id"]
