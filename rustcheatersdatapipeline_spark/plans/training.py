@@ -659,6 +659,71 @@ def ann_ivf_assign(spark, sf_dir):
     )
 
 
+def ann_ivf_search(spark, sf_dir, nprobe: int = 2):
+    """IVF search stage: each query (vec_id < KNN_QUERY_MAX_ID) probes
+    its ``nprobe`` nearest centroids and runs cosine top-k only inside
+    those inverted lists — the IVF counterpart of ann_lsh_search
+    (candidates ≈ nprobe/16 of the corpus, never all pairs). Assignment
+    reuses ann_ivf_assign's centroid rule exactly, so the oracle
+    replicates the identical partition of the corpus and recall drift
+    is impossible by construction.
+    """
+    v = _vectors(spark, sf_dir, partitions=32)
+    c = _vectors(spark, sf_dir).filter(F.col("vec_id") < 16)
+    cc = c.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = cosine(dot_product(F.col("e"), F.col("ce")), F.col("nrm"), F.col("cnrm"))
+    ranked = v.join(F.broadcast(cc), how="cross").select(
+        "vec_id", "e", "nrm", "centroid_id", cos_c.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "centroid_id")
+    assigned = ranked.select(
+        "vec_id", "e", "nrm", "centroid_id", F.row_number().over(w).alias("crn")
+    )
+    # corpus side: every vector lives in exactly its nearest list
+    lists = assigned.filter(F.col("crn") == 1).select(
+        "vec_id", "e", "nrm", "centroid_id"
+    )
+    # query side: probe the nprobe nearest lists
+    probes = (
+        assigned.filter(
+            (F.col("vec_id") < KNN_QUERY_MAX_ID) & (F.col("crn") <= nprobe)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            "centroid_id",
+        )
+    )
+    cos_q = cosine(
+        dot_product(F.col("qe"), F.col("e")), F.col("qnrm"), F.col("nrm")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(lists, "centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cos"),
+        )
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id", "neighbor_id", "cos", F.row_number().over(wq).alias("rnk")
+        )
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def ngram_freq_top(spark, sf_dir):
     """Corpus-level word-bigram frequency table (top-100, tie-broken):
     the n-gram language-model building block."""
@@ -1244,6 +1309,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": curate_corpus,
     "repetition_score": repetition_score,
     "pack_sequences": pack_sequences,
+    "ann_ivf_search": ann_ivf_search,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1445,6 +1511,24 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SUM(logp_scaled) / COUNT(*) AS avg_logp_scaled "
         "FROM bg JOIN scored USING (bigram) "
         "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "ann_ivf_search": (
+        f"WITH {_EMB_CTE}, "
+        "c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16), "
+        "rk AS (SELECT a.vec_id, a.e, a.nrm, c.centroid_id, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+        "list_dot_product(a.e, c.ce) / (sqrt(a.nrm) * sqrt(c.cnrm)) DESC, c.centroid_id) AS crn "
+        "FROM v a, c), "
+        "lists AS (SELECT vec_id, e, nrm, centroid_id FROM rk WHERE crn = 1), "
+        "probes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm, centroid_id FROM rk "
+        f"WHERE vec_id < {KNN_QUERY_MAX_ID} AND crn <= 2), "
+        "p AS (SELECT DISTINCT p.q_id AS query_id, l.vec_id AS neighbor_id, "
+        "list_dot_product(p.qe, l.e) / (sqrt(p.qnrm) * sqrt(l.nrm)) AS cos "
+        "FROM probes p JOIN lists l USING (centroid_id) WHERE p.q_id <> l.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p) "
+        f"SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos FROM r WHERE rnk <= {KNN_K} "
+        "ORDER BY query_id, rnk"
     ),
     "pack_sequences": (
         "WITH toks AS (SELECT source, doc_id, "
