@@ -248,14 +248,16 @@ def q14(spark, sf_dir):
 def q15(spark, sf_dir):
     """J1/J5 multi-way inner equi-join (reference sql_queries.py:20-29).
 
-    nation/customer are dimension-sized → Catalyst picks broadcast-hash
-    joins (AQE enforces it even if stats are stale).
+    Hint policy: nation is bounded (25 rows at any SF) → explicit
+    broadcast hint; customer scales with the population → no hint, the
+    planner broadcasts it from file-size stats while it fits and
+    degrades to shuffle join when it doesn't.
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("o_orderkey", "c_name", "n_name")
         .orderBy("o_orderkey")

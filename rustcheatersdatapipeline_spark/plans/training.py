@@ -371,8 +371,12 @@ def _vectors(spark, sf_dir, partitions: int | None = None):
 def embed_neardup_cosine(spark, sf_dir):
     """All-pairs cosine near-dup (cos ≥ 0.45) — correctness baseline.
 
-    O(n²): only valid at verification scale. The scale path is
-    ann_lsh_buckets (bucketed candidates).
+    O(n²): only valid at verification scale; the scale path is
+    ann_lsh_buckets/ann_lsh_search (bucketed candidates). The broadcast
+    hint on the full vector side is a DELIBERATE exception to the
+    bounded-dims-only policy: a non-equi pair join has no hash-join
+    plan, so at baseline scale broadcast-NL is the only sane strategy —
+    at corpus scale you would not run this operator at all.
     """
     v = _vectors(spark, sf_dir, partitions=64)
     a = v.alias("a")
