@@ -221,9 +221,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # no hints: dfreq scales with the shingle vocabulary and sz with the
+    # corpus — AQE broadcasts them while they fit (the test-scale case)
+    # and shuffle-joins beyond, same policy as _jaccard_verify
     prefix = (
-        sh.join(F.broadcast(dfreq), "g")
-        .join(F.broadcast(sz), "doc_id")
+        sh.join(dfreq, "g")
+        .join(sz, "doc_id")
         .select(
             "doc_id",
             "g",
