@@ -1,0 +1,34 @@
+"""Partition-layout invariance: declared queries must return identical
+rows whatever the shuffle width — the determinism contract that makes
+results reproducible across cluster sizes (a 32-way local run and a
+1000-executor run must agree bit-for-bit)."""
+
+import pytest
+
+from rustcheatersdatapipeline_spark.plans import analytics as A
+from rustcheatersdatapipeline_spark.plans import queries as Q
+from rustcheatersdatapipeline_spark.plans import training as T
+
+#: queries whose plans exercise shuffling ops with tie-break-sensitive
+#: windows/aggregations — the ones layout bugs would corrupt first
+CASES = {
+    "q12": Q.q12,
+    "q19": Q.q19,
+    "q20": Q.q20,
+    "dedup_exact": T.dedup_exact,
+    "dedup_minhash_lsh": T.dedup_minhash_lsh,
+    "events_sessionize": A.events_sessionize,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_result_is_shuffle_width_invariant(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, CASES[name](spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, CASES[name](spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, name
