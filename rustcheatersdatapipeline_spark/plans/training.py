@@ -909,6 +909,75 @@ def dedup_cluster(spark, sf_dir):
     )
 
 
+#: Span width (whitespace tokens) for passage-level exact dedup.
+SPAN_W = 20
+
+
+def dedup_spans(spark, sf_dir):
+    """Passage-level exact dedup: drop repeated SPAN_W-token spans
+    corpus-wide (first occurrence by (doc_id, position) survives) and
+    reassemble each document from its surviving spans.
+
+    The span-granular cousin of ``dedup_exact`` — document-level hashing
+    misses boilerplate repeated INSIDE otherwise-distinct documents
+    (header/footer/license blocks), which is what this removes from a
+    pretraining corpus (cf. Lee et al. 2022, 'Deduplicating Training
+    Data Makes Language Models Better' — their exact-substring pass, at
+    fixed-window granularity so it stays a pure DataFrame program).
+
+    Scale shape: tokenize → fixed windows is narrow (no shuffle);
+    first-occurrence election is ONE window shuffle keyed on the span
+    text (content-hash distribution — uniform); reassembly is one
+    groupBy on doc_id. No similarity joins, no candidate explosion:
+    2 shuffles total at any corpus size, both map-side combinable
+    aggregations or sorts of corpus-linear rows.
+
+    Output is a per-doc summary (span counts + digest of the rebuilt
+    text) so the oracle hash-compares the FULL reassembled corpus
+    without shipping megabytes of text through the compare.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(SPAN_W)))
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * SPAN_W + 1, SPAN_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("rebuilt"),
+        )
+    )
+    return (
+        docs.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce(F.col("rebuilt"), F.lit(""))).alias("kept_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_metrics(spark, sf_dir):
     """Per-document text-analysis composite: language ID, token counts,
     and quality scoring in ONE scan of the corpus (the production shape
@@ -1373,6 +1442,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_spans": dedup_spans,
     "dedup_cluster": dedup_cluster,
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
@@ -1554,6 +1624,24 @@ ORACLE_SQL: dict[str, str] = {
 #: Oracles for the tests-only builders — same compare, run by pytest
 #: (tests/test_training_oracle.py) instead of the driver.
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "dedup_spans": (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        "pos AS (SELECT i FROM generate_series(1, 256) t(i)), "
+        f"ch AS (SELECT doc_id, i - 1 AS chunk_idx, "
+        f"array_to_string(w[((i - 1) * {SPAN_W} + 1):((i - 1) * {SPAN_W} + {SPAN_W})], ' ') AS chunk "
+        f"FROM toks JOIN pos ON (i - 1) * {SPAN_W} < len(w)), "
+        "keep AS (SELECT doc_id, chunk_idx, chunk, "
+        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch), "
+        "k AS (SELECT doc_id, COUNT(*) AS n_kept, "
+        "array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS rebuilt "
+        "FROM keep WHERE rn = 1 GROUP BY doc_id), "
+        f"n AS (SELECT doc_id, CAST(CEIL(len(w) / {float(SPAN_W)}) AS BIGINT) AS n_chunks "
+        "FROM toks) "
+        "SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept, "
+        "md5(COALESCE(k.rebuilt, '')) AS kept_digest "
+        "FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"
+    ),
     "dedup_cluster": (
         f"WITH RECURSIVE {_simhash_sql_cte()}, "
         "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
