@@ -241,6 +241,26 @@ def events_unpivot(spark, sf_dir):
     )
 
 
+def events_scd2(spark, sf_dir):
+    """SCD-2 value history per (user_id, event_type): one row per value
+    change with half-open validity intervals (warehouse.writers.scd2_build;
+    the incremental merge path is scd2_apply, property-tested in
+    tests/test_warehouse.py). Timestamps are formatted for the compare;
+    interval semantics live in the raw lead/lag program."""
+    from ..warehouse.writers import scd2_build
+
+    ev = table(spark, sf_dir, "events")
+    hist = scd2_build(ev, ["user_id", "event_type"], "value", "ts")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "event_type", "valid_from", "value")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
@@ -325,5 +345,27 @@ ORACLE_SQL: dict[str, str] = {
     "events_unpivot": (
         "SELECT user_id % 10 AS decile, event_type, COUNT(*) AS cnt FROM events "
         "GROUP BY 1, 2 ORDER BY decile, event_type"
+    ),
+}
+
+TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_scd2": events_scd2,
+}
+
+TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "events_scd2": (
+        "WITH ordered AS (SELECT user_id, event_type, value, ts, "
+        "LAG(value) OVER w AS prev FROM events "
+        "WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, value)), "
+        "ch AS (SELECT user_id, event_type, value, ts FROM ordered "
+        "WHERE prev IS NULL OR value <> prev), "
+        "v AS (SELECT user_id, event_type, value, ts, "
+        "LEAD(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, value) AS ts_to "
+        "FROM ch) "
+        "SELECT user_id, event_type, value, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from, "
+        "strftime(ts_to, '%Y-%m-%d %H:%M:%S') AS valid_to, "
+        "CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END AS is_current "
+        "FROM v ORDER BY user_id, event_type, valid_from, value"
     ),
 }

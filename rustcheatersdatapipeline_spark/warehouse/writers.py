@@ -60,6 +60,67 @@ def upsert_latest_wins(
     )
 
 
+def scd2_build(
+    df: DataFrame, keys: list[str], val_col: str, ts_col: str
+) -> DataFrame:
+    """SCD-2 history from a change stream: one row per VALUE CHANGE of
+    ``val_col`` within each key, with ``valid_from``/``valid_to``
+    half-open intervals and an ``is_current`` flag.
+
+    The reference's warehouse keeps only SCD-1 latest-wins state
+    (sql_queries.py:95-101 ``ON CONFLICT DO UPDATE``); SCD-2 is the
+    history-preserving extension a warehouse needs for as-of questions
+    ("what was the value when the fact happened" — the J9 date join's
+    temporal cousin). Two windows over one shuffle on the key columns:
+    lag for change detection, lead to close each version. Scales per
+    key like sessionization.
+
+    Determinism: rows are ordered by (ts, value) inside each key, so
+    equal-timestamp ties resolve identically in Spark and any SQL
+    oracle without needing a synthetic tiebreaker column.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, val_col)
+    changes = (
+        df.select(*keys, val_col, ts_col)
+        .withColumn("__prev", F.lag(val_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(val_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+    return changes.select(
+        *keys,
+        val_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    ).withColumn(
+        "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+    )
+
+
+def scd2_apply(
+    history: DataFrame, incoming: DataFrame, keys: list[str], val_col: str, ts_col: str
+) -> DataFrame:
+    """Incremental SCD-2 merge: fold a new batch into an existing
+    history table.
+
+    Each history row's ``valid_from`` is the change event that opened
+    it, so the union of (history version-starts ∪ incoming batch) is a
+    change stream whose rebuild equals rebuilding from all raw events
+    at once — change-detection is idempotent, which makes this
+    associative: apply(apply(h, b1), b2) == build(b1 ∪ b2). Re-running
+    a batch is a no-op (the duplicate rows collapse in change
+    detection), the same at-least-once contract as D11/D12.
+
+    At 100 TB: the history side contributes one row per VERSION (not
+    per event), so each merge shuffles batch-size + version-count rows
+    on the key — bounded by dictionary growth, like D14.
+    """
+    starts = history.select(
+        *keys, val_col, F.col("valid_from").alias(ts_col)
+    )
+    events = starts.unionByName(incoming.select(*keys, val_col, ts_col))
+    return scd2_build(events, keys, val_col, ts_col)
+
+
 def date_dim(
     spark: SparkSession, start: _dt.date, end: _dt.date, offset: int = 0
 ) -> DataFrame:

@@ -13,10 +13,14 @@ from rustcheatersdatapipeline_spark.plans import analytics as A
 from .helpers import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(A.ORACLE_SQL))
+_ALL_QUERIES = {**A.SPARK_QUERIES, **A.TESTS_ONLY_QUERIES}
+_ALL_ORACLES = {**A.ORACLE_SQL, **A.TESTS_ONLY_ORACLE_SQL}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_analytics_matches_oracle(spark, ddb, sf_dir, name):
-    df = A.SPARK_QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, ddb, A.ORACLE_SQL[name], name)
+    df = _ALL_QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ddb, _ALL_ORACLES[name], name)
 
 
 def test_multimodal_checksum_is_byte_based_for_non_ascii(spark, tmp_path):

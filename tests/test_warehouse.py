@@ -123,3 +123,40 @@ def test_upsert_latest_wins_primitive(spark):
     n = spark.createDataFrame([(2, "X"), (3, "c")], "k int, v string")
     out = sorted(map(tuple, upsert_latest_wins(t, n, ["k"]).collect()))
     assert out == [(1, "a"), (2, "X"), (3, "c")]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+
+
+def test_scd2_build_and_incremental_apply(spark):
+    from rustcheatersdatapipeline_spark.warehouse.writers import scd2_apply, scd2_build
+
+    rows = [
+        ("u1", 10.0, "2024-01-01 00:00:00"),
+        ("u1", 10.0, "2024-01-02 00:00:00"),  # no change -> collapsed
+        ("u1", 20.0, "2024-01-03 00:00:00"),
+        ("u2", 5.0, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, value double, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hist = scd2_build(df, ["k"], "value", "ts")
+    got = {
+        (r["k"], r["value"]): (str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in hist.collect()
+    }
+    assert got[("u1", 10.0)] == ("2024-01-01 00:00:00", "2024-01-03 00:00:00", 0)
+    assert got[("u1", 20.0)][2] == 1 and got[("u1", 20.0)][1] == "None"
+    assert got[("u2", 5.0)][2] == 1
+
+    # incremental apply == build over the concatenated stream, and
+    # re-applying the same batch is a no-op (at-least-once contract)
+    b1 = df.filter(F.col("ts") < F.lit("2024-01-02 12:00:00").cast("timestamp"))
+    b2 = df.filter(F.col("ts") >= F.lit("2024-01-02 12:00:00").cast("timestamp"))
+    h1 = scd2_build(b1, ["k"], "value", "ts")
+    h12 = scd2_apply(h1, b2, ["k"], "value", "ts")
+    assert _rows(h12) == _rows(hist)
+    assert _rows(scd2_apply(h12, b2, ["k"], "value", "ts")) == _rows(hist)
