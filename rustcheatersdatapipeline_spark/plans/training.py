@@ -794,6 +794,92 @@ def ann_ivf_search(spark, sf_dir, nprobe: int = 2):
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+#: fixed-point scale for centroid sums (shared with embed_label_centroids's
+#: approach): integer sums are order-independent, so centroids — and
+#: therefore every later assignment — are bit-identical on any
+#: partitioning, any cluster size, any run.
+_KM_SCALE = 1e10
+
+
+def _km_assign(vecs, centroids):
+    """cluster = argmin_j d²(e, c_j), ties to the lower centroid id.
+
+    The per-dimension fold runs in array order, so a numpy replica that
+    accumulates dimension-by-dimension reproduces the exact doubles.
+    k·d literals ship inside the plan — the broadcast-centroids step of
+    classic distributed k-means, with no Python in the scan.
+    """
+    options = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col("e"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        options.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
+    return vecs.withColumn("cluster", F.array_min(F.array(*options))["c"])
+
+
+def kmeans_lloyd(spark, sf_dir, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS):
+    """Distributed Lloyd k-means over the embedding column.
+
+    Deterministic contract: init = the vectors with vec_id < k;
+    assignment = exact argmin of squared Euclidean distance (ties to
+    the lower id); update = per-dimension mean of 1e10-scaled floored
+    int64 sums (order-independent, so results don't depend on partition
+    layout). Each iteration is one broadcast-literal assignment pass +
+    one map-side-combined groupBy of k·d integer cells — the MLlib
+    KMeans shape, expressed on DataFrames. The only driver transfer is
+    the k×d centroid matrix per iteration (bounded, like MLlib's
+    collect of cluster centers); assignment and averaging stay
+    distributed. Empty clusters keep their previous centroid.
+
+    Tests-only: iterative, so no single-statement SQL oracle — the
+    pytest oracle replays the identical arithmetic in numpy
+    (tests/test_kmeans.py) and checks the Lloyd SSE-descent invariant.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    vecs = emb.repartition(32).cache()
+    try:
+        init = vecs.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        centroids = [list(r["e"]) for r in init]
+        for _ in range(n_iter):
+            assigned = _km_assign(vecs, centroids)
+            cells = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col("e")).alias("dim", "v")
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum(F.floor(F.col("v") * _KM_SCALE).cast("bigint")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new_c = [list(c) for c in centroids]
+            counts = {}
+            for r in cells:
+                counts[r["cluster"]] = r["n"]
+                new_c[r["cluster"]][r["dim"]] = r["s"] / _KM_SCALE / r["n"]
+            centroids = new_c
+    finally:
+        vecs.unpersist()
+    # re-derive the returned plan from the source so it does not pin the
+    # cached intermediate; the literals carry the converged centroids
+    out = _km_assign(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("e")
+        ),
+        centroids,
+    )
+    return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
 def ngram_freq_top(spark, sf_dir):
     """Corpus-level word-bigram frequency table (top-100, tie-broken):
     the n-gram language-model building block."""
@@ -1443,6 +1529,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": dedup_spans,
+    "kmeans_lloyd": kmeans_lloyd,
     "dedup_cluster": dedup_cluster,
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
