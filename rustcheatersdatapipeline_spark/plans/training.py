@@ -928,6 +928,89 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+#: Target corpus composition for domain mixing: src0/src1 are
+#: up-weighted, the remaining sources share the rest equally. Literal
+#: doubles so Spark and the oracle agree bit-for-bit.
+DOMAIN_W_SRC0 = 0.30
+DOMAIN_W_SRC1 = 0.20
+DOMAIN_W_OTHER = 0.5 / 18
+
+
+def domain_mix(spark, sf_dir):
+    """Domain-mixing sampler: downsample each source so the kept corpus
+    matches a target composition by TOKEN share (the Pile/Dolma-style
+    mixture step), with deterministic hash-based sampling.
+
+    Two passes: (1) per-source token totals T_s (one map-side-combined
+    groupBy over a bounded source dictionary); the token budget is
+    N = min_s floor(T_s / W_s) — the largest corpus the targets admit
+    without oversampling any source — giving keep rates
+    rate_s = min(1, W_s·N / T_s), floored to ppm in integer arithmetic
+    so both engines compare the same literal. (2) one corpus scan
+    keeping docs whose content-hash ppm bucket clears the source's
+    rate (reproducible on any cluster — same rows, any partitioning,
+    same contract as stratified_sample). Output is the per-source
+    audit: totals, rate, kept docs/tokens.
+
+    The rate table is per-source (bounded dimension) → broadcast join
+    onto the corpus scan, never a shuffle of the documents side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w_src = (
+        F.when(F.col("source") == "src0", F.lit(DOMAIN_W_SRC0))
+        .when(F.col("source") == "src1", F.lit(DOMAIN_W_SRC1))
+        .otherwise(F.lit(DOMAIN_W_OTHER))
+    )
+    base = docs.select(
+        "source",
+        F.size(ws_tokens("text")).cast("bigint").alias("n_tok"),
+        (portable_hash64(F.col("text")) % 1000000).alias("ppm"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.sum("n_tok").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # the budget window runs over the per-source frame — a bounded
+    # dictionary (20 rows here), so the single-partition window is safe
+    rates = per_src.select(
+        "source",
+        "t_tokens",
+        "n_docs",
+        w_src.alias("w"),
+    ).withColumn(
+        "budget", F.min(F.floor(F.col("t_tokens") / F.col("w")).cast("bigint")).over(
+            Window.partitionBy()
+        )
+    ).withColumn(
+        "rate_ppm",
+        F.floor(
+            F.least(F.lit(1.0), F.col("w") * F.col("budget") / F.col("t_tokens"))
+            * 1000000
+        ).cast("bigint"),
+    )
+    kept = (
+        base.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(F.col("ppm") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.select("source", "t_tokens", "n_docs", "rate_ppm")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "t_tokens",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any 13-char
     gram with the 'benchmark' set (doc_id < 10 stands in for an eval
@@ -1529,6 +1612,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": dedup_spans,
+    "domain_mix": domain_mix,
     "kmeans_lloyd": kmeans_lloyd,
     "dedup_cluster": dedup_cluster,
     "lm_score": lm_score,
@@ -1711,6 +1795,26 @@ ORACLE_SQL: dict[str, str] = {
 #: Oracles for the tests-only builders — same compare, run by pytest
 #: (tests/test_training_oracle.py) instead of the driver.
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "domain_mix": (
+        "WITH base AS (SELECT source, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok, "
+        f"{_H.format(expr='text')} % 1000000 AS ppm FROM documents), "
+        "ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs "
+        "FROM base GROUP BY source), "
+        f"wr AS (SELECT source, t_tokens, n_docs, CASE WHEN source = 'src0' "
+        f"THEN {DOMAIN_W_SRC0!r} WHEN source = 'src1' THEN {DOMAIN_W_SRC1!r} "
+        f"ELSE {DOMAIN_W_OTHER!r} END AS w FROM ps), "
+        "b AS (SELECT *, MIN(CAST(FLOOR(t_tokens / w) AS BIGINT)) OVER () AS budget "
+        "FROM wr), "
+        "r AS (SELECT source, t_tokens, n_docs, "
+        "CAST(FLOOR(LEAST(1.0, w * budget / t_tokens) * 1000000) AS BIGINT) AS rate_ppm "
+        "FROM b), "
+        "k AS (SELECT base.source, COUNT(*) AS kept_docs, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens "
+        "FROM base JOIN r USING (source) WHERE ppm < rate_ppm GROUP BY base.source) "
+        "SELECT r.source, t_tokens, n_docs, rate_ppm, "
+        "COALESCE(kept_docs, 0) AS kept_docs, COALESCE(kept_tokens, 0) AS kept_tokens "
+        "FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source"
+    ),
     "dedup_spans": (
         "WITH toks AS (SELECT doc_id, "
         "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
