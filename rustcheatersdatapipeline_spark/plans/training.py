@@ -57,12 +57,15 @@ from ..functions.text import (
 )
 
 JACCARD_THRESHOLD = 0.8
-#: Character shingle width. k=9 on this corpus drives background Jaccard
-#: near zero while lightly-edited near-dup pairs stay ≥ 0.85 (the ≥0.8
-#: pair set is identical for k∈{5,7,9}); larger k also means rarer
-#: shingles → smaller prefix-join groups → fewer candidates for both
-#: the exact PPJoin and the LSH verification.
-SHINGLE_K = 9
+#: Character shingle width. The corpus has a ~40-word vocabulary, so
+#: short shingles are near-universal (k=9: max df 3825/5000 docs,
+#: Σdf² ≈ 3.7e8 — measured on the current generator) and the PPJoin
+#: prefix filter degrades. k=15 spans ≈ 2.5 words: candidates collapse
+#: from ~92k to 259 at sf0.1 while the j ≥ 0.8 pair set stays IDENTICAL
+#: to k∈{9,12} (256 pairs; k=18 loses one, so 15 is the widest safe
+#: width). Rarer shingles also shrink the MinHash band-collision rate —
+#: exactly the shingle-width tuning a real corpus demands.
+SHINGLE_K = 15
 COSINE_THRESHOLD = 0.45
 HAMMING_MAX = 3
 KNN_K = 5
