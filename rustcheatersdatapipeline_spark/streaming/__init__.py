@@ -1,5 +1,15 @@
 """Structured Streaming surface (SURVEY.md §2.7)."""
 
-from .hourly import hourly_event_counts, stream_hourly_counts
+from .hourly import (
+    events_stream_schema,
+    hourly_event_counts,
+    open_events_stream,
+    stream_hourly_counts,
+)
 
-__all__ = ["hourly_event_counts", "stream_hourly_counts"]
+__all__ = [
+    "events_stream_schema",
+    "hourly_event_counts",
+    "open_events_stream",
+    "stream_hourly_counts",
+]

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructType
 
 
 def hourly_event_counts(events: DataFrame) -> DataFrame:
@@ -39,11 +39,57 @@ def hourly_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def events_stream_schema(
+    spark: SparkSession, events_dir: str
+) -> tuple[StructType, bool]:
+    """Probe the events files' actual schema with a (lazy, metadata-only)
+    batch read — the streaming twin of ``catalog.table``'s dtype probe.
+
+    Returns (schema, ts_is_long_nanos). Historically the driver wrote
+    ``ts`` as parquet TIMESTAMP(NANOS) (readable only as raw longs via
+    the ``nanosAsLong`` conf); it now writes TIMESTAMP(MICROS), which is
+    Spark-native. Hardcoding either assumption mis-times every event by
+    1000× when the file format flips, so the unit is always probed.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    ts_is_long = any(
+        f.name == "ts" and isinstance(f.dataType, LongType) for f in schema.fields
+    )
+    return schema, ts_is_long
+
+
+def open_events_stream(
+    spark: SparkSession, events_dir: str, schema: StructType | None = None
+) -> DataFrame:
+    """File-source readStream over the events table with ``ts`` normalized
+    to TimestampType(micros) regardless of the on-disk unit.
+
+    If ``schema`` is omitted it is probed from the files; if supplied, a
+    LongType ``ts`` field is taken to mean raw nanos (the legacy layout)
+    and converted, a TimestampType ``ts`` is used as-is.
+    """
+    if schema is None:
+        schema, _ = events_stream_schema(spark, events_dir)
+    ts_is_long = any(
+        f.name == "ts" and isinstance(f.dataType, LongType) for f in schema.fields
+    )
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    if ts_is_long:
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(src.dtypes).get("ts") == "timestamp_ntz":
+        # parquet isAdjustedToUTC=false infers NTZ, which watermarks reject
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); session tz is pinned UTC
+        # (catalog._ensure_session_confs) so the cast is value-preserving.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
 def stream_hourly_counts(
     spark: SparkSession,
     events_dir: str,
-    schema: StructType,
-    ts_is_long_nanos: bool = False,
+    schema: StructType | None = None,
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming variant: file source → watermark → tumbling window.
@@ -54,7 +100,5 @@ def stream_hourly_counts(
     reference's bounded hourly pull; ``processingTime='1 hour'`` is the
     continuous deployment.
     """
-    src = spark.readStream.schema(schema).parquet(events_dir)
-    if ts_is_long_nanos:
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = open_events_stream(spark, events_dir, schema)
     return hourly_event_counts(src.withWatermark("ts", watermark))

@@ -3,13 +3,9 @@ stream must equal the batch sessionization's closed sessions."""
 
 import shutil
 
-from pyspark.sql import functions as F
-
-from rustcheatersdatapipeline_spark.catalog import table
 from rustcheatersdatapipeline_spark.plans.analytics import events_sessionize
+from rustcheatersdatapipeline_spark.streaming import open_events_stream
 from rustcheatersdatapipeline_spark.streaming.stateful import stream_sessionize
-
-from .test_streaming import EVENTS_LONG_TS
 
 
 def _assert_stream_matches_batch(spark, sf_dir, tmp_path, name):
@@ -17,12 +13,7 @@ def _assert_stream_matches_batch(spark, sf_dir, tmp_path, name):
     events_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(EVENTS_LONG_TS)
-        .parquet(str(events_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = open_events_stream(spark, str(events_dir))
     q = (
         # huge idle timeout → only gap-closed sessions emit (deterministic)
         stream_sessionize(src, idle_timeout_ms=3_600_000)

@@ -5,9 +5,7 @@ readStream(availableNow) and the batch path."""
 import shutil
 
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -18,27 +16,15 @@ from rustcheatersdatapipeline_spark.streaming import (
     stream_hourly_counts,
 )
 
-EVENTS_LONG_TS = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (see catalog nanos handling)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def test_stream_equals_batch(spark, sf_dir, tmp_path):
     events_dir = tmp_path / "events_stream"
     events_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream_df = stream_hourly_counts(
-        spark, str(events_dir), EVENTS_LONG_TS, ts_is_long_nanos=True
-    )
+    # no schema / unit hint: stream_hourly_counts probes the files' actual
+    # ts dtype (nanos-long vs native timestamp), like catalog.table does
+    stream_df = stream_hourly_counts(spark, str(events_dir))
     q = (
         stream_df.writeStream.format("memory")
         .queryName("hourly_counts")
@@ -51,6 +37,60 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT h, cnt FROM hourly_counts").collect()))
     want = sorted(map(tuple, hourly_event_counts(table(spark, sf_dir, "events")).collect()))
     assert got == want and len(got) > 0
+
+
+def test_events_stream_unit_probe(spark, tmp_path):
+    """Regression (r4): the driver's events.parquet flipped from
+    TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and a hardcoded nanos branch
+    shifted every event to 1970. The probe must normalize BOTH layouts
+    to the same TimestampType values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rustcheatersdatapipeline_spark.streaming import (
+        events_stream_schema,
+        open_events_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 34, 56)
+    times = [t0, t0 + datetime.timedelta(hours=1)]
+    for unit, sub in (("us", "micros"), ("ns", "nanos")):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(times, pa.timestamp(unit)),
+                "user_id": pa.array([7, 7], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, d / "p0.parquet", coerce_timestamps=None)
+
+    micros_schema, micros_is_long = events_stream_schema(spark, str(tmp_path / "micros"))
+    nanos_schema, nanos_is_long = events_stream_schema(spark, str(tmp_path / "nanos"))
+    assert not micros_is_long
+    assert nanos_is_long  # nanosAsLong conf surfaces ns as raw longs
+
+    def run(sub, name):
+        q = (
+            open_events_stream(spark, str(tmp_path / sub))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(
+            (r["event_id"], r["ts"], r["user_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    got_us = run("micros", "probe_us")
+    got_ns = run("nanos", "probe_ns")
+    assert got_us == got_ns == [(1, times[0], 7), (2, times[1], 7)]
 
 
 def test_watermark_drops_late_events(spark, tmp_path):

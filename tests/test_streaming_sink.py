@@ -3,19 +3,13 @@ table with latest-wins keys; replaying the same data is a no-op."""
 
 import shutil
 
-from pyspark.sql import functions as F
-
+from rustcheatersdatapipeline_spark.streaming import open_events_stream
 from rustcheatersdatapipeline_spark.streaming.sink import ParquetMergeSink
-
-from .test_streaming import EVENTS_LONG_TS
 
 
 def _run_stream(spark, events_dir, sink, checkpoint):
-    src = (
-        spark.readStream.schema(EVENTS_LONG_TS)
-        .parquet(str(events_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "event_type", "ts", "value", "event_id")
+    src = open_events_stream(spark, str(events_dir)).select(
+        "user_id", "event_type", "ts", "value", "event_id"
     )
     q = (
         src.writeStream.foreachBatch(sink)
