@@ -10,12 +10,20 @@ prints ONE JSON line::
 Each query is timed end-to-end (plan + execute) against a ``noop`` sink so
 we measure distributed execution, not driver-side result transfer. A
 warm-up query runs first so JVM/codegen startup is not billed to q1.
+
+Per-query time is the MEDIAN of ``$SPARK_GRAFT_BENCH_REPS`` (default 3)
+runs; single-shot timing produced 2-5x phantom swings on untouched plans
+between rounds (VERDICT r4 finding 3), which made the regression gate
+meaningless. Reps interleave (all queries pass 1, then pass 2, ...) so a
+transient GC/compilation stall hits one rep of many queries instead of
+all reps of one.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,12 +52,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(reps):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
