@@ -404,17 +404,31 @@ def _seq_sq_norms(M):
     return acc
 
 
+#: Target rows per matrix block in embed_neardup_cosine. Block-pair count
+#: grows as (n/EMBED_BLOCK_ROWS)², so larger blocks trade parallelism for
+#: less data replication (each block is shuffled ~B times).
+EMBED_BLOCK_ROWS = 512
+
+
 def embed_neardup_cosine(spark, sf_dir):
     """All-pairs cosine near-dup (cos ≥ 0.45) — correctness baseline.
 
-    O(n²): only valid at verification scale; the scale path is
+    O(n²) compute: only valid at verification scale; the scale path is
     ann_lsh_buckets/ann_lsh_search (bucketed candidates). Shape: the
-    corpus matrix is broadcast once (same O(n) driver memory as the
-    broadcast-NL join it replaces), and each executor streams its slice
-    of the row side through a block-matrix cosine inside ``mapInPandas``
-    — Arrow-batched numpy, not a per-pair interpreted expression, which
-    measured ~20× faster and (unlike the HOF fold) time-stable. Only
-    the matching pairs ever leave the workers.
+    classic distributed block nested-loop — vectors are packed into
+    B ≈ n/512 matrix blocks (one Arrow row per block, ids sorted), the
+    B·(B+1)/2 unordered block pairs are formed by two equi-joins against
+    a tiny pair grid, and each pair row runs a numpy block-cosine inside
+    ``mapInPandas``. Driver memory is O(1) (the only driver value is the
+    block count); communication is O(n·B) shuffle — the standard
+    distributed all-pairs cost — and only matching pairs leave the
+    workers. (An earlier revision broadcast the whole corpus from a
+    driver ``toPandas()`` — a driver OOM at 100× data; VERDICT r4 #2.)
+
+    Each unordered id pair {i, j} lives in exactly one block pair (each
+    id is in exactly one block and the grid has blk_a ≤ blk_b once), so
+    emitting normalized (min, max) per match yields no duplicates;
+    diagonal blocks mask to ids_a < ids_b to avoid self/double pairs.
 
     Numeric contract: ``_seq_dot_blocks`` keeps the per-pair summation
     order identical to DuckDB's ``list_dot_product``, so the emitted
@@ -424,40 +438,68 @@ def embed_neardup_cosine(spark, sf_dir):
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.toPandas()
-    ids_b = corpus["vec_id"].to_numpy(dtype=np.int64)
-    mat_b = np.stack(corpus["embedding"].to_list()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((ids_b, mat_b, _seq_sq_norms(mat_b)))
+    # bounded driver transfer: ONE long (like kmeans' k×d centroids)
+    n_blocks = max(1, -(-emb.count() // EMBED_BLOCK_ROWS))
     thr = COSINE_THRESHOLD
 
-    def pairs(batches):
-        ids_all, m_all, nrm_all = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat_a = np.stack(pdf["embedding"].to_list()).astype(np.float64)
-            nrm_a = _seq_sq_norms(mat_a)
-            # block the row side so acc stays ~rows×|corpus| doubles
-            for s in range(0, mat_a.shape[0], 512):
-                a_ids = ids_a[s : s + 512]
-                dots = _seq_dot_blocks(mat_a[s : s + 512], m_all)
-                cos = dots / (
-                    np.sqrt(nrm_a[s : s + 512])[:, None] * np.sqrt(nrm_all)[None, :]
-                )
-                keep = (cos >= thr) & (a_ids[:, None] < ids_all[None, :])
-                ra, rb = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "vec_a": a_ids[ra],
-                        "vec_b": ids_all[rb],
-                        "cos": cos[ra, rb],
-                    }
-                )
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)[order]
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [ids.tolist()],
+                "mat": [mat.tolist()],
+            }
+        )
 
-    out = emb.repartition(32).mapInPandas(
-        pairs, "vec_a bigint, vec_b bigint, cos double"
+    packed = (
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .applyInPandas(pack, "blk int, ids array<bigint>, mat array<array<double>>")
     )
+    grid = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("blk_a"))
+        .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_b")))
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+    )
+    pa = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
+    )
+    pb = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b")
+    )
+    # grid is B²/2 ints (broadcast-sized at any n); the block payloads meet
+    # it through plain equi-joins, so no unbounded side is ever broadcast
+    block_pairs = F.broadcast(grid).join(pa, "blk_a").join(pb, "blk_b")
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    block_pairs = block_pairs.repartition(min(n_pairs, 256), "blk_a", "blk_b")
+
+    def pairs(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids_a = np.asarray(r.ids_a, dtype=np.int64)
+                ids_b = np.asarray(r.ids_b, dtype=np.int64)
+                mat_a = np.array([np.asarray(v) for v in r.mat_a], dtype=np.float64)
+                mat_b = np.array([np.asarray(v) for v in r.mat_b], dtype=np.float64)
+                dots = _seq_dot_blocks(mat_a, mat_b)
+                cos = dots / (
+                    np.sqrt(_seq_sq_norms(mat_a))[:, None]
+                    * np.sqrt(_seq_sq_norms(mat_b))[None, :]
+                )
+                if r.blk_a == r.blk_b:
+                    keep = (cos >= thr) & (ids_a[:, None] < ids_b[None, :])
+                    ra, rb = np.nonzero(keep)
+                    va, vb = ids_a[ra], ids_b[rb]
+                else:
+                    ra, rb = np.nonzero(cos >= thr)
+                    va = np.minimum(ids_a[ra], ids_b[rb])
+                    vb = np.maximum(ids_a[ra], ids_b[rb])
+                yield pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cos[ra, rb]})
+
+    out = block_pairs.mapInPandas(pairs, "vec_a bigint, vec_b bigint, cos double")
     return out.orderBy("vec_a", "vec_b")
 
 

@@ -78,6 +78,26 @@ def test_fact_loads_hint_only_bounded_dims(spark):
     assert analyzed.count("ResolvedHint") == 1
 
 
+def test_embed_neardup_has_no_driver_collect():
+    """VERDICT r4 #2 regression guard: the all-pairs cosine baseline must
+    build its block pairs distributively — a driver-side toPandas/collect
+    of the corpus is a driver OOM at 100× data."""
+    import ast
+    import inspect
+    import textwrap
+
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(T.embed_neardup_cosine)))
+    fn = tree.body[0]
+    if ast.get_docstring(fn) is not None:
+        fn.body = fn.body[1:]  # drop the docstring node
+    code = ast.unparse(tree)  # unparse also drops comments
+    assert "toPandas" not in code
+    assert ".collect(" not in code
+    assert "sparkContext.broadcast" not in code
+
+
 @pytest.mark.parametrize("qname", ["q2", "q3", "q18"])
 def test_predicates_reach_scans(spark, sf_dir, qname):
     """Raw-column predicates must reach the parquet scan. (q5 is not in
