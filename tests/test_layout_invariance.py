@@ -21,6 +21,30 @@ CASES = {
 }
 
 
+def test_choose_shingle_k_is_layout_invariant(spark, sf_dir, tmp_path):
+    """The derived shingle width must not depend on file/partition layout:
+    doc_id-mod sampling + integer df arithmetic give the same k whether
+    the documents arrive as 1 file or 13, and across shuffle widths."""
+    docs = T.table(spark, sf_dir, "documents")
+    relaid = tmp_path / "docs_relaid"
+    docs.repartition(13).write.parquet(str(relaid / "documents.parquet"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        T._SHINGLE_K_CACHE.clear()
+        k1 = T.choose_shingle_k(spark, sf_dir)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        T._SHINGLE_K_CACHE.clear()
+        k2 = T.choose_shingle_k(spark, sf_dir)
+        T._SHINGLE_K_CACHE.clear()
+        k3 = T.choose_shingle_k(spark, str(relaid))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        T._SHINGLE_K_CACHE.clear()
+    assert k1 == k2 == k3
+    assert k1 in T.SHINGLE_K_CANDIDATES
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_result_is_shuffle_width_invariant(spark, sf_dir, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
