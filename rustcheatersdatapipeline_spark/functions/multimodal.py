@@ -7,11 +7,20 @@ touching bytes). All per-item compute runs through ``mapInPandas``
 (Arrow batches, zero-copy into numpy), partitioned by whatever key the
 caller bucketed on.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image`` is a clearly-marked stub: ``fake=True`` substitutes a
-deterministic byte-derived decode so the Spark-side plumbing — schema,
-batch shape, UDF signature, partitioning — is real and tested;
-``fake=False`` raises NotImplementedError where the codec call belongs.
+Two decode paths:
+
+- ``fake=True`` — deterministic byte-derived pseudo-decode; keeps the
+  whole Spark path executable and oracle-checkable in any container.
+- ``fake=False`` — REAL header-level decoding with pure stdlib parsing
+  of public formats: PNG (signature + IHDR width/height, RFC 2083) and
+  WAV (RIFF chunk walk, fmt/data chunks). No codec libraries needed:
+  dimensions, frame counts and durations live in the headers.
+  Unrecognized payloads degrade to ``application/octet-stream`` with
+  NULL dimensions (quarantine-style, never a task failure).
+
+Full pixel/sample decoding (``decode_pixels``) still requires a codec
+library (PIL/ffmpeg) that is not in this container and remains a
+clearly-marked NotImplementedError stub.
 """
 
 from __future__ import annotations
@@ -29,6 +38,12 @@ MEDIA_FEATURES_SCHEMA = (
     "n_frames int, sampled_frames array<int>, checksum bigint"
 )
 
+#: real-decode cap on the emitted sampled-frame index list — audio frame
+#: counts are ~sample-rate sized and the feature row must stay bounded
+MAX_SAMPLED_FRAMES = 16
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
 
 def media_table(df: DataFrame, id_col: str, payload_col, mime: str) -> DataFrame:
     """Normalize any source into the engine's media-table shape:
@@ -44,10 +59,81 @@ def media_table(df: DataFrame, id_col: str, payload_col, mime: str) -> DataFrame
     )
 
 
+def parse_png_header(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG signature + IHDR chunk, else None.
+
+    Layout (public spec, RFC 2083 §3): 8-byte signature, then the IHDR
+    chunk — 4-byte length, ``IHDR`` tag, big-endian u32 width, u32
+    height. IHDR is required to be first, so a fixed offset is exact.
+    """
+    if len(buf) >= 24 and buf[:8] == _PNG_SIGNATURE and buf[12:16] == b"IHDR":
+        w = int.from_bytes(buf[16:20], "big")
+        h = int.from_bytes(buf[20:24], "big")
+        if w > 0 and h > 0:
+            return w, h
+    return None
+
+
+def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, n_frames) from a RIFF/WAVE
+    payload, else None.
+
+    Walks the RIFF chunk list (public spec: 4-byte id, little-endian u32
+    size, word-aligned) collecting the ``fmt `` chunk (channels at +2,
+    rate at +4, block align at +12, bits at +14) and the ``data`` chunk
+    size; frames = data size / block align.
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = buf[pos + 8 : pos + 8 + sz]
+        elif cid == b"data":
+            data_size = sz
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16:
+        return None
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels == 0 or rate == 0 or block_align == 0:
+        return None
+    n_frames = (data_size or 0) // block_align
+    return channels, rate, bits, n_frames
+
+
+def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
+    """Sniff + parse a payload's real header: (mime, width, height,
+    n_frames). PNG → (w, h, 1 frame); WAV → (NULL, NULL, audio frames);
+    anything else quarantines as octet-stream with zero frames."""
+    png = parse_png_header(buf)
+    if png is not None:
+        return "image/png", png[0], png[1], 1
+    wav = parse_wav_header(buf)
+    if wav is not None:
+        return "audio/wav", None, None, wav[3]
+    return "application/octet-stream", None, None, 0
+
+
+def decode_pixels(buf: bytes):
+    """Full pixel/sample decode — requires a codec library (PIL/ffmpeg)
+    that is NOT available in this container. Header-level features come
+    from ``decode_header``; this stub marks where the codec call belongs
+    in a codec-enabled runtime."""
+    raise NotImplementedError(
+        "pixel/sample decoding needs PIL/ffmpeg; this container only "
+        "supports header-level decode (decode_header) and the fake codec"
+    )
+
+
 def _fake_decode(buf: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derives (width, height,
-    n_frames) from the payload bytes. Replace with PIL/ffmpeg in a
-    codec-enabled image."""
+    n_frames) from the payload bytes. Used by the driver-oracle query so
+    the full Spark path stays executable and hash-checkable anywhere."""
     n = len(buf)
     w = 16 + (n % 64)
     h = 16 + ((n // 64) % 64)
@@ -59,30 +145,32 @@ def featurize_media(media: DataFrame, fake: bool = True, frame_step: int = 2) ->
     """Decode → feature-extract → frame-sample over Arrow batches.
 
     One ``mapInPandas`` pass per partition: each batch arrives as a
-    pandas DataFrame with the binary payload as Python bytes; a real
-    deployment feeds them to the codec, here the fake decode keeps the
-    whole path executable. ``checksum`` is a plain byte sum — a cheap
-    integrity fingerprint the oracle can recompute.
+    pandas DataFrame with the binary payload as Python bytes.
+    ``fake=False`` runs the real stdlib header decode (PNG/WAV);
+    ``fake=True`` the deterministic pseudo-codec. ``checksum`` is a
+    plain byte sum — a cheap integrity fingerprint the oracle can
+    recompute. The real path caps ``sampled_frames`` at
+    ``MAX_SAMPLED_FRAMES`` indices (audio frame counts are unbounded).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "real codecs (PIL/ffmpeg) are not available in this image; "
-                "run with fake=True or install a codec-enabled runtime"
-            )
         for pdf in batches:
             rows = []
             for item_id, payload, meta in zip(
                 pdf["item_id"], pdf["payload"], pdf["meta"]
             ):
                 buf = bytes(payload) if payload is not None else b""
-                w, h, frames = _fake_decode(buf)
-                sampled = list(range(0, frames, frame_step))
+                if fake:
+                    w, h, frames = _fake_decode(buf)
+                    mime = meta["mime"]
+                    sampled = list(range(0, frames, frame_step))
+                else:
+                    mime, w, h, frames = decode_header(buf)
+                    sampled = list(range(0, frames, frame_step))[:MAX_SAMPLED_FRAMES]
                 rows.append(
                     {
                         "item_id": item_id,
-                        "mime": meta["mime"],
+                        "mime": mime,
                         "n_bytes": len(buf),
                         "width": w,
                         "height": h,

@@ -1,0 +1,105 @@
+"""Real header decode (fake=False): featurize_media must extract true
+dimensions/frame counts from genuine PNG and WAV bytes built with the
+stdlib (zlib/struct for PNG, the wave module for WAV) — no codec libs.
+"""
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from rustcheatersdatapipeline_spark.functions.multimodal import (
+    decode_header,
+    decode_pixels,
+    featurize_media,
+    media_table,
+    parse_png_header,
+    parse_wav_header,
+)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG: signature + IHDR + IDAT + IEND."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(n_frames: int, rate: int = 8000, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(2 * channels * n_frames))
+    return buf.getvalue()
+
+
+def test_png_header_roundtrip():
+    assert parse_png_header(make_png(640, 480)) == (640, 480)
+    assert parse_png_header(make_png(1, 1)) == (1, 1)
+    assert parse_png_header(b"notapng") is None
+    assert parse_png_header(b"") is None
+
+
+def test_wav_header_roundtrip():
+    ch, rate, bits, frames = parse_wav_header(make_wav(1234, rate=44100, channels=2))
+    assert (ch, rate, bits, frames) == (2, 44100, 16, 1234)
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(b"") is None
+
+
+def test_decode_header_sniffs_and_quarantines():
+    assert decode_header(make_png(3, 7)) == ("image/png", 3, 7, 1)
+    assert decode_header(make_wav(10)) == ("audio/wav", None, None, 10)
+    assert decode_header(b"\x00garbage") == ("application/octet-stream", None, None, 0)
+
+
+def test_decode_pixels_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_pixels(make_png(2, 2))
+
+
+def test_featurize_media_real_decode(spark):
+    png = make_png(320, 200)
+    wav = make_wav(100, rate=16000)
+    junk = b"\xde\xad\xbe\xef" * 5
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(junk))],
+        "item_id long, payload binary",
+    )
+    media = media_table(df, "item_id", "payload", mime="application/octet-stream")
+    out = {
+        r["item_id"]: r
+        for r in featurize_media(media, fake=False, frame_step=3).collect()
+    }
+    assert out[1]["mime"] == "image/png"
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (320, 200, 1)
+    assert out[1]["checksum"] == sum(png) and out[1]["n_bytes"] == len(png)
+    assert out[1]["sampled_frames"] == [0]
+
+    assert out[2]["mime"] == "audio/wav"
+    assert out[2]["width"] is None and out[2]["height"] is None
+    assert out[2]["n_frames"] == 100
+    # frame sampling capped at MAX_SAMPLED_FRAMES indices
+    assert out[2]["sampled_frames"] == list(range(0, 100, 3))[:16]
+    assert out[2]["checksum"] == sum(wav)
+
+    assert out[3]["mime"] == "application/octet-stream"
+    assert out[3]["n_frames"] == 0 and out[3]["sampled_frames"] == []
