@@ -16,7 +16,10 @@ already guarantee value-level idempotency).
 
 from __future__ import annotations
 
+import json
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,3 +81,173 @@ def read_gold(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     for name in os.listdir(path):
         out[name] = spark.read.parquet(os.path.join(path, name))
     return out
+
+
+# --------------------------------------------------------------------------
+# transactional gold publishing (SURVEY.md §7.3 hard part 2)
+# --------------------------------------------------------------------------
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a publish's base version is no longer current —
+    another writer committed first. Callers re-read and retry
+    (``publish_with_retry``), which serializes read-modify-write batches
+    exactly like the reference's Postgres ``ON CONFLICT`` upserts
+    (dags/custom_operators/LoadDimsOperator.py:25-28) serialize via the
+    database's row locks."""
+
+
+class GoldStore:
+    """Write-audit-publish gold storage with optimistic concurrency.
+
+    Plain ``write_gold``'s whole-table ``overwrite`` is last-writer-wins:
+    two concurrent batches silently drop one batch's rows. The store
+    fixes that with the standard table-format commit protocol (the shape
+    Iceberg/Delta use — public designs):
+
+    - **write**: each publish lands its tables in an immutable
+      ``_data/<txn>/`` directory; nothing references it yet, so a crashed
+      or rejected publish leaves gold untouched (orphans are vacuumed).
+    - **audit**: staged tables are read back (schema + row count) before
+      they can be referenced — a torn write can never become visible.
+    - **publish**: a root ``_manifest.json`` names the exact directory of
+      every table version. Commit = fsync a new manifest + atomic
+      ``os.replace``, performed under a compare-and-swap on the base
+      version: if another writer advanced the manifest since this batch
+      read it, the publish is REJECTED (``ConcurrentWriteError``), never
+      merged blindly. On a local/NFS filesystem the CAS critical section
+      is an ``O_EXCL`` lock file; on an object store the identical
+      protocol maps to a conditional put (ETag/If-Match) or a catalog
+      transaction — the caller-facing semantics do not change.
+
+    Readers always open the manifest's directories directly: a reader
+    mid-scan of version N is unaffected by version N+1 landing
+    (snapshot isolation for free, since data dirs are immutable).
+    """
+
+    MANIFEST = "_manifest.json"
+    LOCK = "_manifest.lock"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def current_manifest(self) -> dict:
+        try:
+            with open(self._manifest_file(), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "tables": {}}
+
+    def current_version(self) -> int:
+        return int(self.current_manifest()["version"])
+
+    # -- read --------------------------------------------------------------
+
+    def read_all(self) -> dict[str, DataFrame]:
+        m = self.current_manifest()
+        return {
+            name: self.spark.read.parquet(os.path.join(self.path, entry["dir"]))
+            for name, entry in m["tables"].items()
+        }
+
+    def read(self, name: str) -> DataFrame:
+        entry = self.current_manifest()["tables"][name]
+        return self.spark.read.parquet(os.path.join(self.path, entry["dir"]))
+
+    # -- write + audit + publish ------------------------------------------
+
+    def publish(
+        self, gold: dict[str, DataFrame], base_version: int, lock_timeout: float = 30.0
+    ) -> int:
+        """Stage ``gold``, audit it, and commit it as the next version iff
+        the store is still at ``base_version``. Tables not named in
+        ``gold`` carry forward from the base manifest (metadata-only).
+        Returns the committed version."""
+        txn = uuid.uuid4().hex[:12]
+        staged: dict[str, dict] = {}
+        for name, df in gold.items():
+            rel = os.path.join("_data", txn, name)
+            target = os.path.join(self.path, rel)
+            w = df.write.mode("error")
+            if name in PARTITIONED_FACTS and "date_sk" in df.columns:
+                w = w.partitionBy("date_sk")
+            w.parquet(target)
+            # audit: reread what actually landed — a table that cannot be
+            # scanned (torn file, schema corruption) must never publish
+            back = self.spark.read.parquet(target)
+            staged[name] = {"dir": rel, "rows": back.count()}
+
+        lock = os.path.join(self.path, self.LOCK)
+        deadline = time.monotonic() + lock_timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"gold manifest lock busy: {lock}")
+                time.sleep(0.05)
+        try:
+            current = self.current_manifest()
+            if int(current["version"]) != int(base_version):
+                raise ConcurrentWriteError(
+                    f"base version {base_version} is stale; "
+                    f"store is at {current['version']}"
+                )
+            tables = dict(current["tables"])
+            tables.update(staged)
+            new = {"version": int(base_version) + 1, "tables": tables}
+            tmp = self._manifest_file() + f".{txn}.tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(new, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._manifest_file())
+            return new["version"]
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def vacuum(self) -> list[str]:
+        """Delete ``_data/<txn>`` dirs no current table references —
+        leftovers of rejected or superseded publishes. Safe because
+        publishes only ever reference directories they created."""
+        import shutil
+
+        live = {
+            entry["dir"].split(os.sep)[1]
+            for entry in self.current_manifest()["tables"].values()
+        }
+        data_root = os.path.join(self.path, "_data")
+        removed = []
+        for txn in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            if txn not in live:
+                shutil.rmtree(os.path.join(data_root, txn))
+                removed.append(txn)
+        return removed
+
+
+def publish_with_retry(store: GoldStore, build_fn, max_attempts: int = 5) -> int:
+    """Serialized read-modify-write: ``build_fn(current_tables)`` returns
+    the tables to publish; on a lost race the batch is REBUILT on the
+    winner's state and retried — the distributed equivalent of the
+    reference's ``ON CONFLICT DO UPDATE`` retry-on-lock semantics. The
+    upsert builders (insert_if_absent / upsert_latest_wins) are
+    idempotent and commutative on keys, so any interleaving converges to
+    the same final table."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(max_attempts):
+        base = store.current_manifest()
+        gold = build_fn(store.read_all())
+        try:
+            return store.publish(gold, base["version"])
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

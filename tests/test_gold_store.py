@@ -1,0 +1,114 @@
+"""GoldStore write-audit-publish: concurrent batches must serialize like
+the reference's Postgres ON CONFLICT upserts (LoadDimsOperator.py:25-28)
+— a lost race is rejected and rebuilt on the winner's state, never
+last-writer-wins dropped."""
+
+import pytest
+
+from rustcheatersdatapipeline_spark.warehouse.persist import (
+    ConcurrentWriteError,
+    GoldStore,
+    publish_with_retry,
+)
+from rustcheatersdatapipeline_spark.warehouse.writers import (
+    insert_if_absent,
+    upsert_latest_wins,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "steam_id string, level int")
+
+
+def _rows(store, name):
+    if name not in store.current_manifest()["tables"]:
+        return set()
+    return {tuple(r) for r in store.read(name).collect()}
+
+
+def test_publish_read_roundtrip_and_carry_forward(spark, tmp_path):
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    v1 = store.publish({"player_dim": _df(spark, [("a", 1)])}, base_version=0)
+    assert v1 == 1 and _rows(store, "player_dim") == {("a", 1)}
+
+    # second publish names only another table: player_dim carries forward
+    v2 = store.publish({"other_dim": _df(spark, [("z", 9)])}, base_version=1)
+    assert v2 == 2
+    assert _rows(store, "player_dim") == {("a", 1)}
+    assert _rows(store, "other_dim") == {("z", 9)}
+    assert store.current_manifest()["tables"]["player_dim"]["rows"] == 1
+
+
+def test_stale_base_is_rejected_and_leaves_gold_untouched(spark, tmp_path):
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish({"player_dim": _df(spark, [("a", 1)])}, base_version=0)
+
+    # writers A and B both observe version 1; B commits first
+    base = store.current_version()
+    store.publish({"player_dim": _df(spark, [("a", 1), ("b", 2)])}, base_version=base)
+    with pytest.raises(ConcurrentWriteError):
+        store.publish({"player_dim": _df(spark, [("a", 1), ("c", 3)])}, base_version=base)
+    # loser's rows are invisible; winner's state intact
+    assert _rows(store, "player_dim") == {("a", 1), ("b", 2)}
+
+    # orphans: the rejected txn AND the superseded v1 directory
+    assert len(store.vacuum()) == 2
+    assert _rows(store, "player_dim") == {("a", 1), ("b", 2)}
+
+
+@pytest.mark.parametrize("first", ["b1", "b2"])
+def test_interleaved_batches_converge_either_order(spark, tmp_path, first):
+    """The ON CONFLICT property: two read-modify-write batches with
+    overlapping keys, fully interleaved (both read the same base), must
+    converge to the serial result in either commit order."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish({"player_dim": _df(spark, [("a", 1), ("b", 1)])}, base_version=0)
+
+    batches = {
+        "b1": _df(spark, [("b", 10), ("c", 10)]),  # updates b, inserts c
+        "b2": _df(spark, [("b", 20), ("d", 20)]),  # updates b, inserts d
+    }
+    order = [first, "b2" if first == "b1" else "b1"]
+
+    def apply_batch(tables, batch):
+        return {
+            "player_dim": upsert_latest_wins(
+                tables["player_dim"], batch, keys=["steam_id"]
+            )
+        }
+
+    # both writers snapshot the SAME base (full interleave)...
+    snapshots = {
+        name: (store.current_manifest()["version"], store.read_all())
+        for name in order
+    }
+    # ...the first commits; the second's direct publish must fail, and
+    # publish_with_retry rebuilds it on the winner's state
+    v_base, tables = snapshots[order[0]]
+    store.publish(apply_batch(tables, batches[order[0]]), base_version=v_base)
+    v_base, tables = snapshots[order[1]]
+    with pytest.raises(ConcurrentWriteError):
+        store.publish(apply_batch(tables, batches[order[1]]), base_version=v_base)
+    publish_with_retry(store, lambda t: apply_batch(t, batches[order[1]]))
+
+    got = _rows(store, "player_dim")
+    # 'b' ends at the LAST committer's value; a/c/d all survive
+    last = order[1]
+    want = {("a", 1), ("c", 10), ("d", 20), ("b", 10 if last == "b1" else 20)}
+    assert got == want
+
+
+def test_insert_if_absent_batches_idempotent_under_replay(spark, tmp_path):
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish({"player_dim": _df(spark, [("a", 1)])}, base_version=0)
+    batch = _df(spark, [("a", 99), ("e", 5)])
+
+    def build(tables):
+        return {
+            "player_dim": insert_if_absent(tables["player_dim"], batch, keys=["steam_id"])
+        }
+
+    publish_with_retry(store, build)
+    publish_with_retry(store, build)  # replay: no-op
+    assert _rows(store, "player_dim") == {("a", 1), ("e", 5)}
+    assert store.current_version() == 3
