@@ -71,11 +71,21 @@ SHINGLE_K_CANDIDATES = (9, 12, 15)
 #: Deterministic ~1/7 sample for the df probe: ``doc_id % 7 == 0`` is
 #: layout- and partition-independent, unlike rand()/limit sampling.
 SHINGLE_SAMPLE_MOD = 7
-#: df ceiling: pick the SMALLEST candidate k whose most frequent sampled
-#: shingle appears in ≤ 1/4 of shingled sampled docs. Integer arithmetic
-#: (4·max_df ≤ n_docs) so Spark and the SQL oracle cannot drift on a
-#: float boundary. Smallest-k preference maximizes short-doc coverage.
+#: df ceilings: pick the SMALLEST candidate k passing BOTH
+#:   (a) 4·max_df ≤ n_docs      — no near-universal shingle (a single
+#:       high-df shingle lands in every doc's PPJoin prefix and defeats
+#:       the filter outright), and
+#:   (b) Σdf² ≤ 1000·n_docs     — bounded candidate PRESSURE. Σdf² is
+#:       the pre-filter shared-shingle pair count; max-df alone misses
+#:       the many-moderately-common-shingles corpus (measured: a 10×
+#:       replica corpus kept every df ≤ nd/4 at k=9 yet carried
+#:       Σdf² ≈ 11000·nd — a 6× slowdown that (b) rejects).
+#: All-integer arithmetic so Spark and the SQL oracle cannot drift on a
+#: float boundary; Σdf² is summed in decimal(38)/HUGEINT so neither
+#: engine can overflow. Smallest-k preference maximizes short-doc
+#: coverage (docs shorter than k are invisible to shingle dedup).
 SHINGLE_DF_CEILING_DEN = 4
+SHINGLE_DF2_BUDGET = 1000
 COSINE_THRESHOLD = 0.45
 HAMMING_MAX = 3
 KNN_K = 5
@@ -99,12 +109,13 @@ _KSEL_CTE = (
     f"kc AS (SELECT unnest({list(SHINGLE_K_CANDIDATES)}) AS k), "
     "ksh AS (SELECT DISTINCT k, doc_id, substring(text, i, k) AS g "
     "FROM samp, kc JOIN pos ON i <= length(text) - k + 1), "
-    "kdf AS (SELECT k, max(df) AS mx FROM "
+    "kdf AS (SELECT k, max(df) AS mx, sum(df::HUGEINT * df::HUGEINT) AS s2 FROM "
     "(SELECT k, g, count(*) AS df FROM ksh GROUP BY k, g) GROUP BY k), "
     "knd AS (SELECT kc.k AS k, "
     "(SELECT count(*) FROM samp WHERE length(samp.text) >= kc.k) AS nd FROM kc), "
     "ksel AS (SELECT coalesce("
-    f"min(CASE WHEN mx * {SHINGLE_DF_CEILING_DEN} <= nd THEN k END), "
+    f"min(CASE WHEN mx * {SHINGLE_DF_CEILING_DEN} <= nd "
+    f"AND s2 <= {SHINGLE_DF2_BUDGET} * nd::HUGEINT THEN k END), "
     f"{SHINGLE_K_CANDIDATES[-1]}) AS k FROM kdf JOIN knd USING (k))"
 )
 
@@ -186,14 +197,11 @@ def choose_shingle_k(spark, sf_dir) -> int:
     Rule (mirrored verbatim by the oracle's ``ksel`` CTE, so both
     engines always shingle at the same width): over the deterministic
     ``doc_id % SHINGLE_SAMPLE_MOD == 0`` sample, pick the smallest
-    candidate k whose most frequent k-shingle appears in at most
-    ``1/SHINGLE_DF_CEILING_DEN`` of the sampled docs long enough to
-    shingle; fall back to the widest candidate if none qualifies.
-
-    max-df is the right statistic here: near-universal shingles are
-    exactly what defeats the PPJoin prefix filter (every doc's prefix
-    shares them → candidate blowup) and what inflates MinHash band
-    collisions. Driver transfer is a few longs — never sample rows.
+    candidate k passing both df ceilings — (a) no near-universal
+    shingle (``4·max_df ≤ nd``) and (b) bounded candidate pressure
+    (``Σdf² ≤ 1000·nd``); fall back to the widest candidate if none
+    qualifies. See the constants' comment for why BOTH moments are
+    needed. Driver transfer is a few longs — never sample rows.
     """
     key = (id(spark), sf_dir)
     if key in _SHINGLE_K_CACHE:
@@ -211,16 +219,24 @@ def choose_shingle_k(spark, sf_dir) -> int:
         if nd == 0:
             continue
         # df on RAW shingle strings (not hash64) — the exact domain the
-        # oracle's ksel CTE measures, so the choice cannot diverge
-        mx_row = (
+        # oracle's ksel CTE measures, so the choice cannot diverge.
+        # Σdf² in decimal(38,0) (exact, overflow→null→fail) to mirror
+        # the oracle's HUGEINT sum.
+        d = F.col("df").cast("decimal(19,0)")
+        row = (
             char_shingles(samp, "text", "doc_id", k=k)
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.max("df").alias("mx"))
+            .agg(F.max("df").alias("mx"), F.sum(d * d).alias("s2"))
             .collect()
-        )
-        mx = mx_row[0]["mx"]
-        if mx is not None and mx * SHINGLE_DF_CEILING_DEN <= nd:
+        )[0]
+        mx, s2 = row["mx"], row["s2"]
+        if (
+            mx is not None
+            and s2 is not None
+            and mx * SHINGLE_DF_CEILING_DEN <= nd
+            and int(s2) <= SHINGLE_DF2_BUDGET * nd
+        ):
             chosen, chosen_nd = k, nd
             break
     n_samp = samp.count()

@@ -73,3 +73,56 @@ class ParquetMergeSink:
         merged.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
+
+
+class GoldStoreMergeSink:
+    """``ParquetMergeSink`` semantics on a transactional ``GoldStore``.
+
+    Each micro-batch is a read-modify-write publish: read the table at
+    the current manifest version, merge the collapsed batch (D11/D12),
+    publish under compare-and-swap. Visibility is atomic (a crashed
+    batch leaves gold at the prior version — no ``__staging`` rewrite
+    races), replays converge through the key-idempotent merge, and a
+    CONCURRENT writer (another stream, a batch backfill) publishing to
+    the same store between micro-batches is rebuilt-over instead of
+    clobbered — the property the plain overwrite sink cannot give.
+    """
+
+    def __init__(
+        self,
+        store,
+        table: str,
+        keys: list[str],
+        order_by: list[str] | None = None,
+        mode: str = "update",
+    ):
+        self.store = store
+        self.table = table
+        self.keys = keys
+        self.order_by = order_by
+        self.mode = mode
+
+    def _collapse(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        order = (
+            [F.col(c).desc() for c in self.order_by] if self.order_by else None
+        )
+        return keyed_dedup(batch_df, self.keys, order_by=order)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..warehouse.persist import publish_with_retry
+
+        collapsed = self._collapse(batch_df)
+
+        def build(tables: dict) -> dict:
+            prior = tables.get(self.table)
+            if prior is None:
+                merged = collapsed
+            elif self.mode == "nothing":
+                merged = insert_if_absent(prior, collapsed, self.keys)
+            else:
+                merged = upsert_latest_wins(prior, collapsed, self.keys)
+            return {self.table: merged}
+
+        publish_with_retry(self.store, build)

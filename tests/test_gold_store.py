@@ -98,6 +98,50 @@ def test_interleaved_batches_converge_either_order(spark, tmp_path, first):
     assert got == want
 
 
+def test_goldstore_streaming_sink_replay_and_external_writer(spark, tmp_path):
+    """Streaming foreachBatch through the store: replaying the same
+    input converges (key-idempotent merge), and an EXTERNAL publish
+    landing between runs survives — the overwrite sink would clobber it."""
+    import shutil
+
+    from rustcheatersdatapipeline_spark.streaming import open_events_stream
+    from rustcheatersdatapipeline_spark.streaming.sink import GoldStoreMergeSink
+
+    events_dir = tmp_path / "in"
+    events_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", events_dir / "p0.parquet")
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = GoldStoreMergeSink(
+        store, "events_latest", keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+
+    def run(ckpt):
+        q = (
+            open_events_stream(spark, str(events_dir))
+            .select("user_id", "event_type", "ts", "value", "event_id")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    out1 = sorted(map(tuple, store.read("events_latest").collect()))
+    keys = store.read("events_latest").select("user_id", "event_type").distinct().count()
+    assert len(out1) == keys > 0
+
+    # an unrelated table published by a concurrent batch writer...
+    store.publish(
+        {"other": _df(spark, [("x", 1)])}, base_version=store.current_version()
+    )
+    # ...survives a full stream replay through a fresh checkpoint
+    run("ckpt2")
+    assert sorted(map(tuple, store.read("events_latest").collect())) == out1
+    assert _rows(store, "other") == {("x", 1)}
+
+
 def test_insert_if_absent_batches_idempotent_under_replay(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     store.publish({"player_dim": _df(spark, [("a", 1)])}, base_version=0)
