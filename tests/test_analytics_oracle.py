@@ -49,10 +49,19 @@ def test_multimodal_checksum_is_byte_based_for_non_ascii(spark, tmp_path):
         assert got[doc_id] == sum(text.encode("utf-8")), doc_id
 
 
-def test_real_codec_path_is_marked_unimplemented(spark, sf_dir):
+def test_real_decode_quarantines_non_media_payloads(spark, sf_dir):
+    """fake=False is a REAL header decode since round 5: payloads that
+    are neither PNG nor WAV quarantine as octet-stream with NULL
+    dimensions (never a task failure); full pixel decode remains the
+    explicit decode_pixels stub (tests/test_multimodal_real_decode.py)."""
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")
     media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text/plain")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        featurize_media(media, fake=False).collect()
+    out = featurize_media(media, fake=False).limit(5).collect()
+    assert all(
+        r["mime"] == "application/octet-stream"
+        and r["width"] is None
+        and r["n_frames"] == 0
+        for r in out
+    )
