@@ -956,6 +956,71 @@ def ann_ivf_search(spark, sf_dir, nprobe: int = 2):
     )
 
 
+#: within-cluster cosine above which the higher-id vector is pruned
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space,
+    then drop, WITHIN each cluster, any vector whose cosine similarity
+    to a lower-id cluster member reaches the threshold. Semantic
+    near-copies (paraphrases, templated rewrites) collapse to one
+    representative without any O(n²) pass.
+
+    Clustering reuses ``ann_ivf_assign``'s deterministic seed-centroid
+    rule (vec_id < 16, nearest by cosine, ties → lower centroid), so
+    the oracle replicates the identical partition of the corpus. The
+    pairwise prune is cluster-local: candidate pairs are Σ|cluster|²,
+    bounded by cluster granularity (at 100 TB: k-means with corpus/1e4
+    clusters keeps lists ~1e4 rows — SemDeDup's published shape),
+    never all-pairs. Output: every vector with its cluster and an int
+    kept flag (1 = survives), so downstream joins can filter or audit.
+    """
+    v = _vectors(spark, sf_dir, partitions=32)
+    c = _vectors(spark, sf_dir).filter(F.col("vec_id") < 16)
+    cc = c.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = cosine(dot_product(F.col("e"), F.col("ce")), F.col("nrm"), F.col("cnrm"))
+    ranked = v.join(F.broadcast(cc), how="cross").select(
+        "vec_id", "e", "nrm", "centroid_id", cos_c.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "centroid_id")
+    lists = (
+        ranked.select("vec_id", "e", "nrm", "centroid_id", F.row_number().over(w).alias("crn"))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "e", "nrm", "centroid_id")
+    )
+    a = lists.alias("a")
+    b = lists.alias("b")
+    cos_ab = cosine(
+        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos_ab >= SEMDEDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(1))
+    )
+    return (
+        lists.join(pruned, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.when(F.col("__pruned").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 4
 #: fixed-point scale for centroid sums (shared with embed_label_centroids's
@@ -1190,6 +1255,78 @@ def decontaminate(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
     return hits.orderBy("doc_id")
+
+
+#: CDC cut rule: a token position ends its chunk when the portable hash
+#: of the 3-token window ending there is ≡ 0 (mod 8) → expected chunk
+#: length 8 tokens, boundaries resynchronize ~2 tokens after any edit.
+CDC_DIVISOR = 8
+
+
+def dedup_cdc(spark, sf_dir):
+    """Content-defined-chunking dedup audit (rsync/FastCDC family —
+    public methods): chunk every document at CONTENT-DEFINED boundaries
+    (hash of the trailing 3-token window ≡ 0 mod 8), hash each chunk,
+    and report per doc how many of its chunks also occur in another
+    document.
+
+    Why CDC instead of fixed-stride spans (``dedup_spans``): inserting
+    one token shifts every downstream fixed-stride chunk so shared text
+    stops matching, while CDC boundaries depend only on a 3-token
+    window and resynchronize immediately — partial overlap survives
+    edits. 100 TB shape: boundary detection is one window pass per doc
+    (shuffle on doc_id, same class as SimHash's token pass); chunk
+    sharing is one uniform groupBy on the chunk digest. Never pairwise.
+
+    Cross-engine determinism: the cut rule uses the portable 60-bit
+    md5 hash; chunks rebuild via order-pinned aggregation; sharing
+    counts distinct docs per digest — all exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.posexplode(ws_tokens("text")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.concat_ws(
+        " ", F.lag("w", 2).over(win), F.lag("w", 1).over(win), F.col("w")
+    )
+    cut = (portable_hash64(g) % CDC_DIVISOR == 0).cast("int")
+    marked = t.select("doc_id", "pos", "w", cut.alias("cut"))
+    chunk_idx = F.coalesce(
+        F.sum("cut").over(win.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    chunks = (
+        marked.select("doc_id", "pos", "w", chunk_idx.alias("chunk_idx"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s.w,
+                    ),
+                    " ",
+                )
+            ).alias("h")
+        )
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    per_doc = chunks.join(shared, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_chunks")
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_shared_chunks", F.lit(0)).cast("bigint").alias("n_shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def redact_pii(spark, sf_dir):
@@ -1783,6 +1920,8 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_score": repetition_score,
     "pack_sequences": pack_sequences,
     "ann_ivf_search": ann_ivf_search,
+    "semdedup_prune": semdedup_prune,
+    "dedup_cdc": dedup_cdc,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -2040,6 +2179,45 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p) "
         f"SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos FROM r WHERE rnk <= {KNN_K} "
         "ORDER BY query_id, rnk"
+    ),
+    "dedup_cdc": (
+        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+        "FROM documents), "
+        "t AS (SELECT doc_id, i AS pos, w[i] AS tok, "
+        "concat_ws(' ', CASE WHEN i >= 3 THEN w[i-2] END, "
+        "CASE WHEN i >= 2 THEN w[i-1] END, w[i]) AS g "
+        "FROM toks JOIN pos ON i <= len(w)), "
+        "m AS (SELECT doc_id, pos, tok, "
+        f"CASE WHEN {_H.format(expr='g')} % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS cut "
+        "FROM t), "
+        "cx AS (SELECT doc_id, pos, tok, COALESCE(SUM(cut) OVER "
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS chunk_idx FROM m), "
+        "chunks AS (SELECT doc_id, chunk_idx, "
+        "md5(array_to_string(list(tok ORDER BY pos), ' ')) AS h "
+        "FROM cx GROUP BY doc_id, chunk_idx), "
+        "shared AS (SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1) "
+        "SELECT c.doc_id, COUNT(*) AS n_chunks, "
+        "CAST(COALESCE(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) "
+        "AS n_shared_chunks FROM chunks c LEFT JOIN shared s USING (h) "
+        "GROUP BY c.doc_id ORDER BY c.doc_id"
+    ),
+    "semdedup_prune": (
+        f"WITH {_EMB_CTE}, "
+        "c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16), "
+        "rk AS (SELECT a.vec_id, a.e, a.nrm, c.centroid_id, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+        "list_dot_product(a.e, c.ce) / (sqrt(a.nrm) * sqrt(c.cnrm)) DESC, c.centroid_id) AS crn "
+        "FROM v a, c), "
+        "lists AS (SELECT vec_id, e, nrm, centroid_id FROM rk WHERE crn = 1), "
+        "pruned AS (SELECT DISTINCT a.vec_id FROM lists a JOIN lists b "
+        "ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id "
+        "AND list_dot_product(a.e, b.e) / (sqrt(a.nrm) * sqrt(b.nrm)) >= "
+        f"{SEMDEDUP_THRESHOLD}) "
+        "SELECT l.vec_id, l.centroid_id, "
+        "CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept "
+        "FROM lists l LEFT JOIN pruned p USING (vec_id) ORDER BY vec_id"
     ),
     "pack_sequences": (
         "WITH toks AS (SELECT source, doc_id, "
