@@ -45,6 +45,29 @@ def test_choose_shingle_k_is_layout_invariant(spark, sf_dir, tmp_path):
     assert k1 in T.SHINGLE_K_CANDIDATES
 
 
+def test_jaccard_pair_set_is_k_invariant(spark, sf_dir):
+    """ADVICE r4: the df-derived shingle width is only safe to vary if
+    the j ≥ 0.8 PAIR SET does not depend on which candidate width is
+    chosen (jac values may differ; the detected pairs must not). Force
+    each candidate k through the chooser cache and compare pair sets."""
+    key = (id(spark), sf_dir)
+    pair_sets = {}
+    try:
+        for k in T.SHINGLE_K_CANDIDATES:
+            T._SHINGLE_K_CACHE.clear()
+            T._SHINGLE_K_CACHE[key] = k
+            pair_sets[k] = {
+                (r["doc_a"], r["doc_b"])
+                for r in T.dedup_ngram_jaccard(spark, sf_dir).collect()
+            }
+    finally:
+        T._SHINGLE_K_CACHE.clear()
+    first = pair_sets[T.SHINGLE_K_CANDIDATES[0]]
+    assert first and all(s == first for s in pair_sets.values()), {
+        k: len(s) for k, s in pair_sets.items()
+    }
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_result_is_shuffle_width_invariant(spark, sf_dir, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
