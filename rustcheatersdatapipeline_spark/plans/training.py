@@ -1293,6 +1293,8 @@ def dedup_cdc(spark, sf_dir):
     chunk_idx = F.coalesce(
         F.sum("cut").over(win.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
+    # chunks feeds two subtrees (digest sharing stats + per-doc counts) —
+    # cache so the token-window pass runs once, not per consumer
     chunks = (
         marked.select("doc_id", "pos", "w", chunk_idx.alias("chunk_idx"))
         .groupBy("doc_id", "chunk_idx")
@@ -1307,23 +1309,15 @@ def dedup_cdc(spark, sf_dir):
                 )
             ).alias("h")
         )
+        .cache()
     )
-    shared = (
-        chunks.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    per_doc = chunks.join(shared, "h", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared_chunks")
-    )
-    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    h_stats = chunks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     return (
-        totals.join(per_doc, "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce("n_shared_chunks", F.lit(0)).cast("bigint").alias("n_shared_chunks"),
+        chunks.join(h_stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("n_shared_chunks"),
         )
         .orderBy("doc_id")
     )

@@ -78,6 +78,28 @@ def test_fact_loads_hint_only_bounded_dims(spark):
     assert analyzed.count("ResolvedHint") == 1
 
 
+def test_semdedup_hints_only_bounded_centroids(spark, sf_dir):
+    """semdedup_prune may hint-broadcast ONLY the 16-centroid side; the
+    cluster lists scale with the corpus and must be left to AQE."""
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    analyzed = T.semdedup_prune(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    # every hint in this plan wraps the vec_id < 16 centroid subtree
+    assert analyzed.count("ResolvedHint") == analyzed.count(
+        "ResolvedHint (strategy=broadcast)"
+    )
+    assert "vec_id#" in analyzed  # sanity: plan resolved
+
+
+def test_dedup_cdc_plan_has_no_forced_broadcast(spark, sf_dir):
+    """Both CDC join sides (chunk digests, digest stats) grow with the
+    corpus — no broadcast hint anywhere; AQE decides at runtime."""
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    analyzed = T.dedup_cdc(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed
+
+
 def test_embed_neardup_has_no_driver_collect():
     """VERDICT r4 #2 regression guard: the all-pairs cosine baseline must
     build its block pairs distributively — a driver-side toPandas/collect
