@@ -12,11 +12,13 @@ Two decode paths:
 - ``fake=True`` — deterministic byte-derived pseudo-decode; keeps the
   whole Spark path executable and oracle-checkable in any container.
 - ``fake=False`` — REAL header-level decoding with pure stdlib parsing
-  of public formats: PNG (signature + IHDR width/height, RFC 2083) and
-  WAV (RIFF chunk walk, fmt/data chunks). No codec libraries needed:
-  dimensions, frame counts and durations live in the headers.
-  Unrecognized payloads degrade to ``application/octet-stream`` with
-  NULL dimensions (quarantine-style, never a task failure).
+  of public formats: PNG (signature + IHDR width/height, RFC 2083),
+  GIF (logical screen descriptor + block-stream walk counting image
+  descriptors — true multi-frame counts for animations) and WAV (RIFF
+  chunk walk, fmt/data chunks). No codec libraries needed: dimensions,
+  frame counts and durations live in the headers. Unrecognized
+  payloads degrade to ``application/octet-stream`` with NULL
+  dimensions (quarantine-style, never a task failure).
 
 Full pixel/sample decoding (``decode_pixels``) still requires a codec
 library (PIL/ffmpeg) that is not in this container and remains a
@@ -74,6 +76,58 @@ def parse_png_header(buf: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_gif_header(buf: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) from a GIF87a/GIF89a payload, else None.
+
+    Layout (public spec): 6-byte signature, logical screen descriptor
+    (u16le width, u16le height, packed flags at +10 whose bit 7 / low 3
+    bits describe the global color table), then a block stream — frames
+    are Image Descriptors (0x2C, 9-byte header + optional local color
+    table + LZW sub-blocks), 0x21 introduces extensions (sub-block
+    chains), 0x3B terminates. Frame count = image descriptors seen.
+    """
+    if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    if w == 0 or h == 0:
+        return None
+    packed = buf[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(buf):
+            size = buf[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    frames = 0
+    while pos < len(buf):
+        b = buf[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + sub-block chain
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 10 > len(buf):
+                break
+            ipacked = buf[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+        else:  # corrupt stream — stop at what we could parse
+            break
+    return w, h, frames
+
+
 def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
     """(channels, sample_rate, bits_per_sample, n_frames) from a RIFF/WAVE
     payload, else None.
@@ -113,6 +167,9 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     png = parse_png_header(buf)
     if png is not None:
         return "image/png", png[0], png[1], 1
+    gif = parse_gif_header(buf)
+    if gif is not None:
+        return "image/gif", gif[0], gif[1], gif[2]
     wav = parse_wav_header(buf)
     if wav is not None:
         return "audio/wav", None, None, wav[3]

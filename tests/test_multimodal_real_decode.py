@@ -15,6 +15,7 @@ from rustcheatersdatapipeline_spark.functions.multimodal import (
     decode_pixels,
     featurize_media,
     media_table,
+    parse_gif_header,
     parse_png_header,
     parse_wav_header,
 )
@@ -41,6 +42,18 @@ def make_png(width: int, height: int) -> bytes:
     )
 
 
+def make_gif(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal GIF89a: 2-entry global color table, per-frame graphic
+    control extension + image descriptor + one LZW sub-block."""
+    out = b"GIF89a" + struct.pack("<HH", width, height) + bytes([0x80, 0, 0])
+    out += b"\x00\x00\x00\xff\xff\xff"  # global color table (2 × RGB)
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension chain
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x02" + bytes([1, 0x44]) + b"\x00"  # LZW min + 1 sub-block
+    return out + b"\x3b"
+
+
 def make_wav(n_frames: int, rate: int = 8000, channels: int = 1) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -56,6 +69,24 @@ def test_png_header_roundtrip():
     assert parse_png_header(make_png(1, 1)) == (1, 1)
     assert parse_png_header(b"notapng") is None
     assert parse_png_header(b"") is None
+
+
+def test_gif_header_roundtrip():
+    assert parse_gif_header(make_gif(320, 240, 1)) == (320, 240, 1)
+    assert parse_gif_header(make_gif(12, 7, 5)) == (12, 7, 5)  # animation
+    assert parse_gif_header(b"GIF89a") is None  # truncated
+    assert parse_gif_header(b"JIF89a" + bytes(20)) is None
+
+
+def test_gif_through_featurize(spark):
+    gif = make_gif(64, 48, 7)
+    df = spark.createDataFrame([(1, bytearray(gif))], "item_id long, payload binary")
+    media = media_table(df, "item_id", "payload", "application/octet-stream")
+    r = featurize_media(media, fake=False, frame_step=2).collect()[0]
+    assert r["mime"] == "image/gif"
+    assert (r["width"], r["height"], r["n_frames"]) == (64, 48, 7)
+    assert r["sampled_frames"] == [0, 2, 4, 6]
+    assert r["checksum"] == sum(gif)
 
 
 def test_wav_header_roundtrip():
