@@ -175,3 +175,33 @@ def run_batch(
         expected = set(DIM_TRANSFORMS) | set(FACT_TRANSFORMS) | {"date_dim"}
         result.not_loaded = sorted(expected - set(result.gold))
     return result
+
+
+def run_batch_transactional(
+    spark: SparkSession,
+    bronze_dir: str,
+    interval_end: _dt.datetime,
+    store,
+    **kwargs,
+) -> tuple[BatchResult, int]:
+    """``run_batch`` with the reference's ON CONFLICT durability: prior
+    gold state is read from the ``GoldStore``'s current manifest, the
+    batch's gold publishes under compare-and-swap, and a lost race
+    (another interval or a backfill published first) REBUILDS this
+    batch on the winner's state instead of clobbering it — the upserts
+    inside ``build_warehouse`` are key-idempotent, so any interleaving
+    converges to the serial result. Returns (batch result, committed
+    store version)."""
+    from .warehouse.persist import publish_with_retry
+
+    holder: dict[str, BatchResult] = {}
+
+    def build(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        res = run_batch(
+            spark, bronze_dir, interval_end, existing=tables or None, **kwargs
+        )
+        holder["res"] = res
+        return res.gold
+
+    version = publish_with_retry(store, build)
+    return holder["res"], version
