@@ -128,6 +128,39 @@ def parse_gif_header(buf: bytes) -> tuple[int, int, int] | None:
     return w, h, frames
 
 
+def parse_jpeg_header(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG payload, else None.
+
+    Walks the marker stream (public JFIF/JPEG spec): 0xFFD8 SOI, then
+    0xFF-prefixed segments with big-endian u16 lengths, until a start-
+    of-frame marker (0xC0-0xCF excluding DHT 0xC4, DNL 0xC8, DAC 0xCC)
+    whose payload carries u16 height at +3 and u16 width at +5.
+    """
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None  # marker desync — not a parseable JPEG
+        marker = buf[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(buf):
+                return None
+            h = int.from_bytes(buf[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(buf[pos + 7 : pos + 9], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        pos += 2 + seg_len
+    return None
+
+
 def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
     """(channels, sample_rate, bits_per_sample, n_frames) from a RIFF/WAVE
     payload, else None.
@@ -170,6 +203,9 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     gif = parse_gif_header(buf)
     if gif is not None:
         return "image/gif", gif[0], gif[1], gif[2]
+    jpg = parse_jpeg_header(buf)
+    if jpg is not None:
+        return "image/jpeg", jpg[0], jpg[1], 1
     wav = parse_wav_header(buf)
     if wav is not None:
         return "audio/wav", None, None, wav[3]

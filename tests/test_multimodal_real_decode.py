@@ -16,6 +16,7 @@ from rustcheatersdatapipeline_spark.functions.multimodal import (
     featurize_media,
     media_table,
     parse_gif_header,
+    parse_jpeg_header,
     parse_png_header,
     parse_wav_header,
 )
@@ -87,6 +88,30 @@ def test_gif_through_featurize(spark):
     assert (r["width"], r["height"], r["n_frames"]) == (64, 48, 7)
     assert r["sampled_frames"] == [0, 2, 4, 6]
     assert r["checksum"] == sum(gif)
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0 (JFIF), DQT stub, SOF0
+    carrying the dimensions, EOI. Not decodable image data — but a
+    spec-valid marker walk, which is all a header parser may rely on."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 3) + b"\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_header_roundtrip():
+    assert parse_jpeg_header(make_jpeg(800, 600)) == (800, 600)
+    assert parse_jpeg_header(make_jpeg(1, 1)) == (1, 1)
+    assert parse_jpeg_header(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert parse_jpeg_header(b"nope") is None
+    assert decode_header(make_jpeg(33, 44)) == ("image/jpeg", 33, 44, 1)
 
 
 def test_wav_header_roundtrip():
