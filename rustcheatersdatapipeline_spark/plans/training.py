@@ -389,6 +389,67 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _jaccard_verify(cand, sh)
 
 
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs: C(A→B) = |A∩B|/|A| ≥ 0.8
+    — detects a document QUOTED INSIDE a larger one, which symmetric
+    Jaccard misses outright (a 50-shingle doc inside a 1000-shingle doc
+    has J ≈ 0.05 but C = 1.0). The directional pair (doc_a, doc_b)
+    means doc_a is (mostly) contained in doc_b.
+
+    Candidates use the standard probe-prefix for containment joins
+    (Chaudhuri et al. SSJoin, public): order each PROBE doc's shingles
+    rarest-first and keep the first n − ⌈t·n⌉ + 1; if none of those is
+    in B the overlap is < t·n, so the prefix⋈full equi-join is lossless
+    while only the probe side is truncated (the containing side must
+    stay fully indexed — it can be arbitrarily large). Same integer
+    ⌈t·n⌉ arithmetic as the PPJoin query; the oracle runs the naive
+    all-shared-shingle join, making this another optimizer-vs-spec
+    equivalence check.
+    """
+    docs = table(spark, sf_dir, "documents")
+    k = choose_shingle_k(spark, sf_dir)
+    sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        sh.join(dfreq, "g")
+        .join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "g",
+            F.row_number().over(w).alias("rn"),
+            (F.col("n") - F.expr("(8 * n + 9) div 10") + 1).alias("plen"),
+        )
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "g")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            sh.alias("sb"),
+            (F.col("pa.g") == F.col("sb.g"))
+            & (F.col("pa.doc_id") != F.col("sb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("g").alias("arr"), F.count(F.lit(1)).alias("n")
+    )
+    a = arrs.alias("sa")
+    b = arrs.alias("sb2")
+    i = F.size(F.array_intersect(F.col("sa.arr"), F.col("sb2.arr")))
+    cont = (i / F.col("sa.n")).alias("cont")
+    return (
+        cand.join(a, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(b, F.col("doc_b") == F.col("sb2.doc_id"))
+        .select("doc_a", "doc_b", cont)
+        .filter(F.col("cont") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16 perms) + LSH(4 bands × r=4) candidates, verified with
     exact Jaccard — the scale path for near-dedup at 100 TB.
@@ -1916,6 +1977,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_search": ann_ivf_search,
     "semdedup_prune": semdedup_prune,
     "dedup_cdc": dedup_cdc,
+    "dedup_containment": dedup_containment,
     "simhash_docs": simhash_docs,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -2173,6 +2235,16 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p) "
         f"SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos FROM r WHERE rnk <= {KNN_K} "
         "ORDER BY query_id, rnk"
+    ),
+    "dedup_containment": (
+        f"WITH {_SHINGLE_CTE}, "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a "
+        "JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id), "
+        "inter AS (SELECT doc_a, doc_b, count(*) AS i FROM pairs GROUP BY doc_a, doc_b), "
+        "c AS (SELECT doc_a, doc_b, i / sa.n AS cont "
+        "FROM inter JOIN sz sa ON doc_a = sa.doc_id) "
+        f"SELECT doc_a, doc_b, cont FROM c WHERE cont >= {JACCARD_THRESHOLD} "
+        "ORDER BY doc_a, doc_b"
     ),
     "dedup_cdc": (
         f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
