@@ -210,6 +210,12 @@ class GoldStore:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self._manifest_file())
+            # fsync the directory so the rename itself survives a crash
+            dfd = os.open(self.path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             return new["version"]
         finally:
             os.close(fd)
