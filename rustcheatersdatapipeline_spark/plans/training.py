@@ -210,42 +210,55 @@ def choose_shingle_k(spark, sf_dir) -> int:
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % SHINGLE_SAMPLE_MOD == 0)
-        .cache()
     )
-    chosen = SHINGLE_K_CANDIDATES[-1]
-    chosen_nd = None
-    for k in SHINGLE_K_CANDIDATES:
-        nd = samp.filter(F.length("text") >= k).count()
-        if nd == 0:
-            continue
-        # df on RAW shingle strings (not hash64) — the exact domain the
-        # oracle's ksel CTE measures, so the choice cannot diverge.
-        # Σdf² in decimal(38,0) (exact, overflow→null→fail) to mirror
-        # the oracle's HUGEINT sum.
-        d = F.col("df").cast("decimal(19,0)")
-        row = (
-            char_shingles(samp, "text", "doc_id", k=k)
-            .groupBy("g")
+    # TWO bounded jobs total: (1) per-candidate doc counts in one agg;
+    # (2) per-candidate df moments from one unioned shingle stats plan.
+    # df is measured on RAW shingle strings (not hash64) — the exact
+    # domain the oracle's ksel CTE measures, so the choice cannot
+    # diverge. Σdf² in decimal(38,0) (exact, overflow→null→fail) to
+    # mirror the oracle's HUGEINT sum.
+    nd_row = samp.agg(
+        F.count(F.lit(1)).alias("n_samp"),
+        *[
+            F.sum((F.length("text") >= k).cast("bigint")).alias(f"nd_{k}")
+            for k in SHINGLE_K_CANDIDATES
+        ],
+    ).collect()[0]
+    n_samp = nd_row["n_samp"] or 0
+    nd_by_k = {k: int(nd_row[f"nd_{k}"] or 0) for k in SHINGLE_K_CANDIDATES}
+
+    d = F.col("df").cast("decimal(19,0)")
+    per_k = [
+        char_shingles(samp, "text", "doc_id", k=k).withColumn("k", F.lit(k))
+        for k in SHINGLE_K_CANDIDATES
+    ]
+    unioned = per_k[0]
+    for p in per_k[1:]:
+        unioned = unioned.unionByName(p)
+    stats = {
+        r["k"]: (r["mx"], r["s2"])
+        for r in (
+            unioned.groupBy("k", "g")
             .agg(F.count(F.lit(1)).alias("df"))
+            .groupBy("k")
             .agg(F.max("df").alias("mx"), F.sum(d * d).alias("s2"))
             .collect()
-        )[0]
-        mx, s2 = row["mx"], row["s2"]
+        )
+    }
+    chosen = SHINGLE_K_CANDIDATES[-1]
+    for k in SHINGLE_K_CANDIDATES:
+        nd = nd_by_k[k]
+        mx, s2 = stats.get(k, (None, None))
         if (
-            mx is not None
+            nd > 0
+            and mx is not None
             and s2 is not None
             and mx * SHINGLE_DF_CEILING_DEN <= nd
             and int(s2) <= SHINGLE_DF2_BUDGET * nd
         ):
-            chosen, chosen_nd = k, nd
+            chosen = k
             break
-    n_samp = samp.count()
-    short = n_samp - (
-        chosen_nd
-        if chosen_nd is not None
-        else samp.filter(F.length("text") >= chosen).count()
-    )
-    samp.unpersist()
+    short = n_samp - nd_by_k[chosen]
     import logging
 
     logging.getLogger(__name__).info(
