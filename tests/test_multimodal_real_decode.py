@@ -127,6 +127,48 @@ def test_decode_header_sniffs_and_quarantines():
     assert decode_header(b"\x00garbage") == ("application/octet-stream", None, None, 0)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_decoders_never_crash_on_arbitrary_bytes(buf):
+        """A quarantine path only works if the parsers are total: any
+        byte string must yield a tuple-or-None, never an exception."""
+        for fn in (parse_png_header, parse_gif_header, parse_jpeg_header, parse_wav_header):
+            r = fn(buf)
+            assert r is None or isinstance(r, tuple)
+        mime, w, h, frames = decode_header(buf)
+        assert isinstance(mime, str) and frames >= 0
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.sampled_from(["png", "gif", "jpeg", "wav"]),
+        st.integers(min_value=0, max_value=400),
+        st.binary(min_size=1, max_size=16),
+    )
+    def test_decoders_never_crash_on_truncated_or_corrupted(kind, cut, junk):
+        """Truncations and splices of VALID headers — the realistic
+        corruption mode — must also never escape the quarantine path."""
+        full = {
+            "png": make_png(31, 17),
+            "gif": make_gif(31, 17, 3),
+            "jpeg": make_jpeg(31, 17),
+            "wav": make_wav(50),
+        }[kind]
+        for buf in (full[: cut % (len(full) + 1)], full[: cut % (len(full) + 1)] + junk):
+            mime, w, h, frames = decode_header(buf)
+            assert isinstance(mime, str) and frames >= 0
+
+
 def test_decode_pixels_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_pixels(make_png(2, 2))
