@@ -128,6 +128,41 @@ def parse_gif_header(buf: bytes) -> tuple[int, int, int] | None:
     return w, h, frames
 
 
+def parse_avi_header(buf: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) from an AVI payload, else None.
+
+    AVI is RIFF with form type ``AVI `` (public spec): top-level chunks,
+    where ``LIST`` chunks carry a 4-byte list type then sub-chunks. The
+    main header lives in ``LIST hdrl`` → ``avih`` chunk:
+    dwTotalFrames at +16, dwWidth at +32, dwHeight at +36 (all u32le).
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+
+    def find_avih(p: int, end: int) -> bytes | None:
+        while p + 8 <= end:
+            cid = buf[p : p + 4]
+            sz = int.from_bytes(buf[p + 4 : p + 8], "little")
+            if cid == b"avih":
+                return buf[p + 8 : p + 8 + sz]
+            if cid == b"LIST" and sz >= 4:
+                hit = find_avih(p + 12, min(end, p + 8 + sz))
+                if hit is not None:
+                    return hit
+            p += 8 + sz + (sz & 1)
+        return None
+
+    avih = find_avih(12, len(buf))
+    if avih is None or len(avih) < 40:
+        return None
+    frames = int.from_bytes(avih[16:20], "little")
+    w = int.from_bytes(avih[32:36], "little")
+    h = int.from_bytes(avih[36:40], "little")
+    if w == 0 or h == 0:
+        return None
+    return w, h, frames
+
+
 def parse_jpeg_header(buf: bytes) -> tuple[int, int] | None:
     """(width, height) from a JPEG payload, else None.
 
@@ -206,6 +241,9 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     jpg = parse_jpeg_header(buf)
     if jpg is not None:
         return "image/jpeg", jpg[0], jpg[1], 1
+    avi = parse_avi_header(buf)
+    if avi is not None:
+        return "video/x-msvideo", avi[0], avi[1], avi[2]
     wav = parse_wav_header(buf)
     if wav is not None:
         return "audio/wav", None, None, wav[3]

@@ -15,6 +15,7 @@ from rustcheatersdatapipeline_spark.functions.multimodal import (
     decode_pixels,
     featurize_media,
     media_table,
+    parse_avi_header,
     parse_gif_header,
     parse_jpeg_header,
     parse_png_header,
@@ -53,6 +54,18 @@ def make_gif(width: int, height: int, n_frames: int) -> bytes:
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
         out += b"\x02" + bytes([1, 0x44]) + b"\x00"  # LZW min + 1 sub-block
     return out + b"\x3b"
+
+
+def make_avi(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal AVI: RIFF('AVI ') → LIST('hdrl') → avih main header."""
+    avih = bytearray(56)
+    avih[16:20] = struct.pack("<I", n_frames)
+    avih[32:36] = struct.pack("<I", width)
+    avih[36:40] = struct.pack("<I", height)
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + bytes(avih)
+    hdrl = b"hdrl" + avih_chunk
+    list_chunk = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(list_chunk)) + b"AVI " + list_chunk
 
 
 def make_wav(n_frames: int, rate: int = 8000, channels: int = 1) -> bytes:
@@ -121,6 +134,14 @@ def test_wav_header_roundtrip():
     assert parse_wav_header(b"") is None
 
 
+def test_avi_header_roundtrip():
+    assert parse_avi_header(make_avi(640, 360, 250)) == (640, 360, 250)
+    assert parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # not AVI
+    assert parse_avi_header(b"") is None
+    # an AVI payload routes through decode_header as video with frames
+    assert decode_header(make_avi(320, 180, 48)) == ("video/x-msvideo", 320, 180, 48)
+
+
 def test_decode_header_sniffs_and_quarantines():
     assert decode_header(make_png(3, 7)) == ("image/png", 3, 7, 1)
     assert decode_header(make_wav(10)) == ("audio/wav", None, None, 10)
@@ -143,7 +164,13 @@ if _HAS_HYPOTHESIS:
     def test_decoders_never_crash_on_arbitrary_bytes(buf):
         """A quarantine path only works if the parsers are total: any
         byte string must yield a tuple-or-None, never an exception."""
-        for fn in (parse_png_header, parse_gif_header, parse_jpeg_header, parse_wav_header):
+        for fn in (
+            parse_png_header,
+            parse_gif_header,
+            parse_jpeg_header,
+            parse_wav_header,
+            parse_avi_header,
+        ):
             r = fn(buf)
             assert r is None or isinstance(r, tuple)
         mime, w, h, frames = decode_header(buf)
@@ -151,7 +178,7 @@ if _HAS_HYPOTHESIS:
 
     @settings(max_examples=100, deadline=None)
     @given(
-        st.sampled_from(["png", "gif", "jpeg", "wav"]),
+        st.sampled_from(["png", "gif", "jpeg", "wav", "avi"]),
         st.integers(min_value=0, max_value=400),
         st.binary(min_size=1, max_size=16),
     )
@@ -163,6 +190,7 @@ if _HAS_HYPOTHESIS:
             "gif": make_gif(31, 17, 3),
             "jpeg": make_jpeg(31, 17),
             "wav": make_wav(50),
+            "avi": make_avi(31, 17, 9),
         }[kind]
         for buf in (full[: cut % (len(full) + 1)], full[: cut % (len(full) + 1)] + junk):
             mime, w, h, frames = decode_header(buf)
