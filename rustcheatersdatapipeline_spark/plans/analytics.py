@@ -348,8 +348,37 @@ ORACLE_SQL: dict[str, str] = {
     ),
 }
 
+def events_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregation (§2.7 family): 2-hour windows sliding
+    every hour — each event contributes to exactly two windows. Spark's
+    ``window(ts, '2 hours', '1 hour')`` handles this natively (epoch-
+    aligned starts); the oracle reproduces the identical assignment by
+    emitting each event into ``date_trunc('hour', ts)`` and the hour
+    before it. Scales like any keyed agg: one shuffle on window start,
+    map-side partial counts; in streaming form the same window
+    expression runs under a watermark with state = #open windows
+    (count parity pinned in tests/test_streaming.py — exact
+    count_distinct is batch-only in streams, use
+    approx_count_distinct there)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("h_start"),
+            "cnt",
+            "users",
+        )
+        .orderBy("h_start")
+    )
+
+
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": events_scd2,
+    "events_sliding_counts": events_sliding_counts,
 }
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
@@ -367,5 +396,14 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "strftime(ts_to, '%Y-%m-%d %H:%M:%S') AS valid_to, "
         "CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END AS is_current "
         "FROM v ORDER BY user_id, event_type, valid_from, value"
+    ),
+    "events_sliding_counts": (
+        "WITH assigned AS ("
+        "SELECT date_trunc('hour', ts) AS h, user_id FROM events "
+        "UNION ALL "
+        "SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS h, user_id FROM events) "
+        "SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h_start, "
+        "COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users "
+        "FROM assigned GROUP BY h ORDER BY h_start"
     ),
 }

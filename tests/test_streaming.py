@@ -39,6 +39,49 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_sliding_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The sliding-window agg is one transformation on the unbounded
+    table: readStream(availableNow) through the same expression equals
+    the batch result (same §2.7 argument as the tumbling case)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.plans.analytics import events_sliding_counts
+    from rustcheatersdatapipeline_spark.streaming import open_events_stream
+
+    events_dir = tmp_path / "ev_slide"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "p0.parquet")
+
+    # exact count_distinct is batch-only in Spark streaming; the stream
+    # parity claim is about the WINDOW ASSIGNMENT, so compare counts
+    stream_df = (
+        open_events_stream(spark, str(events_dir))
+        .withWatermark("ts", "3 hours")
+        .groupBy(F.window(F.col("ts"), "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("h_start"),
+            "cnt",
+        )
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql("SELECT h_start, cnt FROM sliding_counts").collect()))
+    want = sorted(
+        map(tuple, events_sliding_counts(spark, sf_dir).select("h_start", "cnt").collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_events_stream_unit_probe(spark, tmp_path):
     """Regression (r4): the driver's events.parquet flipped from
     TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and a hardcoded nanos branch
