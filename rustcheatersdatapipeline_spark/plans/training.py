@@ -724,26 +724,74 @@ def embed_knn_bruteforce(spark, sf_dir):
     )
 
 
+#: Target bucket occupancy for the hyperplane LSH index. The plane
+#: count is DERIVED from corpus size: smallest p ∈ [2, 8] with
+#: 2^p · LSH_TARGET_BUCKET ≥ n (integer ladder, mirrored in SQL), so
+#: candidates per query stay ≈ LSH_TARGET_BUCKET at any corpus size.
+#: A fixed 8-plane signature gave 256 buckets for a 500-vector corpus
+#: (~2 vectors/bucket): bucket-local search had almost nothing to rank
+#: and recall@5 vs the brute-force baseline measured ≈ 0. Deriving p
+#: keeps recall meaningful at small n and candidates bounded at 100 TB
+#: (where p caps at LSH_MAX_PLANES; scale further via nprobe/IVF).
+LSH_TARGET_BUCKET = 64
+LSH_MIN_PLANES = 2
+LSH_MAX_PLANES = 8
+#: OR-amplification: ann_lsh_search probes this many independent hash
+#: tables (disjoint plane sets) and unions their candidates. Single-
+#: table recall r becomes ≈ 1-(1-r)^L at L× the (bounded) candidate
+#: cost — the standard LSH recall/cost dial (public: Indyk-Motwani;
+#: multi-probe LSH). The index-build query (ann_lsh_buckets) reports
+#: table 0, whose occupancy the plane-count ladder controls.
+LSH_TABLES = 4
+
+_LSH_NPLANES_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _lsh_nplanes_for(n: int) -> int:
+    for p in range(LSH_MIN_PLANES, LSH_MAX_PLANES):
+        if (1 << p) * LSH_TARGET_BUCKET >= n:
+            return p
+    return LSH_MAX_PLANES
+
+
+def lsh_num_planes(spark, sf_dir) -> int:
+    """Corpus-derived hyperplane count (bounded driver transfer: ONE
+    long — the vector count), memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _LSH_NPLANES_CACHE:
+        n = table(spark, sf_dir, "embeddings").count()
+        _LSH_NPLANES_CACHE[key] = _lsh_nplanes_for(n)
+    return _LSH_NPLANES_CACHE[key]
+
+
 def _lsh_planes() -> list[list[float]]:
-    """Seed-42 random hyperplanes (8 × 64), shared verbatim by the Spark
-    plan and the DuckDB oracle as full-precision decimal literals
-    (``repr`` round-trips float64 exactly in both parsers)."""
+    """Seed-42 random hyperplanes ((LSH_TABLES · LSH_MAX_PLANES) × 64),
+    shared verbatim by the Spark plan and the DuckDB oracle as
+    full-precision decimal literals (``repr`` round-trips float64
+    exactly in both parsers). Table t uses rows
+    [t·LSH_MAX_PLANES, t·LSH_MAX_PLANES + nplanes)."""
     import numpy as np
 
-    # 8 hyperplanes → 256 buckets: at corpus sizes ≥ thousands each bucket
-    # holds multiple vectors (the point of an ANN index); more planes →
-    # higher precision, fewer candidates — tune per corpus size.
-    return [[float(x) for x in row] for row in np.random.RandomState(42).randn(8, 64)]
+    return [
+        [float(x) for x in row]
+        for row in np.random.RandomState(42).randn(LSH_TABLES * LSH_MAX_PLANES, 64)
+    ]
 
 
-def _lsh_bucket_col(e_col: str):
-    """8-bit signature: bit j = sign(e · plane_j), folded to one
-    BIGINT. The dot product is a sequential zip_with+aggregate fold —
-    the exact summation order of DuckDB's ``list_dot_product``, so the
-    sign (and therefore every bucket id) is bit-identical across
-    engines. Pure codegen: no Python in the hot path."""
+def _table_planes(nplanes: int, tbl: int) -> list[tuple[int, list[float]]]:
+    base = tbl * LSH_MAX_PLANES
+    return list(enumerate(_lsh_planes()[base : base + nplanes]))
+
+
+def _lsh_bucket_col(e_col: str, nplanes: int, tbl: int = 0):
+    """nplanes-bit signature for hash table ``tbl``: bit j =
+    sign(e · plane_j), folded to one BIGINT. The dot product is a
+    sequential zip_with+aggregate fold — the exact summation order of
+    DuckDB's ``list_dot_product``, so the sign (and therefore every
+    bucket id) is bit-identical across engines. Pure codegen: no
+    Python in the hot path."""
     bucket = F.lit(0).cast("bigint")
-    for j, plane in enumerate(_lsh_planes()):
+    for j, plane in _table_planes(nplanes, tbl):
         lit_plane = F.array(*[F.lit(v) for v in plane])
         d = dot_product(F.col(e_col), lit_plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(
@@ -752,12 +800,26 @@ def _lsh_bucket_col(e_col: str):
     return bucket
 
 
-def _lsh_bucket_sql(e_expr: str) -> str:
+def _lsh_nplanes_sql() -> str:
+    """CTE deriving the active plane count from the corpus size with the
+    same integer ladder as ``_lsh_nplanes_for``."""
+    branches = " ".join(
+        f"WHEN cnt <= {(1 << p) * LSH_TARGET_BUCKET} THEN {p}"
+        for p in range(LSH_MIN_PLANES, LSH_MAX_PLANES)
+    )
+    return (
+        f"npsel AS (SELECT CASE {branches} ELSE {LSH_MAX_PLANES} END AS np "
+        "FROM (SELECT count(*) AS cnt FROM embeddings))"
+    )
+
+
+def _lsh_bucket_sql(e_expr: str, tbl: int = 0) -> str:
     terms = []
-    for j, plane in enumerate(_lsh_planes()):
+    for j, plane in _table_planes(LSH_MAX_PLANES, tbl):
         arr = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
         terms.append(
-            f"(CASE WHEN list_dot_product({e_expr}, {arr}) > 0 "
+            f"(CASE WHEN {j} < (SELECT np FROM npsel) "
+            f"AND list_dot_product({e_expr}, {arr}) > 0 "
             f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
     return "(" + " + ".join(terms) + ")"
@@ -766,15 +828,18 @@ def _lsh_bucket_sql(e_expr: str) -> str:
 def ann_lsh_buckets(spark, sf_dir):
     """Scale-path ANN index build: random-hyperplane LSH bucketing.
 
-    Each vector's 8-bit signature is sign(e · plane_j) folded into a
-    bucket id; downstream search joins only within buckets (see
+    Each vector's signature is sign(e · plane_j) folded into a bucket
+    id; downstream search joins only within buckets (see
     ann_lsh_search). The hyperplanes are emitted as literal constants
     into the DuckDB oracle, so the 'approximate' index is still exactly
-    reproducible — same buckets, same counts, hash-verified.
+    reproducible — same buckets, same counts, hash-verified. The active
+    plane count derives from corpus size (see LSH_TARGET_BUCKET), so
+    bucket occupancy stays ≈ LSH_TARGET_BUCKET at any n.
     """
     emb = _vectors(spark, sf_dir, partitions=32)
+    np_ = lsh_num_planes(spark, sf_dir)
     return (
-        emb.select("vec_id", _lsh_bucket_col("e").alias("bucket"))
+        emb.select("vec_id", _lsh_bucket_col("e", np_).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
@@ -785,17 +850,32 @@ def ann_lsh_search(spark, sf_dir):
     """ANN search stage: bucket-local cosine top-k (k=5) for the same
     query set as embed_knn_bruteforce (vec_id < 20).
 
-    The plan never forms all pairs: the corpus is bucketed once by
-    ``_lsh_bucket_col`` and each query joins only its own bucket — the
-    100 TB shape (candidates per query ≈ n / 256, and more planes
-    shrink it further). The query side is bounded by construction
-    (vec_id < KNN_QUERY_MAX_ID) so the broadcast hint is safe. Queries
-    whose bucket holds fewer than k neighbors return short lists —
-    the oracle replicates the identical bucketing, so recall drift is
-    impossible by construction.
+    The plan never forms all pairs: the corpus is bucketed once per
+    hash table by ``_lsh_bucket_col`` and each query joins only its own
+    bucket in each of the LSH_TABLES tables — the 100 TB shape
+    (candidates per query ≈ LSH_TABLES · LSH_TARGET_BUCKET at any
+    corpus size, because the plane count derives from n). The query
+    side is bounded by construction (vec_id < KNN_QUERY_MAX_ID) so the
+    broadcast hint is safe. The oracle replicates the identical
+    bucketing, so recall drift vs the oracle is impossible by
+    construction; the recall floor vs the brute-force baseline is
+    pinned in tests/test_recall_audit.py.
     """
     v = _vectors(spark, sf_dir, partitions=32)
-    b = v.select("vec_id", "e", "nrm", _lsh_bucket_col("e").alias("bucket"))
+    np_ = lsh_num_planes(spark, sf_dir)
+    # one row per (vector, table): explode the L signatures — codegen,
+    # L× the rows of the corpus, each carrying the vector once
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _lsh_bucket_col("e", np_, t).alias("bucket")
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+    b = v.select(
+        "vec_id", "e", "nrm", F.explode(sigs).alias("tb")
+    ).select("vec_id", "e", "nrm", "tb.tbl", "tb.bucket")
     q = b.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).alias("a")
     x = b.alias("b")
     cos = cosine(
@@ -805,7 +885,8 @@ def ann_lsh_search(spark, sf_dir):
         F.broadcast(q)
         .join(
             x,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
@@ -813,6 +894,7 @@ def ann_lsh_search(spark, sf_dir):
             F.col("b.vec_id").alias("neighbor_id"),
             cos,
         )
+        .distinct()  # a pair found by several tables ranks once
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -2093,16 +2175,22 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, COUNT(*) AS n_fp, MIN(mh) AS min_fp FROM fp GROUP BY doc_id ORDER BY doc_id"
     ),
     "ann_lsh_buckets": (
-        f"WITH {_EMB_CTE}, "
+        f"WITH {_EMB_CTE}, {_lsh_nplanes_sql()}, "
         f"bk AS (SELECT vec_id, {_lsh_bucket_sql('e')} AS bucket FROM v) "
         "SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id "
         "FROM bk GROUP BY bucket ORDER BY bucket"
     ),
     "ann_lsh_search": (
-        f"WITH {_EMB_CTE}, "
-        f"bk AS (SELECT vec_id, e, nrm, {_lsh_bucket_sql('e')} AS bucket FROM v), "
-        f"p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos "
-        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id "
+        f"WITH {_EMB_CTE}, {_lsh_nplanes_sql()}, "
+        "bk AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, e, nrm, {t} AS tbl, {_lsh_bucket_sql('e', t)} AS bucket FROM v"
+            for t in range(LSH_TABLES)
+        )
+        + "), "
+        f"p AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos "
+        "FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "AND b.vec_id <> a.vec_id "
         f"WHERE a.vec_id < {KNN_QUERY_MAX_ID}), "
         "r AS (SELECT query_id, neighbor_id, cos, "
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p) "

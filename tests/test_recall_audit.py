@@ -1,0 +1,38 @@
+"""Approx-vs-exact recall audits: the approximate operators are only
+useful at scale if their recall against the exact baselines is
+measured and floored. Everything here is deterministic (fixed planes,
+fixed permutations, fixed data), so the floors cannot flake — they pin
+regressions in the parameter-derivation logic."""
+
+from rustcheatersdatapipeline_spark.plans import training as T
+
+
+def test_minhash_lsh_pair_recall_vs_exact(spark, sf_dir):
+    """MinHash banding + exact verify must find (nearly) every j ≥ 0.8
+    pair the exact PPJoin finds; precision is 1.0 by construction (the
+    verify step recomputes exact Jaccard)."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in T.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in T.dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert exact, "exact pair set must be non-vacuous"
+    assert lsh <= exact  # verified candidates can never be false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"minhash pair recall {recall:.3f}"
+
+
+def test_ann_lsh_recall_at_5_vs_bruteforce(spark, sf_dir):
+    """Multi-table hyperplane LSH vs the exact top-5: the derived plane
+    count (bucket occupancy ≈ LSH_TARGET_BUCKET) plus LSH_TABLES-way
+    OR-amplification must clear a 0.5 recall floor on this corpus.
+    (Single fixed-width, single-table bucketing measured ≈ 0 recall —
+    the regression this test exists to catch.)"""
+    knn: dict = {}
+    for r in T.embed_knn_bruteforce(spark, sf_dir).collect():
+        knn.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann: dict = {}
+    for r in T.ann_lsh_search(spark, sf_dir).collect():
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ann.get(q, set()) & n) for q, n in knn.items())
+    total = sum(len(n) for n in knn.values())
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.5, f"ann recall@5 {recall:.3f}"
