@@ -6,8 +6,11 @@ from .hourly import (
     open_events_stream,
     stream_hourly_counts,
 )
+from .sink import GoldStoreMergeSink, ParquetMergeSink
 
 __all__ = [
+    "GoldStoreMergeSink",
+    "ParquetMergeSink",
     "events_stream_schema",
     "hourly_event_counts",
     "open_events_stream",
