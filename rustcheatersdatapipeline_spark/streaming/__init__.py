@@ -6,13 +6,21 @@ from .hourly import (
     open_events_stream,
     stream_hourly_counts,
 )
+from .ops import (
+    click_purchase_pairs,
+    dedup_within_watermark,
+    stream_click_attribution,
+)
 from .sink import GoldStoreMergeSink, ParquetMergeSink
 
 __all__ = [
     "GoldStoreMergeSink",
     "ParquetMergeSink",
+    "click_purchase_pairs",
+    "dedup_within_watermark",
     "events_stream_schema",
     "hourly_event_counts",
     "open_events_stream",
+    "stream_click_attribution",
     "stream_hourly_counts",
 ]
