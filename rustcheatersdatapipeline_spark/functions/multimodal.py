@@ -20,9 +20,10 @@ Two decode paths:
   payloads degrade to ``application/octet-stream`` with NULL
   dimensions (quarantine-style, never a task failure).
 
-Full pixel/sample decoding (``decode_pixels``) still requires a codec
-library (PIL/ffmpeg) that is not in this container and remains a
-clearly-marked NotImplementedError stub.
+Full pixel/sample decoding (``decode_pixels`` / pixels.py) is real for
+PNG (zlib inflate + all five scanline filters) and PCM WAV — both
+decodable with the stdlib alone; formats that genuinely need a codec
+library (JPEG/GIF-LZW/AVI) raise a clearly-marked NotImplementedError.
 """
 
 from __future__ import annotations
@@ -251,13 +252,23 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
 
 
 def decode_pixels(buf: bytes):
-    """Full pixel/sample decode — requires a codec library (PIL/ffmpeg)
-    that is NOT available in this container. Header-level features come
-    from ``decode_header``; this stub marks where the codec call belongs
-    in a codec-enabled runtime."""
+    """Full pixel/sample decode. PNG and PCM WAV decode with nothing
+    but the stdlib (functions/pixels.py: zlib inflate + scanline
+    unfiltering; RIFF data chunk + frombuffer); formats that genuinely
+    need a codec library (JPEG/GIF-LZW/AVI) raise NotImplementedError.
+
+    Returns the raw array: (h, w, channels) uint8 for PNG, ((n_frames,
+    channels), rate) for WAV. The bounded-feature production path is
+    ``pixels.featurize_pixels``."""
+    from .pixels import decode_png_pixels, decode_wav_samples
+
+    if buf[:8] == _PNG_SIGNATURE:
+        return decode_png_pixels(buf)
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return decode_wav_samples(buf)
     raise NotImplementedError(
-        "pixel/sample decoding needs PIL/ffmpeg; this container only "
-        "supports header-level decode (decode_header) and the fake codec"
+        "full-payload decode is stdlib-supported for PNG and PCM WAV only; "
+        "JPEG/GIF/AVI pixel decode needs a codec library (PIL/ffmpeg)"
     )
 
 

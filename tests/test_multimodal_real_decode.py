@@ -197,9 +197,17 @@ if _HAS_HYPOTHESIS:
             assert isinstance(mime, str) and frames >= 0
 
 
-def test_decode_pixels_is_explicit_stub():
+def test_decode_pixels_contract():
+    """PNG/WAV full decode is real (pixels.py); codec-needing formats
+    keep the explicit NotImplementedError contract."""
+    px = decode_pixels(make_png(2, 2))
+    assert px.shape == (2, 2, 1) and px.sum() == 0
+    samples, rate = decode_pixels(make_wav(50, rate=8000))
+    assert samples.shape == (50, 1) and rate == 8000
     with pytest.raises(NotImplementedError):
-        decode_pixels(make_png(2, 2))
+        decode_pixels(make_jpeg(4, 4))
+    with pytest.raises(NotImplementedError):
+        decode_pixels(make_gif(4, 4, 1))
 
 
 def test_featurize_media_real_decode(spark):

@@ -1,0 +1,180 @@
+"""Full PNG/WAV payload decode (functions/pixels.py).
+
+The PNG oracle is a test-side ENCODER implementing the forward filter
+transforms (RFC 2083 §6) — the decoder inverts them, so decode(encode(
+image)) == image is a bit-exact round trip that fails if either side
+drifts from the spec. All five filter types are exercised, plus all
+four supported color types."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rustcheatersdatapipeline_spark.functions.multimodal import media_table
+from rustcheatersdatapipeline_spark.functions.pixels import (
+    decode_media,
+    decode_png_pixels,
+    decode_wav_samples,
+    featurize_pixels,
+)
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Apply one PNG filter type to every scanline (the ENCODER side)."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        line = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:
+            filt = line - left
+        elif ftype == 2:
+            filt = line - prior
+        elif ftype == 3:
+            filt = line - ((left + prior) >> 1)
+        elif ftype == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = line - pred
+        out.append(ftype)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prior = line
+    return bytes(out)
+
+
+_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels -> PNG color type
+
+
+def encode_png(img: np.ndarray, ftype: int = 0) -> bytes:
+    h, w, ch = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
+    raw = _forward_filter(img, ftype)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(samples.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _gradient(h, w, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(ftype):
+    img = _gradient(13, 17, 3, seed=ftype)
+    got = decode_png_pixels(encode_png(img, ftype))
+    assert np.array_equal(got, img)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(ch):
+    img = _gradient(9, 7, ch, seed=ch)
+    got = decode_png_pixels(encode_png(img, ftype=4))
+    assert np.array_equal(got, img)
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, ch, ftype, seed):
+    img = _gradient(h, w, ch, seed=seed)
+    assert np.array_equal(decode_png_pixels(encode_png(img, ftype)), img)
+
+
+def test_png_unsupported_variants_are_named():
+    img = _gradient(4, 4, 1)
+    png = bytearray(encode_png(img))
+    png[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png_pixels(bytes(png))
+    png = bytearray(encode_png(img))
+    png[28] = 1  # interlace byte
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png_pixels(bytes(png))
+
+
+def test_wav_roundtrip_stereo():
+    t = np.arange(500)
+    samples = np.stack(
+        [
+            (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64),
+            (8000 * np.cos(2 * np.pi * 220 * t / 8000)).astype(np.int64),
+        ],
+        axis=1,
+    )
+    got, rate = decode_wav_samples(encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(got, samples.astype("<i2"))
+
+
+def test_decode_media_features_match_numpy():
+    img = _gradient(20, 30, 3, seed=7)
+    feat = decode_media(encode_png(img, ftype=2))
+    flat = img.astype(np.float64)
+    assert (feat["width"], feat["height"], feat["channels"]) == (30, 20, 3)
+    assert feat["mean"] == pytest.approx(flat.mean())
+    assert feat["rms"] == pytest.approx(np.sqrt((flat**2).mean()))
+
+
+def test_featurize_pixels_spark_end_to_end(spark):
+    img = _gradient(16, 16, 4, seed=3)
+    samples = (np.arange(200) % 100 - 50).astype(np.int64).reshape(-1, 2)
+    rows = [
+        (1, bytearray(encode_png(img, ftype=4))),
+        (2, bytearray(encode_wav(samples, rate=16000))),
+        (3, bytearray(b"\x00garbage payload")),
+    ]
+    media = media_table(
+        spark.createDataFrame(rows, "item_id long, payload binary"),
+        "item_id",
+        "payload",
+        mime="application/octet-stream",
+    )
+    out = {r["item_id"]: r.asDict() for r in featurize_pixels(media).collect()}
+    assert out[1]["kind"] == "image" and out[1]["width"] == 16
+    assert out[1]["mean"] == pytest.approx(img.astype(np.float64).mean())
+    assert out[2]["kind"] == "audio" and out[2]["n_samples"] == 100
+    assert out[2]["channels"] == 2
+    assert out[3]["kind"] == "unknown" and out[3]["mean"] is None
