@@ -1,0 +1,64 @@
+"""Training-export layout: deterministic epoch shuffle + sized shards.
+
+The last step of a curation pipeline (plans/training.py
+``curate_corpus``) is handing the corpus to a trainer, which needs
+(a) a different-but-reproducible global permutation per epoch and
+(b) fixed-size shards so data-loader workers stripe evenly.
+
+Scale design:
+
+- ``epoch_shuffle`` orders by ``xxhash64(key, seed)`` — a uniform
+  pseudo-random permutation that is a RANGE shuffle (repartitionByRange
+  samples bounds, every partition sorts locally), not a single-reducer
+  global sort. Uniform hash values mean no skew by construction, and
+  the permutation is a pure function of (keys, seed): any worker, any
+  retry, any cluster size reproduces byte-identical epoch order.
+- ``write_training_shards`` caps rows per output file with Spark's
+  ``maxRecordsPerFile`` — the writer splits files at the cap without an
+  extra shuffle, so shard sizing is free on top of the epoch shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: hash column name used for epoch ordering (dropped before write)
+_ORDER_COL = "_epoch_order"
+
+
+def epoch_shuffle(
+    df: DataFrame, seed: int, key_cols: list[str], num_partitions: int = 32
+) -> DataFrame:
+    """Deterministic global permutation keyed by ``(key_cols, seed)``.
+
+    Returns the frame ordered by the hash, with partition i holding
+    hash-range i (so reading files/partitions in order replays the
+    permutation). A new ``seed`` is a statistically independent
+    permutation — one per training epoch.
+    """
+    order = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    return (
+        df.withColumn(_ORDER_COL, order)
+        .repartitionByRange(num_partitions, _ORDER_COL)
+        .sortWithinPartitions(_ORDER_COL)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    seed: int,
+    key_cols: list[str],
+    rows_per_shard: int = 10_000,
+    num_partitions: int = 32,
+) -> None:
+    """Epoch-shuffle then write parquet shards of at most
+    ``rows_per_shard`` rows each."""
+    (
+        epoch_shuffle(df, seed, key_cols, num_partitions)
+        .drop(_ORDER_COL)
+        .write.option("maxRecordsPerFile", rows_per_shard)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,60 @@
+"""Epoch shuffle + shard writer (operators/export.py)."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+from rustcheatersdatapipeline_spark.catalog import table
+from rustcheatersdatapipeline_spark.operators.export import (
+    epoch_shuffle,
+    write_training_shards,
+)
+
+
+def _read_order(path):
+    """Replay the epoch permutation the way a data loader does: files in
+    name order, rows in file order (pyarrow keeps physical row order)."""
+    ids = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    return ids
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    a, b, c = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    write_training_shards(docs, a, seed=1, key_cols=["doc_id"], num_partitions=4)
+    write_training_shards(docs, b, seed=1, key_cols=["doc_id"], num_partitions=4)
+    write_training_shards(docs, c, seed=2, key_cols=["doc_id"], num_partitions=4)
+
+    oa, ob, oc = _read_order(a), _read_order(b), _read_order(c)
+    want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert oa == ob  # same seed → byte-identical epoch order
+    assert sorted(oa) == want  # a true permutation, nothing lost
+    assert oc != oa and sorted(oc) == want  # new seed → new permutation
+    assert oa != sorted(oa)  # and it actually shuffles
+
+
+def test_shard_row_cap(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, seed=7, key_cols=["doc_id"], rows_per_shard=40, num_partitions=4
+    )
+    files = glob.glob(f"{out}/part-*.parquet")
+    sizes = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert max(sizes) <= 40
+    assert sum(sizes) == docs.count()
+
+
+def test_epoch_shuffle_plan_is_range_partitioned(spark, sf_dir):
+    """The permutation must be a range shuffle + local sort — no global
+    single-partition sort, no Python in the plan."""
+    plan = (
+        epoch_shuffle(table(spark, sf_dir, "documents"), 3, ["doc_id"], 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "Python" not in plan
