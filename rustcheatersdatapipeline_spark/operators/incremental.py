@@ -1,0 +1,129 @@
+"""Incremental dedup: match a NEW batch of documents against a
+persisted signature index of the already-ingested corpus.
+
+``dedup_minhash_lsh`` (plans/training.py) finds near-dup pairs WITHIN
+one corpus; a crawling pipeline's daily reality is the other shape —
+"is anything in today's batch already in the 100 TB we keep?". Scanning
+the historic corpus text per batch is impossible; matching against a
+compact index is the standard answer (same MinHash/LSH machinery, the
+reference's warehouse-side analogue being the anti-join insert-if-absent
+sink D11, sql_queries.py:30-31).
+
+The index row per document is ``(doc_id, digest, m0..m15)`` — an md5
+digest for exact matches plus the 16-permutation MinHash signature for
+near matches: ~150 bytes/doc, so the index for a 100 TB corpus fits in
+a few hundred GB of parquet, partitionable by band for the join.
+
+Scale shape of ``match_against_index``:
+
+- exact: digest equi-join (shuffle on digest, or broadcast of the new
+  batch — AQE decides; the new side is a day's crawl, bounded).
+- near: banded signature join — candidates only where a full band
+  matches, never all-pairs; then the Jaccard ESTIMATE from signature
+  agreement (matching permutations / 16). Verification against exact
+  Jaccard would need the historic shingle sets (i.e., the corpus), so
+  the incremental path deliberately trades to the estimator — the
+  documented MinHash accuracy (±1/sqrt(16 perms) ≈ 0.25 at 1σ) with
+  the banding prior making false candidates rare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import MINHASH_PERMS, minhash_bands, minhash_signature
+from ..functions.text import PRIME, char_shingles, portable_hash64
+
+#: minimum fraction of agreeing MinHash permutations for a near match
+EST_JACCARD_THRESHOLD = 0.5
+
+
+def build_dedup_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 9
+) -> DataFrame:
+    """(doc_id, digest, m0..m15) — the persisted dedup index rows.
+
+    ``k`` is part of the index contract: store it with the index and
+    reuse it for every batch matched against it (signatures computed
+    with different shingle widths do not compare).
+    """
+    sh = char_shingles(docs, text_col, id_col, k=k)
+    hashed = sh.select(id_col, (portable_hash64(F.col("g")) % PRIME).alias("h"))
+    sig = minhash_signature(hashed, id_col=id_col)
+    dig = docs.select(F.col(id_col), F.md5(text_col).alias("digest"))
+    # left join: sub-k documents carry a digest but no signature
+    return dig.join(sig, id_col, "left")
+
+
+def match_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    est_threshold: float = EST_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(new_id, index_id, kind, est_jaccard) matches of the new batch
+    against the index; kind ∈ ('exact', 'near'), exact pairs excluded
+    from near."""
+    n = len(MINHASH_PERMS)
+    new_idx = build_dedup_index(new_docs, text_col, id_col, k)
+
+    exact = (
+        new_idx.select(F.col(id_col).alias("new_id"), "digest")
+        .join(index.select(F.col(id_col).alias("index_id"), "digest"), "digest")
+        .select(
+            "new_id",
+            "index_id",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+
+    nb = minhash_bands(new_idx.dropna(subset=["m0"]), id_col=id_col).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_val"
+    )
+    ib = minhash_bands(index.dropna(subset=["m0"]), id_col=id_col).select(
+        F.col(id_col).alias("index_id"), "band_idx", "band_val"
+    )
+    cand = nb.join(ib, ["band_idx", "band_val"]).select("new_id", "index_id").distinct()
+
+    ns = new_idx.select(
+        F.col(id_col).alias("new_id"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n)]
+    )
+    s = index.select(
+        F.col(id_col).alias("index_id"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n)
+    )
+    near = (
+        cand.join(ns, "new_id")
+        .join(s, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            F.lit("near").alias("kind"),
+            (agree / F.lit(float(n))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .join(exact.select("new_id", "index_id"), ["new_id", "index_id"], "left_anti")
+    )
+    return exact.unionByName(near)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    est_threshold: float = EST_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """The new batch minus everything already represented in the index —
+    the rows an ingest would append (and index) as genuinely novel."""
+    matches = match_against_index(
+        new_docs, index, text_col, id_col, k, est_threshold
+    ).select(F.col("new_id").alias(id_col))
+    return new_docs.join(matches, id_col, "left_anti")
