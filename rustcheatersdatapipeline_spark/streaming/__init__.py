@@ -6,6 +6,7 @@ from .hourly import (
     open_events_stream,
     stream_hourly_counts,
 )
+from .ingest import CorpusIngestSink
 from .ops import (
     click_purchase_pairs,
     dedup_within_watermark,
@@ -14,6 +15,7 @@ from .ops import (
 from .sink import GoldStoreMergeSink, ParquetMergeSink
 
 __all__ = [
+    "CorpusIngestSink",
     "GoldStoreMergeSink",
     "ParquetMergeSink",
     "click_purchase_pairs",

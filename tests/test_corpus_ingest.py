@@ -1,0 +1,97 @@
+"""Streaming corpus ingest with incremental dedup
+(streaming/ingest.py CorpusIngestSink): corpus + index stay atomic,
+duplicates never re-enter, replays converge."""
+
+from rustcheatersdatapipeline_spark.catalog import table
+from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+SCHEMA = "doc_id long, text string"
+
+
+def _run_stream(spark, src_dir, ckpt, sink):
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(f"{src_dir}/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
+    base = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(12)
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=9)
+
+    # batch 1: 10 docs, two of them exact in-batch duplicates
+    b1 = base[:8] + [(900, base[0][1]), (901, base[1][1])]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    _run_stream(spark, src, tmp_path / "ck1", sink)
+
+    corpus1 = {r["doc_id"] for r in store.read("corpus").collect()}
+    assert corpus1 == {d for d, _ in base[:8]}  # min-id survivors only
+    assert store.read("dedup_index").count() == 8
+
+    # batch 2: replays of batch-1 content under NEW ids, a light edit,
+    # and two genuinely fresh docs
+    fresh = [
+        (2001, "genuinely new content that matches nothing ingested before"),
+        (2002, base[8][1]),
+    ]
+    b2 = [
+        (1000, base[2][1]),  # verbatim re-crawl → exact match, dropped
+        (1001, base[3][1][:-4] + "EDIT"),  # near-dup → dropped
+        *fresh,
+    ]
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    _run_stream(spark, src, tmp_path / "ck1", sink)
+
+    corpus2 = {r["doc_id"] for r in store.read("corpus").collect()}
+    assert corpus2 == corpus1 | {2001, 2002}
+    # index grew in lockstep with the corpus (atomic publish)
+    assert store.read("dedup_index").count() == len(corpus2)
+
+    # full replay through a fresh checkpoint: everything matches the
+    # index by digest → corpus unchanged, version may advance but the
+    # tables are identical
+    _run_stream(spark, src, tmp_path / "ck_replay", sink)
+    corpus3 = {r["doc_id"] for r in store.read("corpus").collect()}
+    assert corpus3 == corpus2
+    assert store.read("dedup_index").count() == len(corpus2)
+
+
+def test_corpus_and_index_never_drift(spark, sf_dir, tmp_path):
+    """Every corpus doc has exactly one index row with a matching
+    digest — the invariant the atomic two-table publish protects."""
+    from pyspark.sql import functions as F
+
+    base = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    spark.createDataFrame(base, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    _run_stream(spark, src, tmp_path / "ck", CorpusIngestSink(store, k=9))
+
+    corpus = store.read("corpus").withColumn("digest", F.md5("text"))
+    index = store.read("dedup_index")
+    joined = corpus.join(index, ["doc_id", "digest"], "inner")
+    assert joined.count() == corpus.count() == index.count() == len(base)
