@@ -10,6 +10,7 @@ from .ingest import CorpusIngestSink
 from .ops import (
     click_purchase_pairs,
     dedup_within_watermark,
+    sessionize_native,
     stream_click_attribution,
 )
 from .sink import GoldStoreMergeSink, ParquetMergeSink
@@ -23,6 +24,7 @@ __all__ = [
     "events_stream_schema",
     "hourly_event_counts",
     "open_events_stream",
+    "sessionize_native",
     "stream_click_attribution",
     "stream_hourly_counts",
 ]

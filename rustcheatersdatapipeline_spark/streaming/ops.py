@@ -48,6 +48,39 @@ def dedup_within_watermark(
     )
 
 
+def sessionize_native(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window`` —
+    ONE expression for batch and streaming frames.
+
+    Cross-validates the engine's two other sessionizers (the batch
+    lag+running-sum plan in plans/analytics.py and the
+    ``applyInPandasWithState`` streaming operator): three independent
+    implementations, one session set. Emits the same shape as
+    ``events_sessionize``; ``session_window.end`` is last-event + gap by
+    definition, so the gap is subtracted back to report the last event.
+
+    Boundary note: ``session_window`` closes a session when the next
+    event is >= gap after the last, the lag plan when it is > gap —
+    they differ only for gaps of EXACTLY ``gap_min``, measure-zero on
+    microsecond timestamps (and absent from the test data by assertion).
+    """
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_min} minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(
+                F.col("w.end") - F.expr(f"INTERVAL {gap_min} MINUTE"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def click_purchase_pairs(
     clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:
