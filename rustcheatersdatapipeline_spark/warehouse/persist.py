@@ -161,6 +161,73 @@ class GoldStore:
         entry = self.current_manifest()["tables"][name]
         return self.spark.read.parquet(os.path.join(self.path, entry["dir"]))
 
+    def pruned_files(self, name: str, col: str, lo, hi) -> list[str] | None:
+        """Data files of ``name`` whose manifest [min, max] for ``col``
+        intersects [lo, hi] — Iceberg-style metadata pruning: the
+        planner touches ONLY the manifest, never a parquet footer.
+        Returns None when the manifest carries no stats (legacy entry),
+        meaning "cannot prune, read everything". Files without stats for
+        ``col`` are kept (conservative)."""
+        entry = self.current_manifest()["tables"][name]
+        files = entry.get("files")
+        if files is None:
+            return None
+        keep = []
+        for f in files:
+            rng = f.get("stats", {}).get(col)
+            if rng is None or (rng[1] >= lo and rng[0] <= hi):
+                keep.append(os.path.join(self.path, f["path"]))
+        return keep
+
+    def read_pruned(self, name: str, col: str, lo, hi) -> DataFrame:
+        """``read(name).filter(lo <= col <= hi)`` but scanning only the
+        manifest-pruned file set. Combine with a Z-ordered layout
+        (operators/layout.py) and the pruned set shrinks on EVERY
+        indexed column; the residual filter still applies (stats prune
+        files, not rows)."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files(name, col, lo, hi)
+        base = (
+            self.read(name)
+            if files is None
+            else self.spark.read.parquet(*files)
+            if files
+            else self.spark.createDataFrame([], self.read(name).schema)
+        )
+        return base.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+    @staticmethod
+    def _file_stats(target: str, base: str) -> list[dict]:
+        """Per-file (min, max) of every JSON-portable primitive column,
+        from parquet footers at stage time. One footer read per staged
+        file — metadata-only, proportional to file count not bytes (the
+        same cost Iceberg pays to build its manifests); readers then
+        prune without opening any footer."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        root = target.rstrip(os.sep)
+        for fp in sorted(_glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)):
+            md = pq.ParquetFile(fp).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            stats: dict[str, list] = {}
+            for ci, cname in enumerate(names):
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins and all(isinstance(v, (int, float, str, bool)) for v in (min(mins), max(maxs))):
+                    stats[cname] = [min(mins), max(maxs)]
+            out.append({"path": os.path.relpath(fp, base), "stats": stats})
+        return out
+
     # -- write + audit + publish ------------------------------------------
 
     def publish(
@@ -182,7 +249,11 @@ class GoldStore:
             # audit: reread what actually landed — a table that cannot be
             # scanned (torn file, schema corruption) must never publish
             back = self.spark.read.parquet(target)
-            staged[name] = {"dir": rel, "rows": back.count()}
+            staged[name] = {
+                "dir": rel,
+                "rows": back.count(),
+                "files": self._file_stats(target, self.path),
+            }
 
         lock = os.path.join(self.path, self.LOCK)
         deadline = time.monotonic() + lock_timeout

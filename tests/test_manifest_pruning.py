@@ -1,0 +1,78 @@
+"""Manifest file-stats pruning (GoldStore.pruned_files/read_pruned):
+Iceberg-style planning from metadata alone, composing with the Z-order
+layout so multi-column predicates skip files without touching footers."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rustcheatersdatapipeline_spark.catalog import table
+from rustcheatersdatapipeline_spark.operators.layout import zorder_value
+from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+
+def _publish_zordered_events(spark, sf_dir, tmp_path, n_files=8):
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    clustered = (
+        zorder_value(ev, ["user_id", "event_id"])
+        .repartitionByRange(n_files, "_zvalue")
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
+    )
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish({"events": clustered}, base_version=0)
+    return store, ev
+
+
+def test_manifest_records_per_file_stats(spark, sf_dir, tmp_path):
+    store, _ = _publish_zordered_events(spark, sf_dir, tmp_path)
+    entry = store.current_manifest()["tables"]["events"]
+    assert len(entry["files"]) > 1
+    for f in entry["files"]:
+        assert "user_id" in f["stats"] and "event_id" in f["stats"]
+        lo, hi = f["stats"]["user_id"]
+        assert lo <= hi
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
+    store, ev = _publish_zordered_events(spark, sf_dir, tmp_path)
+    row = ev.agg(
+        F.expr("percentile_approx(user_id, 0.5)").alias("m"),
+        F.max("user_id").alias("x"),
+        F.min("user_id").alias("n"),
+    ).collect()[0]
+    lo, hi = row["m"], row["m"] + max(1, (row["x"] - row["n"]) // 8)
+
+    total = len(store.current_manifest()["tables"]["events"]["files"])
+    kept = store.pruned_files("events", "user_id", lo, hi)
+    assert 0 < len(kept) < total  # the z-layout makes user_id prunable
+
+    got = sorted(
+        r["event_id"] for r in store.read_pruned("events", "user_id", lo, hi).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in ev.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_read_pruned_out_of_range_is_empty_with_schema(spark, sf_dir, tmp_path):
+    store, ev = _publish_zordered_events(spark, sf_dir, tmp_path)
+    out = store.read_pruned("events", "user_id", 10**9, 2 * 10**9)
+    assert out.count() == 0
+    assert out.columns == store.read("events").columns
+
+
+def test_read_pruned_legacy_manifest_falls_back(spark, sf_dir, tmp_path):
+    store, ev = _publish_zordered_events(spark, sf_dir, tmp_path)
+    mf = os.path.join(str(tmp_path / "gold"), GoldStore.MANIFEST)
+    with open(mf) as f:
+        m = json.load(f)
+    m["tables"]["events"].pop("files")
+    with open(mf, "w") as f:
+        json.dump(m, f)
+    assert store.pruned_files("events", "user_id", 0, 1) is None
+    n_all = ev.filter(F.col("user_id") <= 1).count()
+    assert store.read_pruned("events", "user_id", 0, 1).count() == n_all
