@@ -36,7 +36,7 @@ from ..operators.incremental import (
     build_dedup_index,
     dedup_incremental,
 )
-from ..warehouse.persist import GoldStore, publish_with_retry
+from ..warehouse.persist import ConcurrentWriteError, GoldStore
 
 
 class CorpusIngestSink:
@@ -75,33 +75,36 @@ class CorpusIngestSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         collapsed = self._collapse_batch(batch_df)
 
-        def build(tables: dict) -> dict:
-            prior_corpus = tables.get(self.corpus_table)
-            prior_index = tables.get(self.index_table)
-            if prior_index is None:
-                novel = collapsed
-            else:
+        last: ConcurrentWriteError | None = None
+        for _ in range(5):
+            base = self.store.current_version()
+            tables = self.store.current_manifest()["tables"]
+            if self.index_table in tables:
                 novel = dedup_incremental(
                     collapsed,
-                    prior_index,
+                    self.store.read(self.index_table),
                     text_col=self.text_col,
                     id_col=self.id_col,
                     k=self.k,
                     est_threshold=self.est_threshold,
                 )
-            new_rows = build_dedup_index(
-                novel, text_col=self.text_col, id_col=self.id_col, k=self.k
-            )
-            corpus = (
-                novel
-                if prior_corpus is None
-                else prior_corpus.unionByName(novel)
-            )
-            index = (
-                new_rows
-                if prior_index is None
-                else prior_index.unionByName(new_rows)
-            )
-            return {self.corpus_table: corpus, self.index_table: index}
-
-        publish_with_retry(self.store, build)
+            else:
+                novel = collapsed
+            novel = novel.cache()
+            try:
+                if novel.count() == 0:
+                    return  # pure replay / all duplicates → version-stable no-op
+                new_rows = build_dedup_index(
+                    novel, text_col=self.text_col, id_col=self.id_col, k=self.k
+                )
+                # APPEND the delta: a micro-batch landing on a petabyte
+                # corpus stages only its own rows — never a rewrite
+                self.store.publish_append(
+                    {self.corpus_table: novel, self.index_table: new_rows}, base
+                )
+                return
+            except ConcurrentWriteError as e:
+                last = e  # another writer advanced the index: recompute
+            finally:
+                novel.unpersist()
+        raise last

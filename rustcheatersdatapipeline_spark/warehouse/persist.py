@@ -150,16 +150,23 @@ class GoldStore:
 
     # -- read --------------------------------------------------------------
 
+    @staticmethod
+    def _dirs(entry: dict) -> list[str]:
+        """A table entry names one data dir (replace-published) or a
+        list (append-published); readers union them."""
+        return entry["dirs"] if "dirs" in entry else [entry["dir"]]
+
     def read_all(self) -> dict[str, DataFrame]:
         m = self.current_manifest()
-        return {
-            name: self.spark.read.parquet(os.path.join(self.path, entry["dir"]))
-            for name, entry in m["tables"].items()
-        }
+        return {name: self._read_entry(entry) for name, entry in m["tables"].items()}
+
+    def _read_entry(self, entry: dict) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in self._dirs(entry)]
+        )
 
     def read(self, name: str) -> DataFrame:
-        entry = self.current_manifest()["tables"][name]
-        return self.spark.read.parquet(os.path.join(self.path, entry["dir"]))
+        return self._read_entry(self.current_manifest()["tables"][name])
 
     def pruned_files(self, name: str, col: str, lo, hi) -> list[str] | None:
         """Data files of ``name`` whose manifest [min, max] for ``col``
@@ -255,6 +262,65 @@ class GoldStore:
                 "files": self._file_stats(target, self.path),
             }
 
+        def replace_tables(tables: dict) -> None:
+            tables.update(staged)
+
+        return self._commit(replace_tables, base_version, txn, lock_timeout)
+
+    def publish_append(
+        self, deltas: dict[str, DataFrame], base_version: int, lock_timeout: float = 30.0
+    ) -> int:
+        """Append-only publish: stage each delta and commit a manifest
+        whose entries reference the prior data dirs PLUS the delta dir.
+
+        This is the 100 TB ingest shape — a micro-batch appending to a
+        petabyte table stages only its own rows; nothing existing is
+        rewritten or even read. Same write-audit-CAS protocol as
+        ``publish``; readers union the entry's dirs (snapshot-isolated,
+        since every dir is immutable). Periodic ``compact`` folds the
+        dir list back to one.
+        """
+        txn = uuid.uuid4().hex[:12]
+        staged: dict[str, dict] = {}
+        for name, df in deltas.items():
+            rel = os.path.join("_data", txn, name)
+            target = os.path.join(self.path, rel)
+            df.write.mode("error").parquet(target)
+            back = self.spark.read.parquet(target)
+            staged[name] = {
+                "dir": rel,
+                "rows": back.count(),
+                "files": self._file_stats(target, self.path),
+            }
+
+        def append_tables(tables: dict) -> None:
+            for name, delta in staged.items():
+                prior = tables.get(name)
+                if prior is None:
+                    tables[name] = {
+                        "dirs": [delta["dir"]],
+                        "rows": delta["rows"],
+                        "files": delta["files"],
+                    }
+                else:
+                    tables[name] = {
+                        "dirs": self._dirs(prior) + [delta["dir"]],
+                        "rows": int(prior.get("rows", 0)) + delta["rows"],
+                        "files": (prior.get("files") or []) + delta["files"],
+                    }
+
+        return self._commit(append_tables, base_version, txn, lock_timeout)
+
+    def compact(self, name: str, lock_timeout: float = 30.0) -> int:
+        """Rewrite a (possibly multi-dir) table into one fresh dir and
+        publish the replacement — the maintenance pass that bounds an
+        append-published table's dir/file count. Runs as an ordinary
+        CAS publish, so it serializes against concurrent appenders and
+        loses gracefully (retry later) instead of dropping their rows."""
+        base = self.current_version()
+        return self.publish({name: self.read(name)}, base, lock_timeout)
+
+    def _commit(self, update_tables, base_version: int, txn: str, lock_timeout: float) -> int:
         lock = os.path.join(self.path, self.LOCK)
         deadline = time.monotonic() + lock_timeout
         while True:
@@ -273,7 +339,7 @@ class GoldStore:
                     f"store is at {current['version']}"
                 )
             tables = dict(current["tables"])
-            tables.update(staged)
+            update_tables(tables)
             new = {"version": int(base_version) + 1, "tables": tables}
             tmp = self._manifest_file() + f".{txn}.tmp"
             with open(tmp, "w", encoding="utf-8") as f:
@@ -299,8 +365,9 @@ class GoldStore:
         import shutil
 
         live = {
-            entry["dir"].split(os.sep)[1]
+            d.split(os.sep)[1]
             for entry in self.current_manifest()["tables"].values()
+            for d in self._dirs(entry)
         }
         data_root = os.path.join(self.path, "_data")
         removed = []

@@ -72,6 +72,46 @@ def test_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
     assert store.read("dedup_index").count() == len(corpus2)
 
 
+def test_ingest_appends_deltas_and_compacts(spark, sf_dir, tmp_path):
+    """Each micro-batch must APPEND its delta (prior data dirs untouched
+    — the petabyte-corpus requirement), and compact() folds the dir
+    list back to one with identical rows."""
+    base = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=9)
+
+    spark.createDataFrame(base[:4], SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    _run_stream(spark, src, tmp_path / "ck", sink)
+    entry1 = store.current_manifest()["tables"]["corpus"]
+    dirs1 = entry1["dirs"]
+    assert len(dirs1) == 1
+
+    spark.createDataFrame(base[4:], SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    _run_stream(spark, src, tmp_path / "ck", sink)
+    entry2 = store.current_manifest()["tables"]["corpus"]
+    assert entry2["dirs"][0] == dirs1[0]  # batch-1 dir referenced as-is
+    assert len(entry2["dirs"]) == 2
+    assert store.read("corpus").count() == 8
+
+    store.compact("corpus")
+    store.compact("dedup_index")
+    entry3 = store.current_manifest()["tables"]["corpus"]
+    assert "dir" in entry3 and entry3.get("dirs") is None
+    assert store.read("corpus").count() == 8
+    removed = store.vacuum()  # the batch delta txn dirs are now orphaned
+    assert removed and store.read("corpus").count() == 8
+    assert store.read("dedup_index").count() == 8
+
+
 def test_corpus_and_index_never_drift(spark, sf_dir, tmp_path):
     """Every corpus doc has exactly one index row with a matching
     digest — the invariant the atomic two-table publish protects."""
