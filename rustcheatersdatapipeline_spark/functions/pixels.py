@@ -202,7 +202,11 @@ def featurize_pixels(media: DataFrame) -> DataFrame:
                 buf = bytes(payload) if payload is not None else b""
                 try:
                     feat = decode_media(buf)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, zlib.error, IndexError):
+                    # NotImplementedError: codec-needing format; the rest:
+                    # corrupt payloads behind a valid signature (bad deflate
+                    # stream, truncated chunk walk) — quarantine, never fail
+                    # the task (same totality contract as decode_header)
                     feat = {
                         "mime": "application/octet-stream",
                         "kind": "unknown",

@@ -1,0 +1,54 @@
+"""Totality fuzz for the full decoders: corrupt payloads must
+quarantine, never raise out of the feature extractor (the same
+contract tests/test_multimodal_real_decode.py pins for headers)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rustcheatersdatapipeline_spark.functions.pixels import decode_media
+from tests.test_pixels_decode import _gradient, encode_png, encode_wav
+
+def _decode_total(buf: bytes):
+    """decode_media restricted to the exception surface featurize_pixels
+    quarantines — anything else is a totality bug."""
+    import zlib
+
+    try:
+        return decode_media(bytes(buf))
+    except (NotImplementedError, ValueError, zlib.error, IndexError):
+        return None
+
+
+@given(
+    cut=st.integers(0, 400),
+    xor_at=st.integers(0, 399),
+    xor_val=st.integers(1, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_mutated_png_never_escapes(cut, xor_at, xor_val):
+    png = bytearray(encode_png(_gradient(6, 6, 3, seed=1), ftype=2))
+    if xor_at < len(png):
+        png[xor_at] ^= xor_val
+    _decode_total(bytes(png[: cut if cut < len(png) else len(png)]))
+
+
+@given(
+    cut=st.integers(0, 300),
+    xor_at=st.integers(0, 299),
+    xor_val=st.integers(1, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_mutated_wav_never_escapes(cut, xor_at, xor_val):
+    wav = bytearray(
+        encode_wav(np.arange(40, dtype=np.int64).reshape(-1, 2), rate=8000)
+    )
+    if xor_at < len(wav):
+        wav[xor_at] ^= xor_val
+    _decode_total(bytes(wav[: cut if cut < len(wav) else len(wav)]))
+
+
+@given(junk=st.binary(min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_arbitrary_bytes_never_escape(junk):
+    _decode_total(junk)
