@@ -905,6 +905,70 @@ def ann_lsh_search(spark, sf_dir):
     )
 
 
+def ann_lsh_search_multiprobe(spark, sf_dir):
+    """Multi-probe variant of ``ann_lsh_search`` (public technique: Lv
+    et al., VLDB'07): each query probes its own bucket PLUS every
+    bucket at Hamming distance 1 (one hyperplane sign flipped) in each
+    table — the buckets a near neighbor most likely fell into when it
+    landed on the other side of one plane.
+
+    The probe expansion happens on the QUERY side only (bounded by
+    construction), as an exploded literal array → the corpus side stays
+    bucketed exactly once and the join stays an equi-join. Candidates
+    per query ≈ LSH_TABLES · (nplanes + 1) · LSH_TARGET_BUCKET — the
+    (p+1) factor grows logarithmically with corpus size, the price of
+    the recall lift over the plain search (floor pinned in
+    tests/test_recall_audit.py vs both brute force and the plain
+    search)."""
+    v = _vectors(spark, sf_dir, partitions=32)
+    np_ = lsh_num_planes(spark, sf_dir)
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _lsh_bucket_col("e", np_, t).alias("bucket")
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+    b = v.select("vec_id", "e", "nrm", F.explode(sigs).alias("tb")).select(
+        "vec_id", "e", "nrm", "tb.tbl", "tb.bucket"
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(np_)]
+    )
+    q = (
+        b.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+        .select("vec_id", "e", "nrm", "tbl", F.explode(probes).alias("bucket"))
+        .alias("a")
+    )
+    x = b.alias("b")
+    cos = cosine(
+        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
+    ).alias("cos")
+    pairs = (
+        F.broadcast(q)
+        .join(
+            x,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos,
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -2070,6 +2134,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_score": repetition_score,
     "pack_sequences": pack_sequences,
     "ann_ivf_search": ann_ivf_search,
+    "ann_lsh_search_multiprobe": ann_lsh_search_multiprobe,
     "semdedup_prune": semdedup_prune,
     "dedup_cdc": dedup_cdc,
     "dedup_containment": dedup_containment,

@@ -36,3 +36,24 @@ def test_ann_lsh_recall_at_5_vs_bruteforce(spark, sf_dir):
     assert total > 0
     recall = hits / total
     assert recall >= 0.5, f"ann recall@5 {recall:.3f}"
+
+
+def test_multiprobe_lifts_ann_recall(spark, sf_dir):
+    """Hamming-1 multi-probe (Lv et al., VLDB'07) must dominate the
+    plain bucket search and clear a higher floor — the documented
+    recall/candidates trade (measured 0.66 → 0.99 on this corpus)."""
+    knn: dict = {}
+    for r in T.embed_knn_bruteforce(spark, sf_dir).collect():
+        knn.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(n) for n in knn.values())
+
+    def recall(fn):
+        ann: dict = {}
+        for r in fn(spark, sf_dir).collect():
+            ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(ann.get(q, set()) & n) for q, n in knn.items()) / total
+
+    plain = recall(T.ann_lsh_search)
+    multi = recall(T.ann_lsh_search_multiprobe)
+    assert multi >= plain, (multi, plain)
+    assert multi >= 0.8, f"multiprobe recall@5 {multi:.3f}"
