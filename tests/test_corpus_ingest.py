@@ -112,6 +112,65 @@ def test_ingest_appends_deltas_and_compacts(spark, sf_dir, tmp_path):
     assert store.read("dedup_index").count() == 8
 
 
+def test_ingest_retries_on_lost_race_and_recomputes(spark, sf_dir, tmp_path):
+    """A concurrent writer advancing the store between the sink's index
+    read and its publish must trigger recompute-and-retry — and the
+    recompute must dedup against the RACER's rows (content arriving
+    via the other writer is seen on retry)."""
+    from rustcheatersdatapipeline_spark.operators.incremental import build_dedup_index
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+
+    base = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    ]
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=9)
+
+    # seed the store with docs 0-1
+    sink(spark.createDataFrame(base[:2], SCHEMA), batch_id=0)
+    assert store.read("corpus").count() == 2
+
+    # racer: between the sink's next read and publish, another writer
+    # lands doc 2 — injected by wrapping publish_append to first commit
+    # the racer's delta at the sink's base version, forcing the CAS loss
+    real_publish = store.publish_append
+    raced = {"done": False}
+
+    def racing_publish(deltas, base_version, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            racer_docs = spark.createDataFrame([base[2]], SCHEMA)
+            real_publish(
+                {
+                    "corpus": racer_docs,
+                    "dedup_index": build_dedup_index(racer_docs, k=9),
+                },
+                base_version,
+            )
+            # now the sink's publish uses a stale base → ConcurrentWriteError
+        return real_publish(deltas, base_version, **kw)
+
+    store.publish_append = racing_publish
+    try:
+        # sink batch: doc 2 (same content the racer landed!) + docs 3-4
+        sink(
+            spark.createDataFrame([base[2]] + base[3:5], SCHEMA), batch_id=1
+        )
+    finally:
+        store.publish_append = real_publish
+
+    corpus = {r["doc_id"] for r in store.read("corpus").collect()}
+    # doc 2 appears ONCE (the racer's copy; the sink's retry deduped it)
+    assert corpus == {d for d, _ in base[:5]}
+    assert store.read("corpus").count() == 5
+    assert store.read("dedup_index").count() == 5
+
+
 def test_corpus_and_index_never_drift(spark, sf_dir, tmp_path):
     """Every corpus doc has exactly one index row with a matching
     digest — the invariant the atomic two-table publish protects."""
