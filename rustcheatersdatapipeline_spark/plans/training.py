@@ -53,6 +53,7 @@ from ..functions.text import (
     char_shingles,
     marker_count,
     portable_hash64,
+    token_explode,
     ws_tokens,
 )
 
@@ -2030,6 +2031,54 @@ def sketch_bounds(spark, sf_dir):
     )
 
 
+#: Misra-Gries capacity: summaries carry ≤ MG_CAPACITY counters per
+#: partition and the merged estimate undercounts by ≤ n/(m+1).
+MG_CAPACITY = 32
+
+
+def heavy_hitters(spark, sf_dir, m: int = MG_CAPACITY):
+    """Approximate heavy hitters over document tokens (distributed
+    Misra-Gries / Frequent, public algorithm: Misra & Gries 1982).
+
+    The exact top-k (``ngram_freq_top``) needs a full (token, count)
+    shuffle — fine until token cardinality explodes (n-grams at 100 TB).
+    The sketch shape: each partition folds its tokens into ≤ m counters
+    inside ONE ``mapInPandas`` pass (bounded state, value_counts-
+    vectorized per Arrow batch, decrement-by-δ on overflow), then the
+    m-per-partition summaries — a few KB regardless of data size —
+    merge with a plain sum-groupBy. Guarantees (asserted in
+    tests/test_heavy_hitters.py): est ≤ true, true − est ≤ n/(m+1), so
+    every token with frequency > n/(m+1) is present.
+    """
+    import pandas as pd
+
+    tok = token_explode(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["w"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            while len(counters) > m:
+                delta = sorted(counters.values(), reverse=True)[m]
+                counters = {k: v - delta for k, v in counters.items() if v > delta}
+        yield pd.DataFrame(
+            {"w": list(counters), "cnt": list(counters.values())}
+            if counters
+            else {"w": pd.Series([], dtype=str), "cnt": pd.Series([], dtype="int64")}
+        )
+
+    summaries = tok.select("w").mapInPandas(mg, "w string, cnt long")
+    # no limit: the candidate set is ≤ m × n_partitions rows (bounded
+    # metadata, not data) and truncating here could evict a true heavy
+    # hitter on adversarial ties — top-k is the caller's cheap epilogue
+    return (
+        summaries.groupBy("w")
+        .agg(F.sum("cnt").alias("est"))
+        .orderBy(F.col("est").desc(), "w")
+    )
+
+
 #: Declared (driver-verified) queries. Kept to the grade-critical set so
 #: the whole declared surface fits the driver's 50-entry correctness
 #: budget: the standalone builders folded into text_metrics /
@@ -2135,6 +2184,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": pack_sequences,
     "ann_ivf_search": ann_ivf_search,
     "ann_lsh_search_multiprobe": ann_lsh_search_multiprobe,
+    "heavy_hitters": heavy_hitters,
     "semdedup_prune": semdedup_prune,
     "dedup_cdc": dedup_cdc,
     "dedup_containment": dedup_containment,
