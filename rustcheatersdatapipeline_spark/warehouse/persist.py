@@ -179,6 +179,12 @@ class GoldStore:
         files = entry.get("files")
         if files is None:
             return None
+        # partitioned layouts (…/date_sk=X/part-*.parquet) encode a column
+        # in the DIRECTORY name; an explicit-file read would silently drop
+        # it from the schema. Spark already dir-prunes those on a normal
+        # read, so fall back to the full-table path.
+        if any("=" in os.path.basename(os.path.dirname(f["path"])) for f in files):
+            return None
         keep = []
         for f in files:
             rng = f.get("stats", {}).get(col)

@@ -65,6 +65,24 @@ def test_read_pruned_out_of_range_is_empty_with_schema(spark, sf_dir, tmp_path):
     assert out.columns == store.read("events").columns
 
 
+def test_read_pruned_partitioned_table_falls_back(spark, sf_dir, tmp_path):
+    """A date_sk-partitioned fact encodes a column in directory names —
+    explicit-file reads would drop it, so pruning must decline and the
+    full-schema read must survive."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .withColumn("date_sk", (F.col("event_id") % 3).cast("int"))
+    )
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    # bans_fact is in PARTITIONED_FACTS → publish partitions it by date_sk
+    store.publish({"bans_fact": ev}, base_version=0)
+    assert store.pruned_files("bans_fact", "user_id", 0, 5) is None
+    out = store.read_pruned("bans_fact", "user_id", 0, 5)
+    assert "date_sk" in out.columns
+    assert out.count() == ev.filter((F.col("user_id") >= 0) & (F.col("user_id") <= 5)).count()
+
+
 def test_read_pruned_legacy_manifest_falls_back(spark, sf_dir, tmp_path):
     store, ev = _publish_zordered_events(spark, sf_dir, tmp_path)
     mf = os.path.join(str(tmp_path / "gold"), GoldStore.MANIFEST)
