@@ -18,9 +18,12 @@ Scale notes (100 TB):
   key seen within the watermark horizon, partitioned by key across the
   cluster (RocksDB state store in production). State is bounded by
   (arrival rate × horizon), NOT by total history — the only shape that
-  survives an unbounded stream. A duplicate arriving later than the
-  horizon re-emits; that is the documented at-least-once trade, the
-  same one the reference makes by scoping its interval filter.
+  survives an unbounded stream. A replay carrying its original event
+  time behind the watermark is dropped as late data (pinned in
+  tests/test_streaming_ops.py); only a re-delivery stamped with a
+  FRESH in-window event time after state eviction can re-emit — that
+  residual is the documented at-least-once trade, the same one the
+  reference makes by scoping its interval filter.
 - The interval join carries a time-range predicate on BOTH event-time
   columns, so Spark can evict click state once the watermark passes
   ``click_ts + horizon`` and purchase state once it passes

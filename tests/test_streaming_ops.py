@@ -94,6 +94,44 @@ def test_stream_dedup_replay_is_noop(spark, tmp_path):
     assert n1 == 2 and n2 == 2  # intra-batch dup of event 1 also collapsed
 
 
+def test_stream_dedup_drops_late_replays_as_late_data(spark, tmp_path):
+    """A replay carrying its ORIGINAL event time behind the watermark is
+    dropped by the watermark itself (late data) — it does NOT re-emit
+    even though the dedup state was evicted. Re-emission is only
+    possible for a re-delivery stamped with a fresh in-window event
+    time. This pins the semantics so a future change can't silently
+    alter the contract."""
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+
+    def run(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        q = (
+            dedup_within_watermark(
+                spark.readStream.schema(SCHEMA).parquet(f"{src}/*"),
+                watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: e1@00:00 plus e2@01:00 advances the watermark to 00:50,
+    # evicting e1's dedup state
+    run("b1", [(1, _ts(0, 0), 7), (2, _ts(1, 0), 7)])
+    # batch 2: a late replay of e1 — behind the watermark, dropped
+    run("b2", [(1, _ts(0, 0), 7)])
+
+    ids = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1, 2]
+
+
 def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
     """The click→purchase interval join is ONE transformation: the
     availableNow stream-stream result over the events files equals the
