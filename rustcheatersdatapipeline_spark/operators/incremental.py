@@ -127,3 +127,88 @@ def dedup_incremental(
         new_docs, index, text_col, id_col, k, est_threshold
     ).select(F.col("new_id").alias(id_col))
     return new_docs.join(matches, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# embedding-space incremental dedup (the vector twin of the text path)
+# --------------------------------------------------------------------------
+
+#: minimum cosine for an embedding near-match
+EMBED_COSINE_THRESHOLD = 0.98
+
+
+def build_embed_index(
+    emb: DataFrame,
+    nplanes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persisted embedding index rows: (id, e, nrm, tbl, bucket) — one
+    row per (vector, hash table), buckets from the committed seed-42
+    hyperplanes (plans/training.py machinery, same literals as the
+    declared ANN queries). Like the text index, ``nplanes`` is part of
+    the index contract: store it alongside and reuse it per batch.
+
+    The payload IS the embedding (vectors are their own signatures), so
+    the index costs L (=4 tables) × the corpus vector bytes — the join
+    key that avoids the all-pairs scan, not a compression trick.
+    """
+    from ..functions.similarity import as_double_array, dot_product
+    from ..plans.training import LSH_TABLES, _lsh_bucket_col
+
+    e = as_double_array(vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), e.alias("e"), dot_product(e, e).alias("nrm")
+    )
+    sigs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), _lsh_bucket_col("e", nplanes, t).alias("bucket"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    return base.select("vec_id", "e", "nrm", F.explode(sigs).alias("tb")).select(
+        "vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def match_embeddings_against_index(
+    new_emb: DataFrame,
+    index: DataFrame,
+    nplanes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = EMBED_COSINE_THRESHOLD,
+) -> DataFrame:
+    """(new_id, index_id, cos) pairs with cosine ≥ threshold among
+    bucket-colliding candidates — per batch: one equi-join on
+    (tbl, bucket), cosine verified EXACTLY on candidates only (unlike
+    the text path, the vectors live in the index, so there is no
+    estimate trade)."""
+    from ..functions.similarity import cosine, dot_product
+
+    nb = build_embed_index(new_emb, nplanes, id_col, vec_col).alias("a")
+    ib = index.alias("b")
+    cos = cosine(
+        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
+    ).alias("cos")
+    return (
+        nb.join(ib, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a.vec_id").alias("new_id"), F.col("b.vec_id").alias("index_id"), cos)
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def embed_dedup_incremental(
+    new_emb: DataFrame,
+    index: DataFrame,
+    nplanes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = EMBED_COSINE_THRESHOLD,
+) -> DataFrame:
+    """New embeddings minus those near-duplicating an indexed vector."""
+    matches = match_embeddings_against_index(
+        new_emb, index, nplanes, id_col, vec_col, threshold
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_emb.join(matches, id_col, "left_anti")
