@@ -6,7 +6,7 @@ from .hourly import (
     open_events_stream,
     stream_hourly_counts,
 )
-from .ingest import CorpusIngestSink
+from .ingest import CorpusIngestSink, EmbeddingIngestSink, IncrementalIngestSink
 from .ops import (
     click_purchase_pairs,
     dedup_within_watermark,
@@ -17,7 +17,9 @@ from .sink import GoldStoreMergeSink, ParquetMergeSink
 
 __all__ = [
     "CorpusIngestSink",
+    "EmbeddingIngestSink",
     "GoldStoreMergeSink",
+    "IncrementalIngestSink",
     "ParquetMergeSink",
     "click_purchase_pairs",
     "dedup_within_watermark",

@@ -39,9 +39,62 @@ from ..operators.incremental import (
 from ..warehouse.persist import ConcurrentWriteError, GoldStore
 
 
-class CorpusIngestSink:
-    """``foreachBatch`` sink: dedup each micro-batch against the index,
-    append novel docs + their index rows in one atomic publish."""
+class IncrementalIngestSink:
+    """Generic ``foreachBatch`` sink: collapse the micro-batch, dedup it
+    against a persisted index, append novel rows + their index rows in
+    one atomic publish. Subclasses wire the three content-type hooks:
+
+    - ``_collapse_batch(batch)`` — within-batch exact dedup
+    - ``_dedup(batch, index)`` — batch minus index-represented content
+    - ``_index_rows(novel)`` — index rows for the surviving novelty
+    """
+
+    def __init__(self, store: GoldStore, data_table: str, index_table: str):
+        self.store = store
+        self.data_table = data_table
+        self.index_table = index_table
+
+    def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _dedup(self, batch_df: DataFrame, index: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _index_rows(self, novel: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        collapsed = self._collapse_batch(batch_df)
+
+        last: ConcurrentWriteError | None = None
+        for _ in range(5):
+            base = self.store.current_version()
+            tables = self.store.current_manifest()["tables"]
+            if self.index_table in tables:
+                novel = self._dedup(collapsed, self.store.read(self.index_table))
+            else:
+                novel = collapsed
+            novel = novel.cache()
+            try:
+                if novel.count() == 0:
+                    return  # pure replay / all duplicates → version-stable no-op
+                # APPEND the delta: a micro-batch landing on a petabyte
+                # corpus stages only its own rows — never a rewrite
+                self.store.publish_append(
+                    {self.data_table: novel, self.index_table: self._index_rows(novel)},
+                    base,
+                )
+                return
+            except ConcurrentWriteError as e:
+                last = e  # another writer advanced the index: recompute
+            finally:
+                novel.unpersist()
+        raise last
+
+
+class CorpusIngestSink(IncrementalIngestSink):
+    """Text instance: digest + MinHash signature index
+    (operators/incremental.py text path)."""
 
     def __init__(
         self,
@@ -53,9 +106,7 @@ class CorpusIngestSink:
         k: int = 9,
         est_threshold: float = EST_JACCARD_THRESHOLD,
     ):
-        self.store = store
-        self.corpus_table = corpus_table
-        self.index_table = index_table
+        super().__init__(store, corpus_table, index_table)
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
@@ -72,39 +123,63 @@ class CorpusIngestSink:
         )
         return ranked.filter(F.col("_rn") == 1).drop("_digest", "_rn")
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        collapsed = self._collapse_batch(batch_df)
+    def _dedup(self, batch_df: DataFrame, index: DataFrame) -> DataFrame:
+        return dedup_incremental(
+            batch_df,
+            index,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            k=self.k,
+            est_threshold=self.est_threshold,
+        )
 
-        last: ConcurrentWriteError | None = None
-        for _ in range(5):
-            base = self.store.current_version()
-            tables = self.store.current_manifest()["tables"]
-            if self.index_table in tables:
-                novel = dedup_incremental(
-                    collapsed,
-                    self.store.read(self.index_table),
-                    text_col=self.text_col,
-                    id_col=self.id_col,
-                    k=self.k,
-                    est_threshold=self.est_threshold,
-                )
-            else:
-                novel = collapsed
-            novel = novel.cache()
-            try:
-                if novel.count() == 0:
-                    return  # pure replay / all duplicates → version-stable no-op
-                new_rows = build_dedup_index(
-                    novel, text_col=self.text_col, id_col=self.id_col, k=self.k
-                )
-                # APPEND the delta: a micro-batch landing on a petabyte
-                # corpus stages only its own rows — never a rewrite
-                self.store.publish_append(
-                    {self.corpus_table: novel, self.index_table: new_rows}, base
-                )
-                return
-            except ConcurrentWriteError as e:
-                last = e  # another writer advanced the index: recompute
-            finally:
-                novel.unpersist()
-        raise last
+    def _index_rows(self, novel: DataFrame) -> DataFrame:
+        return build_dedup_index(
+            novel, text_col=self.text_col, id_col=self.id_col, k=self.k
+        )
+
+
+class EmbeddingIngestSink(IncrementalIngestSink):
+    """Vector instance: hyperplane-bucketed embedding index
+    (operators/incremental.py embed path). Near-duplicate vectors
+    (cosine ≥ threshold vs anything indexed) are dropped in flight;
+    within-batch exact dups collapse on the raw vector bytes."""
+
+    def __init__(
+        self,
+        store: GoldStore,
+        data_table: str = "vectors",
+        index_table: str = "embed_index",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        nplanes: int = 8,
+        threshold: float | None = None,
+    ):
+        from ..operators.incremental import EMBED_COSINE_THRESHOLD
+
+        super().__init__(store, data_table, index_table)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.nplanes = nplanes
+        self.threshold = EMBED_COSINE_THRESHOLD if threshold is None else threshold
+
+    def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
+        ranked = batch_df.withColumn(
+            "_digest", F.md5(F.to_json(F.struct(self.vec_col)))
+        ).withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_digest").orderBy(self.id_col)),
+        )
+        return ranked.filter(F.col("_rn") == 1).drop("_digest", "_rn")
+
+    def _dedup(self, batch_df: DataFrame, index: DataFrame) -> DataFrame:
+        from ..operators.incremental import embed_dedup_incremental
+
+        return embed_dedup_incremental(
+            batch_df, index, self.nplanes, self.id_col, self.vec_col, self.threshold
+        )
+
+    def _index_rows(self, novel: DataFrame) -> DataFrame:
+        from ..operators.incremental import build_embed_index
+
+        return build_embed_index(novel, self.nplanes, self.id_col, self.vec_col)
