@@ -49,10 +49,23 @@ class IncrementalIngestSink:
     - ``_index_rows(novel)`` — index rows for the surviving novelty
     """
 
-    def __init__(self, store: GoldStore, data_table: str, index_table: str):
+    #: auto-compact when a table's manifest dir list exceeds this bound
+    #: — keeps reader open-file counts and manifest size O(1) under an
+    #: unbounded stream of appends. Best-effort: a compaction losing a
+    #: CAS race to a concurrent writer just waits for the next batch.
+    MAX_DIRS = 16
+
+    def __init__(
+        self,
+        store: GoldStore,
+        data_table: str,
+        index_table: str,
+        max_dirs: int | None = None,
+    ):
         self.store = store
         self.data_table = data_table
         self.index_table = index_table
+        self.max_dirs = self.MAX_DIRS if max_dirs is None else max_dirs
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -84,12 +97,24 @@ class IncrementalIngestSink:
                     {self.data_table: novel, self.index_table: self._index_rows(novel)},
                     base,
                 )
+                self._maybe_compact()
                 return
             except ConcurrentWriteError as e:
                 last = e  # another writer advanced the index: recompute
             finally:
                 novel.unpersist()
         raise last
+
+    def _maybe_compact(self) -> None:
+        tables = self.store.current_manifest()["tables"]
+        for name in (self.data_table, self.index_table):
+            entry = tables.get(name)
+            if entry and len(self.store._dirs(entry)) > self.max_dirs:
+                try:
+                    self.store.compact(name)
+                    self.store.vacuum()
+                except ConcurrentWriteError:
+                    pass  # a concurrent writer won; next batch retries
 
 
 class CorpusIngestSink(IncrementalIngestSink):

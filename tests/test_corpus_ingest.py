@@ -112,6 +112,38 @@ def test_ingest_appends_deltas_and_compacts(spark, sf_dir, tmp_path):
     assert store.read("dedup_index").count() == 8
 
 
+def test_auto_compaction_bounds_dir_list(spark, sf_dir, tmp_path):
+    """With max_dirs=2 the sink must fold the append chain back down —
+    dir lists stay O(1) under an unbounded stream, content intact."""
+    base = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=9)
+    sink.max_dirs = 2
+
+    for i in range(4):
+        spark.createDataFrame(base[2 * i : 2 * i + 2], SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        _run_stream(spark, src, tmp_path / "ck", sink)
+
+    entry = store.current_manifest()["tables"]["corpus"]
+    n_dirs = len(entry["dirs"]) if "dirs" in entry else 1
+    assert n_dirs <= sink.max_dirs + 1  # one fresh append may follow a compact
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == {
+        d for d, _ in base
+    }
+    assert store.read("dedup_index").count() == len(base)
+
+
 def test_ingest_retries_on_lost_race_and_recomputes(spark, sf_dir, tmp_path):
     """A concurrent writer advancing the store between the sink's index
     read and its publish must trigger recompute-and-retry — and the
