@@ -168,6 +168,31 @@ class GoldStore:
     def read(self, name: str) -> DataFrame:
         return self._read_entry(self.current_manifest()["tables"][name])
 
+    # -- time travel -------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        """Committed versions with a retained manifest, ascending."""
+        d = os.path.join(self.path, "_manifests")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def manifest_at(self, version: int) -> dict:
+        with open(
+            os.path.join(self.path, "_manifests", f"v{version}.json"), encoding="utf-8"
+        ) as f:
+            return json.load(f)
+
+    def read_at(self, name: str, version: int) -> DataFrame:
+        """Snapshot read of ``name`` as of ``version`` — free time travel
+        because data dirs are immutable (the Iceberg/Delta property).
+        Valid until ``vacuum`` reclaims dirs the CURRENT manifest no
+        longer references; after that a stale snapshot read fails fast
+        on the missing path rather than returning partial data."""
+        return self._read_entry(self.manifest_at(version)["tables"][name])
+
     def pruned_files(self, name: str, col: str, lo, hi) -> list[str] | None:
         """Data files of ``name`` whose manifest [min, max] for ``col``
         intersects [lo, hi] — Iceberg-style metadata pruning: the
@@ -359,6 +384,14 @@ class GoldStore:
                 os.fsync(dfd)
             finally:
                 os.close(dfd)
+            # retain a per-version manifest copy for snapshot reads
+            # (read_at); valid until vacuum reclaims unreferenced dirs
+            hist = os.path.join(self.path, "_manifests")
+            os.makedirs(hist, exist_ok=True)
+            with open(
+                os.path.join(hist, f"v{new['version']}.json"), "w", encoding="utf-8"
+            ) as f:
+                json.dump(new, f)
             return new["version"]
         finally:
             os.close(fd)
