@@ -123,7 +123,17 @@ def decode_png_pixels(buf: bytes) -> np.ndarray:
         raise NotImplementedError("PNG Adam7 interlacing unsupported")
     channels = _PNG_CHANNELS[color]
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
+    # the exact inflated size is known from IHDR: h scanlines of
+    # (filter byte + stride). Cap decompression at that bound so a
+    # decompression-bomb payload (tiny IDAT inflating to GBs behind a
+    # valid signature) raises ValueError → quarantine, instead of
+    # OOMing the executor (MemoryError is outside the quarantine
+    # contract).
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("PNG: inflated stream exceeds h*(stride+1) bound")
     pixels = _unfilter_scanlines(raw, h, stride, channels)
     return np.frombuffer(bytes(pixels), np.uint8).reshape(h, w, channels)
 

@@ -27,7 +27,6 @@ Scale design:
 from __future__ import annotations
 
 import functools
-import operator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,13 +39,16 @@ DEFAULT_BITS = 8
 
 def _bucket_rank(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Equal-width bucket rank in [0, 2**bits) with degenerate-range
-    guard (all-equal column → rank 0 everywhere)."""
+    guards: all-equal column → rank 0 everywhere; NULL min/max (all-null
+    column) or a NULL value → rank 0, never a NULL rank — a NULL
+    ``_zvalue`` would collapse ``repartitionByRange`` into one partition
+    and silently destroy the clustering."""
     n = 2**bits
     # width_bucket returns 1..n+1 (n+1 only for x == max with exclusive
     # upper); clamp into [0, n-1]
     raw = F.width_bucket(col.cast("double"), cmin, cmax, F.lit(n)) - F.lit(1)
     return (
-        F.when(cmax <= cmin, F.lit(0))
+        F.when(cmin.isNull() | cmax.isNull() | col.isNull() | (cmax <= cmin), F.lit(0))
         .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)))
         .cast("long")
     )

@@ -8,10 +8,19 @@ extra full scan and drifts with the data), PERMISSIVE parse with the
 corrupt rows split into a quarantine frame instead of killing the scan
 or silently nulling (SURVEY.md §1.4).
 
+Implementation note: the reader scans raw text lines and parses with
+``from_json`` rather than ``spark.read.json``. That buys two things:
+the quarantine frame carries the TRUE original input line for every
+rejected record (including schema-valid-but-textless rows, which the
+json reader would have re-serialized lossily), and no ``.cache()`` is
+needed to work around the corrupt-column-only-filter restriction — so
+repeated calls leak nothing into the session's block-manager cache.
+
 Scale: JSON-lines is splittable (and .gz line files split per-file), so
-the read parallelizes per file/block; the writer rides
-``maxRecordsPerFile`` like the parquet shard path. Compression is
-codec-option only — no code change between plain and gzip.
+the read parallelizes per file/block; ``from_json`` is a codegen'd JVM
+expression, not a UDF. The writer rides ``maxRecordsPerFile`` like the
+parquet shard path. Compression is codec-option only — no code change
+between plain and gzip.
 """
 
 from __future__ import annotations
@@ -37,29 +46,31 @@ def read_documents_jsonl(
     """(good, quarantine) from JSONL files at ``path``.
 
     ``good`` carries the pinned schema plus a derived ``n_chars``;
-    ``quarantine`` holds the raw line of every record that failed to
-    parse or had no ``text`` — routed to a dead-letter sink, never
-    dropped silently.
+    ``quarantine`` holds the ORIGINAL raw line of every record that
+    failed to parse or had no ``text`` — routed to a dead-letter sink,
+    never dropped silently.
     """
     schema = schema or DOCUMENTS_JSONL_SCHEMA
     probed = StructType(
         [*schema.fields, StructField("_corrupt_record", StringType(), True)]
     )
-    df = (
-        spark.read.schema(probed)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-        .cache()  # required to filter on the corrupt column alone
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            probed,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("rec"),
     )
-    bad = F.col("_corrupt_record").isNotNull() | F.col("text").isNull()
-    quarantine = df.filter(bad).select(
-        F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct(*schema.names))).alias(
-            "raw"
-        )
+    bad = (
+        F.col("rec").isNull()
+        | F.col("rec._corrupt_record").isNotNull()
+        | F.col("rec.text").isNull()
     )
+    quarantine = parsed.filter(bad).select(F.col("value").alias("raw"))
     good = (
-        df.filter(~bad)
+        parsed.filter(~bad)
+        .select("rec.*")
         .drop("_corrupt_record")
         .withColumn("n_chars", F.length("text").cast("long"))
     )

@@ -388,10 +388,15 @@ class GoldStore:
             # (read_at); valid until vacuum reclaims unreferenced dirs
             hist = os.path.join(self.path, "_manifests")
             os.makedirs(hist, exist_ok=True)
-            with open(
-                os.path.join(hist, f"v{new['version']}.json"), "w", encoding="utf-8"
-            ) as f:
+            # same tmp+atomic-replace protocol as the main manifest: a
+            # crash mid-write must not leave truncated JSON that breaks
+            # versions()/read_at afterward (fsync skipped — history is
+            # best-effort, the main manifest is the durability anchor)
+            hist_final = os.path.join(hist, f"v{new['version']}.json")
+            hist_tmp = hist_final + f".{txn}.tmp"
+            with open(hist_tmp, "w", encoding="utf-8") as f:
                 json.dump(new, f)
+            os.replace(hist_tmp, hist_final)
             return new["version"]
         finally:
             os.close(fd)

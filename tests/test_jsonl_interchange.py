@@ -59,3 +59,27 @@ def test_gzip_roundtrip(spark, sf_dir, tmp_path):
         json.loads(next(fh))  # genuinely gzipped JSONL
     good, _ = read_documents_jsonl(spark, out)
     assert good.count() == docs.count()
+
+
+def test_quarantine_carries_original_raw_line_and_no_cache_leak(spark, tmp_path):
+    """ADVICE r5: (a) the quarantine 'raw' must be the verbatim input
+    line even for schema-valid-but-textless records (not a re-serialized
+    struct); (b) repeated reads must not leak entries into the session's
+    block-manager cache."""
+    textless = json.dumps({"doc_id": 3, "lang": "en", "source": "web"})
+    lines = [
+        json.dumps({"doc_id": 1, "text": "alpha", "lang": "en", "source": "web"}),
+        textless,
+        "not json at all",
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    spark.catalog.clearCache()
+    good, quarantine = read_documents_jsonl(spark, str(p))
+    raws = {r["raw"] for r in quarantine.collect()}
+    assert textless in raws  # verbatim, byte-for-byte
+    assert "not json at all" in raws
+    assert good.count() == 1
+    # nothing pinned: the read path needs no .cache() workaround
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -114,3 +114,22 @@ def test_zorder_prunes_both_columns(spark, sf_dir, tmp_path):
     got = spark.read.parquet(zpath).filter(pred).count()
     want = ev.filter(pred).count()
     assert got == want > 0
+
+
+def test_zorder_all_null_column_does_not_collapse_partitioning(spark, tmp_path):
+    """ADVICE r5: NULL min/max (all-null column) or NULL values must map
+    to rank 0, never a NULL _zvalue — a NULL z-value would funnel every
+    row into one range partition and silently destroy clustering."""
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), F.lit(None).cast("double").alias("b")
+    )
+    z = zorder_value(df, ["a", "b"])
+    assert z.filter(F.col("_zvalue").isNull()).count() == 0
+    # column a still clusters: files cover disjoint a-ranges
+    out = str(tmp_path / "znull")
+    write_zordered(df, ["a", "b"], out, num_files=4)
+    ranges = _file_ranges(out, ["a"])
+    assert len(ranges) > 1
+    spans = sorted((r["a"][0], r["a"][1]) for r in ranges)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2

@@ -178,3 +178,17 @@ def test_featurize_pixels_spark_end_to_end(spark):
     assert out[2]["kind"] == "audio" and out[2]["n_samples"] == 100
     assert out[2]["channels"] == 2
     assert out[3]["kind"] == "unknown" and out[3]["mean"] is None
+
+def test_png_decompression_bomb_is_bounded_and_quarantined():
+    """ADVICE r5: a tiny IDAT inflating far past h*(stride+1) must raise
+    ValueError (-> quarantine) with memory bounded by the IHDR-derived
+    size, never OOM the executor."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray: 6 bytes
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_png_pixels(bomb)
