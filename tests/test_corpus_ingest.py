@@ -107,7 +107,7 @@ def test_ingest_appends_deltas_and_compacts(spark, sf_dir, tmp_path):
     entry3 = store.current_manifest()["tables"]["corpus"]
     assert "dir" in entry3 and entry3.get("dirs") is None
     assert store.read("corpus").count() == 8
-    removed = store.vacuum()  # the batch delta txn dirs are now orphaned
+    removed = store.vacuum(min_age_seconds=0)  # batch delta txn dirs now orphaned
     assert removed and store.read("corpus").count() == 8
     assert store.read("dedup_index").count() == 8
 
@@ -226,3 +226,59 @@ def test_corpus_and_index_never_drift(spark, sf_dir, tmp_path):
     index = store.read("dedup_index")
     joined = corpus.join(index, ["doc_id", "digest"], "inner")
     assert joined.count() == corpus.count() == index.count() == len(base)
+
+def test_index_contract_persisted_and_enforced(spark, sf_dir, tmp_path):
+    """VERDICT r5 #2: the shingle width k is persisted as table
+    properties on the index at first publish; a sink reopened with a
+    conflicting explicit k fails fast, and a sink passing k=None adopts
+    the stored value."""
+    import pytest
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(4)
+        .collect()
+    ]
+    schema = "doc_id long, text string"
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=7)
+    sink(spark.createDataFrame(docs, schema), 0)
+
+    props = store.properties("dedup_index")
+    assert props["k"] == 7 and props["n_perms"] == 16
+
+    # reopen with a DIFFERENT explicit k → fail fast at construction
+    with pytest.raises(ValueError, match="k=7"):
+        CorpusIngestSink(store, k=11)
+
+    # reopen with k=None → adopts the stored contract
+    sink2 = CorpusIngestSink(store)
+    assert sink2.k == 7
+    # a verbatim replay through the adopted sink is a no-op (exact match)
+    sink2(spark.createDataFrame([(5000, docs[0][1])], schema), 1)
+    assert store.read("corpus").count() == 4
+
+
+def test_embed_index_contract_enforced(spark, sf_dir, tmp_path):
+    import pytest
+
+    from rustcheatersdatapipeline_spark.streaming.ingest import EmbeddingIngestSink
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(4)
+    )
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = EmbeddingIngestSink(store, nplanes=6)
+    sink(emb, 0)
+    assert store.properties("embed_index")["nplanes"] == 6
+
+    with pytest.raises(ValueError, match="nplanes=6"):
+        EmbeddingIngestSink(store, nplanes=10)
+    sink2 = EmbeddingIngestSink(store)
+    assert sink2.nplanes == 6

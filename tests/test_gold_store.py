@@ -52,7 +52,7 @@ def test_stale_base_is_rejected_and_leaves_gold_untouched(spark, tmp_path):
     assert _rows(store, "player_dim") == {("a", 1), ("b", 2)}
 
     # orphans: the rejected txn AND the superseded v1 directory
-    assert len(store.vacuum()) == 2
+    assert len(store.vacuum(min_age_seconds=0)) == 2
     assert _rows(store, "player_dim") == {("a", 1), ("b", 2)}
 
 

@@ -65,10 +65,14 @@ def test_read_pruned_out_of_range_is_empty_with_schema(spark, sf_dir, tmp_path):
     assert out.columns == store.read("events").columns
 
 
-def test_read_pruned_partitioned_table_falls_back(spark, sf_dir, tmp_path):
-    """A date_sk-partitioned fact encodes a column in directory names —
-    explicit-file reads would drop it, so pruning must decline and the
-    full-schema read must survive."""
+def test_read_pruned_partitioned_fact_prunes_on_partition_and_stats(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r5 #3: a date_sk-partitioned fact records each file's
+    partition values in the manifest, so the planner prunes on the
+    partition column from metadata alone — fewer files than the table
+    holds — and explicit-file reads reconstruct date_sk via basePath
+    (no silent column loss), with exact result parity vs a full scan."""
     ev = (
         table(spark, sf_dir, "events")
         .select("event_id", "user_id")
@@ -77,10 +81,31 @@ def test_read_pruned_partitioned_table_falls_back(spark, sf_dir, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     # bans_fact is in PARTITIONED_FACTS → publish partitions it by date_sk
     store.publish({"bans_fact": ev}, base_version=0)
-    assert store.pruned_files("bans_fact", "user_id", 0, 5) is None
-    out = store.read_pruned("bans_fact", "user_id", 0, 5)
-    assert "date_sk" in out.columns
-    assert out.count() == ev.filter((F.col("user_id") >= 0) & (F.col("user_id") <= 5)).count()
+
+    entry = store.current_manifest()["tables"]["bans_fact"]
+    total = len(entry["files"])
+    assert all(f.get("partition", {}).get("date_sk") for f in entry["files"])
+
+    # prune on the PARTITION column: only date_sk=1 files survive
+    kept = store.pruned_files("bans_fact", "date_sk", 1, 1)
+    assert 0 < len(kept) < total
+    assert all(f["partition"]["date_sk"] == "1" for f in kept)
+
+    out = store.read_pruned("bans_fact", "date_sk", 1, 1)
+    assert "date_sk" in out.columns  # basePath reconstructs the column
+    want = ev.filter(F.col("date_sk") == 1)
+    assert out.count() == want.count() > 0
+    assert sorted(r["event_id"] for r in out.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+
+    # prune on a DATA column of the partitioned layout: stats still apply
+    out2 = store.read_pruned("bans_fact", "user_id", 0, 5)
+    assert "date_sk" in out2.columns
+    assert (
+        out2.count()
+        == ev.filter((F.col("user_id") >= 0) & (F.col("user_id") <= 5)).count()
+    )
 
 
 def test_read_pruned_legacy_manifest_falls_back(spark, sf_dir, tmp_path):

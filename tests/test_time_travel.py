@@ -34,7 +34,7 @@ def test_vacuum_invalidates_stale_snapshots_fast(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     store.publish({"dim": _df(spark, [("a", 1)])}, base_version=0)
     store.publish({"dim": _df(spark, [("z", 9)])}, base_version=1)  # full replace
-    removed = store.vacuum()
+    removed = store.vacuum(min_age_seconds=0)
     assert removed  # v1's dir is unreferenced by current → reclaimed
     # current is intact; the stale snapshot fails fast, not partially
     assert {tuple(r) for r in store.read("dim").collect()} == {("z", 9)}
