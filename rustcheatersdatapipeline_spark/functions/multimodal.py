@@ -252,23 +252,26 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
 
 
 def decode_pixels(buf: bytes):
-    """Full pixel/sample decode. PNG and PCM WAV decode with nothing
-    but the stdlib (functions/pixels.py: zlib inflate + scanline
-    unfiltering; RIFF data chunk + frombuffer); formats that genuinely
-    need a codec library (JPEG/GIF-LZW/AVI) raise NotImplementedError.
+    """Full pixel/sample decode. PNG, GIF and PCM WAV decode with
+    nothing but the stdlib (functions/pixels.py: zlib inflate +
+    scanline unfiltering; pure-Python GIF-LZW + palette composite;
+    RIFF data chunk + frombuffer); formats that genuinely need a codec
+    library (JPEG/AVI) raise NotImplementedError.
 
-    Returns the raw array: (h, w, channels) uint8 for PNG, ((n_frames,
-    channels), rate) for WAV. The bounded-feature production path is
-    ``pixels.featurize_pixels``."""
-    from .pixels import decode_png_pixels, decode_wav_samples
+    Returns the raw array: (h, w, channels) uint8 for PNG, (n_frames,
+    h, w, 3) uint8 for GIF, ((n_frames, channels), rate) for WAV. The
+    bounded-feature production path is ``pixels.featurize_pixels``."""
+    from .pixels import decode_gif_pixels, decode_png_pixels, decode_wav_samples
 
     if buf[:8] == _PNG_SIGNATURE:
         return decode_png_pixels(buf)
+    if len(buf) >= 6 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(buf)
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return decode_wav_samples(buf)
     raise NotImplementedError(
-        "full-payload decode is stdlib-supported for PNG and PCM WAV only; "
-        "JPEG/GIF/AVI pixel decode needs a codec library (PIL/ffmpeg)"
+        "full-payload decode is stdlib-supported for PNG, GIF and PCM WAV "
+        "only; JPEG/AVI pixel decode needs a codec library (PIL/ffmpeg)"
     )
 
 

@@ -15,9 +15,15 @@ standard library:
 - **WAV** (RIFF PCM): ``data`` chunk → ``numpy.frombuffer`` →
   ``(n_frames, channels)`` int array (8-bit unsigned / 16-bit /
   32-bit signed little-endian PCM).
+- **GIF** (GIF87a/89a, public spec appendix F): block-stream walk →
+  per-frame LZW sub-block concatenation → pure-Python variable-width
+  LZW decode (clear/end codes, deferred width growth, 12-bit cap,
+  KwKwK case) → palette lookup → progressive composite onto the
+  logical screen (GCE transparency honored, interlaced frames
+  de-interlaced) → ``(n_frames, h, w, 3)`` uint8 array.
 
-JPEG/GIF-LZW/AVI payload decode genuinely needs a codec library and
-stays behind the ``decode_pixels`` NotImplementedError contract.
+JPEG/AVI payload decode genuinely needs a codec library and stays
+behind the ``decode_pixels`` NotImplementedError contract.
 
 Spark integration: ``featurize_pixels`` is the same ``mapInPandas``
 shape as ``featurize_media`` — Arrow batches in, one bounded stats row
@@ -164,6 +170,197 @@ def decode_wav_samples(buf: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+#: decoded-output ceiling for one GIF payload (all frames, RGB bytes).
+#: Same contract as the PNG h*(stride+1) inflate cap: a crafted payload
+#: declaring a huge logical screen or stacking frames must raise
+#: ValueError → quarantine, never OOM the executor.
+_GIF_MAX_DECODE_BYTES = 1 << 28  # 256 MiB
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
+    """GIF-variant LZW decode (GIF89a spec appendix F): LSB-first bit
+    packing, variable code width from ``min_code_size + 1`` up to 12
+    bits, clear/end control codes, and the KwKwK (code == table size)
+    special case. Output is capped at ``expected`` pixels — the frame
+    size declared by the image descriptor — so a crafted stream cannot
+    inflate past its declaration."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF: invalid LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    codes = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                # stream ended without an end code — caller validates
+                # the output length against the declared frame size
+                return out
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            codes = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(codes):
+                raise ValueError("GIF: first LZW code out of range")
+            entry = codes[code]
+        elif code < len(codes):
+            entry = codes[code]
+            if len(codes) < 4096:
+                codes.append(prev + entry[:1])
+        elif code == len(codes) and len(codes) < 4096:
+            entry = prev + prev[:1]
+            codes.append(entry)
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("GIF: LZW output exceeds declared frame size")
+        prev = entry
+        # deferred width growth: the next code may reference the entry
+        # just added, so widen when the table reaches the current ceiling
+        if len(codes) >= (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Undo GIF 4-pass interlacing: the stream carries rows 0,8,16…,
+    then 4,12…, then 2,6…, then 1,3,5… of the frame."""
+    h = rows.shape[0]
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        n = len(range(start, h, step))
+        out[start::step] = rows[src : src + n]
+        src += n
+    return out
+
+
+def _gif_color_table(buf: bytes, pos: int, packed: int) -> tuple[np.ndarray, int]:
+    n = 2 << (packed & 0x07)
+    raw = np.frombuffer(buf[pos : pos + 3 * n], np.uint8)
+    if raw.size < 3 * n:
+        raise ValueError("GIF: truncated color table")
+    return raw.reshape(n, 3), pos + 3 * n
+
+
+def decode_gif_pixels(buf: bytes) -> np.ndarray:
+    """Full GIF87a/89a decode → uint8 array of shape (n_frames, height,
+    width, 3). Pure stdlib+numpy: block walk, per-frame LZW inflate,
+    global/local palette lookup, progressive draw-over composite onto
+    the logical screen with GCE transparency, interlace undone.
+
+    Disposal is draw-over (method 1) — frames accumulate on the canvas;
+    restore-to-background/previous disposal is approximated by the same
+    composite, which is what frame-level feature extraction needs.
+    Corruption raises ValueError (→ quarantine upstream)."""
+    if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    if w == 0 or h == 0:
+        raise ValueError("GIF: zero logical screen dimension")
+    if h * w * 3 > _GIF_MAX_DECODE_BYTES:
+        raise ValueError("GIF: logical screen exceeds decode bound")
+    gct = None
+    pos = 13
+    if buf[10] & 0x80:
+        gct, pos = _gif_color_table(buf, pos, buf[10])
+    canvas = np.zeros((h, w, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(buf):
+                raise ValueError("GIF: truncated extension")
+            label = buf[pos + 1]
+            p = pos + 2
+            if label == 0xF9 and p + 5 <= len(buf) and buf[p] == 4:
+                transparent = buf[p + 4] if buf[p + 1] & 0x01 else None
+            while p < len(buf):  # skip sub-block chain
+                size = buf[p]
+                p += 1
+                if size == 0:
+                    break
+                p += size
+            pos = p
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(buf):
+                raise ValueError("GIF: truncated image descriptor")
+            left = int.from_bytes(buf[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(buf[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
+            ipacked = buf[pos + 9]
+            pos += 10
+            if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+                raise ValueError("GIF: frame outside logical screen")
+            table = gct
+            if ipacked & 0x80:
+                table, pos = _gif_color_table(buf, pos, ipacked)
+            if table is None:
+                raise ValueError("GIF: frame has no color table")
+            if pos >= len(buf):
+                raise ValueError("GIF: missing LZW data")
+            min_code = buf[pos]
+            pos += 1
+            chunks: list[bytes] = []
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("GIF: truncated image sub-blocks")
+                size = buf[pos]
+                pos += 1
+                if size == 0:
+                    break
+                chunk = buf[pos : pos + size]
+                if len(chunk) < size:
+                    raise ValueError("GIF: truncated image sub-blocks")
+                chunks.append(chunk)
+                pos += size
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), iw * ih)
+            if len(idx) != iw * ih:
+                raise ValueError("GIF: LZW output shorter than declared frame")
+            arr = np.frombuffer(bytes(idx), np.uint8).reshape(ih, iw)
+            if int(arr.max()) >= len(table):
+                raise ValueError("GIF: pixel index outside color table")
+            if ipacked & 0x40:
+                arr = _gif_deinterlace(arr)
+            rgb = table[arr]  # (ih, iw, 3)
+            region = canvas[top : top + ih, left : left + iw]
+            if transparent is not None:
+                mask = arr != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[...] = rgb
+            if (len(frames) + 1) * h * w * 3 > _GIF_MAX_DECODE_BYTES:
+                raise ValueError("GIF: decoded frames exceed decode bound")
+            frames.append(canvas.copy())
+            transparent = None  # a GCE governs exactly one rendering block
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF: no frames")
+    return np.stack(frames)
+
+
 def decode_media(buf: bytes) -> dict:
     """Dispatch a payload to the right full decoder and reduce it to a
     bounded feature dict (the per-item output of ``featurize_pixels``)."""
@@ -176,6 +373,19 @@ def decode_media(buf: bytes) -> dict:
             "width": int(px.shape[1]),
             "height": int(px.shape[0]),
             "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
+    if len(buf) >= 6 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        px = decode_gif_pixels(buf)  # (n_frames, h, w, 3)
+        flat = px.astype(np.float64)
+        return {
+            "mime": "image/gif",
+            "kind": "image",
+            "width": int(px.shape[2]),
+            "height": int(px.shape[1]),
+            "channels": int(px.shape[3]),
             "n_samples": int(px.size),
             "mean": float(flat.mean()),
             "rms": float(np.sqrt((flat**2).mean())),
@@ -194,8 +404,8 @@ def decode_media(buf: bytes) -> dict:
             "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
         }
     raise NotImplementedError(
-        "full payload decode is stdlib-supported for PNG and PCM WAV only; "
-        "JPEG/GIF/AVI need a codec library"
+        "full payload decode is stdlib-supported for PNG, GIF and PCM WAV "
+        "only; JPEG/AVI need a codec library"
     )
 
 

@@ -56,4 +56,7 @@ def test_multiprobe_lifts_ann_recall(spark, sf_dir):
     plain = recall(T.ann_lsh_search)
     multi = recall(T.ann_lsh_search_multiprobe)
     assert multi >= plain, (multi, plain)
-    assert multi >= 0.8, f"multiprobe recall@5 {multi:.3f}"
+    # floor pinned at 0.95 (measured 0.99 on this corpus) so the
+    # recommended-for-production multiprobe path cannot silently rot
+    # back toward the 0.66 single-probe recall
+    assert multi >= 0.95, f"multiprobe recall@5 {multi:.3f}"
