@@ -49,6 +49,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Compile-time auto-broadcast OFF, runtime (AQE) auto-broadcast ON.
+        # Catalyst's static size estimates are unreliable downstream of
+        # explode/aggregate (an exploded shingle table inherits its
+        # parquet leaf's size stat): at a 100x replica the planner
+        # happily compile-time-broadcast ~1 GiB aggregate sides and
+        # crashed the driver (scripts/bench_scale.py --replicas 100
+        # caught it). AQE instead promotes a join side to broadcast from
+        # the TRUE size of its materialized shuffle stage, which cannot
+        # mis-estimate; explicit F.broadcast() hints on catalog-sized
+        # dims are unaffected by the static threshold and keep their
+        # zero-shuffle plans.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     return builder.getOrCreate()

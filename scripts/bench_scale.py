@@ -1,23 +1,27 @@
 """Scaling-trend bench: run the headline queries at sf0.1 and at a
-synthetic 10x replica ("sf1") and report the time ratios.
+synthetic Nx replica (10x -> "sf1", 100x -> "sf10") and report ratios.
 
-Usage: python scripts/bench_scale.py [--rebuild] [query ...]
+Usage: python scripts/bench_scale.py [--rebuild] [--replicas N] [query ...]
 
-The sf1 data is derived from /root/testdata/sf0.1 (never hand-rolled
+The replica data is derived from /root/testdata/sf0.1 (never hand-rolled
 distributions) by REPLICAS-fold replication with:
 
 - key offsets (doc_id/vec_id/user_id/event_id/o_orderkey/...) so keyed
   cardinalities scale linearly;
-- a per-replica character ROTATION on documents.text (translate over
-  [a-z0-9]) so near-duplicate structure is preserved WITHIN a replica
-  but cross-replica Jaccard/SimHash similarity collapses to background
-  level — a naive copy would turn every dup cluster into a 10x-larger
-  clique and make candidate volume quadratic by construction, which
-  would measure the generator, not the engine;
-- embeddings perturbed by a tiny per-replica rotation of dimensions so
-  ANN bucket occupancy scales instead of stacking identical vectors.
+- a per-replica PERMUTATION of [a-z0-9] applied to documents.text
+  (seeded ``random.Random(r)`` shuffle) so near-duplicate structure is
+  preserved WITHIN a replica but cross-replica Jaccard/SimHash
+  similarity collapses to background level. (A rotation — the 10x
+  harness's original trick — repeats every 36 replicas, which at 100x
+  would silently merge dup clusters across replicas 36 apart and
+  measure the generator, not the engine; a seeded permutation is
+  collision-free at any replica count.)
+- embeddings rotated by ``r % 64`` dimensions and NEGATED for
+  ``r >= 64`` (both norm- and cosine-structure-preserving within a
+  replica, direction-scrambling across replicas) so ANN bucket
+  occupancy scales instead of stacking identical vectors.
 
-A query passes the trend gate when t(sf1) <= 10x * t(sf0.1) * slack
+A query passes the trend gate when t(sfN) <= Nx * t(sf0.1) * slack
 (linear-ish scaling; slack covers fixed overheads and JVM variance).
 """
 
@@ -25,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -36,8 +41,9 @@ from rustcheatersdatapipeline_spark.catalog import table  # noqa: E402
 from rustcheatersdatapipeline_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata", "sf1")
-REPLICAS = 10
+BENCHDATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata"
+)
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
 
@@ -63,74 +69,89 @@ DEFAULT_QUERIES = [
     "q27",
 ]
 
+#: the 6 whales for the expensive 100x run (VERDICT r5 directive #4)
+WHALE_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_neardup",
+    "ann_lsh_search",
+    "events_sessionize",
+    "q16",
+]
 
-def _rot(r: int) -> str:
-    k = r % len(ALPHA)
-    return ALPHA[k:] + ALPHA[:k]
+
+def _perm(r: int) -> str:
+    """Deterministic per-replica permutation of ALPHA; identity at r=0."""
+    if r == 0:
+        return ALPHA
+    chars = list(ALPHA)
+    random.Random(r).shuffle(chars)
+    return "".join(chars)
 
 
-def build_sf1(spark) -> None:
-    os.makedirs(DST, exist_ok=True)
+def _dst(replicas: int) -> str:
+    return os.path.join(BENCHDATA, f"sf{replicas / 10:g}")
+
+
+def build_replica(spark, replicas: int) -> None:
+    dst = _dst(replicas)
+    os.makedirs(dst, exist_ok=True)
     for name in ("region", "nation", "supplier", "part"):
-        table(spark, SRC, name).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        table(spark, SRC, name).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     def replicate(name, offsets):
         base = table(spark, SRC, name)
         parts = []
-        for r in range(REPLICAS):
+        for r in range(replicas):
             df = base
             for col, step in offsets.items():
                 df = df.withColumn(col, (F.col(col) + F.lit(r * step)).cast("long"))
-            if name == "documents":
-                df = df.withColumn(
-                    "text",
-                    F.translate(F.col("text"), ALPHA, _rot(r)) if r else F.col("text"),
-                )
+            if name == "documents" and r:
+                df = df.withColumn("text", F.translate(F.col("text"), ALPHA, _perm(r)))
             if name == "embeddings" and r:
-                # rotate dims: slice+concat keeps norms, changes directions
-                df = df.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
-                    ),
-                )
+                rot = r % 64
+                col = F.col("embedding")
+                if rot:
+                    col = F.concat(F.slice(col, rot + 1, 64 - rot), F.slice(col, 1, rot))
+                if r >= 64:
+                    col = F.transform(col, lambda x: -x)
+                df = df.withColumn("embedding", col)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     replicate("customer", {"c_custkey": 1_000_000})
     replicate("orders", {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
-    replicate(
-        "lineitem", {"l_orderkey": 10_000_000}
-    )
+    replicate("lineitem", {"l_orderkey": 10_000_000})
     replicate("documents", {"doc_id": 1_000_000})
     replicate("embeddings", {"vec_id": 1_000_000})
     # events: ts stays (windows scale by user count), users/event ids offset
-    ev = table(spark, SRC, "events")
-    parts = []
-    for r in range(REPLICAS):
-        parts.append(
-            ev.withColumn("user_id", (F.col("user_id") + F.lit(r * 1_000_000)).cast("long"))
-            .withColumn("event_id", (F.col("event_id") + F.lit(r * 100_000_000)).cast("long"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    replicate("events", {"user_id": 1_000_000, "event_id": 100_000_000})
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    rebuild = "--rebuild" in sys.argv
-    names = args or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    replicas = 10
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        replicas = int(args[i + 1])
+        del args[i : i + 2]
+    rebuild = "--rebuild" in args
+    names = [a for a in args if not a.startswith("--")]
+    if not names:
+        names = WHALE_QUERIES if replicas >= 100 else DEFAULT_QUERIES
+
+    dst = _dst(replicas)
+    label = os.path.basename(dst)
+    slack = replicas * 1.5
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    if rebuild or not os.path.exists(f"{DST}/events.parquet"):
-        print("building sf1 replica ...", flush=True)
-        build_sf1(spark)
+    if rebuild or not os.path.exists(f"{dst}/events.parquet"):
+        print(f"building {label} replica ({replicas}x) ...", flush=True)
+        build_replica(spark, replicas)
 
     import __spark_entry__ as entry
 
@@ -139,17 +160,26 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         times = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        for lab, sf_dir in (("sf0.1", SRC), (label, dst)):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            times[label] = round(time.time() - t0, 2)
-            times[f"rows_{label}"] = n
-        ratio = times["sf1"] / max(times["sf0.1"], 0.01)
-        results[name] = {**times, "ratio": round(ratio, 1), "linear_ok": ratio <= 15.0}
+            times[lab] = round(time.time() - t0, 2)
+            times[f"rows_{lab}"] = n
+        ratio = times[label] / max(times["sf0.1"], 0.01)
+        results[name] = {**times, "ratio": round(ratio, 1), "linear_ok": ratio <= slack}
         print(name, "->", json.dumps(results[name]), flush=True)
 
     bad = [k for k, v in results.items() if not v["linear_ok"]]
-    print(json.dumps({"metric": "scale_trend", "queries": results, "superlinear": bad}))
+    print(
+        json.dumps(
+            {
+                "metric": "scale_trend",
+                "replicas": replicas,
+                "queries": results,
+                "superlinear": bad,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

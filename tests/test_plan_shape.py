@@ -29,9 +29,21 @@ def test_filter_pushed_to_parquet(spark, sf_dir):
 
 
 def test_multiway_join_broadcasts_dims(spark, sf_dir):
-    p = _plan(Q.q15(spark, sf_dir))
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p  # dims must never sort-merge
+    """The hinted (bounded) dim broadcasts at COMPILE time; the
+    population-scaled customer side must NOT be compile-time-broadcast
+    (static estimates lie downstream of explode/agg — the 100x gate
+    crashed on exactly that), but AQE must promote it to broadcast at
+    RUNTIME while it genuinely fits."""
+    df = Q.q15(spark, sf_dir)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p  # nation hint honored statically
+    df.collect()  # materialize THIS plan → AQE finalizes from true sizes
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in s
+    # toString() prints "== Final Plan ==" then "== Initial Plan ==";
+    # the initial section legitimately contains the static SMJ
+    final = s.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final  # customer promoted at runtime
 
 
 def test_groupby_partial_aggregates(spark, sf_dir):
