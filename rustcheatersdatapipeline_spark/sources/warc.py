@@ -1,0 +1,316 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the Common Crawl shape.
+
+Web-crawl corpora — the bulk of any 100 TB pretraining mix — ship as
+``.warc`` / ``.warc.gz`` files: a stream of versioned records
+(``WARC/1.0`` header block, ``Content-Length``-framed payload), where
+``response`` records carry a full HTTP message whose body is the
+fetched page. This module lands them as an analyzable DataFrame and
+distills ``text/html`` responses into the engine's documents-table
+shape so the whole dedup/quality/LSH stack applies unchanged.
+
+No new parser framework: the same bronze discipline as the JSONL and
+Steam sources (pinned schema, corrupt input QUARANTINED with a reason,
+never a task failure — SURVEY.md §1.4; reference parallel:
+``dags/custom_operators`` land-raw-then-flatten flow).
+
+100 TB design notes:
+
+- **Partitioning**: a ``.warc.gz`` is not block-splittable (gzip), so
+  the unit of parallelism is the FILE — exactly how Common Crawl is
+  laid out (~1 GB × ~80k files per dump), which saturates any executor
+  fleet. ``binaryFile`` hands each task whole files; tasks stream
+  records out of the buffer without materializing more than the
+  per-file bytes Spark already read.
+- **Payloads stay opaque binary** + typed metadata (the multimodal
+  column discipline): HTML→text is a SEPARATE vectorized step
+  (``warc_to_documents``), so non-HTML payloads (images, PDFs) remain
+  available to other featurizers rather than being dropped at parse
+  time.
+- **Corruption is data, not failure**: a torn record quarantines that
+  span and the parser resyncs on the next ``WARC/`` magic, so one bad
+  byte never discards the remaining gigabyte of a crawl file.
+
+Pure stdlib: ``gzip`` for multi-member decompression,
+``html.parser.HTMLParser`` for text extraction.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "warc_file string, record_offset bigint, record_id string, warc_type string, "
+    "target_uri string, warc_date string, http_status int, mime string, "
+    "payload binary, n_bytes bigint, corrupt_reason string"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_header_block(block: bytes) -> tuple[str, dict[str, str]] | None:
+    """(version, {lower-name: value}) from a WARC header block, or None
+    if the version line is not a WARC magic."""
+    lines = block.split(b"\r\n")
+    version = lines[0].decode("ascii", "replace").strip()
+    if not version.startswith("WARC/"):
+        return None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, sep, value = line.partition(b":")
+        if sep:
+            headers[name.decode("ascii", "replace").strip().lower()] = value.decode(
+                "utf-8", "replace"
+            ).strip()
+    return version, headers
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an ``application/http`` payload."""
+    head, sep, body = payload.partition(_CRLF2)
+    if not sep:
+        return None, None, payload
+    lines = head.split(b"\r\n")
+    status = None
+    first = lines[0].split()
+    if len(first) >= 2 and first[0].startswith(b"HTTP/"):
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    ctype = None
+    for line in lines[1:]:
+        name, s, value = line.partition(b":")
+        if s and name.decode("ascii", "replace").strip().lower() == "content-type":
+            ctype = value.decode("utf-8", "replace").strip()
+    return status, ctype, body
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress ALL gzip members (Common Crawl gzips per record, so a
+    file is a concatenation of members; GzipFile reads across them)."""
+    return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+
+
+def parse_warc_bytes(warc_file: str, buf: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record (or quarantined span) in ``buf``.
+
+    Good rows have ``corrupt_reason`` None; quarantine rows carry the
+    reason and the offending span's offset, with all parse fields NULL.
+    After any malformed region the parser RESYNCS at the next ``WARC/``
+    magic — a torn record costs its own bytes, nothing downstream.
+    """
+    if buf[:2] == b"\x1f\x8b":
+        try:
+            buf = _gunzip_members(buf)
+        except (OSError, EOFError) as exc:
+            yield _quarantine(warc_file, 0, f"gzip: {exc}")
+            return
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = buf.find(b"WARC/", pos)
+        if start == -1:
+            if buf[pos:].strip():
+                yield _quarantine(warc_file, pos, "trailing bytes with no WARC magic")
+            return
+        if buf[pos:start].strip():
+            yield _quarantine(warc_file, pos, "garbage between records")
+        hdr_end = buf.find(_CRLF2, start)
+        if hdr_end == -1:
+            yield _quarantine(warc_file, start, "truncated header block")
+            return
+        parsed = _parse_header_block(buf[start:hdr_end])
+        if parsed is None:
+            yield _quarantine(warc_file, start, "bad WARC version line")
+            pos = start + 5
+            continue
+        _, headers = parsed
+        try:
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError(length)
+        except (KeyError, ValueError):
+            yield _quarantine(warc_file, start, "missing/invalid Content-Length")
+            pos = start + 5
+            continue
+        body_start = hdr_end + len(_CRLF2)
+        payload = buf[body_start : body_start + length]
+        if len(payload) < length:
+            yield _quarantine(warc_file, start, "payload truncated at EOF")
+            return
+        pos = body_start + length
+        status, ctype, body = None, headers.get("content-type"), payload
+        if ctype and ctype.split(";")[0].strip() == "application/http":
+            status, ctype, body = _split_http(payload)
+        yield {
+            "warc_file": warc_file,
+            "record_offset": start,
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "http_status": status,
+            "mime": ctype,
+            "payload": body,
+            "n_bytes": len(body),
+            "corrupt_reason": None,
+        }
+
+
+def _quarantine(warc_file: str, offset: int, reason: str) -> dict:
+    return {
+        "warc_file": warc_file,
+        "record_offset": offset,
+        "record_id": None,
+        "warc_type": None,
+        "target_uri": None,
+        "warc_date": None,
+        "http_status": None,
+        "mime": None,
+        "payload": None,
+        "n_bytes": None,
+        "corrupt_reason": reason,
+    }
+
+
+_COLUMNS = [
+    "warc_file",
+    "record_offset",
+    "record_id",
+    "warc_type",
+    "target_uri",
+    "warc_date",
+    "http_status",
+    "mime",
+    "payload",
+    "n_bytes",
+    "corrupt_reason",
+]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """All WARC records under ``path`` (``.warc`` or ``.warc.gz``) as one
+    DataFrame in ``WARC_SCHEMA``; quarantine rows are inline with
+    ``corrupt_reason`` set (split with ``split_warc`` — kept as one
+    frame so the expensive parse is not run once per branch)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(p, bytes(content)))
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def split_warc(warc: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) views over a ``read_warc`` frame."""
+    return (
+        warc.filter(F.col("corrupt_reason").isNull()).drop("corrupt_reason"),
+        warc.filter(F.col("corrupt_reason").isNotNull()).select(
+            "warc_file", "record_offset", "corrupt_reason"
+        ),
+    )
+
+
+class _TextExtractor(HTMLParser):
+    """Visible-text extraction: drops script/style/template subtrees,
+    decodes entities (``convert_charrefs``), separates text at
+    block-level tag boundaries (so ``<title>T</title><h1>H`` yields
+    "T H", while inline ``wel<b>c</b>ome`` stays one word)."""
+
+    _SKIP = frozenset({"script", "style", "noscript", "template"})
+    _BLOCK = frozenset(
+        "p div br hr h1 h2 h3 h4 h5 h6 li ul ol dl dt dd tr td th table thead "
+        "tbody caption title head body html section article aside header footer "
+        "nav main blockquote pre form fieldset figure figcaption address".split()
+    )
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self.chunks: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag in self._BLOCK:
+            self.chunks.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP:
+            if self._skip_depth:
+                self._skip_depth -= 1
+        elif tag in self._BLOCK:
+            self.chunks.append(" ")
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth:
+            self.chunks.append(data)
+
+
+def _charset_of(mime: str | None) -> str:
+    for part in (mime or "").split(";")[1:]:
+        name, sep, value = part.partition("=")
+        if sep and name.strip().lower() == "charset":
+            return value.strip().strip('"').lower() or "utf-8"
+    return "utf-8"
+
+
+def html_payload_to_text(payload: bytes, mime: str | None) -> str:
+    """Decode (charset from the Content-Type, utf-8 fallback, bad bytes
+    replaced — never raised) and extract whitespace-collapsed visible
+    text. Total on arbitrary bytes: HTMLParser never raises on garbage."""
+    try:
+        html = payload.decode(_charset_of(mime), errors="replace")
+    except LookupError:
+        html = payload.decode("utf-8", errors="replace")
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return " ".join("".join(parser.chunks).split())
+
+
+def warc_to_documents(warc: DataFrame) -> DataFrame:
+    """Distill 200-OK ``text/html`` responses into the documents-table
+    shape (doc_id, text, lang, source, n_chars) feeding the corpus
+    operators (dedup/quality/LSH) unchanged.
+
+    The only Python step is the HTML parse itself (no JVM equivalent) —
+    Arrow-batched ``pandas_udf``, one string in / one string out; the
+    filter and every derived column are codegen. ``doc_id`` is a
+    content-independent stable identity (xxhash64 of record id + uri) so
+    re-landing the same crawl is idempotent under the warehouse's
+    insert-if-absent discipline."""
+
+    @F.pandas_udf("string")
+    def _extract(payload: pd.Series, mime: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                html_payload_to_text(bytes(p) if p is not None else b"", m)
+                for p, m in zip(payload, mime)
+            ]
+        )
+
+    resp = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("mime").startswith("text/html")
+    )
+    return resp.select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        _extract("payload", "mime").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("target_uri").alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
