@@ -1,0 +1,332 @@
+"""Baseline JPEG (ITU-T T.81) full-frame decode — pure numpy + stdlib.
+
+Round 5 left JPEG behind a ``NotImplementedError`` ("needs a codec
+library"); this module removes that boundary for the format's dominant
+variant. Supported: **baseline sequential DCT (SOF0)**, 8-bit samples,
+grayscale or 3-component YCbCr with the common sampling layouts
+(4:4:4, 4:2:2, 4:2:0 — any integer factors dividing the max), restart
+intervals, multi-table DQT/DHT segments. Out of scope — each raises
+``NotImplementedError`` with the exact variant named (quarantined
+upstream, never a task failure): progressive (SOF2), extended/
+hierarchical/lossless modes, arithmetic coding, 12-bit precision,
+16-bit quantizer tables.
+
+Decode path per ECS segment: Huffman-decode (canonical tables from the
+DHT BITS/HUFFVAL lists) → DC-predict + amplitude-extend → de-zigzag →
+dequantize → 8×8 IDCT as two matrix products with the orthonormal
+DCT-II basis (numpy, vectorizable) → level shift → per-component plane
+assembly → chroma upsample (integer repeat) → YCbCr→RGB (the JFIF
+fixed-point-free float transform).
+
+Spark integration: this is a payload decoder behind
+``pixels.decode_media`` / ``featurize_pixels`` — an Arrow-boundary
+step over ``mapInPandas`` batches, same contract as PNG/GIF/WAV. At
+100 TB the decoded tensors are transient per-batch state feeding
+bounded feature rows; nothing here re-materializes pixels.
+
+The Huffman bit loop is plain Python: payload decode is already the
+declared Python boundary of the multimodal path, and per-image cost is
+bounded by the same decode-size guard as GIF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: zigzag scan order (T.81 figure 5): index = scan position, value =
+#: position in the 8x8 block (row-major)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: decoded-output ceiling (same contract as the PNG/GIF bomb guards)
+_JPEG_MAX_DECODE_BYTES = 1 << 28
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: C[u, x] = a(u) cos((2x+1)uπ/16)."""
+    x = np.arange(8)
+    u = x.reshape(8, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * 0.5
+    c[0] *= 1 / np.sqrt(2)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _idct2(coeff: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT of one 8x8 coefficient block (spatial = Cᵀ·F·C)."""
+    return _C.T @ coeff @ _C
+
+
+def build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """{(code_length, code): symbol} from the DHT BITS/HUFFVAL lists —
+    canonical code assignment per T.81 annex C."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an (already unstuffed) ECS segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit cursor
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("JPEG: truncated entropy-coded segment")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Amplitude extension (T.81 F.2.2.1): map the s received bits to
+    the signed coefficient value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(
+    rd: _BitReader,
+    dc_tbl: dict,
+    ac_tbl: dict,
+    pred: int,
+    qt: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int64)
+    s = rd.decode(dc_tbl)
+    if s > 11:
+        raise ValueError("JPEG: DC category out of range")
+    pred += _extend(rd.bits(s), s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = rd.decode(ac_tbl)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC run past end of block")
+        zz[k] = _extend(rd.bits(size), size)
+        k += 1
+    coeff = np.zeros(64, np.float64)
+    coeff[ZIGZAG] = zz * qt
+    return _idct2(coeff.reshape(8, 8)), pred
+
+
+def _unstuff(ecs: bytes) -> bytes:
+    return ecs.replace(b"\xff\x00", b"\xff")
+
+
+def _split_scan(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """ECS bytes from ``pos`` split at restart markers; returns the
+    unstuffed segments and the offset of the terminating marker."""
+    segments: list[bytes] = []
+    start = pos
+    i = pos
+    n = len(buf)
+    while i < n - 1:
+        if buf[i] == 0xFF and buf[i + 1] != 0x00:
+            m = buf[i + 1]
+            if 0xD0 <= m <= 0xD7:  # restart marker — segment boundary
+                segments.append(_unstuff(buf[start:i]))
+                i += 2
+                start = i
+                continue
+            segments.append(_unstuff(buf[start:i]))
+            return segments, i
+        i += 1
+    segments.append(_unstuff(buf[start:]))
+    return segments, n
+
+
+def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
+    """Full baseline-JPEG decode → uint8 array of shape (h, w, 1) for
+    grayscale or (h, w, 3) RGB. Corruption raises ValueError; spec
+    features beyond baseline raise NotImplementedError (both quarantined
+    by ``featurize_pixels``, never a task failure)."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG: marker desync")
+        marker = buf[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("JPEG: EOI before SOS")
+        seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError("JPEG: truncated segment")
+        body = buf[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quantizer tables")
+                if i + 65 > len(body):
+                    raise ValueError("JPEG: truncated DQT")
+                qts[tq] = np.frombuffer(body[i + 1 : i + 65], np.uint8).astype(
+                    np.int64
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                if i + 17 > len(body):
+                    raise ValueError("JPEG: truncated DHT")
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = body[i + 17 : i + 17 + cnt]
+                if len(vals) < cnt:
+                    raise ValueError("JPEG: truncated DHT values")
+                huff[(tc, th)] = build_huffman(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("JPEG: truncated SOF0")
+            prec, h, w = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big")
+            if prec != 8:
+                raise NotImplementedError(f"JPEG: {prec}-bit precision")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG: {nc}-component frame")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG: truncated SOF0 components")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("JPEG: only baseline SOF0 supported")
+        elif marker == 0xCC:
+            raise NotImplementedError("JPEG: arithmetic coding")
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            if not body:
+                raise ValueError("JPEG: truncated SOS")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("JPEG: truncated SOS components")
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            segments, _ = _split_scan(buf, pos + 2 + seg_len)
+            return _decode_scan(frame, scan, qts, huff, restart, segments)
+        pos += 2 + seg_len
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(frame, scan, qts, huff, restart, segments) -> np.ndarray:
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("JPEG: zero frame dimension")
+    if h * w * 3 > _JPEG_MAX_DECODE_BYTES:
+        raise ValueError("JPEG: frame exceeds decode bound")
+    if len(scan) != len(comps):
+        raise NotImplementedError("JPEG: non-interleaved multi-scan")
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    max_h = max(hi for _, hi, _, _ in comps)
+    max_v = max(vi for _, _, vi, _ in comps)
+    for _, hi, vi, _ in comps:
+        if hi < 1 or vi < 1 or max_h % hi or max_v % vi:
+            raise NotImplementedError("JPEG: non-integer sampling ratio")
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    planes: dict[int, np.ndarray] = {}
+    meta = []  # (cid, hi, vi, qt, dc_tbl, ac_tbl)
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            raise ValueError("JPEG: scan references unknown component")
+        hi, vi, tq = by_id[cid]
+        try:
+            qt, dc, ac = qts[tq], huff[(0, td)], huff[(1, ta)]
+        except KeyError:
+            raise ValueError("JPEG: missing quantizer/Huffman table") from None
+        planes[cid] = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
+        meta.append((cid, hi, vi, qt, dc, ac))
+
+    seg_iter = iter(segments)
+    rd = _BitReader(next(seg_iter))
+    preds = {cid: 0 for cid, *_ in meta}
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                try:
+                    rd = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("JPEG: missing restart segment") from None
+                preds = {cid: 0 for cid in preds}
+            for cid, hi, vi, qt, dc, ac in meta:
+                for v in range(vi):
+                    for hh in range(hi):
+                        block, preds[cid] = _decode_block(rd, dc, ac, preds[cid], qt)
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hh) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+
+    full = []
+    for cid, hi, vi, _, _, _ in meta:
+        p = planes[cid]
+        if hi != max_h or vi != max_v:
+            p = np.repeat(np.repeat(p, max_v // vi, axis=0), max_h // hi, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)

@@ -252,26 +252,32 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
 
 
 def decode_pixels(buf: bytes):
-    """Full pixel/sample decode. PNG, GIF and PCM WAV decode with
-    nothing but the stdlib (functions/pixels.py: zlib inflate +
-    scanline unfiltering; pure-Python GIF-LZW + palette composite;
-    RIFF data chunk + frombuffer); formats that genuinely need a codec
-    library (JPEG/AVI) raise NotImplementedError.
+    """Full pixel/sample decode. PNG, GIF, baseline JPEG and PCM WAV
+    decode with nothing but stdlib+numpy (functions/pixels.py: zlib
+    inflate + scanline unfiltering; pure-Python GIF-LZW + palette
+    composite; functions/jpeg.py: Huffman + dequant + matrix IDCT;
+    RIFF data chunk + frombuffer); the one format that genuinely needs
+    a codec library (AVI frame payloads) — and the non-baseline JPEG
+    modes (progressive/arithmetic/12-bit) — raise NotImplementedError.
 
-    Returns the raw array: (h, w, channels) uint8 for PNG, (n_frames,
-    h, w, 3) uint8 for GIF, ((n_frames, channels), rate) for WAV. The
-    bounded-feature production path is ``pixels.featurize_pixels``."""
+    Returns the raw array: (h, w, channels) uint8 for PNG/JPEG,
+    (n_frames, h, w, 3) uint8 for GIF, ((n_frames, channels), rate)
+    for WAV. The bounded-feature production path is
+    ``pixels.featurize_pixels``."""
+    from .jpeg import decode_jpeg_pixels
     from .pixels import decode_gif_pixels, decode_png_pixels, decode_wav_samples
 
     if buf[:8] == _PNG_SIGNATURE:
         return decode_png_pixels(buf)
     if len(buf) >= 6 and buf[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(buf)
+    if len(buf) >= 2 and buf[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(buf)
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return decode_wav_samples(buf)
     raise NotImplementedError(
-        "full-payload decode is stdlib-supported for PNG, GIF and PCM WAV "
-        "only; JPEG/AVI pixel decode needs a codec library (PIL/ffmpeg)"
+        "full-payload decode is stdlib-supported for PNG, GIF, baseline "
+        "JPEG and PCM WAV; AVI frame decode needs a codec library (ffmpeg)"
     )
 
 

@@ -390,6 +390,21 @@ def decode_media(buf: bytes) -> dict:
             "mean": float(flat.mean()),
             "rms": float(np.sqrt((flat**2).mean())),
         }
+    if len(buf) >= 2 and buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(buf)  # (h, w, 1|3)
+        flat = px.astype(np.float64)
+        return {
+            "mime": "image/jpeg",
+            "kind": "image",
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         samples, rate = decode_wav_samples(buf)
         flat = samples.astype(np.float64)
@@ -404,8 +419,8 @@ def decode_media(buf: bytes) -> dict:
             "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
         }
     raise NotImplementedError(
-        "full payload decode is stdlib-supported for PNG, GIF and PCM WAV "
-        "only; JPEG/AVI need a codec library"
+        "full payload decode is stdlib-supported for PNG, GIF, baseline "
+        "JPEG and PCM WAV only; AVI frames need a codec library"
     )
 
 

@@ -1,0 +1,383 @@
+"""Baseline JPEG payload decode (functions/jpeg.py).
+
+The oracle is a test-side baseline-JPEG ENCODER (forward DCT →
+quantize → zigzag → DC-diff + AC run-length → canonical Huffman →
+byte stuffing → marker stream). Because JPEG is lossy, the assertion
+is NOT decode(encode(img)) == img: the test replays the encoder's OWN
+quantized coefficients through an independently-written dequantize +
+IDCT + color transform and requires the decoder to match that expected
+image to within 1 gray level (float associativity can flip a rounding
+tie; ≥99% of samples must match exactly).
+
+The Huffman tables are custom canonical tables (12 DC symbols at one
+length, all 176 possible AC run/size symbols at one length) — T.81
+allows ANY valid DHT, so the decoder must not assume the Annex K
+defaults; the canonical code-assignment algorithm itself is pinned
+against the published Annex K DC-luminance codes."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rustcheatersdatapipeline_spark.functions.jpeg import (
+    ZIGZAG,
+    build_huffman,
+    decode_jpeg_pixels,
+)
+
+# ---------------------------------------------------------------- encoder
+
+#: Annex K table K.1 (luminance), zigzag order — public spec data
+QT_LUMA = np.array(
+    [
+        16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+        26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+        56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+        95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+        103, 99,
+    ],
+    np.int64,
+)
+#: flat chroma table (valid per spec; keeps chroma error small)
+QT_CHROMA = np.full(64, 17, np.int64)
+
+#: custom canonical DHT: 12 DC categories at length 4; all 176 AC
+#: run/size symbols (r 0..15 × s 0..10) at length 9
+DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = bytes(range(12))
+AC_VALS = bytes((r << 4) | s for r in range(16) for s in range(11))
+AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(AC_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+
+def _codes(bits, vals):
+    """symbol -> (length, code), by inverting the canonical builder."""
+    return {sym: lc for lc, sym in build_huffman(bits, vals).items()}
+
+
+DC_CODES = _codes(DC_BITS, DC_VALS)
+AC_CODES = _codes(AC_BITS, AC_VALS)
+
+
+def _dct_basis():
+    x = np.arange(8)
+    u = x.reshape(8, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * 0.5
+    c[0] *= 1 / np.sqrt(2)
+    return c
+
+
+class BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def to_bytes(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1))
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf).replace(b"\xff", b"\xff\x00")
+
+
+def _cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(w: BitWriter, zzq: np.ndarray, pred: int) -> int:
+    diff = int(zzq[0]) - pred
+    s = _cat(diff)
+    ln, code = DC_CODES[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zzq[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = AC_CODES[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        ln, code = AC_CODES[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ln, code = AC_CODES[0x00]  # EOB
+        w.write(code, ln)
+    return int(zzq[0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _quantize_plane(plane: np.ndarray, qt_zz: np.ndarray) -> list[np.ndarray]:
+    """Per 8x8 block: forward DCT → quantize → zigzag. Returns blocks in
+    row-major block order for this plane."""
+    C = _dct_basis()
+    qnat = np.empty(64, np.int64)
+    qnat[ZIGZAG] = qt_zz
+    h, w = plane.shape
+    out = []
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            f = C @ (plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ C.T
+            q = np.round(f.reshape(64) / qnat).astype(np.int64)
+            out.append(q[ZIGZAG])
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray, subsample: tuple[int, int] = (1, 1), restart: int = 0
+) -> tuple[bytes, np.ndarray]:
+    """(jpeg bytes, expected decode) for a (h, w) gray or (h, w, 3) RGB
+    uint8 image. ``subsample`` is the chroma downsample factor (x, y):
+    (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0. The expected image replays
+    the quantized coefficients through an independent IDCT."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    sx, sy = (1, 1) if gray else subsample
+    mcu_w, mcu_h = 8 * sx, 8 * sy
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        padded = [np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w)), "edge")]
+        qts = [QT_LUMA]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.pad(p, ((0, ph - h), (0, pw - w)), "edge") for p in (y, cb, cr)]
+        # box-average chroma downsample
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        comps = [(1, sx, sy, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        padded = planes
+        qts = [QT_LUMA, QT_CHROMA, QT_CHROMA]
+
+    blocks = [_quantize_plane(p, qt) for p, qt in zip(padded, qts)]
+
+    # ---- expected decode (independent dequant + IDCT via einsum) ----
+    C = _dct_basis()
+    recon = []
+    for bl, qt, p in zip(blocks, qts, padded):
+        qnat = np.empty(64, np.int64)
+        qnat[ZIGZAG] = qt
+        ch, cw = p.shape
+        plane = np.empty((ch, cw))
+        i = 0
+        for y0 in range(0, ch, 8):
+            for x0 in range(0, cw, 8):
+                fnat = np.zeros(64)
+                fnat[ZIGZAG] = bl[i]
+                fq = (fnat * qnat).reshape(8, 8)
+                plane[y0 : y0 + 8, x0 : x0 + 8] = np.einsum(
+                    "ux,uv,vy->xy", C, fq, C
+                )
+                i += 1
+        recon.append(plane + 128.0)
+    if gray:
+        expected = np.clip(np.round(recon[0][:h, :w]), 0, 255).astype(np.uint8)[..., None]
+    else:
+        yy = recon[0][:h, :w]
+        cbf = np.repeat(np.repeat(recon[1], sy, axis=0), sx, axis=1)[:h, :w]
+        crf = np.repeat(np.repeat(recon[2], sy, axis=0), sx, axis=1)[:h, :w]
+        rr = yy + 1.402 * (crf - 128.0)
+        gg = yy - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+        bb = yy + 1.772 * (cbf - 128.0)
+        expected = np.clip(np.round(np.stack([rr, gg, bb], -1)), 0, 255).astype(np.uint8)
+
+    # ---- entropy-coded segments in MCU interleave order ----
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x, mcus_y = pw // (8 * max_h), ph // (8 * max_v)
+    bw = {c[0]: pw * c[1] // max_h // 8 for c in comps}  # blocks per row
+    order = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, hi, vi, _) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        order.append((ci, (my * vi + v) * bw[cid] + mx * hi + hh))
+    segments = []
+    wtr = BitWriter()
+    preds = [0] * len(comps)
+    for i, (ci, bi) in enumerate(order):
+        per_mcu = sum(c[1] * c[2] for c in comps)
+        if restart and i and i % (restart * per_mcu) == 0:
+            segments.append(wtr.to_bytes())
+            wtr = BitWriter()
+            preds = [0] * len(comps)
+        preds[ci] = _encode_block(wtr, blocks[ci][bi], preds[ci])
+    segments.append(wtr.to_bytes())
+    ecs = segments[0]
+    for i, s in enumerate(segments[1:]):
+        ecs += bytes([0xFF, 0xD0 + (i % 8)]) + s
+
+    # ---- marker stream ----
+    out = b"\xff\xd8"
+    dqt = bytes([0x00]) + bytes(QT_LUMA.tolist())
+    if not gray:
+        dqt += bytes([0x01]) + bytes(QT_CHROMA.tolist())
+    out += _seg(0xDB, dqt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xC0, sof)
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + DC_VALS + bytes([0x10]) + bytes(AC_BITS) + AC_VALS
+    )
+    if not gray:
+        dht += (
+            bytes([0x01]) + bytes(DC_BITS) + DC_VALS
+            + bytes([0x11]) + bytes(AC_BITS) + AC_VALS
+        )
+    out += _seg(0xC4, dht)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for i, (cid, *_rest) in enumerate(comps):
+        t = 0 if i == 0 else 1
+        if gray:
+            t = 0
+        sos += bytes([cid, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos) + ecs + b"\xff\xd9"
+    return out, expected
+
+
+def _assert_close(px: np.ndarray, expected: np.ndarray) -> None:
+    assert px.shape == expected.shape
+    diff = np.abs(px.astype(np.int64) - expected.astype(np.int64))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert (diff == 0).mean() >= 0.99
+
+
+# ---------------------------------------------------------------- tests
+
+
+def test_canonical_huffman_matches_annex_k_dc_codes():
+    """Pin the canonical code-assignment against the PUBLISHED Annex K
+    DC-luminance codes (00, 010..110, 1110, 11110, ...)."""
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    t = build_huffman(bits, bytes(range(12)))
+    assert t[(2, 0b00)] == 0
+    assert t[(3, 0b010)] == 1 and t[(3, 0b110)] == 5
+    assert t[(4, 0b1110)] == 6
+    assert t[(5, 0b11110)] == 7
+    assert t[(9, 0b111111110)] == 11
+
+
+def test_gray_constant_exact():
+    img = np.full((16, 16), 200, np.uint8)
+    buf, expected = encode_jpeg(img)
+    px = decode_jpeg_pixels(buf)
+    _assert_close(px, expected)
+    # constant image survives the lossy path exactly (DC-only)
+    assert int(px.mean()) in (199, 200, 201)
+
+
+def test_gray_random_roundtrip():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    buf, expected = encode_jpeg(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_color_444_roundtrip():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg(img, subsample=(1, 1))
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_color_420_odd_dims_roundtrip():
+    """4:2:0 with non-multiple-of-16 dims: pad/crop + chroma upsample."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (19, 13, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg(img, subsample=(2, 2))
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_color_422_roundtrip():
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg(img, subsample=(2, 1))
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_restart_intervals():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    buf, expected = encode_jpeg(img, restart=2)
+    assert b"\xff\xd0" in buf  # RST0 really present
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_smooth_image_close_to_original():
+    """End-to-end sanity: on a smooth gradient the lossy error vs the
+    ORIGINAL stays small (the quantizer only bites on high frequency)."""
+    y, x = np.mgrid[0:32, 0:32]
+    img = ((x + y) * 3).astype(np.uint8)
+    buf, _ = encode_jpeg(img)
+    px = decode_jpeg_pixels(buf)[..., 0]
+    assert np.abs(px.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_progressive_and_16bit_dqt_named_unsupported():
+    img = np.zeros((8, 8), np.uint8)
+    buf, _ = encode_jpeg(img)
+    prog = buf.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_pixels(prog)
+    # flip the DQT Pq nibble to 16-bit
+    i = buf.index(b"\xff\xdb") + 4
+    bad = buf[:i] + bytes([0x10]) + buf[i + 1 :]
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg_pixels(bad)
+
+
+def test_header_dims_agree_with_full_decode():
+    from rustcheatersdatapipeline_spark.functions.multimodal import parse_jpeg_header
+
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (21, 35, 3)).astype(np.uint8)
+    buf, _ = encode_jpeg(img, subsample=(2, 2))
+    assert parse_jpeg_header(buf) == (35, 21)
+    assert decode_jpeg_pixels(buf).shape == (21, 35, 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 300), st.integers(0, 255))
+def test_corrupt_jpeg_totality(pos_seed, byte):
+    """Mutating any byte after the SOI either still decodes or raises
+    ValueError/NotImplementedError — never another exception or a hang
+    (same totality contract as the PNG/GIF fuzz suites)."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+    base, _ = encode_jpeg(img)
+    buf = bytearray(base)
+    buf[2 + (pos_seed % (len(buf) - 2))] = byte
+    try:
+        decode_jpeg_pixels(bytes(buf))
+    except (ValueError, NotImplementedError):
+        pass
