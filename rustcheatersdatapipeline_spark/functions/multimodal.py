@@ -261,9 +261,10 @@ def decode_pixels(buf: bytes):
     modes (progressive/arithmetic/12-bit) — raise NotImplementedError.
 
     Returns the raw array: (h, w, channels) uint8 for PNG/JPEG,
-    (n_frames, h, w, 3) uint8 for GIF, ((n_frames, channels), rate)
-    for WAV. The bounded-feature production path is
+    (n_frames, h, w, 3) uint8 for GIF/AVI, ((n_frames, channels),
+    rate) for WAV. The bounded-feature production path is
     ``pixels.featurize_pixels``."""
+    from .avi import decode_avi_frames
     from .jpeg import decode_jpeg_pixels
     from .pixels import decode_gif_pixels, decode_png_pixels, decode_wav_samples
 
@@ -275,9 +276,12 @@ def decode_pixels(buf: bytes):
         return decode_jpeg_pixels(buf)
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return decode_wav_samples(buf)
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return decode_avi_frames(buf)
     raise NotImplementedError(
-        "full-payload decode is stdlib-supported for PNG, GIF, baseline "
-        "JPEG and PCM WAV; AVI frame decode needs a codec library (ffmpeg)"
+        "payload decode is stdlib-supported for PNG, GIF, baseline JPEG, "
+        "PCM WAV and MJPEG/raw-DIB AVI; other codecs (H.264, MPEG-4, "
+        "progressive JPEG, ...) need a codec library"
     )
 
 

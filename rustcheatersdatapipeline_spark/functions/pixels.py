@@ -418,9 +418,24 @@ def decode_media(buf: bytes) -> dict:
             "mean": float(flat.mean()) if samples.size else 0.0,
             "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
         }
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from .avi import decode_avi_frames
+
+        px = decode_avi_frames(buf)  # (n_frames, h, w, 3)
+        flat = px.astype(np.float64)
+        return {
+            "mime": "video/x-msvideo",
+            "kind": "video",
+            "width": int(px.shape[2]),
+            "height": int(px.shape[1]),
+            "channels": int(px.shape[3]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
     raise NotImplementedError(
-        "full payload decode is stdlib-supported for PNG, GIF, baseline "
-        "JPEG and PCM WAV only; AVI frames need a codec library"
+        "payload decode is stdlib-supported for PNG, GIF, baseline JPEG, "
+        "PCM WAV and MJPEG/raw-DIB AVI; other codecs need a codec library"
     )
 
 

@@ -348,26 +348,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
     barring a ~1e-9 collision that the oracle compare would catch.
     """
     docs = table(spark, sf_dir, "documents")
-    # sh feeds four subtrees (df, sizes, prefix, verification) — cache it
-    # so the explode+distinct shuffle runs once, not four times
+    # sh feeds three subtrees (df, prefix, verification) — cache it
+    # so the explode+distinct shuffle runs once, not three times
     k = choose_shingle_k(spark, sf_dir)
     sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
-    # no hints: dfreq scales with the shingle vocabulary and sz with the
-    # corpus — AQE broadcasts them while they fit (the test-scale case)
-    # and shuffle-joins beyond, same policy as _jaccard_verify
+    # per-doc set size as a window count over the SAME partition key as
+    # the row_number — both windows share one doc_id shuffle, replacing
+    # the former groupBy("doc_id")+join (one aggregate exchange and one
+    # join fewer; results identical since shingles are distinct per doc)
+    wn = Window.partitionBy("doc_id")
+    # no hint on dfreq: it scales with the shingle vocabulary — AQE
+    # broadcasts it while it fits (the test-scale case) and
+    # shuffle-joins beyond, same policy as _jaccard_verify
     prefix = (
         sh.join(dfreq, "g")
-        .join(sz, "doc_id")
         .select(
             "doc_id",
             "g",
-            "n",
+            F.count(F.lit(1)).over(wn).alias("n"),
             F.row_number().over(w).alias("rn"),
-            (F.col("n") - F.expr("(8 * n + 9) div 10") + 1).alias("plen"),
         )
+        .withColumn("plen", F.col("n") - F.expr("(8 * n + 9) div 10") + 1)
         .filter(F.col("rn") <= F.col("plen"))
         .select("doc_id", "g", "n", "rn")
     )
@@ -423,18 +426,20 @@ def dedup_containment(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     k = choose_shingle_k(spark, sf_dir)
     sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # same single-shuffle window trick as dedup_ngram_jaccard: the
+    # per-doc size rides the doc_id window instead of a groupBy+join
+    wn = Window.partitionBy("doc_id")
     prefix = (
         sh.join(dfreq, "g")
-        .join(sz, "doc_id")
         .select(
             "doc_id",
             "g",
+            F.count(F.lit(1)).over(wn).alias("n"),
             F.row_number().over(w).alias("rn"),
-            (F.col("n") - F.expr("(8 * n + 9) div 10") + 1).alias("plen"),
         )
+        .withColumn("plen", F.col("n") - F.expr("(8 * n + 9) div 10") + 1)
         .filter(F.col("rn") <= F.col("plen"))
         .select("doc_id", "g")
     )

@@ -198,24 +198,26 @@ if _HAS_HYPOTHESIS:
 
 
 def test_decode_pixels_contract():
-    """PNG/GIF/JPEG/WAV full decode is real (pixels.py, jpeg.py); the
-    remaining codec-needing format (AVI) keeps the explicit
-    NotImplementedError contract."""
+    """Every container format decodes for real now (pixels.py, jpeg.py,
+    avi.py); the NotImplementedError boundary survives only INSIDE
+    payloads (non-baseline JPEG modes, compressed AVI codecs — see
+    their suites). These fixtures are header-only stubs with no valid
+    entropy/LZW/movi data, so they are corrupt (ValueError →
+    quarantine), not codec-unsupported. Full round-trips live in
+    tests/test_gif_decode.py, tests/test_jpeg_decode.py and
+    tests/test_avi_decode.py."""
     px = decode_pixels(make_png(2, 2))
     assert px.shape == (2, 2, 1) and px.sum() == 0
     samples, rate = decode_pixels(make_wav(50, rate=8000))
     assert samples.shape == (50, 1) and rate == 8000
-    # GIF and JPEG are real decode paths now (round 6): these fixtures
-    # are header-only stubs with no valid entropy/LZW data, so they are
-    # corrupt (ValueError → quarantine), not codec-unsupported. Full
-    # round-trips live in tests/test_gif_decode.py and
-    # tests/test_jpeg_decode.py.
     with pytest.raises(ValueError):
         decode_pixels(make_jpeg(4, 4))
     with pytest.raises(ValueError):
         decode_pixels(make_gif(4, 4, 1))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_pixels(make_avi(4, 4, 1))
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x00unknown-container")
 
 
 def test_featurize_media_real_decode(spark):
