@@ -196,12 +196,10 @@ _COLUMNS = [
 ]
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """All WARC records under ``path`` (``.warc`` or ``.warc.gz``) as one
-    DataFrame in ``WARC_SCHEMA``; quarantine rows are inline with
-    ``corrupt_reason`` set (split with ``split_warc`` — kept as one
-    frame so the expensive parse is not run once per branch)."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+def warc_records(files: DataFrame) -> DataFrame:
+    """Parse a ``binaryFile`` frame (columns ``path``, ``content`` —
+    batch OR streaming) into ``WARC_SCHEMA`` rows. The streaming case
+    makes a crawl drop-folder an unbounded documents source."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,7 +208,32 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 rows.extend(parse_warc_bytes(p, bytes(content)))
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
-    return files.mapInPandas(run, schema=WARC_SCHEMA)
+    return files.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """All WARC records under ``path`` (``.warc`` or ``.warc.gz``) as one
+    DataFrame in ``WARC_SCHEMA``; quarantine rows are inline with
+    ``corrupt_reason`` set (split with ``split_warc`` — kept as one
+    frame so the expensive parse is not run once per branch)."""
+    return warc_records(spark.read.format("binaryFile").load(path))
+
+
+def open_warc_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming documents from a WARC drop folder: each newly-arrived
+    crawl file becomes a micro-batch of distilled documents — feed it to
+    ``streaming.ingest.CorpusIngestSink`` via ``foreachBatch`` for the
+    full crawl→dedup→publish loop (historic corpus never rescanned).
+    File-granular exactly-once comes from the checkpointed file source;
+    content-level idempotence from the sink's digest dedup."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile schema is fixed, but streaming sources demand it
+        # be pinned explicitly — which suits the engine's never-infer rule
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+    )
+    return warc_to_documents(warc_records(files))
 
 
 def split_warc(warc: DataFrame) -> tuple[DataFrame, DataFrame]:

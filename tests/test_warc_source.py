@@ -183,3 +183,55 @@ def test_documents_shape_feeds_corpus_operators(spark, tmp_path):
         .collect()
     )
     assert len(survivors) == 1 and survivors[0]["copies"] == 2
+
+
+def test_streaming_warc_to_corpus_ingest(spark, tmp_path):
+    """The full crawl loop: a WARC drop-folder stream feeds
+    CorpusIngestSink — re-crawled pages (same HTML under a new record
+    id/uri) are deduplicated against the persisted index across
+    micro-batches, and corpus+index publish atomically."""
+    from rustcheatersdatapipeline_spark.sources.warc import (
+        open_warc_documents_stream,
+    )
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    def page(i: int) -> bytes:
+        # fully distinct token streams per page — near-dup dedup must
+        # NOT collapse different pages, only true re-crawls
+        words = " ".join(f"w{i}x{j}q{(i * 31 + j * 7) % 97}" for j in range(40))
+        body = f"<html><body><p>page {i}: {words}</p></body></html>".encode()
+        return http_response(body)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=9)
+
+    def run():
+        q = (
+            open_warc_documents_stream(spark, str(drop))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    (drop / "a.warc").write_bytes(
+        warc_record("response", "http://a/1", page(1), rid="<urn:1>")
+        + warc_record("response", "http://a/2", page(2), rid="<urn:2>")
+    )
+    run()
+    assert store.read("corpus").count() == 2
+
+    # second crawl file: one re-crawl of page 1 (new uri+rid, same
+    # content → digest match, dropped) and one genuinely new page
+    (drop / "b.warc").write_bytes(
+        warc_record("response", "http://mirror/1", page(1), rid="<urn:9>")
+        + warc_record("response", "http://a/3", page(3), rid="<urn:3>")
+    )
+    run()
+    texts = {r["text"] for r in store.read("corpus").collect()}
+    assert len(texts) == 3  # pages 1,2,3 exactly once each
+    assert store.read("dedup_index").count() == 3
