@@ -93,41 +93,91 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
-def _gunzip_members(buf: bytes) -> bytes:
-    """Decompress ALL gzip members (Common Crawl gzips per record, so a
-    file is a concatenation of members; GzipFile reads across them)."""
-    return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+class _GzipError(Exception):
+    pass
 
 
-def parse_warc_bytes(warc_file: str, buf: bytes) -> Iterator[dict]:
-    """Yield one dict per WARC record (or quarantined span) in ``buf``.
-
-    Good rows have ``corrupt_reason`` None; quarantine rows carry the
-    reason and the offending span's offset, with all parse fields NULL.
-    After any malformed region the parser RESYNCS at the next ``WARC/``
-    magic — a torn record costs its own bytes, nothing downstream.
-    """
-    if buf[:2] == b"\x1f\x8b":
+def _gzip_chunks(buf: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Incrementally inflate ALL gzip members (Common Crawl gzips per
+    record; GzipFile reads across member boundaries). Yielding bounded
+    chunks keeps the decompressed stream out of memory — the parser
+    holds at most one record plus one chunk, so a 1 GB ``.warc.gz``
+    inflating to several GB never materializes per task."""
+    gz = gzip.GzipFile(fileobj=io.BytesIO(buf))
+    while True:
         try:
-            buf = _gunzip_members(buf)
+            c = gz.read(chunk)
         except (OSError, EOFError) as exc:
-            yield _quarantine(warc_file, 0, f"gzip: {exc}")
+            raise _GzipError(str(exc)) from None
+        if not c:
             return
+        yield c
+
+
+class _StreamBuf:
+    """Rolling window over a chunked byte stream: absolute offsets in,
+    bytes out, with explicit ``discard`` so memory stays bounded by the
+    un-consumed span (≤ one WARC record in the parser below)."""
+
+    def __init__(self, chunks: Iterator[bytes]) -> None:
+        self._chunks = iter(chunks)
+        self.buf = bytearray()
+        self.base = 0  # stream offset of buf[0]
+
+    def _pull(self) -> bool:
+        try:
+            c = next(self._chunks)
+        except StopIteration:
+            return False
+        self.buf += c
+        return True
+
+    def end(self) -> int:
+        return self.base + len(self.buf)
+
+    def find(self, pat: bytes, start_off: int) -> int:
+        pos = max(start_off - self.base, 0)
+        while True:
+            i = self.buf.find(pat, pos)
+            if i != -1:
+                return self.base + i
+            pos = max(len(self.buf) - len(pat) + 1, 0)
+            if not self._pull():
+                return -1
+
+    def ensure(self, end_off: int) -> bool:
+        while self.end() < end_off:
+            if not self._pull():
+                return False
+        return True
+
+    def slice(self, a: int, b: int) -> bytes:
+        return bytes(self.buf[a - self.base : b - self.base])
+
+    def discard(self, upto_off: int) -> None:
+        d = upto_off - self.base
+        if d > 0:
+            del self.buf[:d]
+            self.base = upto_off
+
+
+def _iter_stream_records(warc_file: str, chunks: Iterator[bytes]) -> Iterator[dict]:
+    sb = _StreamBuf(chunks)
     pos = 0
-    n = len(buf)
-    while pos < n:
-        start = buf.find(b"WARC/", pos)
+    while True:
+        start = sb.find(b"WARC/", pos)
         if start == -1:
-            if buf[pos:].strip():
+            if sb.slice(pos, sb.end()).strip():
                 yield _quarantine(warc_file, pos, "trailing bytes with no WARC magic")
             return
-        if buf[pos:start].strip():
+        if sb.slice(pos, start).strip():
             yield _quarantine(warc_file, pos, "garbage between records")
-        hdr_end = buf.find(_CRLF2, start)
+        sb.discard(start)  # nothing before the magic is needed again
+        hdr_end = sb.find(_CRLF2, start)
         if hdr_end == -1:
             yield _quarantine(warc_file, start, "truncated header block")
             return
-        parsed = _parse_header_block(buf[start:hdr_end])
+        parsed = _parse_header_block(sb.slice(start, hdr_end))
         if parsed is None:
             yield _quarantine(warc_file, start, "bad WARC version line")
             pos = start + 5
@@ -142,11 +192,12 @@ def parse_warc_bytes(warc_file: str, buf: bytes) -> Iterator[dict]:
             pos = start + 5
             continue
         body_start = hdr_end + len(_CRLF2)
-        payload = buf[body_start : body_start + length]
-        if len(payload) < length:
+        if not sb.ensure(body_start + length):
             yield _quarantine(warc_file, start, "payload truncated at EOF")
             return
+        payload = sb.slice(body_start, body_start + length)
         pos = body_start + length
+        sb.discard(pos)
         status, ctype, body = None, headers.get("content-type"), payload
         if ctype and ctype.split(";")[0].strip() == "application/http":
             status, ctype, body = _split_http(payload)
@@ -163,6 +214,32 @@ def parse_warc_bytes(warc_file: str, buf: bytes) -> Iterator[dict]:
             "n_bytes": len(body),
             "corrupt_reason": None,
         }
+
+
+def parse_warc_bytes(warc_file: str, buf: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record (or quarantined span) in ``buf``.
+
+    Good rows have ``corrupt_reason`` None; quarantine rows carry the
+    reason and the offending span's offset, with all parse fields NULL.
+    After any malformed region the parser RESYNCS at the next ``WARC/``
+    magic — a torn record costs its own bytes, nothing downstream.
+    Gzip input inflates INCREMENTALLY (``_gzip_chunks``): memory is
+    bounded by one record + one chunk, never the decompressed file; a
+    corrupt member quarantines the remainder, keeping the records
+    already yielded."""
+    if buf[:2] == b"\x1f\x8b":
+        chunks: Iterator[bytes] = _gzip_chunks(buf)
+    else:
+        chunks = iter((buf,))
+    it = _iter_stream_records(warc_file, chunks)
+    while True:
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+        except _GzipError as exc:
+            yield _quarantine(warc_file, 0, f"gzip: {exc}")
+            return
 
 
 def _quarantine(warc_file: str, offset: int, reason: str) -> dict:
@@ -202,11 +279,17 @@ def warc_records(files: DataFrame) -> DataFrame:
     makes a crawl drop-folder an unbounded documents source."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # flush every 512 records so a multi-GB crawl file streams out
+        # as bounded Arrow batches instead of one giant frame per file
+        rows: list[dict] = []
         for pdf in batches:
-            rows: list[dict] = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc_bytes(p, bytes(content)))
-            yield pd.DataFrame(rows, columns=_COLUMNS)
+                for rec in parse_warc_bytes(p, bytes(content)):
+                    rows.append(rec)
+                    if len(rows) >= 512:
+                        yield pd.DataFrame(rows, columns=_COLUMNS)
+                        rows = []
+        yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return files.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
 
