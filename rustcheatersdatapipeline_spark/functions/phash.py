@@ -1,0 +1,171 @@
+"""Perceptual image hashing (pHash, DCT variant — public method) and
+image near-duplicate detection over media payloads.
+
+The image-side twin of the text SimHash pipeline: re-encoded,
+resized, or slightly-retouched copies of an image survive in crawl
+data where byte-level dedup sees distinct payloads. pHash reduces each
+image to a 64-bit sketch of its low-frequency structure — gray
+downscale to 32×32, 2-D DCT, keep the 8×8 lowest AC frequencies,
+threshold at their median — so perceptually-equal images land within a
+few bits of Hamming distance.
+
+Scale shape (mirrors ``plans/training.py simhash_neardup``): hashing
+is one Arrow ``mapInPandas`` pass over payload bytes (decode already
+is the declared Python boundary); candidate generation splits the
+64-bit hash into ``HAM_K + 1`` bands — the pigeonhole principle makes
+the band equi-join COMPLETE for Hamming ≤ ``HAM_K`` (any pair within
+the radius agrees on at least one full band) — and verification is a
+codegen'd ``bit_count(xor)``. No pairwise scan at any corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Hamming radius for near-duplicate pairs; 4 bands of 16 bits make the
+#: band join complete for distance <= 3 (pigeonhole: 3 flipped bits can
+#: touch at most 3 of the 4 bands, so one band always matches exactly)
+HAM_K = 3
+N_BANDS = HAM_K + 1
+
+_RESIZE = 32
+_KEEP = 8
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    x = np.arange(n)
+    u = x.reshape(n, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    c[0] *= 1 / np.sqrt(2)
+    return c
+
+
+_C32 = _dct_matrix(_RESIZE)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit DCT pHash of an image array (h, w[, channels]), uint8.
+
+    Deterministic and resolution-independent: nearest-index downscale to
+    32×32 gray, orthonormal 2-D DCT, the 8×8 lowest-frequency block
+    minus the DC term thresholded at its median. Returns an UNSIGNED
+    value in [0, 2^64) packed row-major (bit 63 = first coefficient)."""
+    a = np.asarray(px, np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    if a.ndim != 2 or a.shape[0] < 2 or a.shape[1] < 2:
+        raise ValueError("phash64: need a (h, w[, c]) image with h, w >= 2")
+    ys = (np.arange(_RESIZE) * a.shape[0] // _RESIZE).astype(np.int64)
+    xs = (np.arange(_RESIZE) * a.shape[1] // _RESIZE).astype(np.int64)
+    small = a[np.ix_(ys, xs)]
+    freq = _C32 @ small @ _C32.T
+    block = freq[:_KEEP, :_KEEP].copy().reshape(-1)
+    block[0] = np.median(block[1:])  # DC carries only global brightness
+    bits = block > np.median(block)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+PHASH_SCHEMA = "item_id bigint, phash bigint, width int, height int"
+
+
+def featurize_phash(media: DataFrame) -> DataFrame:
+    """(item_id, phash, width, height) for every decodable IMAGE payload
+    (PNG/GIF first frame/baseline JPEG); undecodable or non-image rows
+    are dropped — they quarantine through ``featurize_pixels``' path,
+    not here. ``phash`` is stored as a SIGNED 64-bit reinterpretation so
+    it stays a plain bigint column."""
+    from .pixels import decode_gif_pixels, decode_png_pixels
+    from .jpeg import decode_jpeg_pixels
+    from .multimodal import _PNG_SIGNATURE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    if buf[:8] == _PNG_SIGNATURE:
+                        px = decode_png_pixels(buf)
+                    elif buf[:6] in (b"GIF87a", b"GIF89a"):
+                        px = decode_gif_pixels(buf)[0]
+                    elif buf[:2] == b"\xff\xd8":
+                        px = decode_jpeg_pixels(buf)
+                    else:
+                        continue
+                    h = phash64(px)
+                except (NotImplementedError, ValueError, IndexError):
+                    continue
+                rows.append(
+                    {
+                        "item_id": item_id,
+                        "phash": h - (1 << 64) if h >= (1 << 63) else h,
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["item_id", "phash", "width", "height"]
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def image_neardup(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFrame:
+    """(item_a, item_b, hamming) pairs with Hamming(phash) <= radius.
+
+    Complete by the pigeonhole band split (``N_BANDS`` 16-bit bands for
+    the default radius 3); verification is codegen'd
+    ``bit_count(a XOR b)`` on the candidates only. The default radius
+    catches re-encodes and mild retouches; raise it (with more bands)
+    only with a recall audit."""
+    if max_hamming >= N_BANDS:
+        raise ValueError("bands must outnumber the Hamming radius")
+    width = 64 // N_BANDS
+    bands = hashes.select(
+        "item_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("item_id", "phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)").alias("hamming")
+    return (
+        cand.select("item_a", "item_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("item_a", "item_b")
+    )
