@@ -1,0 +1,77 @@
+"""Audio feature extraction (functions/audio.py): the features must
+match first-principles DSP expectations on synthesized signals — a pure
+tone's ZCR is 2·f/rate and its spectral centroid sits at f; white noise
+is brighter than any tone; silence has zero RMS; a square wave at full
+scale clips."""
+
+import numpy as np
+import pytest
+
+from rustcheatersdatapipeline_spark.functions.audio import (
+    audio_features,
+    featurize_audio,
+)
+from tests.test_pixels_decode import encode_wav
+
+
+def _tone(f: float, rate: int = 8000, sec: float = 1.0, amp: float = 0.5) -> np.ndarray:
+    t = np.arange(int(rate * sec)) / rate
+    return (np.sin(2 * np.pi * f * t) * amp * 32767).astype(np.int16)[:, None]
+
+
+def test_pure_tone_zcr_and_centroid():
+    rate, f = 8000, 440.0
+    feat = audio_features(_tone(f, rate), rate)
+    assert feat["zcr"] == pytest.approx(2 * f / rate, rel=0.05)
+    assert feat["centroid_hz"] == pytest.approx(f, rel=0.25)  # window leakage
+    assert feat["rolloff_hz"] < 1200
+    assert feat["clip_ratio"] == 0.0
+    assert feat["duration_s"] == pytest.approx(1.0)
+
+
+def test_noise_brighter_than_tone():
+    rate = 8000
+    rng = np.random.RandomState(0)
+    noise = (rng.uniform(-0.5, 0.5, rate) * 32767).astype(np.int16)[:, None]
+    tone = audio_features(_tone(300, rate), rate)
+    white = audio_features(noise, rate)
+    assert white["centroid_hz"] > 2 * tone["centroid_hz"]
+    assert white["zcr"] > tone["zcr"]
+
+
+def test_silence_and_clipping():
+    rate = 8000
+    silent = audio_features(np.zeros((rate, 1), np.int16), rate)
+    assert silent["rms_mean"] == 0.0 and silent["centroid_hz"] == 0.0
+    square = (np.sign(_tone(200, rate, amp=1.0)) * 32767).astype(np.int16)
+    clipped = audio_features(square, rate)
+    assert clipped["clip_ratio"] > 0.9
+
+
+def test_stereo_and_8bit_paths():
+    rate = 8000
+    stereo = np.repeat(_tone(440, rate), 2, axis=1)
+    feat = audio_features(stereo, rate)
+    assert feat["channels"] == 2
+    eight = ((_tone(440, rate, amp=0.4)[:, 0] / 256) + 128).astype(np.uint8)[:, None]
+    f8 = audio_features(eight, rate, bits=8)
+    assert f8["zcr"] == pytest.approx(2 * 440 / rate, rel=0.05)
+
+
+def test_degenerate_raises():
+    with pytest.raises(ValueError):
+        audio_features(np.zeros((0, 1), np.int16), 8000)
+
+
+def test_spark_featurize_with_quarantine(spark):
+    rate = 16000
+    wav = encode_wav(_tone(440, rate), rate=rate)
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(b"\xde\xad\xbe\xef" * 4)),  # not audio → NULL row
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {r["item_id"]: r for r in featurize_audio(media).collect()}
+    assert out[1]["rate"] == rate
+    assert out[1]["zcr"] == pytest.approx(2 * 440 / rate, rel=0.05)
+    assert out[2]["rate"] is None and out[2]["zcr"] is None
