@@ -119,19 +119,13 @@ def featurize_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
-def image_neardup(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFrame:
-    """(item_a, item_b, hamming) pairs with Hamming(phash) <= radius.
-
-    Complete by the pigeonhole band split (``N_BANDS`` 16-bit bands for
-    the default radius 3); verification is codegen'd
-    ``bit_count(a XOR b)`` on the candidates only. The default radius
-    catches re-encodes and mild retouches; raise it (with more bands)
-    only with a recall audit."""
-    if max_hamming >= N_BANDS:
-        raise ValueError("bands must outnumber the Hamming radius")
+def explode_bands(hashes: DataFrame, extra: tuple[str, ...] = ("item_id",)) -> DataFrame:
+    """(extra..., phash, band, key): the pigeonhole band split of the
+    ``phash`` column — shared by batch near-dup and the incremental
+    media index path so the two can never band differently."""
     width = 64 // N_BANDS
-    bands = hashes.select(
-        "item_id",
+    return hashes.select(
+        *extra,
         "phash",
         F.explode(
             F.array(
@@ -146,7 +140,20 @@ def image_neardup(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("item_id", "phash", "bk.band", "bk.key")
+    ).select(*extra, "phash", "bk.band", "bk.key")
+
+
+def image_neardup(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFrame:
+    """(item_a, item_b, hamming) pairs with Hamming(phash) <= radius.
+
+    Complete by the pigeonhole band split (``N_BANDS`` 16-bit bands for
+    the default radius 3); verification is codegen'd
+    ``bit_count(a XOR b)`` on the candidates only. The default radius
+    catches re-encodes and mild retouches; raise it (with more bands)
+    only with a recall audit."""
+    if max_hamming >= N_BANDS:
+        raise ValueError("bands must outnumber the Hamming radius")
+    bands = explode_bands(hashes)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

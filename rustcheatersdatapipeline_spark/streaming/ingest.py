@@ -289,3 +289,75 @@ class EmbeddingIngestSink(IncrementalIngestSink):
         from ..operators.incremental import build_embed_index
 
         return build_embed_index(novel, self.nplanes, self.id_col, self.vec_col)
+
+
+class MediaIngestSink(IncrementalIngestSink):
+    """Image/media instance: byte-digest + perceptual-hash index
+    (operators/incremental.py media path). Exact re-uploads AND
+    re-encodes/resizes (pHash Hamming <= max_hamming vs anything
+    indexed) are dropped in flight; payloads no decoder covers are
+    admitted on digest-novelty alone and carry a NULL phash in the
+    index (exact-dedupable forever, perceptually invisible).
+
+    The Hamming radius is the index's data contract (a radius change
+    silently alters which candidates the band join can see), so it is
+    persisted as table properties and verified on reopen, same
+    discipline as the text sink's shingle width."""
+
+    def __init__(
+        self,
+        store: GoldStore,
+        media_table: str = "media",
+        index_table: str = "media_index",
+        id_col: str = "item_id",
+        payload_col: str = "payload",
+        max_hamming: int | None = None,
+        max_dirs: int | None = None,
+        keep_versions: int | None = None,
+    ):
+        from ..functions.phash import HAM_K
+
+        super().__init__(store, media_table, index_table, max_dirs, keep_versions)
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self._explicit_hamming = max_hamming
+        self.max_hamming = HAM_K if max_hamming is None else max_hamming
+        self._bind_contract()
+
+    def _bind_contract(self) -> None:
+        stored = self.store.properties(self.index_table)
+        if "max_hamming" in stored:
+            h = int(stored["max_hamming"])
+            if self._explicit_hamming is not None and int(self._explicit_hamming) != h:
+                raise ValueError(
+                    f"media index was built with max_hamming={h}; reopening "
+                    f"with max_hamming={self._explicit_hamming} would change "
+                    "which pairs the band join can see — pass None to adopt"
+                )
+            self.max_hamming = h
+
+    def _index_properties(self) -> dict:
+        from ..functions.phash import N_BANDS
+
+        return {"max_hamming": int(self.max_hamming), "n_bands": int(N_BANDS)}
+
+    def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
+        ranked = batch_df.withColumn(
+            "_digest", F.md5(F.col(self.payload_col).cast("binary"))
+        ).withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_digest").orderBy(self.id_col)),
+        )
+        return ranked.filter(F.col("_rn") == 1).drop("_digest", "_rn")
+
+    def _dedup(self, batch_df: DataFrame, index: DataFrame) -> DataFrame:
+        from ..operators.incremental import media_dedup_incremental
+
+        return media_dedup_incremental(
+            batch_df, index, self.id_col, self.payload_col, self.max_hamming
+        )
+
+    def _index_rows(self, novel: DataFrame) -> DataFrame:
+        from ..operators.incremental import build_media_index
+
+        return build_media_index(novel, self.id_col, self.payload_col)
