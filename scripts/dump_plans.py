@@ -22,7 +22,7 @@ SF = "/root/testdata/sf0.01"
 #: query → what to look for in its plan
 ANNOTATED = {
     "q4": "filter pushed to the parquet scan (PushedFilters: StringContains)",
-    "q15": "dims broadcast (BroadcastHashJoin), fact side never shuffles",
+    "q15": "bounded dim broadcast via explicit hint; the population-scaled customer side compiles to SMJ and AQE promotes it to broadcast from runtime sizes (static estimates are untrusted — see session.py)",
     "q22": "map-side partial_count before the exchange",
     "q23": "TakeOrderedAndProject — top-k without a global sort",
     "dedup_minhash_lsh": (
