@@ -103,11 +103,15 @@ def _gzip_chunks(buf: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
     chunks keeps the decompressed stream out of memory — the parser
     holds at most one record plus one chunk, so a 1 GB ``.warc.gz``
     inflating to several GB never materializes per task."""
+    import zlib
+
     gz = gzip.GzipFile(fileobj=io.BytesIO(buf))
     while True:
         try:
             c = gz.read(chunk)
-        except (OSError, EOFError) as exc:
+        # OSError/BadGzipFile: bad magic/header/CRC; zlib.error: corrupt
+        # deflate stream mid-member (fuzz-found — GzipFile does not wrap it)
+        except (OSError, EOFError, zlib.error) as exc:
             raise _GzipError(str(exc)) from None
         if not c:
             return

