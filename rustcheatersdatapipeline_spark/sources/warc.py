@@ -323,6 +323,41 @@ def open_warc_documents_stream(spark: SparkSession, path: str) -> DataFrame:
     return warc_to_documents(warc_records(files))
 
 
+def warc_to_media(warc: DataFrame, mime_prefix: str = "image/") -> DataFrame:
+    """Distill 200-OK media responses into the media-table shape
+    (item_id, payload, mime, source) feeding the multimodal stack —
+    ``featurize_pixels``/``featurize_phash`` batch-side, or
+    ``streaming.ingest.MediaIngestSink`` for the incremental
+    perceptual-dedup loop. Same stable xxhash64 identity as
+    ``warc_to_documents``."""
+    resp = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("mime").startswith(mime_prefix)
+    )
+    return resp.select(
+        F.xxhash64("record_id", "target_uri").alias("item_id"),
+        F.col("payload"),
+        F.col("mime"),
+        F.col("target_uri").alias("source"),
+    )
+
+
+def open_warc_media_stream(
+    spark: SparkSession, path: str, mime_prefix: str = "image/"
+) -> DataFrame:
+    """Streaming media rows from a WARC drop folder — the image twin of
+    ``open_warc_documents_stream``; feed to ``MediaIngestSink`` for
+    crawl → perceptual-dedup → publish."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+    )
+    return warc_to_media(warc_records(files), mime_prefix)
+
+
 def split_warc(warc: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine) views over a ``read_warc`` frame."""
     return (

@@ -255,3 +255,53 @@ def test_warc_parser_totality_fuzz():
         recs = list(parse_warc_bytes("fuzz", bytes(buf)))
         for r in recs:  # schema invariants hold for every row
             assert (r["corrupt_reason"] is None) == (r["warc_type"] is not None or r["record_id"] is not None or r["payload"] is not None)
+
+
+def test_streaming_warc_media_to_perceptual_dedup(spark, tmp_path):
+    """Image twin of the corpus loop: crawl files carrying PNG responses
+    feed MediaIngestSink — a re-crawled image under a new URI (same
+    bytes) is dropped against the persisted index; a genuinely new
+    image is admitted."""
+    import numpy as np
+
+    from rustcheatersdatapipeline_spark.sources.warc import open_warc_media_stream
+    from rustcheatersdatapipeline_spark.streaming.ingest import MediaIngestSink
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+    from tests.test_phash import _textured
+    from tests.test_pixels_decode import encode_png
+
+    def img_response(seed: int) -> bytes:
+        png = encode_png(_textured(seed)[..., None])
+        return http_response(png, ctype="image/png")
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = MediaIngestSink(store)
+
+    def run():
+        q = (
+            open_warc_media_stream(spark, str(drop))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    (drop / "a.warc").write_bytes(
+        warc_record("response", "http://a/i1.png", img_response(40), rid="<urn:i1>", )
+        + warc_record("response", "http://a/i2.png", img_response(41), rid="<urn:i2>")
+        + warc_record("response", "http://a/page", http_response(HTML), rid="<urn:h1>")
+    )
+    run()
+    assert store.read("media").count() == 2  # the HTML response is not media
+
+    (drop / "b.warc").write_bytes(
+        warc_record("response", "http://cdn/i1.png", img_response(40), rid="<urn:i9>")
+        + warc_record("response", "http://a/i3.png", img_response(42), rid="<urn:i3>")
+    )
+    run()
+    srcs = {r["source"] for r in store.read("media").collect()}
+    assert srcs == {"http://a/i1.png", "http://a/i2.png", "http://a/i3.png"}
+    assert store.read("media_index").count() == 3
