@@ -1,0 +1,118 @@
+"""URL canonicalization and compression-ratio quality signal — two
+standard web-corpus curation primitives (public methods: the URL
+normalization rules are RFC 3986 §6 plus the conventional tracking-
+param strip; the zlib-ratio gibberish/repetition detector is the
+RefinedWeb/CCNet-style heuristic).
+
+``canonical_url`` is pure codegen (chained JVM string expressions —
+lowercase scheme/host, default-port strip, fragment strip, tracking
+params out, query params sorted, trailing-slash normalization): URL
+dedup runs at scan throughput with no Python in the loop.
+``compression_ratio`` needs zlib, so it is an Arrow ``pandas_udf`` —
+the declared Python boundary, batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that identify a CLICK, not a resource
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref", "ref_src",
+)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """RFC 3986-style canonical form of a URL column, fully codegen:
+
+    - scheme and host lowercased (path case is significant — kept);
+    - explicit default ports (``:80`` http, ``:443`` https) removed;
+    - fragment removed;
+    - tracking params (``utm_*`` & friends) removed;
+    - remaining query params sorted byte-wise (order never identifies a
+      resource); empty ``?`` dropped;
+    - trailing slash on a bare authority normalized (``http://a.test/``
+      ≡ ``http://a.test``).
+
+    Two URLs mapping to the same string fetch the same resource under
+    these rules — the join key for URL-level dedup of crawl frontiers.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*:", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    host = F.lower(F.regexp_extract(rest, r"^//([^/?]*)", 1))
+    authority = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(rest, r"^//[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(*TRACKING_PARAMS),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def dedup_by_url(docs: DataFrame, url_col: str = "source", id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id, deterministic) per canonical URL — the
+    frontier-dedup pass that runs BEFORE fetching/content dedup at
+    crawl scale (one hash-keyed aggregate, no content reads)."""
+    from pyspark.sql.window import Window
+
+    ranked = docs.withColumn("_cu", canonical_url(url_col)).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_cu").orderBy(id_col))
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_cu", "_rn")
+
+
+def compression_ratio(col: Column | str) -> Column:
+    """len(zlib(text)) / len(text) — the cheap information-density
+    signal: highly repetitive/templated text compresses far below
+    normal prose (~0.3-0.6), random gibberish sits near (or above) 1.0.
+    NULL/empty → NULL (no signal). Arrow ``pandas_udf`` (declared
+    lazily — decorating at import time needs an active session)."""
+
+    @F.pandas_udf("double")
+    def _ratio(text: pd.Series) -> pd.Series:
+        def ratio(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8", "replace")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return text.map(ratio)
+
+    return _ratio(F.col(col) if isinstance(col, str) else col)
+
+
+def quality_compression_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    low: float = 0.25,
+    high: float = 1.05,
+) -> DataFrame:
+    """Documents annotated with ``compression_ratio`` and a keep flag:
+    below ``low`` is template/repetition spam, above ``high`` is
+    binary-ish gibberish — the standard two-sided cut."""
+    return docs.withColumn("compression_ratio", compression_ratio(text_col)).withColumn(
+        "keep_compression",
+        (F.col("compression_ratio") >= low) & (F.col("compression_ratio") <= high),
+    )
