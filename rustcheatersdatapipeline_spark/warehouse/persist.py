@@ -235,6 +235,39 @@ class GoldStore:
         on the missing path rather than returning partial data."""
         return self._read_entry(self.manifest_at(version)["tables"][name])
 
+    def changes_since(self, name: str, from_version: int) -> DataFrame:
+        """Rows of ``name`` appended AFTER ``from_version`` — exact
+        incremental consumption (CDC for an append-only history): the
+        delta is the set of data dirs the current entry references that
+        the ``from_version`` entry did not, and dirs are immutable, so
+        reading just those dirs IS the row-level diff. No full-table
+        scan, no row comparison — the 100 TB "give me today's batch"
+        read costs only today's bytes.
+
+        Contract: valid only while the history between the two versions
+        is append-only for this table. A compaction or replace rewrite
+        drops old dirs from the entry, and a dir-level diff would then
+        silently double-count — detected (some base dir missing from
+        the current entry) and raised as ``ValueError``; the consumer
+        falls back to a full read + its own keying. A table absent at
+        ``from_version`` diffs as "everything"."""
+        cur = self.current_manifest()["tables"].get(name)
+        if cur is None:
+            raise KeyError(name)
+        base_tables = self.manifest_at(from_version)["tables"]
+        base_dirs = set(self._dirs(base_tables[name])) if name in base_tables else set()
+        cur_dirs = self._dirs(cur)
+        if not base_dirs <= set(cur_dirs):
+            raise ValueError(
+                f"{name}: history since v{from_version} is not append-only "
+                "(compaction/replace rewrote data dirs) — dir-level diff "
+                "would be wrong; do a full read instead"
+            )
+        delta = [d for d in cur_dirs if d not in base_dirs]
+        if not delta:
+            return self._read_entry(cur).limit(0)
+        return self._read_entry({**cur, "dirs": delta, "dir": None})
+
     def properties(self, name: str) -> dict:
         """The table's manifest-recorded properties (empty dict if none)
         — the durable home of index contracts like the MinHash shingle

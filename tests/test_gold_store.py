@@ -156,3 +156,34 @@ def test_insert_if_absent_batches_idempotent_under_replay(spark, tmp_path):
     publish_with_retry(store, build)  # replay: no-op
     assert _rows(store, "player_dim") == {("a", 1), ("e", 5)}
     assert store.current_version() == 3
+
+
+def test_changes_since_incremental_consumption(spark, tmp_path):
+    """CDC over the append-only history: the dir-level diff IS the
+    row-level delta; compaction breaks the invariant and must raise."""
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    store = GoldStore(spark, str(tmp_path / "g"))
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")
+    v1 = store.publish({"t": df(0, 10)}, 0)
+    v2 = store.publish_append({"t": df(10, 15)}, v1)
+    v3 = store.publish_append({"t": df(15, 18)}, v2)
+
+    since_v1 = {r["id"] for r in store.changes_since("t", v1).collect()}
+    assert since_v1 == set(range(10, 18))
+    since_v2 = {r["id"] for r in store.changes_since("t", v2).collect()}
+    assert since_v2 == set(range(15, 18))
+    assert store.changes_since("t", v3).count() == 0
+
+    # a table absent at from_version diffs as everything
+    v4 = store.publish_append({"u": df(0, 4)}, v3)
+    assert store.changes_since("u", v1).count() == 4
+
+    # compaction rewrites dirs: the dir diff is no longer a row delta
+    store.compact("t")
+    with pytest.raises(ValueError, match="not append-only"):
+        store.changes_since("t", v2)
+    # but a fresh baseline works again after appends resume
+    v6 = store.current_version()
+    store.publish_append({"t": df(18, 20)}, v6)
+    assert {r["id"] for r in store.changes_since("t", v6).collect()} == {18, 19}
