@@ -68,3 +68,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """Actual on-disk bytes of a catalog table (file-system fact, not a
+    Catalyst estimate)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+#: cap for fact-based broadcast decisions — compressed parquet under this
+#: inflates to well within executor broadcast budgets
+BROADCAST_CAP_BYTES = 64 << 20
+
+
+def broadcast_if_small(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast hint driven by the table's TRUE size, not an estimate.
+
+    The engine disables Catalyst's static auto-broadcast because its
+    size estimates are unreliable downstream of explode/aggregate
+    (session.py) — but a LEAF table's on-disk byte count is a fact.
+    This restores the compile-time broadcast (and its zero-shuffle
+    plan) exactly when the fact supports it, and degrades to the
+    AQE-decided shuffle join the moment the table outgrows the cap —
+    at 100 TB the fact says no, and no driver OOM is possible. The
+    same decision Spark's leaf statistics would make, taken from the
+    filesystem instead of the estimator so derived-plan misestimates
+    can never leak in."""
+    if table_bytes(sf_dir, name) < BROADCAST_CAP_BYTES:
+        return F.broadcast(df)
+    return df

@@ -249,12 +249,16 @@ def q15(spark, sf_dir):
     """J1/J5 multi-way inner equi-join (reference sql_queries.py:20-29).
 
     Hint policy: nation is bounded (25 rows at any SF) → explicit
-    broadcast hint; customer scales with the population → no hint, the
-    planner broadcasts it from file-size stats while it fits and
-    degrades to shuffle join when it doesn't.
+    broadcast hint; customer scales with the population → hinted only
+    by the FACT of its on-disk size (catalog.broadcast_if_small) —
+    static estimator broadcasts are disabled engine-wide (session.py),
+    and AQE takes over from runtime stage sizes once the table outgrows
+    the cap.
     """
+    from ..catalog import broadcast_if_small
+
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -265,10 +269,17 @@ def q15(spark, sf_dir):
 
 
 def q16(spark, sf_dir):
-    """J2 composite-key join (reference sql_queries.py:57-64, 5-col key)."""
+    """J2 composite-key join (reference sql_queries.py:57-64, 5-col key).
+
+    Self-join: one side carries a fact-based broadcast hint
+    (catalog.broadcast_if_small) — compile-time-broadcastable exactly
+    while the table's true bytes fit, shuffle join (AQE-decided) the
+    moment lineitem outgrows the cap."""
+    from ..catalog import broadcast_if_small
+
     li = _t(spark, sf_dir, "lineitem")
     a = li.alias("a")
-    b = li.alias("b")
+    b = broadcast_if_small(li.alias("b"), sf_dir, "lineitem")
     return (
         a.join(b, on=["l_orderkey", "l_linenumber", "l_partkey"])
         .select("l_orderkey", "l_linenumber")
