@@ -176,3 +176,29 @@ def image_neardup(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("item_a", "item_b")
     )
+
+
+def image_dedup_clusters(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFrame:
+    """(item_id, cluster, survivor) — perceptual duplicate FAMILIES.
+
+    Pairwise near-dup misses transitive chains (A≈B, B≈C but A̸≈C:
+    progressive re-encodes drift a few bits per hop); clustering the
+    pair graph with the engine's pointer-jumping connected components
+    (operators/graph.py, O(log diameter) rounds) groups the whole
+    family, and the min-id member is the deterministic survivor —
+    identical survivor-election semantics to the text-side
+    ``dedup_cluster``. Items with no near pair form singleton clusters
+    (survivor = themselves)."""
+    from ..operators.graph import connected_components
+
+    pairs = image_neardup(hashes, max_hamming)
+    comp = connected_components(pairs, "item_a", "item_b")
+    return (
+        hashes.select("item_id")
+        .join(comp.withColumnRenamed("node", "item_id"), "item_id", "left")
+        .select(
+            "item_id",
+            F.coalesce(F.col("component"), F.col("item_id")).alias("cluster"),
+        )
+        .withColumn("survivor", (F.col("item_id") == F.col("cluster")).cast("int"))
+    )

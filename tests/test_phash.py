@@ -103,3 +103,29 @@ def test_spark_neardup_end_to_end(spark):
     hashes.unpersist()
     assert got == brute  # banded join is complete, no false pairs
     assert (0, 100) in got and (1, 101) in got  # the planted twins
+
+
+def test_image_dedup_clusters_transitive(spark):
+    """A re-encode chain (PNG → JPEG → JPEG-of-JPEG) must land in ONE
+    cluster even when the chain's ends are farther apart than the pair
+    radius; unrelated images stay singletons with themselves as
+    survivor."""
+    from rustcheatersdatapipeline_spark.functions.jpeg import decode_jpeg_pixels
+    from rustcheatersdatapipeline_spark.functions.phash import image_dedup_clusters
+
+    img = _textured(50)
+    jpg1, _ = encode_jpeg(img)
+    px1 = decode_jpeg_pixels(jpg1)
+    jpg2, _ = encode_jpeg(px1[..., 0] if px1.shape[2] == 1 else px1)
+    rows = [
+        (1, bytearray(encode_png(img[..., None]))),
+        (2, bytearray(jpg1)),
+        (3, bytearray(jpg2)),
+        (9, bytearray(encode_png(_textured(51)[..., None]))),  # unrelated
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    hashes = featurize_phash(media)
+    out = {r["item_id"]: r for r in image_dedup_clusters(hashes).collect()}
+    assert out[1]["cluster"] == out[2]["cluster"] == out[3]["cluster"] == 1
+    assert out[9]["cluster"] == 9 and out[9]["survivor"] == 1
+    assert out[1]["survivor"] == 1 and out[2]["survivor"] == 0
