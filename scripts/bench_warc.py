@@ -88,10 +88,13 @@ def main() -> None:
                 fh.write(payload)
             total += len(payload)
 
-        t0 = time.time()
-        docs = warc_to_documents(read_warc(spark, d))
-        n = docs.count()
-        sec = time.time() - t0
+        times = []
+        n = 0
+        for _ in range(3):  # first run carries JVM/scheduler warmup
+            t0 = time.time()
+            n = warc_to_documents(read_warc(spark, d)).count()
+            times.append(time.time() - t0)
+        sec = sorted(times)[1]  # median
         mb = total / 1e6
         print(
             json.dumps(
