@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # zstd over snappy for parquet at rest: ~25-35% smaller files at
+        # comparable decode cost (codec ships with Spark). At 100 TB the
+        # ratio IS the scan time — fewer bytes per row group beats
+        # snappy's marginally faster decompress on every cold read.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Compile-time auto-broadcast OFF, runtime (AQE) auto-broadcast ON.
