@@ -62,3 +62,51 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def write_shard_manifest(spark, path: str) -> dict:
+    """``_shard_manifest.json`` next to the shards: per-file row count,
+    byte size, and an order-independent content digest (sum of per-row
+    ``xxhash64`` over all columns, mod 2^63) — what a data-loader needs
+    to stripe workers evenly, resume mid-epoch, and detect a torn or
+    stale shard WITHOUT re-reading the corpus (digest check is one
+    column scan of the suspect shard only).
+
+    One pass over the shards computes all three; the manifest is
+    written atomically (tmp + rename). Returns the manifest dict."""
+    import json
+    import os
+
+    df = spark.read.parquet(path)
+    per = (
+        df.withColumn("_f", F.input_file_name())
+        .withColumn("_h", F.xxhash64(*df.columns))
+        .groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("hsum"),
+        )
+        .collect()
+    )
+    shards = []
+    for r in sorted(per, key=lambda r: r["_f"]):
+        fname = os.path.basename(r["_f"])
+        shards.append(
+            {
+                "file": fname,
+                "rows": r["rows"],
+                "bytes": os.path.getsize(os.path.join(path, fname)),
+                "digest": int(r["hsum"]) % (1 << 63),
+            }
+        )
+    manifest = {
+        "format": "parquet",
+        "n_shards": len(shards),
+        "n_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    tmp = os.path.join(path, "_shard_manifest.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, "_shard_manifest.json"))
+    return manifest

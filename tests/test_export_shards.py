@@ -58,3 +58,37 @@ def test_epoch_shuffle_plan_is_range_partitioned(spark, sf_dir):
     )
     assert "rangepartitioning" in plan.lower()
     assert "Python" not in plan
+
+
+def test_shard_manifest_counts_digests_and_determinism(spark, tmp_path):
+    """Manifest row totals must equal the corpus, per-shard rows respect
+    the cap, digests are order-independent but content-sensitive, and a
+    same-seed rewrite reproduces the identical manifest."""
+    import json
+
+    from rustcheatersdatapipeline_spark.operators.export import (
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 3 as v")
+    p = str(tmp_path / "shards")
+    write_training_shards(df, p, seed=7, key_cols=["id"], rows_per_shard=100)
+    m = write_shard_manifest(spark, p)
+    assert m["n_rows"] == 1000
+    assert all(s["rows"] <= 100 and s["bytes"] > 0 for s in m["shards"])
+    on_disk = json.load(open(f"{p}/_shard_manifest.json"))
+    assert on_disk == m
+
+    # same seed → identical shard CONTENTS (file names carry the
+    # writer's UUID; rows/bytes/digests are the reproducible identity)
+    write_training_shards(df, p, seed=7, key_cols=["id"], rows_per_shard=100)
+    m_rerun = write_shard_manifest(spark, p)
+    key = lambda s: (s["rows"], s["bytes"], s["digest"])
+    assert sorted(map(key, m_rerun["shards"])) == sorted(map(key, m["shards"]))
+
+    # content change → digest change (rows/bytes may coincide)
+    df2 = spark.range(1000).selectExpr("id", "id * 3 + 1 as v")
+    write_training_shards(df2, p, seed=7, key_cols=["id"], rows_per_shard=100)
+    m2 = write_shard_manifest(spark, p)
+    assert {s["digest"] for s in m2["shards"]} != {s["digest"] for s in m["shards"]}
