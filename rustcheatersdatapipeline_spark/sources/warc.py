@@ -390,14 +390,14 @@ class _TextExtractor(HTMLParser):
         if tag in self._SKIP:
             self._skip_depth += 1
         elif tag in self._BLOCK:
-            self.chunks.append(" ")
+            self.chunks.append("\n")
 
     def handle_endtag(self, tag: str) -> None:
         if tag in self._SKIP:
             if self._skip_depth:
                 self._skip_depth -= 1
         elif tag in self._BLOCK:
-            self.chunks.append(" ")
+            self.chunks.append("\n")
 
     def handle_data(self, data: str) -> None:
         if not self._skip_depth:
@@ -412,10 +412,13 @@ def _charset_of(mime: str | None) -> str:
     return "utf-8"
 
 
-def html_payload_to_text(payload: bytes, mime: str | None) -> str:
+def html_payload_to_text(payload: bytes, mime: str | None, lines: bool = False) -> str:
     """Decode (charset from the Content-Type, utf-8 fallback, bad bytes
-    replaced — never raised) and extract whitespace-collapsed visible
-    text. Total on arbitrary bytes: HTMLParser never raises on garbage."""
+    replaced — never raised) and extract visible text. ``lines=False``
+    (default) collapses everything to one whitespace-normalized line;
+    ``lines=True`` keeps one line per block element (the shape
+    ``remove_boilerplate``'s line-frequency pass needs). Total on
+    arbitrary bytes: HTMLParser never raises on garbage."""
     try:
         html = payload.decode(_charset_of(mime), errors="replace")
     except LookupError:
@@ -423,10 +426,12 @@ def html_payload_to_text(payload: bytes, mime: str | None) -> str:
     parser = _TextExtractor()
     parser.feed(html)
     parser.close()
-    return " ".join("".join(parser.chunks).split())
+    rows = [" ".join(l.split()) for l in "".join(parser.chunks).split("\n")]
+    rows = [r for r in rows if r]
+    return "\n".join(rows) if lines else " ".join(rows)
 
 
-def warc_to_documents(warc: DataFrame) -> DataFrame:
+def warc_to_documents(warc: DataFrame, lines: bool = False) -> DataFrame:
     """Distill 200-OK ``text/html`` responses into the documents-table
     shape (doc_id, text, lang, source, n_chars) feeding the corpus
     operators (dedup/quality/LSH) unchanged.
@@ -442,7 +447,7 @@ def warc_to_documents(warc: DataFrame) -> DataFrame:
     def _extract(payload: pd.Series, mime: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                html_payload_to_text(bytes(p) if p is not None else b"", m)
+                html_payload_to_text(bytes(p) if p is not None else b"", m, lines)
                 for p, m in zip(payload, mime)
             ]
         )

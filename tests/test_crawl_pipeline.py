@@ -1,0 +1,101 @@
+"""End-to-end crawl curation (plans/crawl.py): WARC bytes in, curated
+deduplicated corpus out — every stage's effect visible in one run:
+URL-frontier dedup, per-site boilerplate stripping, length and
+compression cuts, content dedup at publish, idempotent re-run."""
+
+import pytest
+
+from rustcheatersdatapipeline_spark.plans.crawl import curate_crawl, distill_and_curate
+from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+from tests.test_warc_source import http_response, warc_record
+
+NAV = "home | products | about | contact"
+FOOTER = "(c) site-a 2026 - all rights reserved"
+
+
+def _page(body_paras: list[str], site: str = "a") -> bytes:
+    paras = "".join(f"<p>{p}</p>" for p in body_paras)
+    html = (
+        f"<html><head><title>{site}</title><style>x{{}}</style></head>"
+        f"<body><nav>{NAV}</nav>{paras}<footer>{FOOTER}</footer></body></html>"
+    )
+    return http_response(html.encode())
+
+
+def _para(seed: int) -> str:
+    words = " ".join(f"w{seed}x{j}q{(seed * 31 + j * 7) % 97}" for j in range(30))
+    return f"article {seed}: {words}"
+
+
+def _crawl_bytes() -> bytes:
+    recs = []
+    for i in range(4):  # site a: 4 pages, shared nav/footer, unique bodies
+        recs.append(
+            warc_record(
+                "response", f"http://a.test/p{i}", _page([_para(i)]), rid=f"<urn:a{i}>"
+            )
+        )
+    # URL duplicate of p0 (tracking params + fragment) — frontier dedup
+    recs.append(
+        warc_record(
+            "response",
+            "http://a.test/p0?utm_source=tw#frag",
+            _page([_para(0)]),
+            rid="<urn:a0dup>",
+        )
+    )
+    # spam page: highly repetitive → compression cut
+    recs.append(
+        warc_record(
+            "response",
+            "http://a.test/spam",
+            _page(["buy now " * 120]),
+            rid="<urn:spam>",
+        )
+    )
+    # stub page: nothing left after boilerplate → length cut
+    recs.append(
+        warc_record("response", "http://a.test/stub", _page(["ok"]), rid="<urn:stub>")
+    )
+    # site b: only 2 pages (below MIN_GROUP_DOCS) — nav survives there
+    for i in range(2):
+        recs.append(
+            warc_record(
+                "response",
+                f"http://b.test/q{i}",
+                _page([_para(100 + i)], site="b"),
+                rid=f"<urn:b{i}>",
+            )
+        )
+    return b"".join(recs)
+
+
+def test_distill_and_curate_stage_effects(spark, tmp_path):
+    (tmp_path / "dump.warc").write_bytes(_crawl_bytes())
+    out = {r["source"]: r for r in distill_and_curate(spark, str(tmp_path)).collect()}
+    # survivors: site a's 4 articles + site b's 2 (spam and stub cut;
+    # the utm duplicate collapsed into p0 by frontier dedup)
+    assert set(out) == {
+        *(f"http://a.test/p{i}" for i in range(4)),
+        "http://b.test/q0",
+        "http://b.test/q1",
+    }
+    # site a: nav/footer/title template lines stripped, article kept
+    a0 = out["http://a.test/p0"]["text"]
+    assert NAV not in a0 and FOOTER not in a0 and "article 0:" in a0
+    # site b (2 docs < min group): template survives — frequency has no
+    # signal there
+    assert NAV in out["http://b.test/q0"]["text"]
+
+
+def test_curate_crawl_publishes_and_is_idempotent(spark, tmp_path):
+    (tmp_path / "dump.warc").write_bytes(_crawl_bytes())
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    admitted = curate_crawl(spark, str(tmp_path), store, k=9)
+    assert admitted == 6
+    corpus = {r["source"]: r["text"] for r in store.read("corpus").collect()}
+    assert len(corpus) == 6 and NAV not in corpus["http://a.test/p1"]
+    assert store.read("dedup_index").count() == 6
+    # re-running the same dump admits nothing (content dedup vs index)
+    assert curate_crawl(spark, str(tmp_path), store, k=9) == 0
+    assert store.read("corpus").count() == 6
