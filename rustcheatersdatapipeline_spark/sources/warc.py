@@ -306,7 +306,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return warc_records(spark.read.format("binaryFile").load(path))
 
 
-def open_warc_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+def open_warc_documents_stream(
+    spark: SparkSession, path: str, lines: bool = False
+) -> DataFrame:
     """Streaming documents from a WARC drop folder: each newly-arrived
     crawl file becomes a micro-batch of distilled documents — feed it to
     ``streaming.ingest.CorpusIngestSink`` via ``foreachBatch`` for the
@@ -320,7 +322,7 @@ def open_warc_documents_stream(spark: SparkSession, path: str) -> DataFrame:
         .schema("path string, modificationTime timestamp, length long, content binary")
         .load(path)
     )
-    return warc_to_documents(warc_records(files))
+    return warc_to_documents(warc_records(files), lines=lines)
 
 
 def warc_to_media(warc: DataFrame, mime_prefix: str = "image/") -> DataFrame:
