@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.weburl import dedup_by_url, quality_compression_flags
 from ..operators.boilerplate import remove_boilerplate
-from ..sources.warc import read_warc, warc_to_documents
+from ..sources.warc import read_warc, warc_to_documents, warc_to_pdf_documents
 from ..streaming.ingest import CorpusIngestSink
 from ..warehouse.persist import GoldStore
 
@@ -45,7 +45,8 @@ def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
     (doc_id, text, lang, source, n_chars, compression_ratio) — content
     dedup (stage 5) happens at publish so it can run against the
     persisted index."""
-    docs = warc_to_documents(read_warc(spark, warc_path), lines=True)
+    warc = read_warc(spark, warc_path)
+    docs = warc_to_documents(warc, lines=True)
     docs = dedup_by_url(docs, url_col="source", id_col="doc_id")
     # boilerplate groups by SITE (url host), not per-page url
     docs = docs.withColumn("_domain", F.parse_url("source", F.lit("HOST")))
@@ -61,6 +62,10 @@ def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
         .withColumn("n_chars", F.length("text").cast("long"))
         .filter(F.col("n_chars") >= MIN_CHARS)
     )
+    # PDFs join after the HTML-only stages (no site boilerplate to
+    # strip; the distiller already applies its printable-fraction gate)
+    pdfs = warc_to_pdf_documents(warc).filter(F.col("n_chars") >= MIN_CHARS)
+    curated = curated.unionByName(pdfs)
     flagged = quality_compression_flags(curated)
     return flagged.filter(F.col("keep_compression")).drop("keep_compression")
 

@@ -325,6 +325,44 @@ def open_warc_documents_stream(
     return warc_to_documents(warc_records(files), lines=lines)
 
 
+def warc_to_pdf_documents(warc: DataFrame, min_printable: float = 0.9) -> DataFrame:
+    """Distill 200-OK ``application/pdf`` responses into the documents
+    shape via the scoped stdlib extractor (functions/pdftext.py).
+    Extractions below the printable-fraction gate (subset/CID-font
+    garbage) or that fail outright yield NULL text and are FILTERED —
+    the quality gate is part of the distiller because garbage bytes in
+    a text column poison every downstream shingle/hash operator."""
+    from ..functions.pdftext import pdf_to_text, printable_fraction
+
+    @F.pandas_udf("string")
+    def _extract(payload: pd.Series) -> pd.Series:
+        def run(p):
+            try:
+                text = pdf_to_text(bytes(p) if p is not None else b"")
+            except ValueError:
+                return None
+            return text if printable_fraction(text) >= min_printable else None
+
+        return payload.map(run)
+
+    resp = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("mime").startswith("application/pdf")
+    )
+    return (
+        resp.select(
+            F.xxhash64("record_id", "target_uri").alias("doc_id"),
+            _extract("payload").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("target_uri").alias("source"),
+        )
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
 def warc_to_media(warc: DataFrame, mime_prefix: str = "image/") -> DataFrame:
     """Distill 200-OK media responses into the media-table shape
     (item_id, payload, mime, source) feeding the multimodal stack —

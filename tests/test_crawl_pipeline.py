@@ -99,3 +99,38 @@ def test_curate_crawl_publishes_and_is_idempotent(spark, tmp_path):
     # re-running the same dump admits nothing (content dedup vs index)
     assert curate_crawl(spark, str(tmp_path), store, k=9) == 0
     assert store.read("corpus").count() == 6
+
+
+def test_pdf_responses_join_the_curated_corpus(spark, tmp_path):
+    """A crawl mixing HTML and PDF responses distills both; garbage-font
+    PDFs are gated out by printable fraction."""
+    from tests.test_pdftext import make_pdf
+
+    good_pdf = make_pdf(
+        b"BT (A reasonably long PDF paragraph about data pipelines, "
+        b"partitioning and shuffle volume, with enough characters to "
+        b"clear the length floor for curated documents.) Tj ET",
+        flate=True,
+    )
+    garbage_pdf = make_pdf(b"BT <010203040506070809> Tj ET")
+    recs = _crawl_bytes() + b"".join(
+        (
+            warc_record(
+                "response",
+                "http://a.test/doc.pdf",
+                http_response(good_pdf, ctype="application/pdf"),
+                rid="<urn:pdf1>",
+            ),
+            warc_record(
+                "response",
+                "http://a.test/junkfont.pdf",
+                http_response(garbage_pdf, ctype="application/pdf"),
+                rid="<urn:pdf2>",
+            ),
+        )
+    )
+    (tmp_path / "dump.warc").write_bytes(recs)
+    out = {r["source"]: r for r in distill_and_curate(spark, str(tmp_path)).collect()}
+    assert "http://a.test/doc.pdf" in out
+    assert "partitioning and shuffle volume" in out["http://a.test/doc.pdf"]["text"]
+    assert "http://a.test/junkfont.pdf" not in out  # printable gate
