@@ -110,3 +110,80 @@ def featurize_audio(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------ near-dup
+
+#: fingerprint layout: time segments x band bits = 64
+_FP_SEGMENTS = 8
+_FP_BANDS = 8
+
+
+def audio_fingerprint(samples: np.ndarray, rate: int, bits: int = 16) -> int:
+    """64-bit perceptual audio fingerprint (band-energy occupancy — the
+    spectral-sketch family of Haitsma-Kalker, public method): split the
+    clip into 8 equal time segments, measure 8 log-spaced band energies
+    per segment (rFFT), and emit ``energy > mean(segment energies)/2``
+    per band — 8 x 8 = 64 bits. The threshold is RELATIVE, so the bits
+    are volume-invariant; it sits midway between an occupied band and
+    an empty one, so re-encode/quantization noise cannot flip it
+    (adjacent-band delta SIGNS — the naive rule — are coin flips
+    whenever two bands carry equal energy, e.g. any multi-tone or
+    stationary signal). Unrelated audio differs wherever its spectral
+    occupancy differs; pairs within Hamming <= 3 are perceptual twins —
+    ``phash.explode_bands``/``image_neardup`` apply verbatim (the
+    banding math is modality-blind)."""
+    if samples.ndim != 2 or samples.size == 0 or rate <= 0:
+        raise ValueError("audio_fingerprint: need non-empty (n, ch) samples")
+    full = 127.0 if samples.dtype == np.uint8 else float(2 ** (bits - 1) - 1)
+    x = (samples.astype(np.float64) - 128.0) if samples.dtype == np.uint8 else samples.astype(np.float64)
+    mono = x.mean(axis=1) / full
+    n = len(mono)
+    if n < _FP_SEGMENTS * 16:
+        raise ValueError("audio_fingerprint: clip too short to segment")
+    seg_len = n // _FP_SEGMENTS
+    # log-spaced band edges over the usable spectrum
+    edges = np.unique(
+        np.geomspace(2, seg_len // 2, _FP_BANDS + 1).astype(np.int64)
+    )
+    while len(edges) < _FP_BANDS + 1:  # short clips: pad linearly
+        edges = np.append(edges, edges[-1] + 1)
+    fp = 0
+    for s in range(_FP_SEGMENTS):
+        seg = mono[s * seg_len : (s + 1) * seg_len]
+        mag = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+        energies = np.array(
+            [mag[edges[b] : edges[b + 1]].sum() for b in range(_FP_BANDS)]
+        )
+        thresh = energies.mean() / 2.0
+        for e in energies:
+            fp = (fp << 1) | int(e > thresh)
+    return fp
+
+
+def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """(item_id, phash) rows for every decodable, long-enough WAV —
+    column named ``phash`` so ``functions.phash.image_neardup`` /
+    ``explode_bands`` / ``image_dedup_clusters`` apply verbatim to
+    audio (the banding math is modality-blind: 64 bits are 64 bits)."""
+    from .pixels import decode_wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = decode_wav_samples(buf)
+                    bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(
+                        samples.dtype, 32
+                    )
+                    fp = audio_fingerprint(samples, rate, bits)
+                except (NotImplementedError, ValueError, IndexError):
+                    continue
+                rows.append(
+                    {"item_id": item_id, "phash": fp - (1 << 64) if fp >= (1 << 63) else fp}
+                )
+            yield pd.DataFrame(rows, columns=["item_id", "phash"])
+
+    return media.mapInPandas(run, schema="item_id bigint, phash bigint")

@@ -75,3 +75,72 @@ def test_spark_featurize_with_quarantine(spark):
     assert out[1]["rate"] == rate
     assert out[1]["zcr"] == pytest.approx(2 * 440 / rate, rel=0.05)
     assert out[2]["rate"] is None and out[2]["zcr"] is None
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a % (1 << 64)) ^ (b % (1 << 64))).count("1")
+
+
+def _chord(freqs, rate=8000, sec=1.0, amp=0.2, noise=0.0, seed=0):
+    t = np.arange(int(rate * sec)) / rate
+    rng = np.random.RandomState(seed)
+    sig = sum(np.sin(2 * np.pi * f * t + i) for i, f in enumerate(freqs))
+    sig = sig * amp / len(freqs) + rng.normal(0, noise, len(t))
+    return (np.clip(sig, -1, 1) * 32767).astype(np.int16)[:, None]
+
+
+def test_fingerprint_volume_invariant_and_noise_robust():
+    from rustcheatersdatapipeline_spark.functions.audio import audio_fingerprint
+
+    base = _chord([300, 700, 1500])
+    fp = audio_fingerprint(base, 8000)
+    louder = _chord([300, 700, 1500], amp=0.5)
+    assert _ham(fp, audio_fingerprint(louder, 8000)) <= 3
+    noisy = _chord([300, 700, 1500], noise=0.01, seed=5)
+    assert _ham(fp, audio_fingerprint(noisy, 8000)) <= 3
+
+
+def _varied_clip(seed: int, rate: int = 8000) -> np.ndarray:
+    """Time-varying clip with a seed-chosen spectral occupancy: two
+    halves, each a chord of 3 tones drawn from distinct octave bands —
+    the structure real audio has (stationary equal-energy chords are
+    the known degenerate case for ANY occupancy sketch: two different
+    chords can legitimately share coarse band occupancy)."""
+    rng = np.random.RandomState(seed)
+    centers = np.geomspace(60, 3600, 12)
+    halves = []
+    for _ in range(2):
+        freqs = rng.choice(centers, size=3, replace=False)
+        halves.append(_chord(list(freqs), rate=rate, sec=0.5, noise=0.01, seed=seed))
+    return np.concatenate(halves)
+
+
+def test_fingerprint_separates_unrelated_clips():
+    from rustcheatersdatapipeline_spark.functions.audio import audio_fingerprint
+
+    fps = [audio_fingerprint(_varied_clip(s), 8000) for s in range(10)]
+    dists = [_ham(a, b) for i, a in enumerate(fps) for b in fps[i + 1 :]]
+    assert min(dists) > 3
+    assert sum(dists) / len(dists) > 10
+
+
+def test_audio_neardup_via_shared_banding(spark):
+    """The pHash banded join is modality-blind: feed audio fingerprints
+    through image_neardup and find the planted volume-twin."""
+    from rustcheatersdatapipeline_spark.functions.audio import (
+        featurize_audio_fingerprint,
+    )
+    from rustcheatersdatapipeline_spark.functions.phash import image_neardup
+
+    rows = [
+        (1, bytearray(encode_wav(_chord([300, 700, 1500]), rate=8000))),
+        (2, bytearray(encode_wav(_chord([300, 700, 1500], amp=0.5), rate=8000))),
+        (3, bytearray(encode_wav(_chord([450, 1100, 2600], seed=9), rate=8000))),
+        (4, bytearray(b"not audio at all")),
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    fps = featurize_audio_fingerprint(media)
+    assert fps.count() == 3  # junk skipped
+    pairs = {(r["item_a"], r["item_b"]) for r in image_neardup(fps).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
