@@ -61,6 +61,8 @@ def canonical_url(col: Column | str) -> Column:
         lambda p: (p != "")
         & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(*TRACKING_PARAMS),
     )
+    # an empty value is the same parameter as no value: "a=" ≡ "a"
+    params = F.transform(params, lambda p: F.regexp_replace(p, "=$", ""))
     sorted_q = F.array_join(F.array_sort(params), "&")
     return F.concat(
         scheme,

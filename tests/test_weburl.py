@@ -99,3 +99,32 @@ def test_compression_ratio_values_and_ordering(spark):
     assert out[3]["compression_ratio"] > out[1]["compression_ratio"]
     assert out[4]["compression_ratio"] is None and out[5]["compression_ratio"] is None
     assert out[1]["keep_compression"]
+
+
+def test_canonical_property_vs_urllib(spark):
+    """Hypothesis-style component sweep (deterministic seed): URLs
+    assembled from random scheme/host-case/port/path/params/fragment
+    combinations must all agree with the urllib oracle — including the
+    empty-value edge ("a=" ≡ "a") and tracking params in any case."""
+    import random
+
+    rng = random.Random(42)
+    urls = []
+    for _ in range(120):
+        scheme = rng.choice(["http", "https", "HTTP", "HttpS"])
+        host = rng.choice(["A.Test", "sub.Example.ORG", "x.io"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/A/b", "/p%20q"])
+        n = rng.randint(0, 4)
+        parts = []
+        for _ in range(n):
+            k = rng.choice(["a", "B", "utm_source", "Gclid", "z"])
+            v = rng.choice(["", "1", "Xy"])
+            parts.append(f"{k}={v}" if rng.random() < 0.8 else k)
+        q = ("?" + "&".join(parts)) if parts else ""
+        frag = rng.choice(["", "#f", "#sec-2"])
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    for u, g in zip(urls, got):
+        assert g == _oracle(u), (u, g, _oracle(u))
