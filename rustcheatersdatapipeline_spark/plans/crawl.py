@@ -40,13 +40,11 @@ from ..warehouse.persist import GoldStore
 MIN_CHARS = 80
 
 
-def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
-    """Stages 1-4 as one lazy frame: curated candidate documents
-    (doc_id, text, lang, source, n_chars, compression_ratio) — content
-    dedup (stage 5) happens at publish so it can run against the
-    persisted index."""
-    warc = read_warc(spark, warc_path)
-    docs = warc_to_documents(warc, lines=True)
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Document-level curation (URL frontier dedup → per-site
+    boilerplate strip → length + compression cuts) over any frame in
+    the documents shape with line-preserving text — shared by the batch
+    pipeline and the streaming sink, so the two cannot drift."""
     docs = dedup_by_url(docs, url_col="source", id_col="doc_id")
     # boilerplate groups by SITE (url host), not per-page url
     docs = docs.withColumn("_domain", F.parse_url("source", F.lit("HOST")))
@@ -62,12 +60,24 @@ def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
         .withColumn("n_chars", F.length("text").cast("long"))
         .filter(F.col("n_chars") >= MIN_CHARS)
     )
-    # PDFs join after the HTML-only stages (no site boilerplate to
-    # strip; the distiller already applies its printable-fraction gate)
-    pdfs = warc_to_pdf_documents(warc).filter(F.col("n_chars") >= MIN_CHARS)
-    curated = curated.unionByName(pdfs)
     flagged = quality_compression_flags(curated)
     return flagged.filter(F.col("keep_compression")).drop("keep_compression")
+
+
+def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
+    """Stages 1-4 as one lazy frame: curated candidate documents
+    (doc_id, text, lang, source, n_chars, compression_ratio) — content
+    dedup (stage 5) happens at publish so it can run against the
+    persisted index."""
+    warc = read_warc(spark, warc_path)
+    curated = curate_documents(warc_to_documents(warc, lines=True))
+    # PDFs join after the HTML-only stages (no site boilerplate to
+    # strip; the distiller already applies its printable-fraction gate)
+    pdfs = quality_compression_flags(
+        warc_to_pdf_documents(warc).filter(F.col("n_chars") >= MIN_CHARS)
+    )
+    pdfs = pdfs.filter(F.col("keep_compression")).drop("keep_compression")
+    return curated.unionByName(pdfs)
 
 
 def curate_crawl(
@@ -91,3 +101,20 @@ def curate_crawl(
     tables = store.current_manifest()["tables"]
     after = store.read(sink.data_table).count() if sink.data_table in tables else 0
     return after - before
+
+
+class CuratedCorpusIngestSink(CorpusIngestSink):
+    """Streaming form of the crawl pipeline: each micro-batch of
+    distilled documents (``open_warc_documents_stream(..., lines=True)``)
+    is CURATED (URL dedup, per-site boilerplate, quality cuts) before
+    the inherited dedup-vs-index + atomic-publish loop.
+
+    Boilerplate frequency is measured WITHIN the micro-batch — sound
+    for crawl drop folders because crawls are site-bucketed (a file
+    carries many pages per site); a site spread one-page-per-batch
+    keeps its template until the periodic batch `curate_crawl` sweep,
+    the documented batch/streaming split of every frequency-based
+    operator here."""
+
+    def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
+        return super()._collapse_batch(curate_documents(batch_df))
