@@ -84,9 +84,19 @@ def table_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
-#: cap for fact-based broadcast decisions — compressed parquet under this
-#: inflates to well within executor broadcast budgets
-BROADCAST_CAP_BYTES = 64 << 20
+#: worst-case in-memory bytes a forced broadcast may occupy per executor.
+#: An explicit hint cannot be demoted by AQE, so the budget must hold on
+#: the smallest executors the plan could land on — 256 MiB is inside any
+#: sane executor memory config and well past every real dimension table.
+BROADCAST_MEMORY_BUDGET = 256 << 20
+
+#: compressed columnar bytes understate the row-oriented in-memory hash
+#: relation; 8x is the top of the observed 5-10x inflation range for
+#: zstd parquet, so budget/8 on-disk is a conservative admission cap
+PARQUET_INFLATION = 8
+
+#: effective on-disk cap for fact-based broadcast decisions (32 MiB)
+BROADCAST_CAP_BYTES = BROADCAST_MEMORY_BUDGET // PARQUET_INFLATION
 
 
 def broadcast_if_small(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
@@ -98,10 +108,11 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     This restores the compile-time broadcast (and its zero-shuffle
     plan) exactly when the fact supports it, and degrades to the
     AQE-decided shuffle join the moment the table outgrows the cap —
-    at 100 TB the fact says no, and no driver OOM is possible. The
-    same decision Spark's leaf statistics would make, taken from the
-    filesystem instead of the estimator so derived-plan misestimates
-    can never leak in."""
-    if table_bytes(sf_dir, name) < BROADCAST_CAP_BYTES:
+    at 100 TB the fact says no, and no driver OOM is possible. The cap
+    is stated as an in-memory budget over a conservative parquet
+    inflation factor because a forced hint can never be demoted: the
+    worst-case hash relation (disk bytes x inflation) must fit the
+    executor broadcast budget, not just the driver."""
+    if table_bytes(sf_dir, name) * PARQUET_INFLATION < BROADCAST_MEMORY_BUDGET:
         return F.broadcast(df)
     return df

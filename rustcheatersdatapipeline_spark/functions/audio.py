@@ -90,7 +90,7 @@ def featurize_audio(media: DataFrame) -> DataFrame:
     """(item_id, features...) for every decodable PCM WAV payload;
     non-audio or corrupt payloads yield NULL-feature rows (quarantine,
     never a task failure)."""
-    from .pixels import decode_wav_samples
+    from .pixels import DECODE_QUARANTINE, decode_wav_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["item_id", *_NULL_FEAT]
@@ -104,7 +104,7 @@ def featurize_audio(media: DataFrame) -> DataFrame:
                         samples.dtype, 32
                     )
                     feat = audio_features(samples, rate, bits)
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_QUARANTINE:
                     feat = _NULL_FEAT
                 rows.append({"item_id": item_id, **feat})
             yield pd.DataFrame(rows, columns=cols)
@@ -166,7 +166,7 @@ def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
     column named ``phash`` so ``functions.phash.image_neardup`` /
     ``explode_bands`` / ``image_dedup_clusters`` apply verbatim to
     audio (the banding math is modality-blind: 64 bits are 64 bits)."""
-    from .pixels import decode_wav_samples
+    from .pixels import DECODE_QUARANTINE, decode_wav_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,7 +179,7 @@ def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
                         samples.dtype, 32
                     )
                     fp = audio_fingerprint(samples, rate, bits)
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_QUARANTINE:
                     continue
                 rows.append(
                     {"item_id": item_id, "phash": fp - (1 << 64) if fp >= (1 << 63) else fp}

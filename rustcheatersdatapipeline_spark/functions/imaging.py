@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from .pixels import DECODE_QUARANTINE
+
 
 def encode_png_bytes(px: np.ndarray) -> bytes:
     """Minimal lossless PNG: 8-bit gray/gray+alpha/RGB/RGBA, filter 0.
@@ -101,7 +103,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 buf = bytes(payload) if payload is not None else b""
                 try:
                     px = _decode_image(buf)
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_QUARANTINE:
                     px = None
                 if px is None:
                     rows.append(
@@ -150,7 +152,7 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
                         frames = decode_jpeg_pixels(buf)[None, ...]
                     else:
                         continue
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_QUARANTINE:
                     continue
                 for i in range(0, frames.shape[0], step):
                     rows.append(

@@ -24,6 +24,13 @@ from __future__ import annotations
 import re
 import zlib
 
+#: Per-stream inflate cap. A decompression-bomb PDF (tiny /FlateDecode
+#: stream inflating to GBs) must skip the stream, not OOM the executor —
+#: same bound discipline as the PNG/GIF decode caps in pixels.py. Real
+#: content streams are text operators; 256 MiB is orders beyond any
+#: legitimate page description.
+_PDF_MAX_INFLATE_BYTES = 256 * 1024 * 1024
+
 _LITERAL = re.compile(rb"\((?:\\.|[^\\()])*\)", re.S)
 _HEX = re.compile(rb"<[0-9A-Fa-f\s]*>")
 _SHOW = re.compile(
@@ -110,7 +117,10 @@ def pdf_to_text(buf: bytes) -> str:
         hdr = buf[dict_start : m.start()] if dict_start != -1 else b""
         if b"/FlateDecode" in hdr:
             try:
-                data = zlib.decompress(data)
+                d = zlib.decompressobj()
+                data = d.decompress(data, _PDF_MAX_INFLATE_BYTES)
+                if d.unconsumed_tail:  # bomb: cap hit with input left
+                    continue
             except zlib.error:
                 continue
         elif b"/Filter" in hdr:

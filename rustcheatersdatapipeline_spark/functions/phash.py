@@ -83,7 +83,7 @@ def featurize_phash(media: DataFrame) -> DataFrame:
     are dropped — they quarantine through ``featurize_pixels``' path,
     not here. ``phash`` is stored as a SIGNED 64-bit reinterpretation so
     it stays a plain bigint column."""
-    from .pixels import decode_gif_pixels, decode_png_pixels
+    from .pixels import DECODE_QUARANTINE, decode_gif_pixels, decode_png_pixels
     from .jpeg import decode_jpeg_pixels
     from .multimodal import _PNG_SIGNATURE
 
@@ -102,7 +102,7 @@ def featurize_phash(media: DataFrame) -> DataFrame:
                     else:
                         continue
                     h = phash64(px)
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_QUARANTINE:
                     continue
                 rows.append(
                     {

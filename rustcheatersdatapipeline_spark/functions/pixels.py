@@ -47,6 +47,15 @@ from .multimodal import _PNG_SIGNATURE, parse_wav_header
 #: PNG color type → samples per pixel (public spec, RFC 2083 §4.1.1)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: The COMPLETE exception contract of the pure-stdlib decoders
+#: (PNG/GIF/JPEG/AVI/WAV): ``NotImplementedError`` names unsupported
+#: codec variants, ``ValueError``/``IndexError`` cover malformed
+#: structure, ``zlib.error`` covers corrupt deflate streams (PNG IDAT).
+#: Every featurizer must catch exactly this tuple — a corrupt payload
+#: that escapes becomes a permanent poison pill under ``foreachBatch``
+#: replay (the sink re-reads the same payload every restart).
+DECODE_QUARANTINE = (NotImplementedError, ValueError, zlib.error, IndexError)
+
 PIXEL_FEATURES_SCHEMA = (
     "item_id bigint, mime string, kind string, width int, height int, "
     "channels int, n_samples bigint, mean double, rms double"
@@ -452,7 +461,7 @@ def featurize_pixels(media: DataFrame) -> DataFrame:
                 buf = bytes(payload) if payload is not None else b""
                 try:
                     feat = decode_media(buf)
-                except (NotImplementedError, ValueError, zlib.error, IndexError):
+                except DECODE_QUARANTINE:
                     # NotImplementedError: codec-needing format; the rest:
                     # corrupt payloads behind a valid signature (bad deflate
                     # stream, truncated chunk walk) — quarantine, never fail

@@ -93,6 +93,10 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+#: WARC header blocks are hundreds of bytes; see _iter_stream_records
+_MAX_HEADER_BYTES = 1 << 20
+
+
 class _GzipError(Exception):
     pass
 
@@ -139,15 +143,44 @@ class _StreamBuf:
     def end(self) -> int:
         return self.base + len(self.buf)
 
-    def find(self, pat: bytes, start_off: int) -> int:
+    def find(self, pat: bytes, start_off: int, limit: int | None = None) -> int:
+        """Offset of ``pat`` at/after ``start_off``, or -1. ``limit``
+        bounds the search (and therefore the buffering) to
+        ``start_off + limit`` — without it a corrupt stream that never
+        contains ``pat`` would accumulate whole in the buffer."""
         pos = max(start_off - self.base, 0)
         while True:
             i = self.buf.find(pat, pos)
             if i != -1:
-                return self.base + i
+                off = self.base + i
+                return off if limit is None or off < start_off + limit else -1
+            if limit is not None and self.end() >= start_off + limit:
+                return -1
             pos = max(len(self.buf) - len(pat) + 1, 0)
             if not self._pull():
                 return -1
+
+    def next_magic(self, pat: bytes, start_off: int) -> tuple[int, bool]:
+        """Bounded-memory scan for the next record magic: bytes scanned
+        past are discarded as the scan advances (keeping a
+        ``len(pat)-1`` overlap tail), so trailing garbage that never
+        contains ``pat`` costs O(chunk) memory, not O(remaining
+        stream). Returns ``(match offset or -1, garbage_seen)`` —
+        whether any skipped byte was non-whitespace, the parser's
+        quarantine evidence without retaining the garbage itself."""
+        self.discard(start_off)
+        garbage = False
+        while True:
+            i = self.buf.find(pat)
+            if i != -1:
+                garbage = garbage or bool(bytes(self.buf[:i]).strip())
+                self.discard(self.base + i)
+                return self.base, garbage
+            keep = max(len(self.buf) - len(pat) + 1, 0)
+            garbage = garbage or bool(bytes(self.buf[:keep]).strip())
+            self.discard(self.base + keep)
+            if not self._pull():
+                return -1, garbage or bool(bytes(self.buf).strip())
 
     def ensure(self, end_off: int) -> bool:
         while self.end() < end_off:
@@ -169,15 +202,16 @@ def _iter_stream_records(warc_file: str, chunks: Iterator[bytes]) -> Iterator[di
     sb = _StreamBuf(chunks)
     pos = 0
     while True:
-        start = sb.find(b"WARC/", pos)
+        start, garbage = sb.next_magic(b"WARC/", pos)
         if start == -1:
-            if sb.slice(pos, sb.end()).strip():
+            if garbage:
                 yield _quarantine(warc_file, pos, "trailing bytes with no WARC magic")
             return
-        if sb.slice(pos, start).strip():
+        if garbage:
             yield _quarantine(warc_file, pos, "garbage between records")
-        sb.discard(start)  # nothing before the magic is needed again
-        hdr_end = sb.find(_CRLF2, start)
+        # header blocks are a few hundred bytes; the 1 MiB search bound
+        # keeps a corrupt never-terminated header from buffering the file
+        hdr_end = sb.find(_CRLF2, start, limit=_MAX_HEADER_BYTES)
         if hdr_end == -1:
             yield _quarantine(warc_file, start, "truncated header block")
             return

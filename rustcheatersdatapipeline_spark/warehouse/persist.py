@@ -194,17 +194,20 @@ class GoldStore:
         with the MANIFEST-recorded union schema, so an older dir that
         predates an additive column yields NULLs for it — schema
         evolution without ``mergeSchema``'s read-every-footer cost (the
-        schema was merged once, at commit time). Legacy entries without
-        a recorded schema fall back to ``mergeSchema`` (footer merge)."""
+        schema was merged once, at commit time). The recorded schema
+        applies to SINGLE-dir entries too: a one-txn ``changes_since``
+        delta must expose the same column set as ``read()`` after
+        additive evolution, not its footer's pre-evolution subset.
+        Legacy entries without a recorded schema fall back to
+        ``mergeSchema`` (footer merge)."""
         dirs = [os.path.join(self.path, d) for d in self._dirs(entry)]
         r = self.spark.read
-        if len(dirs) > 1:
-            if entry.get("schema") is not None:
-                from pyspark.sql.types import StructType
+        if entry.get("schema") is not None:
+            from pyspark.sql.types import StructType
 
-                r = r.schema(StructType.fromJson(entry["schema"]))
-            else:
-                r = r.option("mergeSchema", "true")
+            r = r.schema(StructType.fromJson(entry["schema"]))
+        elif len(dirs) > 1:
+            r = r.option("mergeSchema", "true")
         return r.parquet(*dirs)
 
     def read(self, name: str) -> DataFrame:

@@ -74,3 +74,47 @@ def test_sample_frames_single_image_and_junk(spark):
     media = spark.createDataFrame(rows, "item_id long, payload binary")
     got = sample_frames(media, step=3).collect()
     assert len(got) == 1 and got[0]["item_id"] == 1 and got[0]["frame_idx"] == 0
+
+
+def _corrupt_idat_png(img: np.ndarray) -> bytes:
+    """Valid PNG signature + chunk walk, garbage deflate in IDAT — the
+    repro from the round-6 advisory: decode raises zlib.error, which the
+    featurizers MUST quarantine (a task crash is a permanent poison pill
+    under foreachBatch replay)."""
+    buf = bytearray(encode_png_bytes(img))
+    i = buf.find(b"IDAT")
+    assert i != -1
+    buf[i + 4 : i + 12] = b"\x78\x9c\xff\xff\xff\xff\xff\xff"
+    return bytes(buf)
+
+
+def test_corrupt_idat_reproduces_zlib_error():
+    import zlib
+
+    img = np.random.RandomState(7).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    with pytest.raises(zlib.error):
+        decode_png_pixels(_corrupt_idat_png(img))
+
+
+def test_corrupt_idat_quarantines_not_crashes(spark):
+    """One corrupt PNG in the batch must not fail the task in ANY
+    featurizer: resize → NULL payload row, sample_frames → no frames,
+    phash → row dropped; the healthy sibling row survives untouched."""
+    from rustcheatersdatapipeline_spark.functions.phash import featurize_phash
+
+    img = np.random.RandomState(8).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png_bytes(img))),
+        (2, bytearray(_corrupt_idat_png(img))),
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+
+    resized = {r["item_id"]: r for r in resize_media(media, 8, 8).collect()}
+    assert resized[1]["payload"] is not None
+    assert resized[2]["payload"] is None  # quarantined, task alive
+
+    frames = sample_frames(media, step=1).collect()
+    assert {r["item_id"] for r in frames} == {1}
+
+    hashed = featurize_phash(media).collect()
+    assert {r["item_id"] for r in hashed} == {1}

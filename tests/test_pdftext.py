@@ -99,3 +99,19 @@ def test_totality_fuzz():
             buf[rng.randint(5, len(buf))] = rng.randint(0, 256)
         out = pdf_to_text(bytes(buf))  # must never raise past signature
         assert isinstance(out, str)
+
+
+def test_decompression_bomb_stream_skipped():
+    """A tiny /FlateDecode stream inflating past the 256 MiB cap (a
+    decompression-bomb PDF in crawl data) must be SKIPPED, not
+    materialized — and must not take the rest of the document with it."""
+    bomb = zlib.compress(b"(boom) Tj " + b"\x00" * (300 << 20), 9)
+    assert len(bomb) < 1 << 20  # the attack premise: tiny on the wire
+    pdf = make_pdf(b"BT (before bomb) Tj ET")
+    bomb_obj = (
+        b"5 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(bomb)).encode()
+        + b" >>\nstream\n" + bomb + b"\nendstream\nendobj\n"
+    )
+    combined = pdf.replace(b"trailer", bomb_obj + b"trailer")
+    assert pdf_to_text(combined) == "before bomb"

@@ -305,3 +305,25 @@ def test_streaming_warc_media_to_perceptual_dedup(spark, tmp_path):
     srcs = {r["source"] for r in store.read("media").collect()}
     assert srcs == {"http://a/i1.png", "http://a/i2.png", "http://a/i3.png"}
     assert store.read("media_index").count() == 3
+
+
+def test_streambuf_garbage_scan_bounded_memory():
+    """When the magic never appears (torn record + trailing garbage),
+    the scan must NOT accumulate the remaining stream: memory stays at
+    one chunk + pattern overlap, and the garbage evidence survives."""
+    from rustcheatersdatapipeline_spark.sources.warc import _StreamBuf
+
+    chunk = 1 << 20
+    n_chunks = 8
+    chunks = (b"x" * chunk for _ in range(n_chunks))
+    sb = _StreamBuf(chunks)
+    off, garbage = sb.next_magic(b"WARC/", 0)
+    assert off == -1 and garbage is True
+    assert len(sb.buf) < 2 * chunk  # not the whole 8 MiB stream
+
+    # and a match after a long garbage prefix is still found exactly
+    payload = b"y" * (3 * chunk) + b"WARC/1.0\r\nrest"
+    sb2 = _StreamBuf(payload[i : i + chunk] for i in range(0, len(payload), chunk))
+    off2, garbage2 = sb2.next_magic(b"WARC/", 0)
+    assert off2 == 3 * chunk and garbage2 is True
+    assert sb2.slice(off2, off2 + 8) == b"WARC/1.0"
