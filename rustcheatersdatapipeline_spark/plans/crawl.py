@@ -89,18 +89,15 @@ def curate_crawl(
     """Run the full pipeline over a crawl dump and publish the novel
     documents + their index rows atomically. Returns the number of
     documents admitted this run (0 for a pure re-crawl). Idempotent:
-    re-running over the same dump admits nothing new."""
+    re-running over the same dump admits nothing new.
+
+    The admitted count comes FROM the sink (it computes the novel-row
+    count anyway for its empty-batch guard) — an O(batch) fact; the
+    corpus table is never scanned, so this entry point stays O(crawl
+    bytes) at any corpus size."""
     curated = distill_and_curate(spark, warc_path)
     sink = CorpusIngestSink(store, k=k)
-    before = (
-        store.read(sink.data_table).count()
-        if sink.data_table in store.current_manifest()["tables"]
-        else 0
-    )
-    sink(curated, batch_id=-1)
-    tables = store.current_manifest()["tables"]
-    after = store.read(sink.data_table).count() if sink.data_table in tables else 0
-    return after - before
+    return sink(curated, batch_id=-1)
 
 
 class CuratedCorpusIngestSink(CorpusIngestSink):

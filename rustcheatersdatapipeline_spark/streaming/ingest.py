@@ -96,7 +96,17 @@ class IncrementalIngestSink:
         durable contract every future batch must match."""
         return {}
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    #: documents admitted by the most recent __call__ — the O(batch)
+    #: bookkeeping fact callers need (the sink computes it anyway for the
+    #: empty-batch guard); reading it here replaces any O(corpus)
+    #: before/after count of the data table
+    last_admitted: int = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> int:
+        """Ingest one micro-batch; returns (and stashes as
+        ``last_admitted``) the number of novel rows appended — 0 for a
+        pure replay. ``foreachBatch`` ignores the return value; batch
+        callers (plans/crawl.py curate_crawl) use it directly."""
         self._bind_contract()
         collapsed = self._collapse_batch(batch_df)
 
@@ -110,8 +120,11 @@ class IncrementalIngestSink:
                 novel = collapsed
             novel = novel.cache()
             try:
-                if novel.count() == 0:
-                    return  # pure replay / all duplicates → version-stable no-op
+                admitted = novel.count()
+                if admitted == 0:
+                    # pure replay / all duplicates → version-stable no-op
+                    self.last_admitted = 0
+                    return 0
                 # APPEND the delta: a micro-batch landing on a petabyte
                 # corpus stages only its own rows — never a rewrite
                 props = self._index_properties()
@@ -121,7 +134,8 @@ class IncrementalIngestSink:
                     properties={self.index_table: props} if props else None,
                 )
                 self._maybe_compact()
-                return
+                self.last_admitted = admitted
+                return admitted
             except ConcurrentWriteError as e:
                 last = e  # another writer advanced the index: recompute
             finally:

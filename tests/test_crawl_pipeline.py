@@ -88,16 +88,30 @@ def test_distill_and_curate_stage_effects(spark, tmp_path):
     assert NAV in out["http://b.test/q0"]["text"]
 
 
-def test_curate_crawl_publishes_and_is_idempotent(spark, tmp_path):
+def test_curate_crawl_publishes_and_is_idempotent(spark, tmp_path, monkeypatch):
     (tmp_path / "dump.warc").write_bytes(_crawl_bytes())
     store = GoldStore(spark, str(tmp_path / "gold"))
+    # the admitted count must come from the sink (O(batch)), never from
+    # scanning the corpus table (O(corpus)) — record every table read
+    # made while curate_crawl runs and assert the corpus is untouched
+    reads: list[str] = []
+    orig_read = GoldStore.read
+
+    def tracking_read(self, name):
+        reads.append(name)
+        return orig_read(self, name)
+
+    monkeypatch.setattr(GoldStore, "read", tracking_read)
     admitted = curate_crawl(spark, str(tmp_path), store, k=9)
     assert admitted == 6
+    assert "corpus" not in reads  # index reads only — no corpus scan
     corpus = {r["source"]: r["text"] for r in store.read("corpus").collect()}
     assert len(corpus) == 6 and NAV not in corpus["http://a.test/p1"]
     assert store.read("dedup_index").count() == 6
     # re-running the same dump admits nothing (content dedup vs index)
+    reads.clear()
     assert curate_crawl(spark, str(tmp_path), store, k=9) == 0
+    assert "corpus" not in reads
     assert store.read("corpus").count() == 6
 
 
