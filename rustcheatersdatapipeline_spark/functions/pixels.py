@@ -8,8 +8,9 @@ standard library:
 - **PNG** (RFC 2083): chunk walk → concatenated IDAT → ``zlib``
   inflate → scanline unfiltering (all five filter types: None, Sub,
   Up, Average, Paeth) → ``(h, w, channels)`` uint8 array. Supported:
-  bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
-  non-interlaced — the shapes ML pipelines actually emit. Palette,
+  bit depth 8 for color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA)
+  plus PALETTE (color type 3, PLTE/tRNS lookup, 1/2/4/8-bit indices —
+  the icon/screenshot shape real crawls are full of), non-interlaced.
   16-bit and Adam7 raise ``NotImplementedError`` with the exact
   variant named (quarantined upstream, never a task failure).
 - **WAV** (RIFF PCM): ``data`` chunk → ``numpy.frombuffer`` →
@@ -114,15 +115,67 @@ def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
     return out
 
 
+def _inflate_bounded(idat: bytes, expected: int) -> bytes:
+    """Inflate the concatenated IDAT stream, capped at the IHDR-derived
+    size: h scanlines of (filter byte + stride). A decompression-bomb
+    payload (tiny IDAT inflating to GBs behind a valid signature) raises
+    ValueError → quarantine, instead of OOMing the executor
+    (MemoryError is outside the quarantine contract)."""
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("PNG: inflated stream exceeds h*(stride+1) bound")
+    return raw
+
+
+def _decode_palette_png(
+    w: int, h: int, depth: int, plte: bytes | None, trns: bytes | None, idat: bytes
+) -> np.ndarray:
+    """Color-type-3 decode: indices (1/2/4/8-bit, MSB-first packing per
+    RFC 2083 §2.3) → PLTE lookup → RGB, or RGBA when a tRNS chunk gives
+    per-entry alpha — the same palette-composite semantics as the GIF
+    path. Filtering for sub-byte depths operates on bytes with bpp=1
+    (spec: filters apply to bytes, not pixels)."""
+    if depth not in (1, 2, 4, 8):
+        raise NotImplementedError(f"PNG palette bit depth {depth} unsupported")
+    if plte is None or len(plte) < 3 or len(plte) % 3:
+        raise ValueError("PNG: palette image without a valid PLTE chunk")
+    stride = (w * depth + 7) // 8
+    raw = _inflate_bounded(idat, h * (stride + 1))
+    rows = _unfilter_scanlines(raw, h, stride, 1)
+    arr = np.frombuffer(bytes(rows), np.uint8).reshape(h, stride)
+    if depth == 8:
+        idx = arr[:, :w]
+    else:
+        bits = np.unpackbits(arr, axis=1).reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :w]
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG: palette index out of range")
+    if trns is not None and len(trns):
+        alpha = np.full(len(pal), 255, np.uint8)
+        n = min(len(trns), len(pal))
+        alpha[:n] = np.frombuffer(trns[:n], np.uint8)
+        return np.concatenate([pal, alpha[:, None]], axis=1)[idx]
+    return pal[idx]
+
+
 def decode_png_pixels(buf: bytes) -> np.ndarray:
     """Full PNG decode → uint8 array of shape (height, width, channels)."""
     if buf[:8] != _PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     for tag, data in _png_chunks(buf):
         if tag == b"IHDR":
             ihdr = data
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat.extend(data)
     if ihdr is None or len(ihdr) < 13 or not idat:
@@ -130,25 +183,17 @@ def decode_png_pixels(buf: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlacing unsupported")
+    if color == 3:
+        return _decode_palette_png(w, h, depth, plte, trns, bytes(idat))
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
     if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color} (palette unsupported)")
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlacing unsupported")
+        raise NotImplementedError(f"PNG color type {color} unsupported")
     channels = _PNG_CHANNELS[color]
     stride = w * channels
-    # the exact inflated size is known from IHDR: h scanlines of
-    # (filter byte + stride). Cap decompression at that bound so a
-    # decompression-bomb payload (tiny IDAT inflating to GBs behind a
-    # valid signature) raises ValueError → quarantine, instead of
-    # OOMing the executor (MemoryError is outside the quarantine
-    # contract).
-    expected = h * (stride + 1)
-    d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), expected)
-    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
-        raise ValueError("PNG: inflated stream exceeds h*(stride+1) bound")
+    raw = _inflate_bounded(bytes(idat), h * (stride + 1))
     pixels = _unfilter_scanlines(raw, h, stride, channels)
     return np.frombuffer(bytes(pixels), np.uint8).reshape(h, w, channels)
 

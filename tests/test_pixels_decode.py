@@ -192,3 +192,108 @@ def test_png_decompression_bomb_is_bounded_and_quarantined():
     )
     with pytest.raises(ValueError, match="exceeds"):
         decode_png_pixels(bomb)
+
+
+def encode_palette_png(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    trns: np.ndarray | None = None,
+    ftype: int = 0,
+) -> bytes:
+    """Test-side color-type-3 encoder: MSB-first index packing per RFC
+    2083 §2.3, PLTE (+ optional tRNS) chunks, any filter type — the
+    forward transform the palette decoder must invert."""
+    h, w = idx.shape
+    stride = (w * depth + 7) // 8
+    if depth == 8:
+        packed = idx.astype(np.uint8)
+    else:
+        bits = (
+            (idx[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, -1)
+        pad = stride * 8 - bits.shape[1]
+        if pad:
+            bits = np.concatenate([bits, np.zeros((h, pad), np.uint8)], axis=1)
+        packed = np.packbits(bits, axis=1)
+    raw = _forward_filter(packed[:, :, None], ftype)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("ftype", [0, 2])
+def test_palette_png_roundtrip(depth, ftype):
+    rng = np.random.default_rng(depth * 10 + ftype)
+    n = 1 << depth
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(11, 13), dtype=np.uint8)
+    got = decode_png_pixels(encode_palette_png(idx, palette, depth, ftype=ftype))
+    assert got.shape == (11, 13, 3)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_palette_png_trns_gives_rgba():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    trns = np.array([0, 255], np.uint8)  # entry 0 transparent; 2 defaults 255
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    got = decode_png_pixels(encode_palette_png(idx, palette, 8, trns=trns))
+    assert got.shape == (2, 2, 4)
+    expected_alpha = np.array([[0, 255], [255, 0]], np.uint8)
+    assert np.array_equal(got[..., :3], palette[idx])
+    assert np.array_equal(got[..., 3], expected_alpha)
+
+
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=40, deadline=None)
+def test_palette_png_roundtrip_property(h, w, depth, ftype, seed):
+    rng = np.random.default_rng(seed)
+    n = 1 << depth
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+    got = decode_png_pixels(encode_palette_png(idx, palette, depth, ftype=ftype))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_palette_png_malformed_quarantines():
+    palette = np.zeros((4, 3), np.uint8)
+    idx = np.zeros((3, 3), np.uint8)
+    # missing PLTE chunk
+    png = encode_palette_png(idx, palette, 2)
+    i = png.find(b"PLTE")
+    no_plte = png[: i - 4] + png[i + 4 + 12 + 8 :]  # drop len+tag+12 bytes+crc
+    with pytest.raises((ValueError, IndexError)):
+        decode_png_pixels(no_plte)
+    # index out of palette range
+    small_pal = np.zeros((2, 3), np.uint8)
+    bad = encode_palette_png(np.full((2, 2), 3, np.uint8), small_pal, 8)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(bad)
+
+
+def test_palette_png_feeds_phash_not_quarantined():
+    """The round-6 gap: palette icons/screenshots quarantined out of the
+    perceptual index. A palette re-encode of an RGB image must now hash
+    within the near-dup radius of the original."""
+    from rustcheatersdatapipeline_spark.functions.phash import HAM_K, phash64
+
+    rng = np.random.default_rng(99)
+    coarse = rng.integers(0, 4, size=(8, 8), dtype=np.uint8)
+    idx = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1)  # 64x64, 4 colors
+    palette = np.array(
+        [[10, 10, 10], [90, 90, 90], [170, 170, 170], [250, 250, 250]], np.uint8
+    )
+    rgb = palette[idx]
+    h_rgb = phash64(rgb)
+    h_pal = phash64(decode_png_pixels(encode_palette_png(idx, palette, 2)))
+    assert bin(h_rgb ^ h_pal).count("1") <= HAM_K

@@ -52,3 +52,29 @@ def test_mutated_wav_never_escapes(cut, xor_at, xor_val):
 @settings(max_examples=60, deadline=None)
 def test_arbitrary_bytes_never_escape(junk):
     _decode_total(junk)
+
+
+@given(
+    cut=st.integers(0, 400),
+    xor_at=st.integers(0, 399),
+    xor_val=st.integers(1, 255),
+    depth=st.sampled_from([1, 2, 4, 8]),
+)
+@settings(max_examples=60, deadline=None)
+def test_mutated_palette_png_never_escapes(cut, xor_at, xor_val, depth):
+    from tests.test_pixels_decode import encode_palette_png
+
+    rng = np.random.default_rng(depth)
+    n = 1 << depth
+    png = bytearray(
+        encode_palette_png(
+            rng.integers(0, n, size=(6, 6), dtype=np.uint8),
+            rng.integers(0, 256, size=(n, 3), dtype=np.uint8),
+            depth,
+            trns=rng.integers(0, 256, size=(min(n, 3),), dtype=np.uint8),
+            ftype=2,
+        )
+    )
+    if xor_at < len(png):
+        png[xor_at] ^= xor_val
+    _decode_total(bytes(png[: cut if cut < len(png) else len(png)]))
