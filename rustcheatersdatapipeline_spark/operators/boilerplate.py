@@ -34,49 +34,90 @@ from pyspark.sql import functions as F
 BOILERPLATE_FRAC = 0.5
 MIN_GROUP_DOCS = 3
 
+#: schema of the mergeable per-site evidence rows (``lh`` NULL rows
+#: carry group doc counts) — what the persisted boilerplate index stores
+BP_STATS_SCHEMA = "grp string, lh long, n long"
 
-def remove_boilerplate(
+
+def line_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+) -> DataFrame:
+    """Boilerplate evidence for one document set, as SUM-mergeable rows
+    ``(grp, lh, n)``: one row per (group, line-hash) with its distinct-
+    doc count, plus one row per group with ``lh`` NULL carrying the
+    group's distinct-doc count. Counts are additive over disjoint
+    document sets, so per-batch deltas appended to a persisted index
+    merge exactly (frequent_from_stats sums them) — the log-structured
+    counter shape. Blank lines are excluded (they are never template)."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    )
+    line_rows = (
+        lines.filter(F.trim("_line") != "")
+        .groupBy("grp", F.xxhash64("_line").alias("lh"))
+        .agg(F.count_distinct("_id").alias("n"))
+    )
+    size_rows = (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n"))
+        .select("grp", F.lit(None).cast("long").alias("lh"), "n")
+    )
+    return line_rows.unionByName(size_rows)
+
+
+def frequent_from_stats(
+    stats: DataFrame,
     frac: float = BOILERPLATE_FRAC,
     min_docs: int = MIN_GROUP_DOCS,
 ) -> DataFrame:
-    """Documents with per-group template lines stripped.
+    """(grp, lh) template lines implied by (possibly multi-delta)
+    evidence rows: SUM-merge the counts, then apply the frequency
+    threshold. Works identically on one batch's stats and on a persisted
+    index holding many appended deltas."""
+    sizes = (
+        stats.filter(F.col("lh").isNull()).groupBy("grp").agg(F.sum("n").alias("_gdocs"))
+    )
+    counts = (
+        stats.filter(F.col("lh").isNotNull())
+        .groupBy("grp", "lh")
+        .agg(F.sum("n").alias("_n"))
+    )
+    return (
+        counts.join(sizes, "grp")
+        .filter(
+            (F.col("_gdocs") >= F.lit(min_docs))
+            & (F.col("_n") * F.lit(1.0) >= F.col("_gdocs") * F.lit(frac))
+        )
+        .select("grp", "lh")
+    )
 
-    Returns ``(id_col, group_col, text_col, n_lines, n_removed)`` where
-    ``text_col`` is the document rebuilt from its surviving lines in
-    original order (empty string when every line was template). Groups
-    smaller than ``min_docs`` are left untouched — frequency carries no
-    signal there. Blank lines never count as boilerplate (they carry no
-    content either way) but are preserved in surviving text.
-    """
+
+def strip_lines(
+    docs: DataFrame,
+    frequent: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Strip an EXPLICIT ``(grp, lh)`` template set from documents.
+
+    Returns ``(id_col, group_col, text_col, n_lines, n_removed)`` with
+    each document rebuilt from its surviving lines in original order
+    (empty string when every line was template). The template set may
+    come from this batch (remove_boilerplate), or from the cumulative
+    persisted index plus the batch delta (streaming crawl sink)."""
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_grp"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_lh", F.xxhash64("_line"))
-
-    # distinct docs containing each (group, line)
-    line_docs = (
-        lines.filter(F.trim("_line") != "")
-        .groupBy("_grp", "_lh")
-        .agg(F.count_distinct("_id").alias("_n"))
-    )
-    # group size = distinct docs in the group (computed from docs, exact)
-    sizes = docs.groupBy(F.col(group_col).alias("_grp")).agg(
-        F.count_distinct(F.col(id_col)).alias("_gdocs")
-    )
-    frequent = (
-        line_docs.join(sizes, "_grp")
-        .filter(
-            (F.col("_gdocs") >= F.lit(min_docs))
-            & (F.col("_n") * F.lit(1.0) >= F.col("_gdocs") * F.lit(frac))
-        )
-        .select("_grp", "_lh")
-    )
-    kept = lines.join(frequent, ["_grp", "_lh"], "left_anti")
+    freq = frequent.select(F.col("grp").alias("_grp"), F.col("lh").alias("_lh"))
+    kept = lines.join(freq, ["_grp", "_lh"], "left_anti")
     rebuilt = kept.groupBy("_id", "_grp").agg(
         F.array_join(
             F.transform(
@@ -107,3 +148,27 @@ def remove_boilerplate(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    frac: float = BOILERPLATE_FRAC,
+    min_docs: int = MIN_GROUP_DOCS,
+) -> DataFrame:
+    """Documents with per-group template lines stripped (frequency
+    measured WITHIN ``docs`` — the one-shot batch form; the streaming
+    sink feeds ``strip_lines`` the cumulative persisted evidence
+    instead).
+
+    Returns ``(id_col, group_col, text_col, n_lines, n_removed)``.
+    Groups smaller than ``min_docs`` are left untouched — frequency
+    carries no signal there. Blank lines never count as boilerplate
+    (they carry no content either way) but are preserved in surviving
+    text."""
+    frequent = frequent_from_stats(
+        line_stats(docs, id_col, text_col, group_col), frac, min_docs
+    )
+    return strip_lines(docs, frequent, id_col, text_col, group_col)

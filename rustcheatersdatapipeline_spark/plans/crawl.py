@@ -30,28 +30,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.weburl import dedup_by_url, quality_compression_flags
-from ..operators.boilerplate import remove_boilerplate
+from ..operators.boilerplate import (
+    BOILERPLATE_FRAC,
+    MIN_GROUP_DOCS,
+    frequent_from_stats,
+    line_stats,
+    remove_boilerplate,
+    strip_lines,
+)
 from ..sources.warc import read_warc, warc_to_documents, warc_to_pdf_documents
 from ..streaming.ingest import CorpusIngestSink
-from ..warehouse.persist import GoldStore
+from ..warehouse.persist import ConcurrentWriteError, GoldStore
 
 #: post-curation length floor (chars) — sub-threshold pages are menu
 #: fragments once boilerplate is gone
 MIN_CHARS = 80
 
 
-def curate_documents(docs: DataFrame) -> DataFrame:
-    """Document-level curation (URL frontier dedup → per-site
-    boilerplate strip → length + compression cuts) over any frame in
-    the documents shape with line-preserving text — shared by the batch
-    pipeline and the streaming sink, so the two cannot drift."""
-    docs = dedup_by_url(docs, url_col="source", id_col="doc_id")
-    # boilerplate groups by SITE (url host), not per-page url
-    docs = docs.withColumn("_domain", F.parse_url("source", F.lit("HOST")))
-    clean = remove_boilerplate(docs, group_col="_domain").withColumnRenamed(
-        "text", "_clean"
-    )
-    # re-derive the doc frame with curated text; keep provenance columns
+def _with_domain(docs: DataFrame) -> DataFrame:
+    """Boilerplate groups by SITE (url host), not per-page url."""
+    return docs.withColumn("_domain", F.parse_url("source", F.lit("HOST")))
+
+
+def _finish_curation(docs: DataFrame, clean: DataFrame) -> DataFrame:
+    """Join curated text back onto the doc frame and apply the
+    post-boilerplate cuts (length floor, compression window) — the
+    shared tail of every curation path, so batch, streaming and repair
+    cannot drift."""
     curated = (
         docs.drop("n_chars", "_domain")
         .join(clean.select("doc_id", "_clean"), "doc_id")
@@ -62,6 +67,19 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     )
     flagged = quality_compression_flags(curated)
     return flagged.filter(F.col("keep_compression")).drop("keep_compression")
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Document-level curation (URL frontier dedup → per-site
+    boilerplate strip → length + compression cuts) over any frame in
+    the documents shape with line-preserving text. Boilerplate
+    frequency is measured within ``docs`` (the one-shot batch form);
+    the streaming sink swaps in the cumulative persisted evidence."""
+    docs = _with_domain(dedup_by_url(docs, url_col="source", id_col="doc_id"))
+    clean = remove_boilerplate(docs, group_col="_domain").withColumnRenamed(
+        "text", "_clean"
+    )
+    return _finish_curation(docs, clean)
 
 
 def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
@@ -106,12 +124,137 @@ class CuratedCorpusIngestSink(CorpusIngestSink):
     is CURATED (URL dedup, per-site boilerplate, quality cuts) before
     the inherited dedup-vs-index + atomic-publish loop.
 
-    Boilerplate frequency is measured WITHIN the micro-batch — sound
-    for crawl drop folders because crawls are site-bucketed (a file
-    carries many pages per site); a site spread one-page-per-batch
-    keeps its template until the periodic batch `curate_crawl` sweep,
-    the documented batch/streaming split of every frequency-based
-    operator here."""
+    Boilerplate frequency comes from a PERSISTED per-site
+    line-frequency index (``boilerplate_table``): each batch strips
+    using the cumulative evidence (stored deltas + this batch), and the
+    admitted documents' raw-line stats append atomically with the
+    batch — so a site spread one-page-per-batch still converges on its
+    template. Pages published before their site crossed the frequency
+    threshold keep stale boilerplate until ``repair_boilerplate``
+    re-curates them (the maintenance sweep, amortized like compaction).
+    ``frac``/``min_docs`` are the index's data contract — persisted as
+    table properties, verified on reopen, explicit conflicts fail fast
+    (same discipline as the dedup index's shingle width)."""
+
+    def __init__(
+        self,
+        store: GoldStore,
+        boilerplate_table: str = "boilerplate_index",
+        frac: float | None = None,
+        min_docs: int | None = None,
+        **kwargs,
+    ):
+        self.boilerplate_table = boilerplate_table
+        self._explicit_frac = frac
+        self._explicit_min_docs = min_docs
+        self.frac = BOILERPLATE_FRAC if frac is None else frac
+        self.min_docs = MIN_GROUP_DOCS if min_docs is None else min_docs
+        super().__init__(store, **kwargs)
+
+    def _bind_contract(self) -> None:
+        super()._bind_contract()
+        stored = self.store.properties(self.boilerplate_table)
+        for key, explicit, cast in (
+            ("frac", self._explicit_frac, float),
+            ("min_docs", self._explicit_min_docs, int),
+        ):
+            if key in stored:
+                val = cast(stored[key])
+                if explicit is not None and cast(explicit) != val:
+                    raise ValueError(
+                        f"boilerplate index was built with {key}={val}; "
+                        f"reopening with {key}={explicit} would change which "
+                        "lines count as template — pass None to adopt"
+                    )
+                setattr(self, key, val)
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
-        return super()._collapse_batch(curate_documents(batch_df))
+        docs = _with_domain(
+            dedup_by_url(batch_df, url_col="source", id_col="doc_id")
+        )
+        delta = line_stats(docs, group_col="_domain")
+        tables = self.store.current_manifest()["tables"]
+        if self.boilerplate_table in tables:
+            stats = self.store.read(self.boilerplate_table).unionByName(delta)
+        else:
+            stats = delta
+        frequent = frequent_from_stats(stats, self.frac, self.min_docs)
+        clean = strip_lines(docs, frequent, group_col="_domain").withColumnRenamed(
+            "text", "_clean"
+        )
+        # carry the RAW text through dedup: the admitted docs' raw lines
+        # are the evidence the persisted index accumulates
+        curated = _finish_curation(docs.withColumn("_bp_raw", F.col("text")), clean)
+        return super()._collapse_batch(curated)
+
+    def _publish_frame(self, novel: DataFrame) -> DataFrame:
+        return novel.drop("_bp_raw")
+
+    def _extra_publish(self, novel: DataFrame) -> tuple[dict, dict]:
+        raw = _with_domain(novel.withColumn("text", F.col("_bp_raw")))
+        delta = line_stats(raw, group_col="_domain")
+        props = {"frac": float(self.frac), "min_docs": int(self.min_docs)}
+        return {self.boilerplate_table: delta}, {self.boilerplate_table: props}
+
+    def _maintained_tables(self) -> tuple[str, ...]:
+        return (*super()._maintained_tables(), self.boilerplate_table)
+
+    def _compact_table(self, name: str) -> None:
+        if name != self.boilerplate_table:
+            return super()._compact_table(name)
+        # fold the counter deltas: SUM per (grp, lh) — equivalent under
+        # frequent_from_stats and bounds the table at distinct lines
+        base = self.store.current_version()
+        folded = (
+            self.store.read(name)
+            .groupBy("grp", "lh")
+            .agg(F.sum("n").alias("n"))
+        )
+        props = self.store.properties(name)
+        self.store.publish(
+            {name: folded}, base, properties={name: props} if props else None
+        )
+
+
+def repair_boilerplate(
+    store: GoldStore,
+    corpus_table: str = "corpus",
+    boilerplate_table: str = "boilerplate_index",
+    frac: float = BOILERPLATE_FRAC,
+    min_docs: int = MIN_GROUP_DOCS,
+) -> int:
+    """Re-curate already-published documents against the CUMULATIVE
+    per-site line-frequency index — the maintenance pass that closes
+    the streaming gap: a page admitted before its site's template
+    crossed the frequency threshold keeps stale boilerplate until this
+    sweep strips it (and re-applies the post-strip length/compression
+    cuts, removing docs that no longer qualify). O(corpus) by design,
+    like ``compact`` — run on the compaction cadence, not per batch.
+    Returns the number of documents rewritten or removed (0 = already
+    converged, store untouched). Dedup-index signatures keep their
+    at-ingest values (they represent the content as first seen —
+    re-signing repaired text would let recrawls of the raw page
+    re-enter)."""
+    tables = store.current_manifest()["tables"]
+    if corpus_table not in tables or boilerplate_table not in tables:
+        return 0
+    last: ConcurrentWriteError | None = None
+    for _ in range(5):
+        base = store.current_version()
+        frequent = frequent_from_stats(
+            store.read(boilerplate_table), frac, min_docs
+        )
+        docs = _with_domain(store.read(corpus_table))
+        clean = strip_lines(docs, frequent, group_col="_domain").withColumnRenamed(
+            "text", "_clean"
+        )
+        changed = clean.filter(F.col("n_removed") > 0).count()
+        if changed == 0:
+            return 0
+        rebuilt = _finish_curation(docs, clean)
+        try:
+            store.publish({corpus_table: rebuilt}, base)
+            return changed
+        except ConcurrentWriteError as e:
+            last = e
+    raise last

@@ -96,6 +96,20 @@ class IncrementalIngestSink:
         durable contract every future batch must match."""
         return {}
 
+    def _publish_frame(self, novel: DataFrame) -> DataFrame:
+        """The frame actually appended to the data table — subclasses
+        drop batch-internal helper columns here (the curated crawl sink
+        carries the raw text through dedup for its boilerplate delta)."""
+        return novel
+
+    def _extra_publish(self, novel: DataFrame) -> tuple[dict, dict]:
+        """Additional ``{table: frame}`` deltas (and their properties)
+        to append ATOMICALLY with the batch — e.g. the per-site
+        boilerplate evidence rows. Atomic-with-the-batch matters: a
+        crash cannot leave documents admitted whose evidence was lost,
+        or vice versa."""
+        return {}, {}
+
     #: documents admitted by the most recent __call__ — the O(batch)
     #: bookkeeping fact callers need (the sink computes it anyway for the
     #: empty-batch guard); reading it here replaces any O(corpus)
@@ -127,11 +141,17 @@ class IncrementalIngestSink:
                     return 0
                 # APPEND the delta: a micro-batch landing on a petabyte
                 # corpus stages only its own rows — never a rewrite
+                frames = {
+                    self.data_table: self._publish_frame(novel),
+                    self.index_table: self._index_rows(novel),
+                }
                 props = self._index_properties()
+                properties = {self.index_table: props} if props else {}
+                extra_frames, extra_props = self._extra_publish(novel)
+                frames.update(extra_frames)
+                properties.update(extra_props)
                 self.store.publish_append(
-                    {self.data_table: novel, self.index_table: self._index_rows(novel)},
-                    base,
-                    properties={self.index_table: props} if props else None,
+                    frames, base, properties=properties or None
                 )
                 self._maybe_compact()
                 self.last_admitted = admitted
@@ -142,13 +162,18 @@ class IncrementalIngestSink:
                 novel.unpersist()
         raise last
 
+    def _maintained_tables(self) -> tuple[str, ...]:
+        """Tables auto-compaction watches (subclasses add their extra
+        delta tables, e.g. the boilerplate evidence index)."""
+        return (self.data_table, self.index_table)
+
     def _maybe_compact(self) -> None:
         tables = self.store.current_manifest()["tables"]
-        for name in (self.data_table, self.index_table):
+        for name in self._maintained_tables():
             entry = tables.get(name)
             if entry and len(self.store._dirs(entry)) > self.max_dirs:
                 try:
-                    self.store.compact(name)
+                    self._compact_table(name)
                     # retention-aware reclaim, NOT a bare vacuum: the
                     # default age window protects concurrent in-flight
                     # publishers, keep_versions preserves read_at inside
@@ -156,6 +181,11 @@ class IncrementalIngestSink:
                     self.store.vacuum(keep_versions=self.keep_versions)
                 except ConcurrentWriteError:
                     pass  # a concurrent writer won; next batch retries
+
+    def _compact_table(self, name: str) -> None:
+        """Row-preserving rewrite by default; subclasses may FOLD a
+        mergeable delta table instead (boilerplate counters sum)."""
+        self.store.compact(name)
 
 
 class CorpusIngestSink(IncrementalIngestSink):

@@ -187,3 +187,64 @@ def test_streaming_curated_sink_strips_boilerplate(spark, tmp_path):
     # NOT an exact dup of the curated a.test/p1 — but the near-dup index
     # still catches it (shared article body dominates the shingles)
     assert store.read("corpus").count() == 6
+
+
+def test_streaming_one_page_per_batch_converges_after_repair(spark, tmp_path):
+    """The round-6 gap: within-batch frequency cannot see a site spread
+    one-page-per-batch. With the persisted per-site index + repair
+    sweep, the streamed corpus must converge to EXACTLY the batch
+    curate_crawl result: early pages lose their retroactively-frequent
+    template, and the stub page (below the length floor once clean) is
+    removed."""
+    from rustcheatersdatapipeline_spark.plans.crawl import (
+        CuratedCorpusIngestSink,
+        repair_boilerplate,
+    )
+    from rustcheatersdatapipeline_spark.sources.warc import (
+        open_warc_documents_stream,
+    )
+
+    pages = [
+        warc_record(
+            "response", f"http://a.test/p{i}", _page([_para(i)]), rid=f"<urn:a{i}>"
+        )
+        for i in range(4)
+    ]
+    stub = warc_record("response", "http://a.test/stub", _page(["ok"]), rid="<urn:stub>")
+
+    # batch oracle: one sweep over all five pages
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    (batch_dir / "dump.warc").write_bytes(b"".join(pages) + stub)
+    batch_store = GoldStore(spark, str(tmp_path / "gold_batch"))
+    curate_crawl(spark, str(batch_dir), batch_store, k=9)
+    expected = {r["source"]: r["text"] for r in batch_store.read("corpus").collect()}
+    assert len(expected) == 4 and "http://a.test/stub" not in expected
+
+    # streaming: ONE page per micro-batch
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold_stream"))
+    sink = CuratedCorpusIngestSink(store, k=9)
+    for i, rec in enumerate([*pages, stub]):
+        (drop / f"f{i}.warc").write_bytes(rec)
+        q = (
+            open_warc_documents_stream(spark, str(drop), lines=True)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # pages 0-1 were admitted before the template crossed the threshold
+    pre = {r["source"]: r["text"] for r in store.read("corpus").collect()}
+    assert NAV in pre["http://a.test/p0"]  # stale template present
+    assert NAV not in pre["http://a.test/p3"]  # late pages strip at ingest
+
+    repaired = repair_boilerplate(store)
+    assert repaired > 0
+    got = {r["source"]: r["text"] for r in store.read("corpus").collect()}
+    assert got == expected
+    # converged: the sweep is a version-stable no-op from here
+    assert repair_boilerplate(store) == 0
