@@ -247,29 +247,80 @@ class GoldStore:
         scan, no row comparison — the 100 TB "give me today's batch"
         read costs only today's bytes.
 
-        Contract: valid only while the history between the two versions
-        is append-only for this table. A compaction or replace rewrite
-        drops old dirs from the entry, and a dir-level diff would then
-        silently double-count — detected (some base dir missing from
-        the current entry) and raised as ``ValueError``; the consumer
-        falls back to a full read + its own keying. A table absent at
-        ``from_version`` diffs as "everything"."""
+        Contract: exact while the history between the two versions is
+        append-only PLUS recorded row-preserving compactions (``compact``
+        stamps ``compacted_from`` on its entry). When the current entry
+        still references every base dir, the diff is the direct dir-set
+        difference; when a compaction folded them, the retained manifest
+        history is walked to prove each rewrite preserved rows and to
+        recover the ORIGINAL append dirs (still on disk while a retained
+        manifest references them — the vacuum ``keep_versions`` window).
+        A rewrite that is not a recorded compaction, or a pruned history
+        window, raises ``ValueError``; the consumer falls back to a full
+        read + its own keying. A table absent at ``from_version`` diffs
+        as "everything"."""
         cur = self.current_manifest()["tables"].get(name)
         if cur is None:
             raise KeyError(name)
-        base_tables = self.manifest_at(from_version)["tables"]
+        try:
+            base_tables = self.manifest_at(from_version)["tables"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"{name}: the manifest for v{from_version} was pruned — the "
+                "baseline is unknowable; do a full read instead"
+            ) from None
         base_dirs = set(self._dirs(base_tables[name])) if name in base_tables else set()
         cur_dirs = self._dirs(cur)
-        if not base_dirs <= set(cur_dirs):
-            raise ValueError(
-                f"{name}: history since v{from_version} is not append-only "
-                "(compaction/replace rewrote data dirs) — dir-level diff "
-                "would be wrong; do a full read instead"
-            )
-        delta = [d for d in cur_dirs if d not in base_dirs]
+        if base_dirs <= set(cur_dirs):
+            delta = [d for d in cur_dirs if d not in base_dirs]
+        else:
+            delta = self._appended_dirs_via_history(name, from_version)
         if not delta:
             return self._read_entry(cur).limit(0)
         return self._read_entry({**cur, "dirs": delta, "dir": None})
+
+    def _appended_dirs_via_history(self, name: str, from_version: int) -> list[str]:
+        """The exact dirs appended to ``name`` after ``from_version``,
+        proven from the retained manifest chain when the current entry no
+        longer references the base dirs. Each step must be an append
+        (prior dirs ⊆ next dirs) or a recorded row-preserving compaction
+        (``compacted_from`` == exactly the dirs it replaced); anything
+        else — or a pruned manifest — raises ``ValueError``. Metadata-only:
+        O(versions) manifest reads, no data scanned."""
+        cur_version = int(self.current_manifest()["version"])
+        expected = list(range(from_version + 1, cur_version + 1))
+        retained = [v for v in self.versions() if v > from_version]
+        if retained != expected:
+            missing = sorted(set(expected) - set(retained))
+            raise ValueError(
+                f"{name}: manifests for versions {missing} since "
+                f"v{from_version} were pruned — history cannot prove the "
+                "diff is append-only; do a full read instead"
+            )
+        base_tables = self.manifest_at(from_version)["tables"]
+        prev = list(self._dirs(base_tables[name])) if name in base_tables else []
+        appended: list[str] = []
+        for v in expected:
+            entry = self.manifest_at(v)["tables"].get(name)
+            nxt = list(self._dirs(entry)) if entry else []
+            if set(prev) <= set(nxt):
+                pset = set(prev)
+                appended += [d for d in nxt if d not in pset]
+            elif entry is not None and set(entry.get("compacted_from") or []) == set(prev):
+                pass  # row-preserving fold: nothing appended at this step
+            else:
+                raise ValueError(
+                    f"{name}: history since v{from_version} contains a rewrite "
+                    f"at v{v} that is not a recorded row-preserving compaction "
+                    "— dir-level diff would be wrong; do a full read instead"
+                )
+            prev = nxt
+        # dirs folded by a later compaction are absent from the current
+        # entry but remain on disk while a retained manifest references
+        # them; a read past the retention window fails fast on the
+        # missing path rather than returning partial data (read_at's
+        # documented contract)
+        return appended
 
     def properties(self, name: str) -> dict:
         """The table's manifest-recorded properties (empty dict if none)
@@ -489,6 +540,7 @@ class GoldStore:
         base_version: int,
         lock_timeout: float = 30.0,
         properties: dict[str, dict] | None = None,
+        entry_extra: dict[str, dict] | None = None,
     ) -> int:
         """Stage ``gold``, audit it, and commit it as the next version iff
         the store is still at ``base_version``. Tables not named in
@@ -496,7 +548,10 @@ class GoldStore:
         ``properties`` (per-table dicts) persist parameters that are part
         of the table's data contract — e.g. the MinHash ``k`` of a dedup
         index — and are verified immutable against any prior values.
-        Returns the committed version."""
+        ``entry_extra`` merges additional per-table metadata into the new
+        manifest entries (``compact`` records its replaced-dir lineage
+        this way so ``changes_since`` can prove the rewrite was
+        row-preserving). Returns the committed version."""
         txn = uuid.uuid4().hex[:12]
         staged = self._stage_tables(gold, txn, partitioned=True)
 
@@ -506,7 +561,8 @@ class GoldStore:
                 props = self._merge_properties(
                     name, prior.get("properties"), (properties or {}).get(name)
                 )
-                tables[name] = dict(entry) if props is None else {**entry, "properties": props}
+                merged = {**entry, **(entry_extra or {}).get(name, {})}
+                tables[name] = merged if props is None else {**merged, "properties": props}
 
         try:
             return self._commit(replace_tables, base_version, txn, lock_timeout)
@@ -577,14 +633,20 @@ class GoldStore:
         append-published table's dir/file count. Runs as an ordinary
         CAS publish, so it serializes against concurrent appenders and
         loses gracefully (retry later) instead of dropping their rows.
-        The table's recorded properties carry through unchanged."""
+        The table's recorded properties carry through unchanged, and the
+        new entry records ``compacted_from`` — the exact dir set it
+        replaced — so ``changes_since`` can prove the rewrite preserved
+        rows and keep serving dir-level CDC across the compaction (the
+        CAS guarantees the replaced set is still current at commit)."""
         base = self.current_version()
         props = self.properties(name)
+        replaced = self._dirs(self.current_manifest()["tables"][name])
         return self.publish(
             {name: self.read(name)},
             base,
             lock_timeout,
             properties={name: props} if props else None,
+            entry_extra={name: {"compacted_from": list(replaced)}},
         )
 
     def _commit(self, update_tables, base_version: int, txn: str, lock_timeout: float) -> int:

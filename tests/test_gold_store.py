@@ -160,7 +160,8 @@ def test_insert_if_absent_batches_idempotent_under_replay(spark, tmp_path):
 
 def test_changes_since_incremental_consumption(spark, tmp_path):
     """CDC over the append-only history: the dir-level diff IS the
-    row-level delta; compaction breaks the invariant and must raise."""
+    row-level delta — and survives compaction via the recorded
+    ``compacted_from`` lineage (round-6 directive #5)."""
     from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
 
     store = GoldStore(spark, str(tmp_path / "g"))
@@ -179,11 +180,39 @@ def test_changes_since_incremental_consumption(spark, tmp_path):
     v4 = store.publish_append({"u": df(0, 4)}, v3)
     assert store.changes_since("u", v1).count() == 4
 
-    # compaction rewrites dirs: the dir diff is no longer a row delta
+    # append → compact → append: the history walk proves the compaction
+    # row-preserving and recovers the ORIGINAL append dirs, so a
+    # pre-compaction baseline still yields exactly the appended rows
     store.compact("t")
-    with pytest.raises(ValueError, match="not append-only"):
-        store.changes_since("t", v2)
-    # but a fresh baseline works again after appends resume
+    assert {r["id"] for r in store.changes_since("t", v2).collect()} == set(
+        range(15, 18)
+    )
     v6 = store.current_version()
     store.publish_append({"t": df(18, 20)}, v6)
     assert {r["id"] for r in store.changes_since("t", v6).collect()} == {18, 19}
+    # across the compaction AND the later append in one diff
+    assert {r["id"] for r in store.changes_since("t", v2).collect()} == set(
+        range(15, 20)
+    )
+
+    # a rewrite that is NOT a recorded compaction (replace publish with
+    # different rows) still refuses the dir-level diff
+    store.publish({"t": df(0, 5)}, store.current_version())
+    with pytest.raises(ValueError, match="not a recorded row-preserving"):
+        store.changes_since("t", v2)
+
+
+def test_changes_since_refuses_pruned_history(spark, tmp_path):
+    """When vacuum pruned the manifest window the walk needs, the diff
+    must refuse (clear error) rather than guess."""
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    store = GoldStore(spark, str(tmp_path / "g"))
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")
+    v1 = store.publish({"t": df(0, 10)}, 0)
+    v2 = store.publish_append({"t": df(10, 15)}, v1)
+    store.compact("t")
+    store.publish_append({"t": df(15, 18)}, store.current_version())
+    store.vacuum(min_age_seconds=0.0, keep_versions=1)  # prunes v2/v3 manifests
+    with pytest.raises(ValueError, match="pruned"):
+        store.changes_since("t", v1)
