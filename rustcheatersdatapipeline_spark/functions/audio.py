@@ -161,6 +161,70 @@ def audio_fingerprint(samples: np.ndarray, rate: int, bits: int = 16) -> int:
     return fp
 
 
+#: silence floor for trim alignment, relative to the clip's peak |amp|
+_TRIM_REL_AMP = 0.02
+
+
+def _trim_silence(mono: np.ndarray) -> np.ndarray:
+    """Strip leading/trailing samples below a RELATIVE amplitude floor —
+    the alignment anchor that makes padding-induced time shifts (the
+    common re-encode artifact) vanish before segmentation. Relative so
+    volume changes do not move the anchor; all-silent clips return
+    themselves (nothing to anchor on)."""
+    peak = float(np.abs(mono).max())
+    if peak <= 0.0:
+        return mono
+    live = np.flatnonzero(np.abs(mono) >= peak * _TRIM_REL_AMP)
+    return mono[live[0] : live[-1] + 1] if live.size else mono
+
+
+def audio_fingerprint_anchors(
+    samples: np.ndarray, rate: int, bits: int = 16, n_anchors: int = 4, trim: bool = True
+) -> list[int]:
+    """Shift-tolerant fingerprints: the 64-bit band-occupancy sketch
+    computed at ``n_anchors`` sub-segment offsets of the segmentation
+    grid (offset j·seg_len/n_anchors), after optionally trimming
+    leading/trailing silence.
+
+    Why: the base fingerprint's segment grid is anchored at sample 0, so
+    a time offset shifts every segment's content — a 0.5 s pad can flip
+    bits across all 8 segments at once. Two complementary fixes, both
+    reusing the banded-join machinery unchanged:
+
+    - **trim alignment** removes the offset entirely when it is silence
+      (padding, encoder priming) — the shifted clip re-anchors to the
+      same first audible sample;
+    - **sliding anchors** cover content offsets (crops): any residual
+      shift is within seg_len/(2·n_anchors) of SOME anchor, so one of
+      the emitted fingerprints sees near-identical segment content and
+      lands within the Hamming radius of the counterpart's anchor set.
+
+    Emitting multiple (item, phash) rows is exactly the multiprobe shape
+    ann_lsh_search_multiprobe uses: candidates come from ANY anchor
+    pair; pairs dedup in the band join's ``distinct``."""
+    if samples.ndim != 2 or samples.size == 0 or rate <= 0:
+        raise ValueError("audio_fingerprint_anchors: need non-empty (n, ch) samples")
+    full = 127.0 if samples.dtype == np.uint8 else float(2 ** (bits - 1) - 1)
+    x = (samples.astype(np.float64) - 128.0) if samples.dtype == np.uint8 else samples.astype(np.float64)
+    mono = x.mean(axis=1) / full
+    if trim:
+        mono = _trim_silence(mono)
+    n = len(mono)
+    if n < _FP_SEGMENTS * 16:
+        raise ValueError("audio_fingerprint_anchors: clip too short to segment")
+    seg_len = n // _FP_SEGMENTS
+    two_d = mono.reshape(-1, 1)
+    out = []
+    for j in range(max(n_anchors, 1)):
+        off = j * seg_len // max(n_anchors, 1)
+        part = two_d[off:]
+        if len(part) < _FP_SEGMENTS * 16:
+            break
+        # bits=16 with float input: full-scale already normalized above
+        out.append(audio_fingerprint((part * 32767.0).astype("<i2"), rate, 16))
+    return out
+
+
 def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
     """(item_id, phash) rows for every decodable, long-enough WAV —
     column named ``phash`` so ``functions.phash.image_neardup`` /
@@ -183,6 +247,44 @@ def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
                     continue
                 rows.append(
                     {"item_id": item_id, "phash": fp - (1 << 64) if fp >= (1 << 63) else fp}
+                )
+            yield pd.DataFrame(rows, columns=["item_id", "phash"])
+
+    return media.mapInPandas(run, schema="item_id bigint, phash bigint")
+
+
+def featurize_audio_fingerprint_shift(
+    media: DataFrame, n_anchors: int = 4, trim: bool = True
+) -> DataFrame:
+    """Shift-tolerant fingerprint rows: one (item_id, phash) row PER
+    ANCHOR per decodable WAV (silence-trimmed, then the segmentation
+    grid slid by sub-segment offsets — audio_fingerprint_anchors). The
+    multi-row shape plugs straight into ``phash.image_neardup`` /
+    ``image_dedup_clusters``: a time-shifted re-encode matches through
+    whichever anchor pair aligns, and the candidate join's ``distinct``
+    collapses multiple agreeing anchors to one pair. Index cost is
+    ``n_anchors`` rows per clip (~200 B) — the standard multiprobe
+    recall/space trade, chosen index-side so queries stay one join."""
+    from .pixels import DECODE_QUARANTINE, decode_wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = decode_wav_samples(buf)
+                    bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(
+                        samples.dtype, 32
+                    )
+                    fps = audio_fingerprint_anchors(
+                        samples, rate, bits, n_anchors=n_anchors, trim=trim
+                    )
+                except DECODE_QUARANTINE:
+                    continue
+                rows.extend(
+                    {"item_id": item_id, "phash": fp - (1 << 64) if fp >= (1 << 63) else fp}
+                    for fp in fps
                 )
             yield pd.DataFrame(rows, columns=["item_id", "phash"])
 

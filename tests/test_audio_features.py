@@ -144,3 +144,78 @@ def test_audio_neardup_via_shared_banding(spark):
     pairs = {(r["item_a"], r["item_b"]) for r in image_neardup(fps).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_fingerprint_shift_tolerance_silence_pad():
+    """Round-6 directive #7: the base fingerprint is alignment-sensitive
+    — a silence pad shifts every segment. The trim-anchored variant must
+    re-anchor a 5%-padded clip to the same grid (near-zero Hamming)."""
+    from rustcheatersdatapipeline_spark.functions.audio import (
+        audio_fingerprint,
+        audio_fingerprint_anchors,
+    )
+
+    clip = _varied_clip(3)
+    for frac in (20, 4):  # 5% and 25% (≈ the 0.5 s case) leading silence
+        pad = np.zeros((len(clip) // frac, 1), np.int16)
+        padded = np.concatenate([pad, clip])
+        base = audio_fingerprint_anchors(clip, 8000, n_anchors=4)
+        shifted = audio_fingerprint_anchors(padded, 8000, n_anchors=4)
+        # anchor-0 alone agrees: trim alignment removes the pad entirely
+        assert _ham(base[0], shifted[0]) <= 3
+        assert min(_ham(a, b) for a in base for b in shifted) <= 3
+    # the failure the variant exists for: the UNALIGNED fingerprint of a
+    # 25%-padded clip drifts past the radius (measured 5-9 across seeds)
+    quarter = np.concatenate([np.zeros((len(clip) // 4, 1), np.int16), clip])
+    assert _ham(audio_fingerprint(clip, 8000), audio_fingerprint(quarter, 8000)) > 3
+
+
+def test_fingerprint_shift_tolerance_crop():
+    """A 5% head CROP (content offset, not silence) must still land
+    within the radius through SOME anchor pair."""
+    from rustcheatersdatapipeline_spark.functions.audio import (
+        audio_fingerprint_anchors,
+    )
+
+    clip = _varied_clip(4)
+    cropped = clip[len(clip) // 20 :]
+    base = audio_fingerprint_anchors(clip, 8000, n_anchors=4)
+    shifted = audio_fingerprint_anchors(cropped, 8000, n_anchors=4)
+    assert min(_ham(a, b) for a in base for b in shifted) <= 3
+
+
+def test_fingerprint_shift_variant_still_separates():
+    from rustcheatersdatapipeline_spark.functions.audio import (
+        audio_fingerprint_anchors,
+    )
+
+    sets = [audio_fingerprint_anchors(_varied_clip(s), 8000) for s in range(10, 18)]
+    cross = [
+        min(_ham(a, b) for a in sets[i] for b in sets[j])
+        for i in range(len(sets))
+        for j in range(i + 1, len(sets))
+    ]
+    assert min(cross) > 3  # no anchor pair of unrelated clips collides
+
+
+def test_audio_shift_neardup_spark_end_to_end(spark):
+    """The offset twin is found through the shared banded join; the
+    distinct clip stays isolated — same machinery, multi-row index."""
+    from rustcheatersdatapipeline_spark.functions.audio import (
+        featurize_audio_fingerprint_shift,
+    )
+    from rustcheatersdatapipeline_spark.functions.phash import image_neardup
+
+    clip = _varied_clip(21)
+    pad = np.zeros((len(clip) // 20, 1), np.int16)
+    rows = [
+        (1, bytearray(encode_wav(clip, rate=8000))),
+        (2, bytearray(encode_wav(np.concatenate([pad, clip]), rate=8000))),
+        (3, bytearray(encode_wav(_varied_clip(35), rate=8000))),
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    fps = featurize_audio_fingerprint_shift(media)
+    assert fps.count() == 12  # 4 anchors x 3 clips
+    pairs = {(r["item_a"], r["item_b"]) for r in image_neardup(fps).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
