@@ -245,6 +245,11 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     avi = parse_avi_header(buf)
     if avi is not None:
         return "video/x-msvideo", avi[0], avi[1], avi[2]
+    from .mp4 import parse_mp4_header
+
+    mp4 = parse_mp4_header(buf)
+    if mp4 is not None:
+        return "video/mp4", mp4[0], mp4[1], mp4[2]
     wav = parse_wav_header(buf)
     if wav is not None:
         return "audio/wav", None, None, wav[3]
