@@ -8,11 +8,14 @@ standard library:
 - **PNG** (RFC 2083): chunk walk → concatenated IDAT → ``zlib``
   inflate → scanline unfiltering (all five filter types: None, Sub,
   Up, Average, Paeth) → ``(h, w, channels)`` uint8 array. Supported:
-  bit depth 8 for color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA)
-  plus PALETTE (color type 3, PLTE/tRNS lookup, 1/2/4/8-bit indices —
-  the icon/screenshot shape real crawls are full of), non-interlaced.
-  16-bit and Adam7 raise ``NotImplementedError`` with the exact
-  variant named (quarantined upstream, never a task failure).
+  the FULL static-image matrix — color types 0/2/4/6 at depth 8 AND
+  16 (network-order high byte kept: 8-bit downscale, what features/
+  pHash consume), PALETTE (color type 3, PLTE/tRNS lookup, 1/2/4/8-bit
+  MSB-packed indices — the icon/screenshot shape real crawls are full
+  of), and Adam7 interlacing for every one of those (per-pass
+  unfilter + strided scatter). Nothing in the PNG spec's still-image
+  space is quarantined anymore; malformed structure still raises
+  ValueError into the shared quarantine.
 - **WAV** (RIFF PCM): ``data`` chunk → ``numpy.frombuffer`` →
   ``(n_frames, channels)`` int array (8-bit unsigned / 16-bit /
   32-bit signed little-endian PCM).
@@ -115,6 +118,61 @@ def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
     return out
 
 
+#: Adam7 pass layout (RFC 2083 §2.6): (x offset, y offset, x step, y step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, pass width, pass height) for non-empty passes."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
+def _deinterlace_bytes(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Adam7 → (h, w, bpp) for byte-aligned pixels: each pass is its own
+    filtered scanline group (prior row = previous row of the SAME pass);
+    unfilter per pass, then scatter with strided indexing."""
+    out = np.zeros((h, w, bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, wp, hp in _adam7_passes(w, h):
+        stride = wp * bpp
+        span = hp * (stride + 1)
+        sub = _unfilter_scanlines(raw[pos : pos + span], hp, stride, bpp)
+        pos += span
+        out[y0::dy, x0::dx] = np.frombuffer(bytes(sub), np.uint8).reshape(hp, wp, bpp)
+    return out
+
+
+def _deinterlace_indices(raw: bytes, w: int, h: int, depth: int) -> np.ndarray:
+    """Adam7 → (h, w) palette indices for sub-byte/8-bit depths: per
+    pass, unfilter at the pass's byte stride (filters act on bytes,
+    bpp=1), unpack MSB-first bit fields, scatter."""
+    out = np.zeros((h, w), np.uint8)
+    pos = 0
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    for x0, y0, dx, dy, wp, hp in _adam7_passes(w, h):
+        stride = (wp * depth + 7) // 8
+        span = hp * (stride + 1)
+        sub = _unfilter_scanlines(raw[pos : pos + span], hp, stride, 1)
+        pos += span
+        arr = np.frombuffer(bytes(sub), np.uint8).reshape(hp, stride)
+        if depth == 8:
+            idx = arr[:, :wp]
+        else:
+            bits = np.unpackbits(arr, axis=1).reshape(hp, -1, depth)
+            idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :wp]
+        out[y0::dy, x0::dx] = idx
+    return out
+
+
 def _inflate_bounded(idat: bytes, expected: int) -> bytes:
     """Inflate the concatenated IDAT stream, capped at the IHDR-derived
     size: h scanlines of (filter byte + stride). A decompression-bomb
@@ -129,27 +187,40 @@ def _inflate_bounded(idat: bytes, expected: int) -> bytes:
 
 
 def _decode_palette_png(
-    w: int, h: int, depth: int, plte: bytes | None, trns: bytes | None, idat: bytes
+    w: int,
+    h: int,
+    depth: int,
+    plte: bytes | None,
+    trns: bytes | None,
+    idat: bytes,
+    interlace: int = 0,
 ) -> np.ndarray:
     """Color-type-3 decode: indices (1/2/4/8-bit, MSB-first packing per
     RFC 2083 §2.3) → PLTE lookup → RGB, or RGBA when a tRNS chunk gives
     per-entry alpha — the same palette-composite semantics as the GIF
     path. Filtering for sub-byte depths operates on bytes with bpp=1
-    (spec: filters apply to bytes, not pixels)."""
+    (spec: filters apply to bytes, not pixels). Adam7 interlacing is
+    de-interlaced per pass before the lookup."""
     if depth not in (1, 2, 4, 8):
         raise NotImplementedError(f"PNG palette bit depth {depth} unsupported")
     if plte is None or len(plte) < 3 or len(plte) % 3:
         raise ValueError("PNG: palette image without a valid PLTE chunk")
-    stride = (w * depth + 7) // 8
-    raw = _inflate_bounded(idat, h * (stride + 1))
-    rows = _unfilter_scanlines(raw, h, stride, 1)
-    arr = np.frombuffer(bytes(rows), np.uint8).reshape(h, stride)
-    if depth == 8:
-        idx = arr[:, :w]
+    if interlace:
+        expected = sum(
+            hp * ((wp * depth + 7) // 8 + 1) for *_xy, wp, hp in _adam7_passes(w, h)
+        )
+        idx = _deinterlace_indices(_inflate_bounded(idat, expected), w, h, depth)
     else:
-        bits = np.unpackbits(arr, axis=1).reshape(h, -1, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :w]
+        stride = (w * depth + 7) // 8
+        raw = _inflate_bounded(idat, h * (stride + 1))
+        rows = _unfilter_scanlines(raw, h, stride, 1)
+        arr = np.frombuffer(bytes(rows), np.uint8).reshape(h, stride)
+        if depth == 8:
+            idx = arr[:, :w]
+        else:
+            bits = np.unpackbits(arr, axis=1).reshape(h, -1, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :w]
     pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     if int(idx.max(initial=0)) >= len(pal):
         raise ValueError("PNG: palette index out of range")
@@ -183,19 +254,30 @@ def decode_png_pixels(buf: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlacing unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: invalid interlace method {interlace}")
     if color == 3:
-        return _decode_palette_png(w, h, depth, plte, trns, bytes(idat))
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+        return _decode_palette_png(w, h, depth, plte, trns, bytes(idat), interlace)
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color} unsupported")
     channels = _PNG_CHANNELS[color]
-    stride = w * channels
-    raw = _inflate_bounded(bytes(idat), h * (stride + 1))
-    pixels = _unfilter_scanlines(raw, h, stride, channels)
-    return np.frombuffer(bytes(pixels), np.uint8).reshape(h, w, channels)
+    bpp = channels * (depth // 8)
+    if interlace:
+        expected = sum(hp * (wp * bpp + 1) for *_xy, wp, hp in _adam7_passes(w, h))
+        px = _deinterlace_bytes(_inflate_bounded(bytes(idat), expected), w, h, bpp)
+    else:
+        stride = w * bpp
+        raw = _inflate_bounded(bytes(idat), h * (stride + 1))
+        px = np.frombuffer(
+            bytes(_unfilter_scanlines(raw, h, stride, bpp)), np.uint8
+        ).reshape(h, w, bpp)
+    if depth == 16:
+        # network byte order: high byte first — 8-bit downscale, the
+        # standard crawl-pipeline treatment (features/pHash need 8-bit)
+        px = np.ascontiguousarray(px[..., 0::2])
+    return px
 
 
 def decode_wav_samples(buf: bytes) -> tuple[np.ndarray, int]:

@@ -126,12 +126,12 @@ def test_png_roundtrip_property(h, w, ch, ftype, seed):
 def test_png_unsupported_variants_are_named():
     img = _gradient(4, 4, 1)
     png = bytearray(encode_png(img))
-    png[24] = 16  # bit depth byte inside IHDR
+    png[24] = 12  # bit depth byte inside IHDR — 12 is not a PNG depth
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png_pixels(bytes(png))
     png = bytearray(encode_png(img))
-    png[28] = 1  # interlace byte
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    png[28] = 2  # interlace byte — only 0 (none) and 1 (Adam7) exist
+    with pytest.raises(ValueError, match="interlace"):
         decode_png_pixels(bytes(png))
 
 
@@ -297,3 +297,117 @@ def test_palette_png_feeds_phash_not_quarantined():
     h_rgb = phash64(rgb)
     h_pal = phash64(decode_png_pixels(encode_palette_png(idx, palette, 2)))
     assert bin(h_rgb ^ h_pal).count("1") <= HAM_K
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_interlaced(img: np.ndarray, ftype: int = 0) -> bytes:
+    """Adam7 forward transform: per-pass subimages, each filtered as its
+    own scanline group, concatenated in pass order (RFC 2083 §2.6)."""
+    h, w, ch = img.shape
+    raw = b"".join(
+        _forward_filter(np.ascontiguousarray(img[y0::dy, x0::dx]), ftype)
+        for x0, y0, dx, dy in _ADAM7
+        if img[y0::dy, x0::dx].size
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(img16: np.ndarray, ftype: int = 0) -> bytes:
+    """16-bit PNG (network byte order): hi/lo bytes interleaved into a
+    2x-wide byte image so the same forward filters apply (bpp = 2·ch)."""
+    h, w, ch = img16.shape
+    b = np.zeros((h, w, 2 * ch), np.uint8)
+    b[..., 0::2] = (img16 >> 8).astype(np.uint8)
+    b[..., 1::2] = (img16 & 0xFF).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, _COLOR_TYPE[ch], 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_forward_filter(b, ftype)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 4])
+def test_adam7_roundtrip(ch, ftype):
+    img = _gradient(13, 11, ch, seed=ch * 10 + ftype)
+    got = decode_png_pixels(encode_png_interlaced(img, ftype))
+    assert np.array_equal(got, img)
+
+
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 17),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=40, deadline=None)
+def test_adam7_roundtrip_property(h, w, ch, ftype, seed):
+    """Any dimensions — including ones where whole passes are empty
+    (w or h < pass offsets)."""
+    img = _gradient(h, w, ch, seed=seed)
+    assert np.array_equal(decode_png_pixels(encode_png_interlaced(img, ftype)), img)
+
+
+def encode_palette_png_interlaced(
+    idx: np.ndarray, palette: np.ndarray, depth: int = 8, ftype: int = 0
+) -> bytes:
+    h, w = idx.shape
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp, wp = sub.shape
+        if depth == 8:
+            packed = sub.astype(np.uint8)
+        else:
+            bits = (
+                (sub[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(hp, -1)
+            pad = ((wp * depth + 7) // 8) * 8 - bits.shape[1]
+            if pad:
+                bits = np.concatenate([bits, np.zeros((hp, pad), np.uint8)], axis=1)
+            packed = np.packbits(bits, axis=1)
+        parts.append(_forward_filter(packed[:, :, None], ftype))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_adam7_palette_roundtrip(depth):
+    rng = np.random.default_rng(depth)
+    n = 1 << depth
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(13, 11), dtype=np.uint8)
+    got = decode_png_pixels(encode_palette_png_interlaced(idx, palette, depth))
+    assert np.array_equal(got, palette[idx])
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 3])
+def test_16bit_roundtrip_high_bytes(ch, ftype):
+    rng = np.random.default_rng(ch)
+    img16 = rng.integers(0, 1 << 16, size=(9, 7, ch), dtype=np.uint16)
+    got = decode_png_pixels(encode_png16(img16, ftype))
+    assert got.shape == (9, 7, ch)
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
