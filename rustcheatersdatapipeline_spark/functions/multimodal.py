@@ -229,6 +229,101 @@ def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
     return channels, rate, bits, n_frames
 
 
+#: MPEG audio bitrate tables, kbps (public spec ISO 11172-3 / 13818-3);
+#: index 0 = "free" and 15 = invalid — both rejected here
+_MP3_BITRATES = {
+    # (mpeg1?, layer) -> 14 usable rates
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(buf: bytes, pos: int) -> tuple[int, int, int, int] | None:
+    """(frame size, samples per frame, sample rate, channels) of a valid
+    MPEG audio frame header at ``pos``, else None."""
+    if pos + 4 > len(buf):
+        return None
+    b1, b2, b3, b4 = buf[pos : pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_code = (b2 >> 1) & 0x3  # 3=L1, 2=L2, 1=L3, 0=reserved
+    if version == 1 or layer_code == 0:
+        return None
+    layer = 4 - layer_code
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    mpeg1 = version == 3
+    bitrate = _MP3_BITRATES[(mpeg1, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b3 >> 1) & 0x1
+    channels = 1 if ((b4 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        size = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    elif layer == 2:
+        size = 144 * bitrate // rate + padding
+        samples = 1152
+    else:  # layer III
+        if mpeg1:
+            size = 144 * bitrate // rate + padding
+            samples = 1152
+        else:
+            size = 72 * bitrate // rate + padding
+            samples = 576
+    return (size, samples, rate, channels) if size > 4 else None
+
+
+def parse_mp3_header(buf: bytes) -> tuple[int, int, int, float] | None:
+    """(channels, sample_rate, n_frames, duration_s) of an MPEG audio
+    payload, else None.
+
+    Skips a leading ID3v2 tag (syncsafe size), then walks frame headers
+    advancing by each frame's computed size — exact frame counts and
+    duration for CBR and VBR alike, no decode. Sniff discipline: at
+    least TWO consecutive frames agreeing on sample rate are required
+    (a lone 0xFFE bigram appears constantly in random bytes); trailing
+    ID3v1 ('TAG', 128 bytes) and < 4 bytes of junk are tolerated,
+    anything else rejects the payload rather than misreporting it."""
+    pos = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = 0
+        for b in buf[6:10]:
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        pos = 10 + size
+    frames = 0
+    duration = 0.0
+    rate0 = channels = None
+    while pos < len(buf):
+        if buf[pos : pos + 3] == b"TAG" and len(buf) - pos == 128:
+            break  # ID3v1 trailer
+        f = _mp3_frame(buf, pos)
+        if f is None:
+            if len(buf) - pos < 4 and frames >= 2:
+                break  # trailing sub-header junk after valid audio
+            return None
+        size, samples, rate, ch = f
+        if rate0 is None:
+            rate0, channels = rate, ch
+        elif rate != rate0:
+            return None
+        frames += 1
+        duration += samples / rate
+        pos += size
+    if frames < 2 or rate0 is None:
+        return None
+    return channels, rate0, frames, duration
+
+
 def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     """Sniff + parse a payload's real header: (mime, width, height,
     n_frames). PNG → (w, h, 1 frame); WAV → (NULL, NULL, audio frames);
@@ -253,6 +348,9 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     wav = parse_wav_header(buf)
     if wav is not None:
         return "audio/wav", None, None, wav[3]
+    mp3 = parse_mp3_header(buf)
+    if mp3 is not None:
+        return "audio/mpeg", None, None, mp3[2]
     return "application/octet-stream", None, None, 0
 
 

@@ -247,3 +247,85 @@ def test_featurize_media_real_decode(spark):
 
     assert out[3]["mime"] == "application/octet-stream"
     assert out[3]["n_frames"] == 0 and out[3]["sampled_frames"] == []
+
+
+def make_mp3(
+    n_frames: int,
+    mpeg1: bool = True,
+    layer: int = 3,
+    br_idx: int = 9,
+    sr_idx: int = 0,
+    mono: bool = False,
+    id3v2: bytes | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Spec-exact MPEG audio frame stream: each frame is a valid 4-byte
+    header followed by zero payload bytes of the computed frame size
+    (ISO 11172-3 frame-length formula), optionally wrapped in ID3 tags."""
+    version = 3 if mpeg1 else 2
+    layer_code = 4 - layer
+    b1 = 0xFF
+    b2 = 0xE0 | (version << 3) | (layer_code << 1) | 1  # no CRC
+    b3 = (br_idx << 4) | (sr_idx << 2)  # no padding
+    b4 = (0x3 << 6) if mono else 0x00  # stereo = 00, mono = 11
+    from rustcheatersdatapipeline_spark.functions.multimodal import _mp3_frame
+
+    hdr = bytes([b1, b2, b3, b4])
+    size, _, _, _ = _mp3_frame(hdr, 0)
+    frame = hdr + bytes(size - 4)
+    out = b"".join([frame] * n_frames)
+    if id3v2 is not None:
+        sz = len(id3v2)
+        syncsafe = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out = b"ID3\x04\x00\x00" + syncsafe + id3v2 + out
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return out
+
+
+def test_mp3_header_roundtrip():
+    from rustcheatersdatapipeline_spark.functions.multimodal import parse_mp3_header
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo
+    buf = make_mp3(30)
+    ch, rate, frames, dur = parse_mp3_header(buf)
+    assert (ch, rate, frames) == (2, 44100, 30)
+    assert dur == pytest.approx(30 * 1152 / 44100)
+    # ID3v2 prefix + ID3v1 trailer skipped; mono MPEG2 (576 samples/frame)
+    buf2 = make_mp3(12, mpeg1=False, sr_idx=1, mono=True, id3v2=b"x" * 300, id3v1=True)
+    ch2, rate2, frames2, dur2 = parse_mp3_header(buf2)
+    assert (ch2, rate2, frames2) == (1, 24000, 12)
+    assert dur2 == pytest.approx(12 * 576 / 24000)
+    # a lone sync bigram in junk must NOT sniff as mp3 (2-frame floor)
+    assert parse_mp3_header(b"\xff\xfb\x90\x00" + bytes(50)) is None
+    assert parse_mp3_header(b"random bytes") is None
+    assert decode_header(make_mp3(7)) == ("audio/mpeg", None, None, 7)
+
+
+def test_mp3_layer1_and_vbr_frame_walk():
+    from rustcheatersdatapipeline_spark.functions.multimodal import parse_mp3_header
+
+    # Layer I frame-size formula differs ((12*br/rate + pad)*4)
+    l1 = make_mp3(10, layer=1, br_idx=5)
+    ch, rate, frames, _ = parse_mp3_header(l1)
+    assert (ch, rate, frames) == (2, 44100, 10)
+    # VBR: frames at different bitrates still walk exactly
+    vbr = make_mp3(5, br_idx=3) + make_mp3(5, br_idx=12)
+    assert parse_mp3_header(vbr)[2] == 10
+
+
+def test_mp3_parser_total_under_mutation():
+    import numpy as np
+
+    from rustcheatersdatapipeline_spark.functions.multimodal import parse_mp3_header
+
+    base = make_mp3(8, id3v2=b"t" * 40, id3v1=True)
+    rng = np.random.RandomState(1)
+    for _ in range(300):
+        buf = bytearray(base)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        cut = rng.randint(0, len(buf) + 1)
+        r = parse_mp3_header(bytes(buf[:cut]))
+        assert r is None or isinstance(r, tuple)
