@@ -1,13 +1,16 @@
-"""Baseline JPEG (ITU-T T.81) full-frame decode — pure numpy + stdlib.
+"""JPEG (ITU-T T.81) full-frame decode — pure numpy + stdlib.
 
 Round 5 left JPEG behind a ``NotImplementedError`` ("needs a codec
-library"); this module removes that boundary for the format's dominant
-variant. Supported: **baseline sequential DCT (SOF0)**, 8-bit samples,
-grayscale or 3-component YCbCr with the common sampling layouts
-(4:4:4, 4:2:2, 4:2:0 — any integer factors dividing the max), restart
-intervals, multi-table DQT/DHT segments. Out of scope — each raises
-``NotImplementedError`` with the exact variant named (quarantined
-upstream, never a task failure): progressive (SOF2), extended/
+library"); round 6 removed that boundary for **baseline sequential DCT
+(SOF0)** and round 7 for **progressive DCT (SOF2)** — together the two
+modes that cover essentially every JPEG on the web. Supported: 8-bit
+samples, grayscale or 3-component YCbCr with the common sampling
+layouts (4:4:4, 4:2:2, 4:2:0 — any integer factors dividing the max),
+restart intervals, multi-table DQT/DHT segments; progressive spectral
+selection + successive approximation (DC first/refine, AC first/refine
+with EOB runs, interleaved DC and single-component AC scans per G.2).
+Out of scope — each raises ``NotImplementedError`` with the exact
+variant named (quarantined upstream, never a task failure): extended/
 hierarchical/lossless modes, arithmetic coding, 12-bit precision,
 16-bit quantizer tables.
 
@@ -176,20 +179,255 @@ def _split_scan(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, n
 
 
+class _ProgState:
+    """Coefficient accumulator for progressive (SOF2) decoding.
+
+    Each SOS contributes one piece of the picture (T.81 G.2): a DC scan
+    (interleaved over all scan components in MCU order, or a single
+    component over its own block grid) or a single-component AC scan
+    over one spectral band; successive approximation splits each into a
+    first pass (Ah=0, values at precision ``<< Al``) and refinement
+    passes (Ah>0, one magnitude bit per coefficient, EOB runs batching
+    all-zero bands). Coefficients live in zigzag order per block until
+    ``finish`` dequantizes and runs the shared IDCT/assembly tail."""
+
+    def __init__(self, frame) -> None:
+        h, w, comps = frame
+        if h == 0 or w == 0:
+            raise ValueError("JPEG: zero frame dimension")
+        if h * w * 3 > _JPEG_MAX_DECODE_BYTES:
+            raise ValueError("JPEG: frame exceeds decode bound")
+        self.h, self.w, self.comps = h, w, comps
+        self.max_h = max(hi for _, hi, _, _ in comps)
+        self.max_v = max(vi for _, _, vi, _ in comps)
+        for _, hi, vi, _ in comps:
+            if hi < 1 or vi < 1 or self.max_h % hi or self.max_v % vi:
+                raise NotImplementedError("JPEG: non-integer sampling ratio")
+        self.mcus_x = -(-w // (8 * self.max_h))
+        self.mcus_y = -(-h // (8 * self.max_v))
+        self.coef: dict[int, np.ndarray] = {}
+        self.cdims: dict[int, tuple[int, int]] = {}  # true block dims
+        self.info: dict[int, tuple[int, int, int]] = {}
+        for cid, hi, vi, tq in comps:
+            by, bx = self.mcus_y * vi, self.mcus_x * hi
+            self.coef[cid] = np.zeros((by, bx, 64), np.int32)
+            cw = -(-w * hi // self.max_h)
+            ch = -(-h * vi // self.max_v)
+            self.cdims[cid] = (-(-ch // 8), -(-cw // 8))
+            self.info[cid] = (hi, vi, tq)
+        self.scans_done = 0
+
+    # -- scan dispatch -----------------------------------------------------
+
+    def decode_scan(self, scan, ss, se, ah, al, huff, restart, segments) -> None:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG: progressive DC scan with Se != 0")
+            self._dc_scan(scan, ah, al, huff, restart, segments)
+        else:
+            if len(scan) != 1:
+                raise ValueError("JPEG: progressive AC scan must be single-component")
+            if not ss <= se <= 63:
+                raise ValueError("JPEG: bad spectral band")
+            self._ac_scan(scan[0], ss, se, ah, al, huff, restart, segments)
+        self.scans_done += 1
+
+    def _blocks_in_scan(self, scan):
+        """Block visit order: MCU-interleaved for multi-component scans,
+        the component's own raster for single-component scans (dummy
+        edge blocks only exist in the interleaved form, per spec)."""
+        if len(scan) > 1:
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    for cid, _td, _ta in scan:
+                        hi, vi, _ = self.info[cid]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                yield cid, my * vi + v, mx * hi + hh
+        else:
+            cid = scan[0][0]
+            cby, cbx = self.cdims[cid]
+            for by in range(cby):
+                for bx in range(cbx):
+                    yield cid, by, bx
+
+    def _mcu_size(self, scan) -> int:
+        """Blocks per restart-counting unit (MCU; 1 for non-interleaved)."""
+        if len(scan) > 1:
+            return sum(self.info[cid][0] * self.info[cid][1] for cid, *_ in scan)
+        return 1
+
+    def _dc_scan(self, scan, ah, al, huff, restart, segments) -> None:
+        for cid, *_ in scan:
+            if cid not in self.coef:
+                raise ValueError("JPEG: scan references unknown component")
+        tables = {}
+        if ah == 0:
+            for cid, td, _ta in scan:
+                if (0, td) not in huff:
+                    raise ValueError("JPEG: missing DC Huffman table")
+                tables[cid] = huff[(0, td)]
+        seg_iter = iter(segments)
+        rd = _BitReader(next(seg_iter))
+        preds = {cid: 0 for cid, *_ in scan}
+        per_mcu = self._mcu_size(scan)
+        for i, (cid, by, bx) in enumerate(self._blocks_in_scan(scan)):
+            if restart and i and i % (restart * per_mcu) == 0:
+                try:
+                    rd = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("JPEG: missing restart segment") from None
+                preds = {c: 0 for c in preds}
+            blk = self.coef[cid][by, bx]
+            if ah == 0:
+                s = rd.decode(tables[cid])
+                if s > 11:
+                    raise ValueError("JPEG: DC category out of range")
+                preds[cid] += _extend(rd.bits(s), s)
+                blk[0] = preds[cid] << al
+            elif rd.bit():
+                blk[0] |= 1 << al
+
+    def _ac_scan(self, comp, ss, se, ah, al, huff, restart, segments) -> None:
+        cid, _td, ta = comp
+        if cid not in self.coef:
+            raise ValueError("JPEG: scan references unknown component")
+        if (1, ta) not in huff:
+            raise ValueError("JPEG: missing AC Huffman table")
+        ac = huff[(1, ta)]
+        seg_iter = iter(segments)
+        rd = _BitReader(next(seg_iter))
+        eobrun = 0
+        for i, (_cid, by, bx) in enumerate(self._blocks_in_scan([comp])):
+            if restart and i and i % restart == 0:
+                try:
+                    rd = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("JPEG: missing restart segment") from None
+                eobrun = 0
+            blk = self.coef[cid][by, bx]
+            if ah == 0:
+                eobrun = self._ac_first_block(rd, ac, blk, ss, se, al, eobrun)
+            else:
+                eobrun = self._ac_refine_block(rd, ac, blk, ss, se, al, eobrun)
+
+    @staticmethod
+    def _ac_first_block(rd, ac, blk, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = rd.decode(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.bits(r)
+                return eobrun - 1  # run covers this block
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run past spectral band")
+            blk[k] = _extend(rd.bits(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine_block(rd, ac, blk, ss, se, al, eobrun) -> int:
+        """T.81 G.1.2.3 refinement: newly-nonzero coefficients arrive as
+        ±1<<Al; previously-nonzero ones receive one magnitude correction
+        bit, read positionally while runs/ZRL advance over zero-history
+        coefficients."""
+        p1 = 1 << al
+        k = ss
+
+        def correct(pos: int) -> None:
+            if rd.bit() and (abs(int(blk[pos])) & p1) == 0:
+                blk[pos] += p1 if blk[pos] > 0 else -p1
+
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.decode(ac)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    # ZRL: r==15 → advance over 16 zero-history coefs
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG: refinement size must be 1")
+                    val = p1 if rd.bit() else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- final assembly ----------------------------------------------------
+
+    def finish(self, qts) -> np.ndarray:
+        planes: dict[int, np.ndarray] = {}
+        for cid, (hi, vi, tq) in self.info.items():
+            if tq not in qts:
+                raise ValueError("JPEG: missing quantizer table")
+            zz = self.coef[cid]
+            by, bx, _ = zz.shape
+            nat = np.zeros((by, bx, 64), np.float64)
+            nat[..., ZIGZAG] = zz * qts[tq]
+            spatial = _C.T @ nat.reshape(by, bx, 8, 8) @ _C
+            planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        full = []
+        for cid, hi, vi, _tq in self.comps:
+            p = planes[cid]
+            if hi != self.max_h or vi != self.max_v:
+                p = np.repeat(
+                    np.repeat(p, self.max_v // vi, axis=0), self.max_h // hi, axis=1
+                )
+            full.append(p[: self.h, : self.w] + 128.0)
+        if len(full) == 1:
+            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
-    """Full baseline-JPEG decode → uint8 array of shape (h, w, 1) for
-    grayscale or (h, w, 3) RGB. Corruption raises ValueError; spec
-    features beyond baseline raise NotImplementedError (both quarantined
-    by ``featurize_pixels``, never a task failure)."""
+    """Full JPEG decode (baseline SOF0 or progressive SOF2) → uint8
+    array of shape (h, w, 1) for grayscale or (h, w, 3) RGB. Corruption
+    raises ValueError; spec features beyond these modes raise
+    NotImplementedError (both quarantined by ``featurize_pixels``,
+    never a task failure)."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog: _ProgState | None = None
     restart = 0
     pos = 2
     n = len(buf)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG: marker desync")
         marker = buf[pos + 1]
@@ -197,7 +435,11 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
             pos += 2
             continue
         if marker == 0xD9:
+            if prog is not None and prog.scans_done:
+                return prog.finish(qts)
             raise ValueError("JPEG: EOI before SOS")
+        if pos + 4 > n:
+            raise ValueError("JPEG: truncated segment header")
         seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         if seg_len < 2 or pos + 2 + seg_len > n:
             raise ValueError("JPEG: truncated segment")
@@ -227,9 +469,9 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
                     raise ValueError("JPEG: truncated DHT values")
                 huff[(tc, th)] = build_huffman(bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
-                raise ValueError("JPEG: truncated SOF0")
+                raise ValueError("JPEG: truncated SOF")
             prec, h, w = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big")
             if prec != 8:
                 raise NotImplementedError(f"JPEG: {prec}-bit precision")
@@ -237,14 +479,16 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG: {nc}-component frame")
             if len(body) < 6 + 3 * nc:
-                raise ValueError("JPEG: truncated SOF0 components")
+                raise ValueError("JPEG: truncated SOF components")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("JPEG: only baseline SOF0 supported")
+            if marker == 0xC2:
+                prog = _ProgState(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("JPEG: only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xCC:
             raise NotImplementedError("JPEG: arithmetic coding")
         elif marker == 0xDD:  # DRI
@@ -261,9 +505,19 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            segments, _ = _split_scan(buf, pos + 2 + seg_len)
-            return _decode_scan(frame, scan, qts, huff, restart, segments)
+            segments, end = _split_scan(buf, pos + 2 + seg_len)
+            if prog is None:
+                return _decode_scan(frame, scan, qts, huff, restart, segments)
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG: progressive SOS missing Ss/Se/Ah/Al")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            prog.decode_scan(scan, ss, se, ahal >> 4, ahal & 0x0F, huff, restart, segments)
+            pos = end
+            continue
         pos += 2 + seg_len
+    if prog is not None:
+        raise ValueError("JPEG: progressive stream missing EOI")
     raise ValueError("JPEG: no SOS marker")
 
 

@@ -20,10 +20,11 @@ Two decode paths:
   payloads degrade to ``application/octet-stream`` with NULL
   dimensions (quarantine-style, never a task failure).
 
-Full pixel/sample decoding (``decode_pixels`` / pixels.py) is real for
-PNG (zlib inflate + all five scanline filters) and PCM WAV — both
-decodable with the stdlib alone; formats that genuinely need a codec
-library (JPEG/GIF-LZW/AVI) raise a clearly-marked NotImplementedError.
+Full pixel/sample decoding (``decode_pixels`` / pixels.py, jpeg.py,
+avi.py) is real for PNG (all still-image variants), GIF, JPEG
+(baseline + progressive), AVI (MJPEG/DIB) and PCM WAV; formats that
+genuinely need a codec library (H.264/H.265, arithmetic JPEG, ...)
+raise a clearly-marked NotImplementedError.
 """
 
 from __future__ import annotations
@@ -355,13 +356,14 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
 
 
 def decode_pixels(buf: bytes):
-    """Full pixel/sample decode. PNG, GIF, baseline JPEG and PCM WAV
+    """Full pixel/sample decode. PNG, GIF, JPEG (baseline + progressive) and PCM WAV
     decode with nothing but stdlib+numpy (functions/pixels.py: zlib
     inflate + scanline unfiltering; pure-Python GIF-LZW + palette
     composite; functions/jpeg.py: Huffman + dequant + matrix IDCT;
     RIFF data chunk + frombuffer); the one format that genuinely needs
-    a codec library (AVI frame payloads) — and the non-baseline JPEG
-    modes (progressive/arithmetic/12-bit) — raise NotImplementedError.
+    a codec library (compressed AVI/MP4 frame payloads) — and the
+    remaining JPEG modes (arithmetic/12-bit/hierarchical) — raise
+    NotImplementedError.
 
     Returns the raw array: (h, w, channels) uint8 for PNG/JPEG,
     (n_frames, h, w, 3) uint8 for GIF/AVI, ((n_frames, channels),
@@ -382,9 +384,9 @@ def decode_pixels(buf: bytes):
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return decode_avi_frames(buf)
     raise NotImplementedError(
-        "payload decode is stdlib-supported for PNG, GIF, baseline JPEG, "
+        "payload decode is stdlib-supported for PNG, GIF, JPEG (baseline + progressive), "
         "PCM WAV and MJPEG/raw-DIB AVI; other codecs (H.264, MPEG-4, "
-        "progressive JPEG, ...) need a codec library"
+        "arithmetic JPEG, ...) need a codec library"
     )
 
 

@@ -79,7 +79,7 @@ PHASH_SCHEMA = "item_id bigint, phash bigint, width int, height int"
 
 def featurize_phash(media: DataFrame) -> DataFrame:
     """(item_id, phash, width, height) for every decodable IMAGE payload
-    (PNG/GIF first frame/baseline JPEG); undecodable or non-image rows
+    (PNG/GIF first frame/JPEG incl. progressive); undecodable or non-image rows
     are dropped — they quarantine through ``featurize_pixels``' path,
     not here. ``phash`` is stored as a SIGNED 64-bit reinterpretation so
     it stays a plain bigint column."""

@@ -26,8 +26,10 @@ standard library:
   logical screen (GCE transparency honored, interlaced frames
   de-interlaced) → ``(n_frames, h, w, 3)`` uint8 array.
 
-JPEG/AVI payload decode genuinely needs a codec library and stays
-behind the ``decode_pixels`` NotImplementedError contract.
+JPEG (baseline + progressive, functions/jpeg.py) and AVI MJPEG/DIB
+frames (functions/avi.py) decode for real too; only genuinely
+codec-library formats (H.264/H.265, arithmetic JPEG, ...) stay behind
+the named NotImplementedError contract.
 
 Spark integration: ``featurize_pixels`` is the same ``mapInPandas``
 shape as ``featurize_media`` — Arrow batches in, one bounded stats row
@@ -570,7 +572,7 @@ def decode_media(buf: bytes) -> dict:
             "rms": float(np.sqrt((flat**2).mean())),
         }
     raise NotImplementedError(
-        "payload decode is stdlib-supported for PNG, GIF, baseline JPEG, "
+        "payload decode is stdlib-supported for PNG, GIF, JPEG (baseline + progressive), "
         "PCM WAV and MJPEG/raw-DIB AVI; other codecs need a codec library"
     )
 

@@ -142,13 +142,12 @@ def _quantize_plane(plane: np.ndarray, qt_zz: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def encode_jpeg(
-    img: np.ndarray, subsample: tuple[int, int] = (1, 1), restart: int = 0
-) -> tuple[bytes, np.ndarray]:
-    """(jpeg bytes, expected decode) for a (h, w) gray or (h, w, 3) RGB
-    uint8 image. ``subsample`` is the chroma downsample factor (x, y):
-    (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0. The expected image replays
-    the quantized coefficients through an independent IDCT."""
+def _prepare(img: np.ndarray, subsample: tuple[int, int]):
+    """Shared encoder front half: color transform, padding, chroma
+    downsample, per-block quantized zigzag coefficients, and the
+    EXPECTED decode (independent dequant + IDCT) — used by both the
+    baseline and progressive writers (same coefficients, so both modes
+    must reconstruct the same image)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     sx, sy = (1, 1) if gray else subsample
@@ -205,8 +204,12 @@ def encode_jpeg(
         gg = yy - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
         bb = yy + 1.772 * (cbf - 128.0)
         expected = np.clip(np.round(np.stack([rr, gg, bb], -1)), 0, 255).astype(np.uint8)
+    return gray, h, w, ph, pw, comps, blocks, expected
 
-    # ---- entropy-coded segments in MCU interleave order ----
+
+def _mcu_order(comps, ph, pw):
+    """(component index, block index) visit order for an interleaved
+    scan, plus per-component blocks-per-row."""
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x, mcus_y = pw // (8 * max_h), ph // (8 * max_v)
@@ -218,6 +221,18 @@ def encode_jpeg(
                 for v in range(vi):
                     for hh in range(hi):
                         order.append((ci, (my * vi + v) * bw[cid] + mx * hi + hh))
+    return order
+
+
+def encode_jpeg(
+    img: np.ndarray, subsample: tuple[int, int] = (1, 1), restart: int = 0
+) -> tuple[bytes, np.ndarray]:
+    """(jpeg bytes, expected decode) for a (h, w) gray or (h, w, 3) RGB
+    uint8 image. ``subsample`` is the chroma downsample factor (x, y):
+    (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0. The expected image replays
+    the quantized coefficients through an independent IDCT."""
+    gray, h, w, ph, pw, comps, blocks, expected = _prepare(img, subsample)
+    order = _mcu_order(comps, ph, pw)
     segments = []
     wtr = BitWriter()
     preds = [0] * len(comps)
@@ -263,6 +278,201 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos) + ecs + b"\xff\xd9"
     return out, expected
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _trunc(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO
+    (T.81 G.1.2.2 — unlike the DC arithmetic shift)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_amplitude(w: BitWriter, v: int, s: int) -> None:
+    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _emit_dc_first(w: BitWriter, blocks, order, al: int) -> None:
+    preds = {}
+    for ci, bi in order:
+        v = int(blocks[ci][bi][0]) >> al  # DC: arithmetic shift
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        s = _cat(diff)
+        ln, code = DC_CODES[s]
+        w.write(code, ln)
+        if s:
+            _emit_amplitude(w, diff, s)
+
+
+def _emit_dc_refine(w: BitWriter, blocks, order, al: int) -> None:
+    for ci, bi in order:
+        w.write((int(blocks[ci][bi][0]) >> al) & 1, 1)
+
+
+class _EobState:
+    """EOB-run + buffered-correction-bit state shared across the blocks
+    of one AC scan (jcphuff's EOBRUN/BE machinery)."""
+
+    def __init__(self, w: BitWriter):
+        self.w = w
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            ln, code = AC_CODES[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending.clear()
+
+
+def _emit_ac_first_block(st: _EobState, blk, ss: int, se: int, al: int) -> None:
+    t = [_trunc(int(blk[k]), al) for k in range(ss, se + 1)]
+    nz = [j for j, v in enumerate(t) if v]
+    if not nz:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+        return
+    st.flush()
+    run = 0
+    for j in range(nz[-1] + 1):
+        v = t[j]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = AC_CODES[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        ln, code = AC_CODES[(run << 4) | s]
+        st.w.write(code, ln)
+        _emit_amplitude(st.w, v, s)
+        run = 0
+    if nz[-1] < se - ss:  # trailing zeros: this block ends an EOB
+        st.eobrun += 1
+
+
+def _emit_ac_refine_block(st: _EobState, blk, ss: int, se: int, al: int) -> None:
+    t = [_trunc(int(blk[k]), al) for k in range(ss, se + 1)]
+    absv = [abs(v) for v in t]
+    newly = [j for j, a in enumerate(absv) if a == 1]
+    eob = newly[-1] if newly else -1
+    r = 0
+    br: list[int] = []
+    for j, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and j <= eob:
+            st.flush()
+            ln, code = AC_CODES[0xF0]
+            st.w.write(code, ln)
+            r -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if a > 1:  # history coefficient: one correction bit
+            br.append(a & 1)
+            continue
+        st.flush()
+        ln, code = AC_CODES[(r << 4) | 1]
+        st.w.write(code, ln)
+        st.w.write(1 if t[j] > 0 else 0, 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, subsample: tuple[int, int] = (1, 1)
+) -> tuple[bytes, np.ndarray]:
+    """(progressive jpeg bytes, expected decode). Scan script: DC first
+    (interleaved, Al=1); per-component AC first scans with SPLIT
+    spectral bands (1-5 then 6-63) at Al=2 for luma / Al=1 for chroma;
+    matching AC refinements down to Al=0; DC refinement last. The
+    coefficients transmitted are exactly the baseline encoder's, so the
+    expected image is identical — the progressive path must agree."""
+    gray, h, w, ph, pw, comps, blocks, expected = _prepare(img, subsample)
+    order = _mcu_order(comps, ph, pw)
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+
+    def comp_blocks(ci):
+        """Blocks of one component in ITS OWN raster over the TRUE block
+        grid (non-interleaved scans never visit MCU-padding dummy
+        blocks — T.81 A.2.2), mapped into the padded plane layout."""
+        _cid, hi, vi, _tq = comps[ci]
+        per_row = pw * hi // max_h // 8  # padded blocks per plane row
+        cw = -(-(w * hi) // max_h)
+        ch = -(-(h * vi) // max_v)
+        cbx, cby = -(-cw // 8), -(-ch // 8)
+        for by in range(cby):
+            for bx in range(cbx):
+                yield blocks[ci][by * per_row + bx]
+
+    scans = []  # (scan comps [(ci, td, ta)], ss, se, ah, al, emit_fn)
+    all_ci = list(range(len(comps)))
+    scans.append((all_ci, 0, 0, 0, 1, "dc_first"))
+    bands = [(1, 5), (6, 63)]
+    ac_al = {ci: (2 if ci == 0 else 1) for ci in all_ci}
+    for ci in all_ci:
+        for ss, se in bands:
+            scans.append(([ci], ss, se, 0, ac_al[ci], "ac_first"))
+    for ci in all_ci:
+        for al in range(ac_al[ci] - 1, -1, -1):
+            for ss, se in bands:
+                scans.append(([ci], ss, se, al + 1, al, "ac_refine"))
+    scans.append((all_ci, 0, 0, 1, 0, "dc_refine"))
+
+    out = b"\xff\xd8"
+    dqt = bytes([0x00]) + bytes(QT_LUMA.tolist())
+    if not gray:
+        dqt += bytes([0x01]) + bytes(QT_CHROMA.tolist())
+    out += _seg(0xDB, dqt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xC2, sof)
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + DC_VALS + bytes([0x10]) + bytes(AC_BITS) + AC_VALS
+    )
+    out += _seg(0xC4, dht)
+
+    for scan_cis, ss, se, ah, al, kind in scans:
+        wtr = BitWriter()
+        if kind == "dc_first":
+            _emit_dc_first(wtr, blocks, order, al)
+        elif kind == "dc_refine":
+            _emit_dc_refine(wtr, blocks, order, al)
+        else:
+            st = _EobState(wtr)
+            for blk in comp_blocks(scan_cis[0]):
+                if kind == "ac_first":
+                    _emit_ac_first_block(st, blk, ss, se, al)
+                else:
+                    _emit_ac_refine_block(st, blk, ss, se, al)
+            st.flush()
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            sos += bytes([comps[ci][0], 0x00])  # table 0 for DC and AC
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos) + wtr.to_bytes()
+    return out + b"\xff\xd9", expected
 
 
 def _assert_close(px: np.ndarray, expected: np.ndarray) -> None:
@@ -343,17 +553,99 @@ def test_smooth_image_close_to_original():
     assert np.abs(px.astype(int) - img.astype(int)).mean() < 6
 
 
-def test_progressive_and_16bit_dqt_named_unsupported():
+def test_arith_and_16bit_dqt_named_unsupported():
     img = np.zeros((8, 8), np.uint8)
     buf, _ = encode_jpeg(img)
-    prog = buf.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg_pixels(prog)
+    arith = buf.replace(b"\xff\xc0", b"\xff\xc9")  # extended sequential
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(arith)
     # flip the DQT Pq nibble to 16-bit
     i = buf.index(b"\xff\xdb") + 4
     bad = buf[:i] + bytes([0x10]) + buf[i + 1 :]
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_jpeg_pixels(bad)
+
+
+# ------------------------------------------------- progressive tests
+
+
+def test_progressive_gray_matches_baseline_expected():
+    """The progressive scans transmit the SAME quantized coefficients as
+    the baseline stream, so the decode must equal the same expected
+    image — spectral selection, split bands, two AC refinement levels
+    and the DC refinement all exercised."""
+    rng = np.random.RandomState(20)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    buf, expected = encode_jpeg_progressive(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_progressive_equals_baseline_decode():
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    b_buf, _ = encode_jpeg(img)
+    p_buf, _ = encode_jpeg_progressive(img)
+    assert np.array_equal(decode_jpeg_pixels(b_buf), decode_jpeg_pixels(p_buf))
+
+
+def test_progressive_color_444():
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg_progressive(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_progressive_color_420_odd_dims():
+    """4:2:0 with non-multiple-of-16 dims: the luma AC scans cover the
+    TRUE block grid while the interleaved DC scan covers the padded one
+    — the dummy-block divergence that breaks naive implementations."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (19, 13, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg_progressive(img, subsample=(2, 2))
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_progressive_color_420_wide_luma_padding():
+    """Width chosen so the padded luma grid has a dummy block column
+    (ceil(17/16)*2 = 4 padded vs ceil(17/8) = 3 true blocks/row)."""
+    rng = np.random.RandomState(24)
+    img = rng.randint(0, 256, (17, 17, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg_progressive(img, subsample=(2, 2))
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_progressive_smooth_image_eob_runs():
+    """A smooth gradient quantizes to mostly-zero AC bands → long EOB
+    runs (the EOBn > EOB0 path) on both encode and decode."""
+    y, x = np.mgrid[0:48, 0:48]
+    img = ((x + y) * 2).astype(np.uint8)
+    buf, expected = encode_jpeg_progressive(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+    px = decode_jpeg_pixels(buf)[..., 0]
+    assert np.abs(px.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_progressive_header_sniff():
+    from rustcheatersdatapipeline_spark.functions.multimodal import parse_jpeg_header
+
+    rng = np.random.RandomState(25)
+    img = rng.randint(0, 256, (21, 35, 3)).astype(np.uint8)
+    buf, _ = encode_jpeg_progressive(img, subsample=(2, 2))
+    assert parse_jpeg_header(buf) == (35, 21)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 300), st.integers(0, 255))
+def test_corrupt_progressive_totality(pos_seed, byte):
+    rng = np.random.RandomState(26)
+    img = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+    base, _ = encode_jpeg_progressive(img)
+    buf = bytearray(base)
+    buf[2 + (pos_seed % (len(buf) - 2))] = byte
+    try:
+        decode_jpeg_pixels(bytes(buf))
+    except (ValueError, NotImplementedError):
+        pass
 
 
 def test_header_dims_agree_with_full_decode():
