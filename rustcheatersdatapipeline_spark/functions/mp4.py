@@ -280,16 +280,8 @@ def _sample_ranges(buf: bytes, stbl_body: int, stbl_end: int) -> list[tuple[int,
     return ranges
 
 
-def mp4_keyframe_ranges(buf: bytes) -> list[tuple[int, int, int]]:
-    """(sample number, byte offset, size) of every SYNC sample of the
-    first video track — keyframe sampling without touching the codec:
-    the extracted byte ranges are the opaque coded keyframes a
-    downstream decoder (or a sampling stage shipping them to one) needs.
-    Raises ValueError when the payload has no video track or incomplete
-    sample tables."""
-    moov = _find(buf, 0, len(buf), (b"moov",))
-    if moov is None:
-        raise ValueError("MP4: no moov box")
+def _video_track_id(buf: bytes, moov: tuple[int, int]) -> tuple[int, dict] | None:
+    """(track_id from tkhd, track info) of the first video trak."""
     for four, body, end in _boxes(buf, *moov):
         if four != b"trak":
             continue
@@ -302,21 +294,144 @@ def mp4_keyframe_ranges(buf: bytes) -> list[tuple[int, int, int]]:
         _, p = _full_box(buf, hdlr[0])
         if buf[p + 4 : p + 8] != b"vide":
             continue
-        stbl = _find(buf, *mdia, (b"minf", b"stbl"))
-        if stbl is None:
-            raise ValueError("MP4: video track without stbl")
-        info = _track_info(buf, body, end)
-        ranges = _sample_ranges(buf, *stbl)
-        out = []
-        for s in info["sync_samples"]:
-            if not 1 <= s <= len(ranges):
-                raise ValueError("MP4: stss names a sample outside stsz")
-            off, size = ranges[s - 1]
+        tkhd = _find(buf, body, end, (b"tkhd",))
+        track_id = None
+        if tkhd is not None:
+            version, q = _full_box(buf, tkhd[0])
+            q += 16 if version == 1 else 8  # creation+modification times
+            track_id = int.from_bytes(buf[q : q + 4], "big")
+        return track_id, {"body": body, "end": end, "mdia": mdia}
+    return None
+
+
+#: trun/tfhd sample flag: bit 16 of sample_flags = sample_is_non_sync
+_NON_SYNC_FLAG = 0x00010000
+
+
+def _fragment_ranges(buf: bytes, track_id: int | None) -> list[tuple[int, int, int]]:
+    """(sample number, offset, size) of every SYNC sample carried in
+    movie fragments (moof/traf/trun — the DASH/CMAF layout where the
+    moov sample tables are empty and samples stream in fragments).
+    Offsets follow the spec default base: base_data_offset = start of
+    the moof box, overridable by tfhd; trun data_offset is relative to
+    that base. Sync detection: first_sample_flags / per-sample flags /
+    tfhd default_sample_flags (bit ``sample_is_non_sync``)."""
+    out: list[tuple[int, int, int]] = []
+    sample_no = 0
+    for four, moof_body, moof_end in _boxes(buf, 0, len(buf)):
+        if four != b"moof":
+            continue
+        moof_start = moof_body - 8
+        for t4, traf_body, traf_end in _boxes(buf, moof_body, moof_end):
+            if t4 != b"traf":
+                continue
+            tfhd = _find(buf, traf_body, traf_end, (b"tfhd",))
+            if tfhd is None:
+                continue
+            _, p = _full_box(buf, tfhd[0])
+            flags = int.from_bytes(buf[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            tid = int.from_bytes(buf[p : p + 4], "big")
+            if track_id is not None and tid != track_id:
+                continue
+            q = p + 4
+            base = moof_start
+            if flags & 0x000001:  # base-data-offset-present
+                base = int.from_bytes(buf[q : q + 8], "big")
+                q += 8
+            if flags & 0x000002:  # sample-description-index-present
+                q += 4
+            if flags & 0x000008:  # default-sample-duration-present
+                q += 4
+            default_size = None
+            if flags & 0x000010:  # default-sample-size-present
+                default_size = int.from_bytes(buf[q : q + 4], "big")
+                q += 4
+            default_flags = 0
+            if flags & 0x000020:  # default-sample-flags-present
+                default_flags = int.from_bytes(buf[q : q + 4], "big")
+            for r4, run_body, run_end in _boxes(buf, traf_body, traf_end):
+                if r4 != b"trun":
+                    continue
+                version, rp = _full_box(buf, run_body)
+                rflags = int.from_bytes(buf[run_body + 1 : run_body + 4], "big")
+                count = int.from_bytes(buf[rp : rp + 4], "big")
+                if count > _MAX_TABLE_ENTRIES:
+                    raise ValueError("MP4: trun sample count overruns")
+                rp += 4
+                pos = base
+                if rflags & 0x000001:  # data-offset-present
+                    pos = base + int.from_bytes(buf[rp : rp + 4], "big", signed=True)
+                    rp += 4
+                first_flags = None
+                if rflags & 0x000004:  # first-sample-flags-present
+                    first_flags = int.from_bytes(buf[rp : rp + 4], "big")
+                    rp += 4
+                for i in range(count):
+                    if rflags & 0x000100:  # sample-duration-present
+                        rp += 4
+                    if rflags & 0x000200:  # sample-size-present
+                        size = int.from_bytes(buf[rp : rp + 4], "big")
+                        rp += 4
+                    elif default_size is not None:
+                        size = default_size
+                    else:
+                        raise ValueError("MP4: trun sample without a size")
+                    sflags = default_flags
+                    if rflags & 0x000400:  # sample-flags-present
+                        sflags = int.from_bytes(buf[rp : rp + 4], "big")
+                        rp += 4
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if rflags & 0x000800:  # composition-time-offset
+                        rp += 4
+                    if rp > len(buf):
+                        raise ValueError("MP4: trun overruns payload")
+                    sample_no += 1
+                    if not sflags & _NON_SYNC_FLAG:
+                        out.append((sample_no, pos, size))
+                    pos += size
+    return out
+
+
+def mp4_keyframe_ranges(buf: bytes) -> list[tuple[int, int, int]]:
+    """(sample number, byte offset, size) of every SYNC sample of the
+    first video track — keyframe sampling without touching the codec:
+    the extracted byte ranges are the opaque coded keyframes a
+    downstream decoder (or a sampling stage shipping them to one) needs.
+    Covers both layouts: classic moov sample tables (stss × stsc × stco
+    × stsz) and FRAGMENTED files (moof/traf/trun with empty moov
+    tables — the DASH/CMAF shape). Raises ValueError when the payload
+    has no video track or incomplete sample tables."""
+    moov = _find(buf, 0, len(buf), (b"moov",))
+    if moov is None:
+        raise ValueError("MP4: no moov box")
+    video = _video_track_id(buf, moov)
+    if video is None:
+        raise ValueError("MP4: no video track")
+    track_id, tr = video
+    info = _track_info(buf, tr["body"], tr["end"])
+    if info["n_samples"] == 0:
+        # fragmented layout: samples live in moof/trun, not stbl
+        frag = _fragment_ranges(buf, track_id)
+        for _s, off, size in frag:
             if off + size > len(buf):
-                raise ValueError("MP4: sample range past end of payload")
-            out.append((s, off, size))
-        return out
-    raise ValueError("MP4: no video track")
+                raise ValueError("MP4: fragment sample range past end of payload")
+        if frag:
+            return frag
+        raise ValueError("MP4: no samples in moov tables or fragments")
+    stbl = _find(buf, *tr["mdia"], (b"minf", b"stbl"))
+    if stbl is None:
+        raise ValueError("MP4: video track without stbl")
+    ranges = _sample_ranges(buf, *stbl)
+    out = []
+    for s in info["sync_samples"]:
+        if not 1 <= s <= len(ranges):
+            raise ValueError("MP4: stss names a sample outside stsz")
+        off, size = ranges[s - 1]
+        if off + size > len(buf):
+            raise ValueError("MP4: sample range past end of payload")
+        out.append((s, off, size))
+    return out
 
 
 def decode_mp4_frames(buf: bytes):

@@ -209,3 +209,140 @@ def test_mutation_totality():
                 fn(payload)
             except (ValueError, IndexError, NotImplementedError):
                 pass
+
+
+# ------------------------------------------------- fragmented (DASH/CMAF)
+
+_NON_SYNC = 0x00010000
+
+
+def _trak_empty_stbl(w: int, h: int, codec: bytes, track_id: int, timescale: int) -> bytes:
+    """trak whose stbl declares ZERO samples — the fragmented layout."""
+    stsd = _full(b"stsd", _u32(1) + _visual_entry(codec, w, h))
+    stbl = _box(b"stbl", stsd + _full(b"stts", _u32(0)) + _full(b"stsc", _u32(0))
+                + _full(b"stsz", _u32(0, 0)) + _full(b"stco", _u32(0)))
+    vmhd = _full(b"vmhd", bytes(8), version=0)
+    dinf = _box(b"dinf", _full(b"dref", _u32(1) + _full(b"url ", b"")))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", _u32(0) + b"vide" + _u32(0, 0, 0) + b"video\x00")
+    mdhd = _full(b"mdhd", _u32(0, 0, timescale, 0) + struct.pack(">HH", 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        _u32(0, 0, track_id, 0, 0) + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _u32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _u32(w << 16, h << 16),
+    )
+    return _box(b"trak", tkhd + mdia)
+
+
+def make_fmp4(
+    fragments: list[list[bytes]],
+    sync: set[int],
+    w: int = 64,
+    h: int = 48,
+    codec: bytes = b"avc1",
+    track_id: int = 1,
+    use_defaults: bool = False,
+) -> bytes:
+    """Fragmented MP4: empty moov sample tables, samples in
+    moof/traf/trun + mdat per fragment. ``sync`` holds GLOBAL sample
+    numbers (1-based). Two trun styles: per-sample sizes+flags, or
+    (``use_defaults``) tfhd default size/flags with trun
+    first-sample-flags — the CMAF keyframe-leads-fragment idiom (then
+    ``sync`` must be exactly the first sample of each fragment and all
+    samples of a fragment must share one size)."""
+    ftyp = _box(b"ftyp", b"isom" + _u32(0x200) + b"isomiso5")
+    moov = _box(
+        b"moov",
+        _full(b"mvhd", _u32(0, 0, 600, 0, 0x10000) + struct.pack(">H", 0x100)
+              + bytes(10) + _u32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+              + bytes(24) + _u32(2))
+        + _trak_empty_stbl(w, h, codec, track_id, 600),
+    )
+    out = ftyp + moov
+    sample_no = 0
+    for seq, samples in enumerate(fragments, start=1):
+        start_no = sample_no + 1
+
+        def build_moof(data_offset: int) -> bytes:
+            mfhd = _full(b"mfhd", _u32(seq))
+            if use_defaults:
+                tfhd = _box(
+                    b"tfhd",
+                    b"\x00\x02\x00\x30" + _u32(track_id, len(samples[0]), _NON_SYNC),
+                )
+                trun = _box(
+                    b"trun",
+                    b"\x00\x00\x00\x05" + _u32(len(samples))
+                    + struct.pack(">i", data_offset) + _u32(0),  # first = sync
+                )
+            else:
+                tfhd = _box(b"tfhd", b"\x00\x02\x00\x00" + _u32(track_id))
+                body = b"\x00\x00\x06\x01" + _u32(len(samples)) + struct.pack(
+                    ">i", data_offset
+                )
+                for i, s in enumerate(samples):
+                    flags = 0 if (start_no + i) in sync else _NON_SYNC
+                    body += _u32(len(s), flags)
+                trun = _box(b"trun", body)
+            return _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+
+        probe = build_moof(0)
+        moof = build_moof(len(probe) + 8)  # data starts after mdat header
+        out += moof + _box(b"mdat", b"".join(samples))
+        sample_no += len(samples)
+    return out
+
+
+def test_fragmented_keyframe_ranges_exact():
+    samples = _samples(9, seed=12)
+    frags = [samples[0:4], samples[4:7], samples[7:9]]
+    sync = {1, 5, 8}
+    buf = make_fmp4(frags, sync)
+    got = mp4_keyframe_ranges(buf)
+    assert [s for s, _, _ in got] == sorted(sync)
+    for s, off, size in got:
+        assert buf[off : off + size] == samples[s - 1]
+
+
+def test_fragmented_cmaf_defaults_first_sample_sync():
+    """tfhd default size+flags with trun first-sample-flags: the first
+    sample of each fragment is the keyframe, everything else non-sync."""
+    rng = np.random.RandomState(13)
+    frags = [[rng.bytes(32) for _ in range(3)] for _ in range(3)]
+    flat = [s for f in frags for s in f]
+    buf = make_fmp4(frags, sync={1, 4, 7}, use_defaults=True)
+    got = mp4_keyframe_ranges(buf)
+    assert [s for s, _, _ in got] == [1, 4, 7]
+    for s, off, size in got:
+        assert buf[off : off + size] == flat[s - 1]
+
+
+def test_fragmented_spark_sampling(spark):
+    samples = _samples(6, seed=14)
+    buf = make_fmp4([samples[:3], samples[3:]], sync={1, 4, 6})
+    media = spark.createDataFrame(
+        [(1, bytearray(buf))], "item_id long, payload binary"
+    )
+    out = sample_mp4_keyframes(media).collect()
+    assert [r["sample"] for r in out] == [1, 4, 6]
+    for r in out:
+        assert bytes(r["payload"]) == samples[r["sample"] - 1]
+
+
+def test_fragmented_mutation_totality():
+    from rustcheatersdatapipeline_spark.functions.multimodal import decode_header
+
+    base = make_fmp4([_samples(4, seed=15)], sync={1, 3})
+    rng = np.random.RandomState(2)
+    for _ in range(200):
+        buf = bytearray(base)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        payload = bytes(buf[: rng.randint(0, len(buf) + 1)])
+        decode_header(payload)
+        for fn in (mp4_metadata, mp4_keyframe_ranges):
+            try:
+                fn(payload)
+            except (ValueError, IndexError, NotImplementedError):
+                pass
