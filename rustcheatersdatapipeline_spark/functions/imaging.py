@@ -75,7 +75,12 @@ def _decode_image(buf: bytes) -> np.ndarray | None:
     from .avi import decode_avi_frames
     from .jpeg import decode_jpeg_pixels
     from .multimodal import _PNG_SIGNATURE
-    from .pixels import decode_gif_pixels, decode_png_pixels
+    from .pixels import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_ico_pixels,
+        decode_png_pixels,
+    )
 
     if buf[:8] == _PNG_SIGNATURE:
         return decode_png_pixels(buf)
@@ -85,6 +90,10 @@ def _decode_image(buf: bytes) -> np.ndarray | None:
         return decode_jpeg_pixels(buf)
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return decode_avi_frames(buf)[0]
+    if len(buf) >= 54 and buf[:2] == b"BM":
+        return decode_bmp_pixels(buf)
+    if len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (b"\x01\x00", b"\x02\x00"):
+        return decode_ico_pixels(buf)
     return None
 
 
@@ -134,7 +143,12 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
         from .avi import decode_avi_frames
         from .jpeg import decode_jpeg_pixels
         from .multimodal import _PNG_SIGNATURE
-        from .pixels import decode_gif_pixels, decode_png_pixels
+        from .pixels import (
+            decode_bmp_pixels,
+            decode_gif_pixels,
+            decode_ico_pixels,
+            decode_png_pixels,
+        )
 
         cols = ["item_id", "frame_idx", "payload", "width", "height"]
         for pdf in batches:
@@ -150,6 +164,13 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
                         frames = decode_png_pixels(buf)[None, ...]
                     elif buf[:2] == b"\xff\xd8":
                         frames = decode_jpeg_pixels(buf)[None, ...]
+                    elif len(buf) >= 54 and buf[:2] == b"BM":
+                        frames = decode_bmp_pixels(buf)[None, ...]
+                    elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (
+                        b"\x01\x00",
+                        b"\x02\x00",
+                    ):
+                        frames = decode_ico_pixels(buf)[None, ...]
                     else:
                         continue
                 except DECODE_QUARANTINE:

@@ -325,6 +325,76 @@ def parse_mp3_header(buf: bytes) -> tuple[int, int, int, float] | None:
     return channels, rate0, frames, duration
 
 
+def parse_webp_header(buf: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) of a WebP payload, else None.
+
+    RIFF container with form ``WEBP`` (public spec): ``VP8 `` lossy
+    bitstream (3-byte start code 0x9D012A then 14-bit dims), ``VP8L``
+    lossless (signature 0x2F then packed 14-bit dims-1), or ``VP8X``
+    extended (24-bit dims-1; animations carry one ``ANMF`` chunk per
+    frame). Only the headers are read — VP8 entropy decode needs a
+    codec library."""
+    if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        return None
+    pos = 12
+    dims = None
+    frames = 0
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            dims = dims or (w, h)
+            frames += 1
+        elif cid == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            dims = dims or ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            frames += 1
+        elif cid == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            dims = (w, h)
+        elif cid == b"ANMF":
+            frames += 1
+        pos += 8 + sz + (sz & 1)
+    if dims is None or dims[0] == 0 or dims[1] == 0:
+        return None
+    return dims[0], dims[1], max(frames, 1)
+
+
+def parse_bmp_header(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) of an uncompressed-or-not BMP file, else None."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = abs(int.from_bytes(buf[22:26], "little", signed=True))
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def parse_ico_header(buf: bytes) -> tuple[int, int, int] | None:
+    """(width, height of the largest entry, entry count) of an ICO/CUR
+    payload, else None. The 4-byte magic is weak, so the directory must
+    also be structurally plausible before we claim the mime."""
+    if len(buf) < 6 or buf[0:2] != b"\x00\x00" or buf[2:4] not in (b"\x01\x00", b"\x02\x00"):
+        return None
+    count = int.from_bytes(buf[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(buf):
+        return None
+    best = None
+    for i in range(count):
+        e = buf[6 + 16 * i : 6 + 16 * (i + 1)]
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if size == 0 or off + size > len(buf):
+            return None  # implausible directory — not an ICO
+        w, h = e[0] or 256, e[1] or 256
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h)
+    return best[0], best[1], count
+
+
 def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     """Sniff + parse a payload's real header: (mime, width, height,
     n_frames). PNG → (w, h, 1 frame); WAV → (NULL, NULL, audio frames);
@@ -346,12 +416,21 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     mp4 = parse_mp4_header(buf)
     if mp4 is not None:
         return "video/mp4", mp4[0], mp4[1], mp4[2]
+    webp = parse_webp_header(buf)
+    if webp is not None:
+        return "image/webp", webp[0], webp[1], webp[2]
     wav = parse_wav_header(buf)
     if wav is not None:
         return "audio/wav", None, None, wav[3]
     mp3 = parse_mp3_header(buf)
     if mp3 is not None:
         return "audio/mpeg", None, None, mp3[2]
+    bmp = parse_bmp_header(buf)
+    if bmp is not None:
+        return "image/bmp", bmp[0], bmp[1], 1
+    ico = parse_ico_header(buf)
+    if ico is not None:
+        return "image/x-icon", ico[0], ico[1], ico[2]
     return "application/octet-stream", None, None, 0
 
 

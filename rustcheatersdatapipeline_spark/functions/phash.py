@@ -83,7 +83,13 @@ def featurize_phash(media: DataFrame) -> DataFrame:
     are dropped — they quarantine through ``featurize_pixels``' path,
     not here. ``phash`` is stored as a SIGNED 64-bit reinterpretation so
     it stays a plain bigint column."""
-    from .pixels import DECODE_QUARANTINE, decode_gif_pixels, decode_png_pixels
+    from .pixels import (
+        DECODE_QUARANTINE,
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_ico_pixels,
+        decode_png_pixels,
+    )
     from .jpeg import decode_jpeg_pixels
     from .multimodal import _PNG_SIGNATURE
 
@@ -99,6 +105,13 @@ def featurize_phash(media: DataFrame) -> DataFrame:
                         px = decode_gif_pixels(buf)[0]
                     elif buf[:2] == b"\xff\xd8":
                         px = decode_jpeg_pixels(buf)
+                    elif len(buf) >= 54 and buf[:2] == b"BM":
+                        px = decode_bmp_pixels(buf)
+                    elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (
+                        b"\x01\x00",
+                        b"\x02\x00",
+                    ):
+                        px = decode_ico_pixels(buf)
                     else:
                         continue
                     h = phash64(px)

@@ -499,6 +499,147 @@ def decode_gif_pixels(buf: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
+#: decoded-DIB ceiling (same contract as the PNG/GIF bomb guards)
+_DIB_MAX_DECODE_BYTES = 1 << 28
+
+
+def _decode_dib_rows(
+    data: bytes, w: int, h: int, bpp: int, palette: np.ndarray | None
+) -> np.ndarray:
+    """Packed DIB pixel rows → (h, w, channels) in ROW-STORAGE order
+    (caller flips bottom-up). BI_RGB only: 32 (BGRA), 24 (BGR), and
+    paletted 8/4/1-bit with the BGRX color table."""
+    stride = ((w * bpp + 31) // 32) * 4
+    if len(data) < stride * h:
+        raise ValueError("DIB: pixel data shorter than stride*height")
+    rows = np.frombuffer(data[: stride * h], np.uint8).reshape(h, stride)
+    if bpp == 32:
+        px = rows[:, : w * 4].reshape(h, w, 4)
+        return px[..., [2, 1, 0, 3]]  # BGRA → RGBA
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        return px[..., ::-1]  # BGR → RGB
+    if bpp in (8, 4, 1):
+        if palette is None or not len(palette):
+            raise ValueError("DIB: paletted image without a color table")
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1).reshape(h, -1, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :w]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("DIB: palette index out of range")
+        return palette[idx]
+    raise NotImplementedError(f"DIB: {bpp}-bpp pixels unsupported")
+
+
+def _parse_dib_header(dib: bytes) -> tuple[int, int, int, bool, int, np.ndarray | None, int]:
+    """(w, h_total, bpp, top_down, header size, palette RGB, data offset)
+    of a BITMAPINFOHEADER-family DIB."""
+    if len(dib) < 40:
+        raise ValueError("DIB: truncated header")
+    hdr = int.from_bytes(dib[0:4], "little")
+    if hdr < 40:
+        raise NotImplementedError("DIB: pre-BITMAPINFOHEADER core headers")
+    w = int.from_bytes(dib[4:8], "little", signed=True)
+    h_raw = int.from_bytes(dib[8:12], "little", signed=True)
+    bpp = int.from_bytes(dib[14:16], "little")
+    comp = int.from_bytes(dib[16:20], "little")
+    if comp != 0:
+        raise NotImplementedError(f"DIB: compression {comp} (only BI_RGB)")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("DIB: bad dimensions")
+    clr_used = int.from_bytes(dib[32:36], "little")
+    palette = None
+    pal_bytes = 0
+    if bpp <= 8:
+        n = clr_used or (1 << bpp)
+        pal_bytes = 4 * n
+        raw = np.frombuffer(dib[hdr : hdr + pal_bytes], np.uint8)
+        if len(raw) < pal_bytes:
+            raise ValueError("DIB: truncated color table")
+        palette = raw.reshape(n, 4)[:, [2, 1, 0]].copy()  # BGRX → RGB
+    return w, abs(h_raw), bpp, h_raw < 0, hdr, palette, hdr + pal_bytes
+
+
+def decode_bmp_pixels(buf: bytes) -> np.ndarray:
+    """Full BMP file decode → uint8 (h, w, 3|4). Uncompressed BI_RGB
+    only (the favicon/screenshot shape): 32/24-bpp or paletted 8/4/1,
+    bottom-up or top-down rows."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off_bits = int.from_bytes(buf[10:14], "little")
+    w, h, bpp, top_down, _hdr, palette, _ = _parse_dib_header(buf[14:])
+    if w * h * 4 > _DIB_MAX_DECODE_BYTES:
+        raise ValueError("BMP: frame exceeds decode bound")
+    if off_bits < 14 or off_bits > len(buf):
+        raise ValueError("BMP: bad pixel data offset")
+    px = _decode_dib_rows(buf[off_bits:], w, h, bpp, palette)
+    return px.copy() if top_down else px[::-1].copy()
+
+
+def decode_ico_pixels(buf: bytes) -> np.ndarray:
+    """ICO/CUR decode → uint8 (h, w, 4) RGBA of the LARGEST image entry
+    (the web-crawl favicon container). PNG-compressed entries route to
+    the PNG decoder; DIB entries decode 32/24/8/4/1-bpp with the
+    trailing 1-bit AND mask supplying alpha for non-32bpp images."""
+    if len(buf) < 6 or buf[0:2] != b"\x00\x00" or buf[2:4] not in (b"\x01\x00", b"\x02\x00"):
+        raise ValueError("not an ICO payload")
+    count = int.from_bytes(buf[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(buf):
+        raise ValueError("ICO: bad directory")
+    best = None
+    for i in range(count):
+        e = buf[6 + 16 * i : 6 + 16 * (i + 1)]
+        w = e[0] or 256
+        h = e[1] or 256
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _, off, size = best
+    if off + size > len(buf):
+        raise ValueError("ICO: entry past end of payload")
+    entry = buf[off : off + size]
+    if entry[:8] == _PNG_SIGNATURE:
+        px = decode_png_pixels(entry)
+        if px.shape[2] == 3:
+            px = np.concatenate(
+                [px, np.full((*px.shape[:2], 1), 255, np.uint8)], axis=2
+            )
+        elif px.shape[2] == 1:
+            px = np.concatenate(
+                [np.repeat(px, 3, axis=2), np.full((*px.shape[:2], 1), 255, np.uint8)],
+                axis=2,
+            )
+        elif px.shape[2] == 2:
+            px = np.concatenate([np.repeat(px[..., :1], 3, axis=2), px[..., 1:]], axis=2)
+        return px
+    # DIB entry: biHeight is DOUBLED (XOR image + 1-bit AND mask)
+    w, h2, bpp, top_down, _hdr, palette, data_off = _parse_dib_header(entry)
+    h = h2 // 2
+    if h == 0 or w * h * 4 > _DIB_MAX_DECODE_BYTES:
+        raise ValueError("ICO: bad DIB dimensions")
+    px = _decode_dib_rows(entry[data_off:], w, h, bpp, palette)
+    px = px if top_down else px[::-1]
+    if px.shape[2] == 3:
+        xor_stride = ((w * bpp + 31) // 32) * 4
+        mask_data = entry[data_off + xor_stride * h :]
+        mask_stride = ((w + 31) // 32) * 4
+        alpha = np.full((h, w, 1), 255, np.uint8)
+        if len(mask_data) >= mask_stride * h:
+            mrows = np.frombuffer(mask_data[: mask_stride * h], np.uint8).reshape(
+                h, mask_stride
+            )
+            mbits = np.unpackbits(mrows, axis=1)[:, :w]
+            if not top_down:
+                mbits = mbits[::-1]
+            alpha = np.where(mbits[..., None] == 1, 0, 255).astype(np.uint8)
+        px = np.concatenate([px, alpha], axis=2)
+    return px.copy()
+
+
 def decode_media(buf: bytes) -> dict:
     """Dispatch a payload to the right full decoder and reduce it to a
     bounded feature dict (the per-item output of ``featurize_pixels``)."""
@@ -571,9 +712,36 @@ def decode_media(buf: bytes) -> dict:
             "mean": float(flat.mean()),
             "rms": float(np.sqrt((flat**2).mean())),
         }
+    if len(buf) >= 54 and buf[:2] == b"BM":
+        px = decode_bmp_pixels(buf)
+        flat = px.astype(np.float64)
+        return {
+            "mime": "image/bmp",
+            "kind": "image",
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
+    if len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (b"\x01\x00", b"\x02\x00"):
+        px = decode_ico_pixels(buf)
+        flat = px.astype(np.float64)
+        return {
+            "mime": "image/x-icon",
+            "kind": "image",
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
     raise NotImplementedError(
-        "payload decode is stdlib-supported for PNG, GIF, JPEG (baseline + progressive), "
-        "PCM WAV and MJPEG/raw-DIB AVI; other codecs need a codec library"
+        "payload decode is stdlib-supported for PNG, GIF, JPEG (baseline + "
+        "progressive), BMP, ICO, PCM WAV and MJPEG/raw-DIB AVI; other "
+        "codecs need a codec library"
     )
 
 
