@@ -1854,6 +1854,101 @@ def pack_sequences(spark, sf_dir, window: int = 512):
     )
 
 
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1, the published crawl-quality rules; RefinedWeb/Dolma reuse
+    them): per document —
+
+    - ``dup_line_frac``: fraction of non-blank lines that are repeats
+      of another line in the SAME document;
+    - ``dup_line_char_frac``: fraction of line characters that sit in
+      duplicated lines;
+    - ``top_2gram_char_frac``: characters covered by the most frequent
+      word 2-gram (count × gram length / text length) — the "most
+      common n-gram" rule;
+    - ``dup_5gram_char_frac``: characters covered by word 5-grams that
+      occur more than once (capped at 1.0 — occurrences overlap).
+
+    The canonical cut-offs (e.g. dup_line_frac > 0.30 → drop) are the
+    caller's policy; this computes the signals. Two hash-keyed
+    aggregates (doc × line, doc × gram) — corpus-linear, zero UDFs; the
+    complementary char-8-gram ratio is ``repetition_score``."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = docs.select("doc_id", F.length("text").cast("double").alias("_tc"))
+
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", "\n")).alias("_line"))
+        .filter(F.trim("_line") != "")
+    )
+    per_line = lines.groupBy("doc_id", "_line").agg(F.count(F.lit(1)).alias("_cnt"))
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("_cnt").alias("_n_lines"),
+        # every occurrence of a repeated line counts as duplicate (both
+        # copies of a 2x line are "duplicated lines"), matching the
+        # char-fraction convention below
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0)).alias("_dup_lines"),
+        F.sum(F.col("_cnt") * F.length("_line")).alias("_line_chars"),
+        F.sum(
+            F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_line")).otherwise(0)
+        ).alias("_dup_chars"),
+    )
+
+    # explicit whitespace class: Java's \s includes \x0B, RE2's does not
+    # — the literal class keeps Spark and the DuckDB oracle identical
+    toks = F.split(F.regexp_replace(F.trim(F.col("text")), "[\\t\\n\\f\\r ]+", " "), " ")
+
+    def word_grams(n: int):
+        return F.expr(
+            "transform(sequence(1, greatest(size(_t) - {m}, 0)), "
+            "i -> array_join(slice(_t, i, {n}), ' '))".format(m=n - 1, n=n)
+        )
+
+    tokd = docs.select("doc_id", toks.alias("_t"))
+    g2 = tokd.select("doc_id", F.explode(word_grams(2)).alias("_g"))
+    top2 = (
+        g2.groupBy("doc_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_cnt"), F.length("_g").alias("_gl"), F.col("_g"))
+            ).alias("_top")
+        )
+        .select("doc_id", (F.col("_top._cnt") * F.col("_top._gl")).alias("_top2_chars"))
+    )
+    g5 = tokd.select("doc_id", F.explode(word_grams(5)).alias("_g"))
+    dup5 = (
+        g5.groupBy("doc_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_cnt") * F.length("_g")).alias("_dup5_chars"))
+    )
+
+    z = F.lit(0.0)
+    return (
+        base.join(line_agg, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_dup_lines") / F.col("_n_lines"), z).alias(
+                "dup_line_frac"
+            ),
+            F.coalesce(F.col("_dup_chars") / F.col("_line_chars"), z).alias(
+                "dup_line_char_frac"
+            ),
+            F.coalesce(F.col("_top2_chars") / F.col("_tc"), z).alias(
+                "top_2gram_char_frac"
+            ),
+            F.least(
+                F.coalesce(F.col("_dup5_chars") / F.col("_tc"), z), F.lit(1.0)
+            ).alias("dup_5gram_char_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def repetition_score(spark, sf_dir):
     """Within-document repetition: the fraction of 8-gram positions whose
     gram already occurred earlier in the same document (duplicate-gram
@@ -2186,6 +2281,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize": embed_quantize,
     "curate_corpus": curate_corpus,
     "repetition_score": repetition_score,
+    "repetition_metrics": repetition_metrics,
     "pack_sequences": pack_sequences,
     "ann_ivf_search": ann_ivf_search,
     "ann_lsh_search_multiprobe": ann_lsh_search_multiprobe,
@@ -2526,6 +2622,39 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct, "
         "(COUNT(*) - COUNT(DISTINCT gram)) / COUNT(*) AS rep_ratio "
         "FROM g GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "repetition_metrics": (
+        "WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS tc "
+        "FROM documents WHERE length(text) > 0), "
+        "lines AS (SELECT doc_id, l AS line FROM base, "
+        "UNNEST(string_split(text, chr(10))) AS u(l) WHERE trim(l) <> ''), "
+        "per_line AS (SELECT doc_id, line, COUNT(*) AS cnt "
+        "FROM lines GROUP BY doc_id, line), "
+        "la AS (SELECT doc_id, SUM(cnt) AS n_lines, "
+        "SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines, "
+        "SUM(cnt * length(line)) AS line_chars, "
+        "SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_chars "
+        "FROM per_line GROUP BY doc_id), "
+        "tok AS (SELECT doc_id, string_split(regexp_replace(trim(text), "
+        "'[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS t FROM base), "
+        "g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g "
+        "FROM tok, UNNEST(range(1, len(t))) AS u(i)), "
+        "c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g), "
+        "t2 AS (SELECT doc_id, cnt * length(g) AS top2_chars, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY cnt DESC, length(g) DESC, g DESC) AS rn FROM c2), "
+        "g5 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || "
+        "t[i+3] || ' ' || t[i+4] AS g FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)), "
+        "c5 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, g), "
+        "d5 AS (SELECT doc_id, SUM(cnt * length(g)) AS dup5_chars "
+        "FROM c5 WHERE cnt > 1 GROUP BY doc_id) "
+        "SELECT base.doc_id, "
+        "COALESCE(CAST(dup_lines AS DOUBLE) / n_lines, 0.0) AS dup_line_frac, "
+        "COALESCE(CAST(dup_chars AS DOUBLE) / line_chars, 0.0) AS dup_line_char_frac, "
+        "COALESCE(top2_chars / tc, 0.0) AS top_2gram_char_frac, "
+        "LEAST(COALESCE(dup5_chars / tc, 0.0), 1.0) AS dup_5gram_char_frac "
+        "FROM base LEFT JOIN la USING (doc_id) "
+        "LEFT JOIN (SELECT doc_id, top2_chars FROM t2 WHERE rn = 1) USING (doc_id) "
+        "LEFT JOIN d5 USING (doc_id) ORDER BY doc_id"
     ),
     "curate_corpus": (
         f"WITH {_simhash_sql_cte()}, "
