@@ -134,21 +134,34 @@ class CuratedCorpusIngestSink(CorpusIngestSink):
     re-curates them (the maintenance sweep, amortized like compaction).
     ``frac``/``min_docs`` are the index's data contract — persisted as
     table properties, verified on reopen, explicit conflicts fail fast
-    (same discipline as the dedup index's shingle width)."""
+    (same discipline as the dedup index's shingle width).
+
+    A persisted URL FRONTIER (``url_table``: xxhash64 digests of the
+    canonical URL) drops RE-CRAWLED urls at batch entry — before
+    distill-side curation and content hashing spend anything on them:
+    the crawl-frontier contract that the same canonical URL is the same
+    resource. First-seen URL digests of each batch append atomically
+    with the batch (only when something novel publishes — an all-replay
+    batch leaves every table untouched, keeping replays version-stable;
+    fresh URLs whose content fully dedups are re-examined next crawl,
+    the cheap and safe direction)."""
 
     def __init__(
         self,
         store: GoldStore,
         boilerplate_table: str = "boilerplate_index",
+        url_table: str = "url_frontier",
         frac: float | None = None,
         min_docs: int | None = None,
         **kwargs,
     ):
         self.boilerplate_table = boilerplate_table
+        self.url_table = url_table
         self._explicit_frac = frac
         self._explicit_min_docs = min_docs
         self.frac = BOILERPLATE_FRAC if frac is None else frac
         self.min_docs = MIN_GROUP_DOCS if min_docs is None else min_docs
+        self._fresh_urls: DataFrame | None = None
         super().__init__(store, **kwargs)
 
     def _bind_contract(self) -> None:
@@ -169,9 +182,18 @@ class CuratedCorpusIngestSink(CorpusIngestSink):
                 setattr(self, key, val)
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
-        docs = _with_domain(
-            dedup_by_url(batch_df, url_col="source", id_col="doc_id")
-        )
+        from ..functions.weburl import canonical_url
+
+        deduped = dedup_by_url(batch_df, url_col="source", id_col="doc_id")
+        deduped = deduped.withColumn("_ud", F.xxhash64(canonical_url("source")))
+        tables = self.store.current_manifest()["tables"]
+        if self.url_table in tables:
+            seen = self.store.read(self.url_table).select("url_digest")
+            deduped = deduped.join(
+                seen.withColumnRenamed("url_digest", "_ud"), "_ud", "left_anti"
+            )
+        self._fresh_urls = deduped.select(F.col("_ud").alias("url_digest")).distinct()
+        docs = _with_domain(deduped.drop("_ud"))
         delta = line_stats(docs, group_col="_domain")
         tables = self.store.current_manifest()["tables"]
         if self.boilerplate_table in tables:
@@ -194,22 +216,28 @@ class CuratedCorpusIngestSink(CorpusIngestSink):
         raw = _with_domain(novel.withColumn("text", F.col("_bp_raw")))
         delta = line_stats(raw, group_col="_domain")
         props = {"frac": float(self.frac), "min_docs": int(self.min_docs)}
-        return {self.boilerplate_table: delta}, {self.boilerplate_table: props}
+        frames = {self.boilerplate_table: delta}
+        if self._fresh_urls is not None:
+            frames[self.url_table] = self._fresh_urls
+        return frames, {self.boilerplate_table: props}
 
     def _maintained_tables(self) -> tuple[str, ...]:
-        return (*super()._maintained_tables(), self.boilerplate_table)
+        return (*super()._maintained_tables(), self.boilerplate_table, self.url_table)
 
     def _compact_table(self, name: str) -> None:
-        if name != self.boilerplate_table:
+        if name == self.boilerplate_table:
+            # fold the counter deltas: SUM per (grp, lh) — equivalent
+            # under frequent_from_stats; bounds the table at distinct lines
+            folded = (
+                self.store.read(name).groupBy("grp", "lh").agg(F.sum("n").alias("n"))
+            )
+        elif name == self.url_table:
+            # membership set: duplicate digests (from partial-novelty
+            # batches re-appending seen URLs) fold to distinct
+            folded = self.store.read(name).distinct()
+        else:
             return super()._compact_table(name)
-        # fold the counter deltas: SUM per (grp, lh) — equivalent under
-        # frequent_from_stats and bounds the table at distinct lines
         base = self.store.current_version()
-        folded = (
-            self.store.read(name)
-            .groupBy("grp", "lh")
-            .agg(F.sum("n").alias("n"))
-        )
         props = self.store.properties(name)
         self.store.publish(
             {name: folded}, base, properties={name: props} if props else None

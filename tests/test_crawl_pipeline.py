@@ -248,3 +248,86 @@ def test_streaming_one_page_per_batch_converges_after_repair(spark, tmp_path):
     assert got == expected
     # converged: the sweep is a version-stable no-op from here
     assert repair_boilerplate(store) == 0
+
+
+def test_url_frontier_drops_recrawls_across_batches(spark, tmp_path):
+    """A URL re-crawled in a LATER batch with CHANGED content (rotating
+    ads — content dedup would admit it) is dropped by the persisted URL
+    frontier; a genuinely new URL still enters. Replays stay
+    version-stable."""
+    from rustcheatersdatapipeline_spark.plans.crawl import CuratedCorpusIngestSink
+    from rustcheatersdatapipeline_spark.sources.warc import (
+        open_warc_documents_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CuratedCorpusIngestSink(store, k=9)
+
+    def run():
+        q = (
+            open_warc_documents_stream(spark, str(drop), lines=True)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    (drop / "a.warc").write_bytes(
+        b"".join(
+            warc_record(
+                "response", f"http://a.test/p{i}", _page([_para(i)]), rid=f"<urn:a{i}>"
+            )
+            for i in range(4)
+        )
+    )
+    run()
+    assert store.read("corpus").count() == 4
+    v_after_first = store.current_version()
+
+    # batch 2: p1 re-crawled with DIFFERENT body (would pass content
+    # dedup) + one genuinely new page
+    (drop / "b.warc").write_bytes(
+        warc_record(
+            "response",
+            "http://a.test/p1?utm_source=feed",  # canonicalizes to p1
+            _page([_para(99)]),
+            rid="<urn:re1>",
+        )
+        + warc_record(
+            "response", "http://a.test/p9", _page([_para(9)]), rid="<urn:a9>"
+        )
+    )
+    run()
+    corpus = {r["source"] for r in store.read("corpus").collect()}
+    assert "http://a.test/p9" in corpus
+    assert len(corpus) == 5  # the re-crawl never entered
+    # the frontier indexes every first-seen canonical url
+    from rustcheatersdatapipeline_spark.functions.weburl import canonical_url
+    from pyspark.sql import functions as F
+
+    expected = (
+        spark.createDataFrame(
+            [(f"http://a.test/p{i}",) for i in (0, 1, 2, 3, 9)], "u string"
+        )
+        .select(F.xxhash64(canonical_url("u")).alias("d"))
+        .collect()
+    )
+    frontier = {r["url_digest"] for r in store.read("url_frontier").collect()}
+    assert {r["d"] for r in expected} <= frontier
+
+    # replaying both files through a fresh checkpoint admits nothing
+    v = store.current_version()
+    sink2 = CuratedCorpusIngestSink(store, k=9)
+    q = (
+        open_warc_documents_stream(spark, str(drop), lines=True)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert store.current_version() == v
+    assert store.read("corpus").count() == 5
