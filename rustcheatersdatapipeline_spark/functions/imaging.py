@@ -90,6 +90,10 @@ def _decode_image(buf: bytes) -> np.ndarray | None:
         return decode_jpeg_pixels(buf)
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return decode_avi_frames(buf)[0]
+    if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .vp8l import decode_webp_pixels
+
+        return decode_webp_pixels(buf)
     if len(buf) >= 54 and buf[:2] == b"BM":
         return decode_bmp_pixels(buf)
     if len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (b"\x01\x00", b"\x02\x00"):
@@ -164,6 +168,10 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
                         frames = decode_png_pixels(buf)[None, ...]
                     elif buf[:2] == b"\xff\xd8":
                         frames = decode_jpeg_pixels(buf)[None, ...]
+                    elif len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+                        from .vp8l import decode_webp_pixels
+
+                        frames = decode_webp_pixels(buf)[None, ...]
                     elif len(buf) >= 54 and buf[:2] == b"BM":
                         frames = decode_bmp_pixels(buf)[None, ...]
                     elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (

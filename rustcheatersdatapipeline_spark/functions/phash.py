@@ -105,6 +105,10 @@ def featurize_phash(media: DataFrame) -> DataFrame:
                         px = decode_gif_pixels(buf)[0]
                     elif buf[:2] == b"\xff\xd8":
                         px = decode_jpeg_pixels(buf)
+                    elif len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+                        from .vp8l import decode_webp_pixels
+
+                        px = decode_webp_pixels(buf)
                     elif len(buf) >= 54 and buf[:2] == b"BM":
                         px = decode_bmp_pixels(buf)
                     elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (

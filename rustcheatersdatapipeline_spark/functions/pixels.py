@@ -712,6 +712,21 @@ def decode_media(buf: bytes) -> dict:
             "mean": float(flat.mean()),
             "rms": float(np.sqrt((flat**2).mean())),
         }
+    if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .vp8l import decode_webp_pixels
+
+        px = decode_webp_pixels(buf)  # lossy VP8 raises the named boundary
+        flat = px.astype(np.float64)
+        return {
+            "mime": "image/webp",
+            "kind": "image",
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
     if len(buf) >= 54 and buf[:2] == b"BM":
         px = decode_bmp_pixels(buf)
         flat = px.astype(np.float64)
@@ -740,8 +755,8 @@ def decode_media(buf: bytes) -> dict:
         }
     raise NotImplementedError(
         "payload decode is stdlib-supported for PNG, GIF, JPEG (baseline + "
-        "progressive), BMP, ICO, PCM WAV and MJPEG/raw-DIB AVI; other "
-        "codecs need a codec library"
+        "progressive), lossless WebP, BMP, ICO, PCM WAV and MJPEG/raw-DIB "
+        "AVI; other codecs need a codec library"
     )
 
 
