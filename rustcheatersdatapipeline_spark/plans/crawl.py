@@ -131,7 +131,9 @@ class CuratedCorpusIngestSink(CorpusIngestSink):
     batch — so a site spread one-page-per-batch still converges on its
     template. Pages published before their site crossed the frequency
     threshold keep stale boilerplate until ``repair_boilerplate``
-    re-curates them (the maintenance sweep, amortized like compaction).
+    re-curates them — run automatically whenever the boilerplate index
+    compacts (the table-rewrite moment already amortizes an O(corpus)
+    pass), or explicitly for an immediate sweep.
     ``frac``/``min_docs`` are the index's data contract — persisted as
     table properties, verified on reopen, explicit conflicts fail fast
     (same discipline as the dedup index's shingle width).
@@ -231,7 +233,26 @@ class CuratedCorpusIngestSink(CorpusIngestSink):
             folded = (
                 self.store.read(name).groupBy("grp", "lh").agg(F.sum("n").alias("n"))
             )
-        elif name == self.url_table:
+            base = self.store.current_version()
+            props = self.store.properties(name)
+            self.store.publish(
+                {name: folded}, base, properties={name: props} if props else None
+            )
+            # the documented amortization point: repair already-published
+            # docs against the cumulative evidence exactly when we pay a
+            # table rewrite anyway (best-effort, CAS-raced like compact)
+            try:
+                repair_boilerplate(
+                    self.store,
+                    corpus_table=self.data_table,
+                    boilerplate_table=name,
+                    frac=self.frac,
+                    min_docs=self.min_docs,
+                )
+            except ConcurrentWriteError:
+                pass
+            return
+        if name == self.url_table:
             # membership set: duplicate digests (from partial-novelty
             # batches re-appending seen URLs) fold to distinct
             folded = self.store.read(name).distinct()

@@ -331,3 +331,36 @@ def test_url_frontier_drops_recrawls_across_batches(spark, tmp_path):
     q.awaitTermination(300)
     assert store.current_version() == v
     assert store.read("corpus").count() == 5
+
+
+def test_repair_runs_automatically_on_compaction(spark, tmp_path):
+    """With a small max_dirs, the boilerplate index compacts mid-stream
+    and the repair sweep rides the rewrite: early pages lose their
+    template WITHOUT any explicit repair call."""
+    from rustcheatersdatapipeline_spark.plans.crawl import CuratedCorpusIngestSink
+    from rustcheatersdatapipeline_spark.sources.warc import (
+        open_warc_documents_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CuratedCorpusIngestSink(store, k=9, max_dirs=2)
+    for i in range(5):
+        (drop / f"f{i}.warc").write_bytes(
+            warc_record(
+                "response", f"http://a.test/p{i}", _page([_para(i)]), rid=f"<urn:a{i}>"
+            )
+        )
+        q = (
+            open_warc_documents_stream(spark, str(drop), lines=True)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    corpus = {r["source"]: r["text"] for r in store.read("corpus").collect()}
+    assert len(corpus) == 5
+    assert NAV not in corpus["http://a.test/p0"]  # repaired by compaction
+    assert NAV not in corpus["http://a.test/p4"]
