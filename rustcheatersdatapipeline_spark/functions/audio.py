@@ -86,11 +86,28 @@ _NULL_FEAT = {k: None for k in (
 )}
 
 
+def decode_audio_samples(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """(samples (n, ch), rate, bits) for any stdlib-decodable audio
+    payload — PCM WAV or FLAC (functions/flac.py). The single dispatch
+    point all audio featurizers share, so adding a codec extends the
+    whole feature/fingerprint stack at once."""
+    from .pixels import decode_wav_samples
+
+    if buf[:4] == b"fLaC":
+        from .flac import decode_flac_samples, parse_flac_header
+
+        samples, rate = decode_flac_samples(buf)
+        return samples, rate, parse_flac_header(buf)[2]
+    samples, rate = decode_wav_samples(buf)
+    bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(samples.dtype, 32)
+    return samples, rate, bits
+
+
 def featurize_audio(media: DataFrame) -> DataFrame:
     """(item_id, features...) for every decodable PCM WAV payload;
     non-audio or corrupt payloads yield NULL-feature rows (quarantine,
     never a task failure)."""
-    from .pixels import DECODE_QUARANTINE, decode_wav_samples
+    from .pixels import DECODE_QUARANTINE
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["item_id", *_NULL_FEAT]
@@ -99,10 +116,7 @@ def featurize_audio(media: DataFrame) -> DataFrame:
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 buf = bytes(payload) if payload is not None else b""
                 try:
-                    samples, rate = decode_wav_samples(buf)
-                    bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(
-                        samples.dtype, 32
-                    )
+                    samples, rate, bits = decode_audio_samples(buf)
                     feat = audio_features(samples, rate, bits)
                 except DECODE_QUARANTINE:
                     feat = _NULL_FEAT
@@ -230,7 +244,7 @@ def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
     column named ``phash`` so ``functions.phash.image_neardup`` /
     ``explode_bands`` / ``image_dedup_clusters`` apply verbatim to
     audio (the banding math is modality-blind: 64 bits are 64 bits)."""
-    from .pixels import DECODE_QUARANTINE, decode_wav_samples
+    from .pixels import DECODE_QUARANTINE
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,10 +252,7 @@ def featurize_audio_fingerprint(media: DataFrame) -> DataFrame:
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 buf = bytes(payload) if payload is not None else b""
                 try:
-                    samples, rate = decode_wav_samples(buf)
-                    bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(
-                        samples.dtype, 32
-                    )
+                    samples, rate, bits = decode_audio_samples(buf)
                     fp = audio_fingerprint(samples, rate, bits)
                 except DECODE_QUARANTINE:
                     continue
@@ -265,7 +276,7 @@ def featurize_audio_fingerprint_shift(
     collapses multiple agreeing anchors to one pair. Index cost is
     ``n_anchors`` rows per clip (~200 B) — the standard multiprobe
     recall/space trade, chosen index-side so queries stay one join."""
-    from .pixels import DECODE_QUARANTINE, decode_wav_samples
+    from .pixels import DECODE_QUARANTINE
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -273,10 +284,7 @@ def featurize_audio_fingerprint_shift(
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 buf = bytes(payload) if payload is not None else b""
                 try:
-                    samples, rate = decode_wav_samples(buf)
-                    bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(
-                        samples.dtype, 32
-                    )
+                    samples, rate, bits = decode_audio_samples(buf)
                     fps = audio_fingerprint_anchors(
                         samples, rate, bits, n_anchors=n_anchors, trim=trim
                     )

@@ -425,6 +425,11 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     mp3 = parse_mp3_header(buf)
     if mp3 is not None:
         return "audio/mpeg", None, None, mp3[2]
+    from .flac import parse_flac_header
+
+    flac = parse_flac_header(buf)
+    if flac is not None:
+        return "audio/flac", None, None, flac[3]
     bmp = parse_bmp_header(buf)
     if bmp is not None:
         return "image/bmp", bmp[0], bmp[1], 1
