@@ -148,10 +148,10 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
         from .jpeg import decode_jpeg_pixels
         from .multimodal import _PNG_SIGNATURE
         from .pixels import (
+            decode_apng_frames,
             decode_bmp_pixels,
             decode_gif_pixels,
             decode_ico_pixels,
-            decode_png_pixels,
         )
 
         cols = ["item_id", "frame_idx", "payload", "width", "height"]
@@ -165,7 +165,7 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
                     elif len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
                         frames = decode_avi_frames(buf)
                     elif buf[:8] == _PNG_SIGNATURE:
-                        frames = decode_png_pixels(buf)[None, ...]
+                        frames = decode_apng_frames(buf)  # APNG-aware
                     elif buf[:2] == b"\xff\xd8":
                         frames = decode_jpeg_pixels(buf)[None, ...]
                     elif len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":

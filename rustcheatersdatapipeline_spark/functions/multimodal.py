@@ -78,6 +78,21 @@ def parse_png_header(buf: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_apng_frame_count(buf: bytes) -> int:
+    """Animation frame count from an APNG acTL chunk (which must
+    precede IDAT, public APNG spec), else 1 for a still PNG."""
+    pos = 8
+    while pos + 8 <= len(buf):
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        tag = buf[pos + 4 : pos + 8]
+        if tag == b"acTL" and pos + 12 <= len(buf):
+            return max(int.from_bytes(buf[pos + 8 : pos + 12], "big"), 1)
+        if tag in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + size
+    return 1
+
+
 def parse_gif_header(buf: bytes) -> tuple[int, int, int] | None:
     """(width, height, n_frames) from a GIF87a/GIF89a payload, else None.
 
@@ -401,7 +416,7 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     anything else quarantines as octet-stream with zero frames."""
     png = parse_png_header(buf)
     if png is not None:
-        return "image/png", png[0], png[1], 1
+        return "image/png", png[0], png[1], parse_apng_frame_count(buf)
     gif = parse_gif_header(buf)
     if gif is not None:
         return "image/gif", gif[0], gif[1], gif[2]

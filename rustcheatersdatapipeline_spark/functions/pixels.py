@@ -256,10 +256,25 @@ def decode_png_pixels(buf: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    return _decode_png_image(bytes(idat), w, h, depth, color, interlace, plte, trns)
+
+
+def _decode_png_image(
+    idat: bytes,
+    w: int,
+    h: int,
+    depth: int,
+    color: int,
+    interlace: int,
+    plte: bytes | None,
+    trns: bytes | None,
+) -> np.ndarray:
+    """One PNG-coded image (a whole file's IDAT, or one APNG frame's
+    fdAT region — same coding, frame-local dimensions)."""
     if interlace not in (0, 1):
         raise ValueError(f"PNG: invalid interlace method {interlace}")
     if color == 3:
-        return _decode_palette_png(w, h, depth, plte, trns, bytes(idat), interlace)
+        return _decode_palette_png(w, h, depth, plte, trns, idat, interlace)
     if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
     if color not in _PNG_CHANNELS:
@@ -268,10 +283,10 @@ def decode_png_pixels(buf: bytes) -> np.ndarray:
     bpp = channels * (depth // 8)
     if interlace:
         expected = sum(hp * (wp * bpp + 1) for *_xy, wp, hp in _adam7_passes(w, h))
-        px = _deinterlace_bytes(_inflate_bounded(bytes(idat), expected), w, h, bpp)
+        px = _deinterlace_bytes(_inflate_bounded(idat, expected), w, h, bpp)
     else:
         stride = w * bpp
-        raw = _inflate_bounded(bytes(idat), h * (stride + 1))
+        raw = _inflate_bounded(idat, h * (stride + 1))
         px = np.frombuffer(
             bytes(_unfilter_scanlines(raw, h, stride, bpp)), np.uint8
         ).reshape(h, w, bpp)
@@ -280,6 +295,117 @@ def decode_png_pixels(buf: bytes) -> np.ndarray:
         # standard crawl-pipeline treatment (features/pHash need 8-bit)
         px = np.ascontiguousarray(px[..., 0::2])
     return px
+
+
+def _to_rgba(px: np.ndarray) -> np.ndarray:
+    """Normalize any decoded PNG/palette output to (h, w, 4) RGBA."""
+    ch = px.shape[2]
+    if ch == 4:
+        return px
+    opaque = np.full((*px.shape[:2], 1), 255, np.uint8)
+    if ch == 3:
+        return np.concatenate([px, opaque], axis=2)
+    if ch == 2:  # gray + alpha
+        return np.concatenate([np.repeat(px[..., :1], 3, axis=2), px[..., 1:]], axis=2)
+    return np.concatenate([np.repeat(px, 3, axis=2), opaque], axis=2)
+
+
+def decode_apng_frames(buf: bytes) -> np.ndarray:
+    """APNG (public PNG 'acTL/fcTL/fdAT' extension) → uint8
+    (n_frames, h, w, 4) RGBA — the animation frames COMPOSITED onto the
+    canvas per each frame's dispose/blend ops, the GIF-composite
+    discipline applied to PNG. Non-animated PNGs yield their single
+    frame. The default IDAT image joins the animation only when an fcTL
+    precedes it (per spec)."""
+    if buf[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    trns = None
+    idat = bytearray()
+    idat_fctl = None
+    frames_meta: list[tuple[dict, bytearray]] = []  # (fcTL fields, data)
+    actl_frames = 0
+    pending_fctl: dict | None = None
+    for tag, data in _png_chunks(buf):
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"tRNS":
+            trns = data
+        elif tag == b"acTL" and len(data) >= 8:
+            actl_frames = int.from_bytes(data[0:4], "big")
+        elif tag == b"fcTL" and len(data) >= 26:
+            pending_fctl = {
+                "w": int.from_bytes(data[4:8], "big"),
+                "h": int.from_bytes(data[8:12], "big"),
+                "x": int.from_bytes(data[12:16], "big"),
+                "y": int.from_bytes(data[16:20], "big"),
+                "dispose": data[24],
+                "blend": data[25],
+            }
+        elif tag == b"IDAT":
+            if pending_fctl is not None and idat_fctl is None:
+                idat_fctl = pending_fctl
+                pending_fctl = None
+            idat.extend(data)
+        elif tag == b"fdAT" and len(data) >= 4:
+            if pending_fctl is not None:
+                frames_meta.append((pending_fctl, bytearray()))
+                pending_fctl = None
+            if not frames_meta:
+                raise ValueError("APNG: fdAT without a preceding fcTL")
+            frames_meta[-1][1].extend(data[4:])  # skip sequence number
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+
+    if actl_frames == 0:
+        first = _decode_png_image(bytes(idat), w, h, depth, color, interlace, plte, trns)
+        return _to_rgba(first)[None, ...]
+
+    anim: list[tuple[dict, bytes]] = []
+    if idat_fctl is not None:
+        anim.append((idat_fctl, bytes(idat)))
+    anim.extend((m, bytes(d)) for m, d in frames_meta)
+    if not anim:
+        raise ValueError("APNG: acTL without animation frames")
+    if len(anim) * h * w * 4 > _GIF_MAX_DECODE_BYTES:
+        raise ValueError("APNG: decoded frames exceed decode bound")
+
+    canvas = np.zeros((h, w, 4), np.uint8)
+    out = []
+    for meta, data in anim:
+        fw, fh, fx, fy = meta["w"], meta["h"], meta["x"], meta["y"]
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError("APNG: frame region outside the canvas")
+        region = _to_rgba(
+            _decode_png_image(data, fw, fh, depth, color, interlace, plte, trns)
+        )
+        prev = canvas.copy() if meta["dispose"] == 2 else None
+        target = canvas[fy : fy + fh, fx : fx + fw]
+        if meta["blend"] == 1:  # OVER (non-premultiplied alpha composite)
+            sa = region[..., 3:].astype(np.uint32)
+            da = target[..., 3:].astype(np.uint32)
+            oa = sa * 255 + da * (255 - sa)  # alpha scaled by 255*255
+            num = (
+                region[..., :3].astype(np.uint32) * sa * 255
+                + target[..., :3].astype(np.uint32) * da * (255 - sa)
+            )
+            rgb = np.where(oa > 0, num // np.maximum(oa, 1), 0)
+            target[..., :3] = rgb.astype(np.uint8)
+            target[..., 3:] = (oa // 255).astype(np.uint8)
+        else:  # SOURCE
+            target[...] = region
+        out.append(canvas.copy())
+        if meta["dispose"] == 1:  # background: clear region to transparent
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif meta["dispose"] == 2:  # previous: revert
+            canvas = prev
+    return np.stack(out)
 
 
 def decode_wav_samples(buf: bytes) -> tuple[np.ndarray, int]:
