@@ -410,6 +410,49 @@ def parse_ico_header(buf: bytes) -> tuple[int, int, int] | None:
     return best[0], best[1], count
 
 
+def parse_ogg_header(buf: bytes) -> tuple[str, int, int, float] | None:
+    """(codec, channels, sample_rate, duration_s) of an Ogg stream
+    (public RFC 3533 container + the Vorbis/Opus identification
+    headers), else None. Duration comes from the LAST page's granule
+    position — sample count for Vorbis, 48 kHz ticks minus pre-skip
+    for Opus — no packet decode needed."""
+    if len(buf) < 28 or buf[:4] != b"OggS":
+        return None
+    codec = None
+    channels = rate = 0
+    pre_skip = 0
+    last_granule = 0
+    pos = 0
+    while pos + 27 <= len(buf):
+        if buf[pos : pos + 4] != b"OggS":
+            break
+        granule = int.from_bytes(buf[pos + 6 : pos + 14], "little", signed=True)
+        if granule > 0:
+            last_granule = granule
+        nsegs = buf[pos + 26]
+        seg_table = buf[pos + 27 : pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            break
+        body = pos + 27 + nsegs
+        size = sum(seg_table)
+        payload = buf[body : body + size]
+        if codec is None:
+            if payload[:8] == b"OpusHead" and len(payload) >= 19:
+                codec = "opus"
+                channels = payload[9]
+                pre_skip = int.from_bytes(payload[10:12], "little")
+                rate = 48000  # granule positions are always 48 kHz ticks
+            elif payload[:7] == b"\x01vorbis" and len(payload) >= 30:
+                codec = "vorbis"
+                channels = payload[11]
+                rate = int.from_bytes(payload[12:16], "little")
+        pos = body + size
+    if codec is None or rate == 0:
+        return None
+    ticks = max(last_granule - (pre_skip if codec == "opus" else 0), 0)
+    return codec, channels, rate, ticks / rate
+
+
 def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     """Sniff + parse a payload's real header: (mime, width, height,
     n_frames). PNG → (w, h, 1 frame); WAV → (NULL, NULL, audio frames);
@@ -445,6 +488,9 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     flac = parse_flac_header(buf)
     if flac is not None:
         return "audio/flac", None, None, flac[3]
+    ogg = parse_ogg_header(buf)
+    if ogg is not None:
+        return "audio/ogg", None, None, int(ogg[3] * ogg[2])
     bmp = parse_bmp_header(buf)
     if bmp is not None:
         return "image/bmp", bmp[0], bmp[1], 1

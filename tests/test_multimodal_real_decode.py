@@ -329,3 +329,63 @@ def test_mp3_parser_total_under_mutation():
         cut = rng.randint(0, len(buf) + 1)
         r = parse_mp3_header(bytes(buf[:cut]))
         assert r is None or isinstance(r, tuple)
+
+
+def make_ogg(codec: str, channels: int = 2, rate: int = 44100,
+             granules: list[int] = (0, 44100)) -> bytes:
+    """Minimal Ogg pages: identification header page + data pages whose
+    last granule position encodes the duration (RFC 3533 framing)."""
+
+    def page(granule: int, payload: bytes, seq: int, first: bool = False) -> bytes:
+        segs = []
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        hdr = (
+            b"OggS" + bytes([0, 2 if first else 0])
+            + granule.to_bytes(8, "little", signed=True)
+            + (1).to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + bytes(4) + bytes([len(segs)]) + bytes(segs)
+        )
+        return hdr + payload
+
+    if codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, channels]) + (312).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little") + bytes(3)
+        )
+    else:
+        ident = (
+            b"\x01vorbis" + bytes(4) + bytes([channels])
+            + rate.to_bytes(4, "little") + bytes(14)
+        )
+    out = page(0, ident, 0, first=True)
+    for i, g in enumerate(granules, start=1):
+        out += page(g, b"\x00" * 10, i)
+    return out
+
+
+def test_ogg_header_roundtrip():
+    from rustcheatersdatapipeline_spark.functions.multimodal import parse_ogg_header
+
+    vorbis = make_ogg("vorbis", channels=2, rate=44100, granules=[22050, 88200])
+    codec, ch, rate, dur = parse_ogg_header(vorbis)
+    assert (codec, ch, rate) == ("vorbis", 2, 44100)
+    assert dur == pytest.approx(2.0)
+    opus = make_ogg("opus", channels=1, granules=[48000 + 312])
+    codec, ch, rate, dur = parse_ogg_header(opus)
+    assert (codec, ch, rate) == ("opus", 1, 48000)
+    assert dur == pytest.approx(1.0)  # pre-skip removed
+    assert decode_header(vorbis)[0] == "audio/ogg"
+    assert parse_ogg_header(b"OggSjunk") is None
+    # totality under mutation
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for _ in range(200):
+        buf = bytearray(vorbis)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        r = parse_ogg_header(bytes(buf[: rng.randint(0, len(buf) + 1)]))
+        assert r is None or isinstance(r, tuple)
