@@ -1,0 +1,135 @@
+"""Office Open XML text extraction (DOCX / XLSX / PPTX) — pure stdlib.
+
+Crawl dumps carry these as ``application/vnd.openxmlformats-…``
+responses (and as generic zips); they are ZIP containers of XML parts
+(public ECMA-376 standard), so the stdlib ``zipfile`` + an XML text
+walk extracts the visible text with no dependency — the same
+distill-into-the-documents-shape role as ``pdftext``:
+
+- **DOCX**: ``word/document.xml`` — ``<w:t>`` runs joined per
+  paragraph (``<w:p>``), tabs/breaks as whitespace;
+- **PPTX**: ``ppt/slides/slideN.xml`` in slide order — ``<a:t>`` runs
+  joined per paragraph (``<a:p>``);
+- **XLSX**: the shared-strings table (``xl/sharedStrings.xml``,
+  ``<t>`` entries) plus inline cell strings — the textual content a
+  curation pass cares about (numbers are data, not prose).
+
+Parsing uses ``xml.etree`` with entity expansion implicitly disabled
+(stdlib default: no external entities), a bounded decompressed-size
+cap per part (zip-bomb discipline, same contract as the PDF/PNG
+inflate caps), and the never-crash quarantine: any malformed container
+raises ValueError into the shared ``DECODE_QUARANTINE``.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+#: per-part decompressed ceiling — a tiny zip entry inflating to GBs
+#: must skip, not OOM (the PDF _PDF_MAX_INFLATE_BYTES discipline)
+_MAX_PART_BYTES = 64 * 1024 * 1024
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _read_part(zf: zipfile.ZipFile, name: str) -> bytes | None:
+    try:
+        info = zf.getinfo(name)
+    except KeyError:
+        return None
+    if info.file_size > _MAX_PART_BYTES:
+        raise ValueError(f"OOXML: part {name} exceeds inflate bound")
+    with zf.open(info) as f:
+        return f.read(_MAX_PART_BYTES + 1)
+
+
+def _parse(data: bytes) -> ElementTree.Element:
+    try:
+        return ElementTree.fromstring(data)
+    except ElementTree.ParseError as exc:
+        raise ValueError(f"OOXML: malformed XML part ({exc})") from None
+
+
+def _docx_text(zf: zipfile.ZipFile) -> str:
+    data = _read_part(zf, "word/document.xml")
+    if data is None:
+        raise ValueError("DOCX: no word/document.xml part")
+    root = _parse(data)
+    paras = []
+    for p in root.iter(f"{_W}p"):
+        runs = []
+        for node in p.iter():
+            if node.tag == f"{_W}t":
+                runs.append(node.text or "")
+            elif node.tag in (f"{_W}tab", f"{_W}br"):
+                runs.append(" ")
+        text = "".join(runs).strip()
+        if text:
+            paras.append(text)
+    return "\n".join(paras)
+
+
+def _pptx_text(zf: zipfile.ZipFile) -> str:
+    slides = sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()),
+    )
+    if not slides:
+        raise ValueError("PPTX: no slide parts")
+    paras = []
+    for name in slides:
+        root = _parse(_read_part(zf, name))
+        for p in root.iter(f"{_A}p"):
+            text = "".join(t.text or "" for t in p.iter(f"{_A}t")).strip()
+            if text:
+                paras.append(text)
+    return "\n".join(paras)
+
+
+def _xlsx_text(zf: zipfile.ZipFile) -> str:
+    out = []
+    shared = _read_part(zf, "xl/sharedStrings.xml")
+    if shared is not None:
+        root = _parse(shared)
+        for si in root.iter(f"{_S}si"):
+            text = "".join(t.text or "" for t in si.iter(f"{_S}t")).strip()
+            if text:
+                out.append(text)
+    for name in sorted(n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)):
+        root = _parse(_read_part(zf, name))
+        for c in root.iter(f"{_S}c"):
+            if c.get("t") == "inlineStr":
+                text = "".join(t.text or "" for t in c.iter(f"{_S}t")).strip()
+                if text:
+                    out.append(text)
+    if not out and shared is None:
+        raise ValueError("XLSX: no shared strings or inline strings")
+    return "\n".join(out)
+
+
+def office_to_text(buf: bytes) -> tuple[str, str]:
+    """(kind, visible text) of an OOXML payload — kind ∈ docx/pptx/xlsx,
+    sniffed from the container's parts. Raises ValueError for non-zip
+    or non-OOXML bytes (quarantine discipline; never crashes a task)."""
+    if buf[:2] != b"PK":
+        raise ValueError("not a ZIP container")
+    import zlib
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+            names = set(zf.namelist())
+            if "word/document.xml" in names:
+                return "docx", _docx_text(zf)
+            if any(n.startswith("ppt/slides/") for n in names):
+                return "pptx", _pptx_text(zf)
+            if any(n.startswith("xl/") for n in names):
+                return "xlsx", _xlsx_text(zf)
+    except (zipfile.BadZipFile, zlib.error, EOFError, OSError) as exc:
+        # a corrupt member can surface from any read, not just open()
+        raise ValueError(f"OOXML: bad zip ({exc})") from None
+    raise ValueError("OOXML: no recognized document parts")

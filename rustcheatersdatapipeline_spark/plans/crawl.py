@@ -38,7 +38,12 @@ from ..operators.boilerplate import (
     remove_boilerplate,
     strip_lines,
 )
-from ..sources.warc import read_warc, warc_to_documents, warc_to_pdf_documents
+from ..sources.warc import (
+    read_warc,
+    warc_to_documents,
+    warc_to_office_documents,
+    warc_to_pdf_documents,
+)
 from ..streaming.ingest import CorpusIngestSink
 from ..warehouse.persist import ConcurrentWriteError, GoldStore
 
@@ -89,13 +94,16 @@ def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
     persisted index."""
     warc = read_warc(spark, warc_path)
     curated = curate_documents(warc_to_documents(warc, lines=True))
-    # PDFs join after the HTML-only stages (no site boilerplate to
-    # strip; the distiller already applies its printable-fraction gate)
-    pdfs = quality_compression_flags(
-        warc_to_pdf_documents(warc).filter(F.col("n_chars") >= MIN_CHARS)
+    # PDFs and Office documents join after the HTML-only stages (no
+    # site boilerplate to strip; their distillers carry their own
+    # quality gates)
+    extra = warc_to_pdf_documents(warc).unionByName(
+        warc_to_office_documents(warc)
     )
-    pdfs = pdfs.filter(F.col("keep_compression")).drop("keep_compression")
-    return curated.unionByName(pdfs)
+    extra = quality_compression_flags(extra.filter(F.col("n_chars") >= MIN_CHARS))
+    return curated.unionByName(
+        extra.filter(F.col("keep_compression")).drop("keep_compression")
+    )
 
 
 def curate_crawl(

@@ -397,6 +397,48 @@ def warc_to_pdf_documents(warc: DataFrame, min_printable: float = 0.9) -> DataFr
     )
 
 
+#: OOXML response mimes (the long vnd.openxmlformats names plus the
+#: generic octet-stream+PK fallback is deliberately NOT sniffed here —
+#: mime lies are the quarantine path's job, not the happy path's)
+_OOXML_MIME_PREFIX = "application/vnd.openxmlformats-officedocument"
+
+
+def warc_to_office_documents(warc: DataFrame) -> DataFrame:
+    """Distill 200-OK Office Open XML responses (DOCX/XLSX/PPTX) into
+    the documents shape via the stdlib container extractor
+    (functions/officetext.py). Failed or empty extractions are filtered
+    — same quality-gate-inside-the-distiller policy as the PDF path."""
+    from ..functions.officetext import office_to_text
+
+    @F.pandas_udf("string")
+    def _extract(payload: pd.Series) -> pd.Series:
+        def run(p):
+            try:
+                _kind, text = office_to_text(bytes(p) if p is not None else b"")
+            except ValueError:
+                return None
+            return text or None
+
+        return payload.map(run)
+
+    resp = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("mime").startswith(_OOXML_MIME_PREFIX)
+    )
+    return (
+        resp.select(
+            F.xxhash64("record_id", "target_uri").alias("doc_id"),
+            _extract("payload").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("target_uri").alias("source"),
+        )
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
 def warc_to_media(warc: DataFrame, mime_prefix: str = "image/") -> DataFrame:
     """Distill 200-OK media responses into the media-table shape
     (item_id, payload, mime, source) feeding the multimodal stack —
