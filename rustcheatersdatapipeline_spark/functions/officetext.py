@@ -112,6 +112,91 @@ def _xlsx_text(zf: zipfile.ZipFile) -> str:
     return "\n".join(out)
 
 
+_ODT_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+
+def _odt_text(zf: zipfile.ZipFile) -> str:
+    data = _read_part(zf, "content.xml")
+    if data is None:
+        raise ValueError("ODT: no content.xml part")
+    root = _parse(data)
+    paras = []
+    for node in root.iter():
+        if node.tag in (f"{_ODT_TEXT}p", f"{_ODT_TEXT}h"):
+            text = "".join(node.itertext()).strip()
+            if text:
+                paras.append(text)
+    return "\n".join(paras)
+
+
+_RTF_CONTROL = re.compile(rb"\\([a-z]{1,32})(-?\d{1,10})? ?|\\'([0-9a-fA-F]{2})|\\([^a-z])")
+_RTF_SKIP_DESTS = {
+    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+    b"header", b"footer", b"*",
+}
+
+
+def rtf_to_text(buf: bytes) -> str:
+    """Visible text of an RTF payload (public word-processing format
+    still common in older crawls): group-aware control-word strip —
+    non-text destinations (font/color tables, embedded pictures)
+    skipped wholesale, \\par/\\tab mapped to whitespace, hex escapes
+    decoded. Raises ValueError for non-RTF bytes."""
+    if not buf.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF payload")
+    out: list[str] = []
+    depth = 0
+    skip_until: int | None = None
+    i = 0
+    n = len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c == b"{":
+            depth += 1
+            # a group starting with a skip destination is dropped whole
+            m = _RTF_CONTROL.match(buf, i + 1)
+            probe = i + 1
+            if buf[probe : probe + 2] == b"\\*":
+                if skip_until is None:
+                    skip_until = depth
+            elif m and m.group(1) in _RTF_SKIP_DESTS and skip_until is None:
+                skip_until = depth
+            i += 1
+            continue
+        if c == b"}":
+            if skip_until is not None and depth == skip_until:
+                skip_until = None
+            depth = max(depth - 1, 0)
+            i += 1
+            continue
+        if c == b"\\":
+            m = _RTF_CONTROL.match(buf, i)
+            if not m:
+                i += 1
+                continue
+            if skip_until is None:
+                word, hexv, esc = m.group(1), m.group(3), m.group(4)
+                if hexv is not None:
+                    out.append(bytes([int(hexv, 16)]).decode("latin-1"))
+                elif esc is not None and esc in b"\\{}":
+                    out.append(esc.decode("latin-1"))
+                elif word in (b"par", b"line"):
+                    out.append("\n")
+                elif word == b"tab":
+                    out.append(" ")
+                elif word == b"u" and m.group(2):
+                    cp = int(m.group(2))
+                    out.append(chr(cp + 65536 if cp < 0 else cp))
+                    i = m.end() + 1  # consume the ANSI fallback char
+                    continue
+            i = m.end()
+            continue
+        if skip_until is None and c not in (b"\r", b"\n"):
+            out.append(c.decode("latin-1"))
+        i += 1
+    return " ".join("".join(out).split())
+
+
 def office_to_text(buf: bytes) -> tuple[str, str]:
     """(kind, visible text) of an OOXML payload — kind ∈ docx/pptx/xlsx,
     sniffed from the container's parts. Raises ValueError for non-zip
@@ -129,6 +214,8 @@ def office_to_text(buf: bytes) -> tuple[str, str]:
                 return "pptx", _pptx_text(zf)
             if any(n.startswith("xl/") for n in names):
                 return "xlsx", _xlsx_text(zf)
+            if "content.xml" in names:
+                return "odt", _odt_text(zf)
     except (zipfile.BadZipFile, zlib.error, EOFError, OSError) as exc:
         # a corrupt member can surface from any read, not just open()
         raise ValueError(f"OOXML: bad zip ({exc})") from None

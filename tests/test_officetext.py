@@ -136,3 +136,49 @@ def test_crawl_distillation(spark, tmp_path):
     out = {r["source"]: r for r in distill_and_curate(spark, str(tmp_path)).collect()}
     assert "http://a.test/report.docx" in out
     assert "office document about data pipelines" in out["http://a.test/report.docx"]["text"]
+
+
+def make_odt(paragraphs: list[str]) -> bytes:
+    ns = 'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    body = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)
+    return _zip(
+        {
+            "mimetype": b"application/vnd.oasis.opendocument.text",
+            "content.xml": f'<?xml version="1.0"?><doc {ns}>{body}</doc>'.encode(),
+        }
+    )
+
+
+def test_odt_extraction():
+    kind, text = office_to_text(make_odt(["first para", "second para"]))
+    assert kind == "odt"
+    assert text == "first para\nsecond para"
+
+
+def test_rtf_extraction():
+    from rustcheatersdatapipeline_spark.functions.officetext import rtf_to_text
+
+    rtf = (
+        rb"{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}"
+        rb"{\colortbl;\red0\green0\blue0;}"
+        rb"\f0\fs24 Hello \b bold\b0  world\par second\tab line"
+        rb" hex:\'e9 uni:\u233?}"
+    )
+    text = rtf_to_text(rtf)
+    assert "Hello bold world" in text
+    assert "second line" in text
+    assert "Times New Roman" not in text  # font table skipped
+    assert "\xe9" in text  # hex escape
+    assert text.count("\xe9") >= 2  # \u233 too
+    assert "?" not in text  # \uN ANSI fallback consumed, not emitted
+    with pytest.raises(ValueError):
+        rtf_to_text(b"plain text")
+    # totality under mutation
+    rng = np.random.RandomState(1)
+    for _ in range(200):
+        buf = bytearray(rtf)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        try:
+            rtf_to_text(bytes(buf[: rng.randint(0, len(buf) + 1)]))
+        except ValueError:
+            pass
