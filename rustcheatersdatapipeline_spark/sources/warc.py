@@ -397,35 +397,46 @@ def warc_to_pdf_documents(warc: DataFrame, min_printable: float = 0.9) -> DataFr
     )
 
 
-#: OOXML response mimes (the long vnd.openxmlformats names plus the
-#: generic octet-stream+PK fallback is deliberately NOT sniffed here —
-#: mime lies are the quarantine path's job, not the happy path's)
-_OOXML_MIME_PREFIX = "application/vnd.openxmlformats-officedocument"
+#: office-document response mimes (generic octet-stream+PK sniffing is
+#: deliberately NOT done here — mime lies are the quarantine path's
+#: job, not the happy path's)
+_OFFICE_MIME_PREFIXES = (
+    "application/vnd.openxmlformats-officedocument",  # docx/xlsx/pptx
+    "application/vnd.oasis.opendocument",  # odt family
+    "application/rtf",
+    "text/rtf",
+)
 
 
 def warc_to_office_documents(warc: DataFrame) -> DataFrame:
-    """Distill 200-OK Office Open XML responses (DOCX/XLSX/PPTX) into
-    the documents shape via the stdlib container extractor
+    """Distill 200-OK office-document responses (DOCX/XLSX/PPTX/ODT/RTF)
+    into the documents shape via the stdlib extractors
     (functions/officetext.py). Failed or empty extractions are filtered
     — same quality-gate-inside-the-distiller policy as the PDF path."""
-    from ..functions.officetext import office_to_text
+    from ..functions.officetext import office_to_text, rtf_to_text
 
     @F.pandas_udf("string")
     def _extract(payload: pd.Series) -> pd.Series:
         def run(p):
+            buf = bytes(p) if p is not None else b""
             try:
-                _kind, text = office_to_text(bytes(p) if p is not None else b"")
+                if buf.startswith(b"{\\rtf"):
+                    return rtf_to_text(buf) or None
+                _kind, text = office_to_text(buf)
             except ValueError:
                 return None
             return text or None
 
         return payload.map(run)
 
+    mime_ok = F.col("mime").startswith(_OFFICE_MIME_PREFIXES[0])
+    for pref in _OFFICE_MIME_PREFIXES[1:]:
+        mime_ok = mime_ok | F.col("mime").startswith(pref)
     resp = warc.filter(
         F.col("corrupt_reason").isNull()
         & (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.col("mime").startswith(_OOXML_MIME_PREFIX)
+        & mime_ok
     )
     return (
         resp.select(
