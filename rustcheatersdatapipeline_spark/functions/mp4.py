@@ -264,6 +264,8 @@ def _sample_ranges(buf: bytes, stbl_body: int, stbl_end: int) -> list[tuple[int,
     ranges: list[tuple[int, int]] = []
     sample = 0
     for ri, (first, per_chunk, _sdi) in enumerate(runs):
+        if first < 1:  # chunks are 1-based; 0 would negative-index stco
+            raise ValueError("MP4: stsc first_chunk must be >= 1")
         last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
         for chunk in range(first, last + 1):
             if chunk - 1 >= len(offsets) or sample >= count:

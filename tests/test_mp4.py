@@ -346,3 +346,15 @@ def test_fragmented_mutation_totality():
                 fn(payload)
             except (ValueError, IndexError, NotImplementedError):
                 pass
+
+
+def test_zero_first_chunk_rejected():
+    """A corrupt stsc with first_chunk=0 must raise, not silently read
+    the LAST chunk offset via negative indexing."""
+    samples = _samples(4, seed=20)
+    buf = bytearray(make_mp4(samples, sync=[1]))
+    i = buf.find(b"stsc")
+    # stsc body: version/flags(4) entry_count(4) first_chunk(4) ...
+    buf[i + 12 : i + 16] = (0).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="first_chunk"):
+        mp4_keyframe_ranges(bytes(buf))
