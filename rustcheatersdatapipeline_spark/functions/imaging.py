@@ -94,6 +94,10 @@ def _decode_image(buf: bytes) -> np.ndarray | None:
         from .vp8l import decode_webp_pixels
 
         return decode_webp_pixels(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_pixels
+
+        return decode_tiff_pixels(buf)
     if len(buf) >= 54 and buf[:2] == b"BM":
         return decode_bmp_pixels(buf)
     if len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (b"\x01\x00", b"\x02\x00"):
@@ -172,6 +176,10 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
                         from .vp8l import decode_webp_pixels
 
                         frames = decode_webp_pixels(buf)[None, ...]
+                    elif buf[:4] in (b"II*\x00", b"MM\x00*"):
+                        from .tiff import decode_tiff_pixels
+
+                        frames = decode_tiff_pixels(buf)[None, ...]
                     elif len(buf) >= 54 and buf[:2] == b"BM":
                         frames = decode_bmp_pixels(buf)[None, ...]
                     elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (

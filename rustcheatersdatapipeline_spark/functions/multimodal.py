@@ -491,6 +491,11 @@ def decode_header(buf: bytes) -> tuple[str, int | None, int | None, int]:
     ogg = parse_ogg_header(buf)
     if ogg is not None:
         return "audio/ogg", None, None, int(ogg[3] * ogg[2])
+    from .tiff import parse_tiff_header
+
+    tif = parse_tiff_header(buf)
+    if tif is not None:
+        return "image/tiff", tif[0], tif[1], 1
     bmp = parse_bmp_header(buf)
     if bmp is not None:
         return "image/bmp", bmp[0], bmp[1], 1

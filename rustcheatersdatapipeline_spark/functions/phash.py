@@ -109,6 +109,10 @@ def featurize_phash(media: DataFrame) -> DataFrame:
                         from .vp8l import decode_webp_pixels
 
                         px = decode_webp_pixels(buf)
+                    elif buf[:4] in (b"II*\x00", b"MM\x00*"):
+                        from .tiff import decode_tiff_pixels
+
+                        px = decode_tiff_pixels(buf)
                     elif len(buf) >= 54 and buf[:2] == b"BM":
                         px = decode_bmp_pixels(buf)
                     elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (

@@ -868,6 +868,21 @@ def decode_media(buf: bytes) -> dict:
             "mean": float(flat.mean()),
             "rms": float(np.sqrt((flat**2).mean())),
         }
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_pixels
+
+        px = decode_tiff_pixels(buf)
+        flat = px.astype(np.float64)
+        return {
+            "mime": "image/tiff",
+            "kind": "image",
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
     if len(buf) >= 54 and buf[:2] == b"BM":
         px = decode_bmp_pixels(buf)
         flat = px.astype(np.float64)

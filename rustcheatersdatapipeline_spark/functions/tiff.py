@@ -1,0 +1,229 @@
+"""TIFF (public spec 6.0) baseline decode — pure stdlib + numpy.
+
+The scan/archive image format: still the lingua franca of digitized
+documents and datasets even where the open web favors JPEG/PNG/WebP.
+Scope (named boundaries like every decoder here): the baseline spec —
+both byte orders, multi-strip images, compression None / PackBits /
+LZW (the TIFF variant: MSB-first packing with the early-change quirk),
+8-bit grayscale (both photometric polarities), RGB, RGBA (extra
+sample), palette-color (ColorMap), and 1-bit bilevel for the
+None/PackBits fax-scan shape. JPEG-in-TIFF and the other exotic
+compressions raise ``NotImplementedError`` with the scheme named.
+Only the FIRST IFD (page) decodes — multi-page parity lives in the
+frame-sampling layer like GIF/APNG if ever needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_TIFF_MAX_DECODE_BYTES = 1 << 28
+
+
+def _byte_order(buf: bytes) -> str | None:
+    if buf[:4] == b"II*\x00":
+        return "little"
+    if buf[:4] == b"MM\x00*":
+        return "big"
+    return None
+
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def _read_ifd(buf: bytes, order: str) -> dict[int, list[int]]:
+    """First IFD's tag → value-list map (BYTE/ASCII/SHORT/LONG types)."""
+    off = int.from_bytes(buf[4:8], order)
+    if off + 2 > len(buf):
+        raise ValueError("TIFF: IFD offset out of range")
+    n = int.from_bytes(buf[off : off + 2], order)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(buf):
+            raise ValueError("TIFF: truncated IFD")
+        tag = int.from_bytes(buf[e : e + 2], order)
+        typ = int.from_bytes(buf[e + 2 : e + 4], order)
+        count = int.from_bytes(buf[e + 4 : e + 8], order)
+        size = _TYPE_SIZES.get(typ)
+        if size is None or count > 1 << 22:
+            continue  # rational/unknown types are metadata we don't need
+        total = size * count
+        if total <= 4:
+            data = buf[e + 8 : e + 8 + total]
+        else:
+            voff = int.from_bytes(buf[e + 8 : e + 12], order)
+            data = buf[voff : voff + total]
+        if len(data) < total:
+            raise ValueError("TIFF: tag value out of range")
+        tags[tag] = [
+            int.from_bytes(data[j * size : (j + 1) * size], order)
+            for j in range(count)
+        ]
+    return tags
+
+
+def parse_tiff_header(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) of the first page, else None (total sniffer)."""
+    order = _byte_order(buf)
+    if order is None or len(buf) < 8:
+        return None
+    try:
+        tags = _read_ifd(buf, order)
+    except (ValueError, IndexError):
+        return None
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits RLE (spec section 9)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                break
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF: PackBits strip shorter than declared")
+    return bytes(out[:expected])
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (spec section 13): MSB-first code packing,
+    Clear=256 / EOI=257, 8-bit roots, EARLY CHANGE — the code width
+    bumps when the table reaches 2^w - 1 (one entry earlier than GIF)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+
+    reset()
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                if len(out) < expected:
+                    raise ValueError("TIFF: LZW ended before strip filled")
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("TIFF: LZW code before any literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF: LZW code out of range")
+            out += entry
+            if len(out) > expected:
+                raise ValueError("TIFF: LZW output exceeds strip size")
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF: LZW strip shorter than declared")
+    return bytes(out[:expected])
+
+
+def decode_tiff_pixels(buf: bytes) -> np.ndarray:
+    """First-page decode → uint8 (h, w, 1|3|4). Corruption raises
+    ValueError; out-of-scope compressions raise NotImplementedError
+    (both inside the shared DECODE_QUARANTINE)."""
+    order = _byte_order(buf)
+    if order is None:
+        raise ValueError("not a TIFF payload")
+    tags = _read_ifd(buf, order)
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if w <= 0 or h <= 0:
+        raise ValueError("TIFF: missing dimensions")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0] or h
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing strip tables")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF: compression scheme {comp} unsupported")
+    if set(bits) == {1} and spp == 1:
+        depth = 1
+    elif set(bits) == {8}:
+        depth = 8
+    else:
+        raise NotImplementedError(f"TIFF: bits-per-sample {bits} unsupported")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF: {spp} samples per pixel unsupported")
+    if w * h * max(spp, 1) > _TIFF_MAX_DECODE_BYTES:
+        raise ValueError("TIFF: image exceeds decode bound")
+
+    row_bytes = (w * spp * depth + 7) // 8
+    raw = bytearray()
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        strip = buf[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("TIFF: strip out of range")
+        strip_rows = min(rows_per_strip, h - rows_done)
+        expected = strip_rows * row_bytes
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("TIFF: uncompressed strip shorter than declared")
+            raw += strip[:expected]
+        elif comp == 32773:
+            raw += _unpackbits(strip, expected)
+        else:
+            raw += _lzw_decode(strip, expected)
+        rows_done += strip_rows
+        if rows_done >= h:
+            break
+    if rows_done < h:
+        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+
+    if depth == 1:
+        rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)
+        px = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8)
+        px = (px * 255) if photo == 1 else ((1 - px) * 255)  # 0=WhiteIsZero
+        return px.astype(np.uint8)[..., None]
+    px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if photo == 3:  # palette-color: ColorMap of 3 * 2^depth u16 entries
+        cmap = tags.get(320)
+        if spp != 1 or cmap is None or len(cmap) < 3 * 256:
+            raise ValueError("TIFF: palette image without a valid ColorMap")
+        table = (np.array(cmap[: 3 * 256], np.uint32) // 257).astype(np.uint8)
+        lut = np.stack([table[0:256], table[256:512], table[512:768]], axis=1)
+        return lut[px[..., 0]]
+    if photo == 0 and spp == 1:  # WhiteIsZero: invert to the usual polarity
+        px = 255 - px
+    return px.copy()

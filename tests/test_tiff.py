@@ -1,0 +1,247 @@
+"""TIFF decode (functions/tiff.py): the oracle is a test-side writer —
+IFD construction in both byte orders, multi-strip layout, and forward
+None / PackBits / TIFF-LZW (early change) compressors. Lossless ⇒
+byte-exact round trips."""
+
+import numpy as np
+import pytest
+
+from rustcheatersdatapipeline_spark.functions.tiff import (
+    decode_tiff_pixels,
+    parse_tiff_header,
+)
+
+
+def _pack_bits(row: bytes) -> bytes:
+    """Forward PackBits: literal runs + repeat runs."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # find a repeat run of >= 3
+        j = i
+        while j + 1 < n and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i + 1), row[i]])
+            i = j + 1
+            continue
+        # literal run until the next repeat of >= 3
+        k = i
+        while k < n and k - i < 127:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + row[i:k]
+        i = k
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Forward TIFF-LZW with the early-change width bump."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    emit(256)  # Clear
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= 4094:  # keep the table bounded: restart
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev])
+    emit(257)  # EOI
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i : i + 8]:
+            b = (b << 1) | bit
+        b <<= (8 - len(bits[i : i + 8])) % 8 if len(bits[i : i + 8]) < 8 else 0
+        out.append(b)
+    return bytes(out)
+
+
+def make_tiff(
+    px: np.ndarray,
+    order: str = "little",
+    comp: int = 1,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    colormap: np.ndarray | None = None,
+    bilevel: bool = False,
+) -> bytes:
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    rows_per_strip = rows_per_strip or h
+    if bilevel:
+        row_bytes = (w + 7) // 8
+        flat_rows = [
+            np.packbits(px[y].astype(np.uint8)).tobytes()[:row_bytes] for y in range(h)
+        ]
+    else:
+        flat_rows = [px[y].astype(np.uint8).tobytes() for y in range(h)]
+
+    strips = []
+    for start in range(0, h, rows_per_strip):
+        raw = b"".join(flat_rows[start : start + rows_per_strip])
+        if comp == 1:
+            strips.append(raw)
+        elif comp == 32773:
+            strips.append(_pack_bits(raw))
+        else:
+            strips.append(_lzw_encode(raw))
+
+    def u(v, size):
+        return int(v).to_bytes(size, order)
+
+    entries = []  # (tag, type, count, packed-value or data-bytes)
+
+    def entry(tag, typ, values):
+        size = {3: 2, 4: 4}[typ]
+        data = b"".join(u(v, size) for v in values)
+        entries.append((tag, typ, len(values), data))
+
+    bits = 1 if bilevel else 8
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [bits] * spp)
+    entry(259, 3, [comp])
+    entry(262, 3, [photometric if photometric is not None else (2 if spp >= 3 else 1)])
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if colormap is not None:
+        entry(320, 3, [int(v) for v in colormap.reshape(-1)])
+    if spp == 4:
+        entry(338, 3, [1])  # extra sample = associated alpha
+
+    # layout: header(8) + IFD + out-of-line values + strips
+    n_with_offsets = len(entries) + 1  # plus StripOffsets
+    ifd_size = 2 + 12 * n_with_offsets + 4
+    pos = 8 + ifd_size
+    blobs = []
+    packed = []
+    for tag, typ, count, data in entries:
+        if len(data) <= 4:
+            packed.append((tag, typ, count, data + bytes(4 - len(data))))
+        else:
+            packed.append((tag, typ, count, u(pos, 4)))
+            blobs.append(data)
+            pos += len(data)
+    # strip offsets table
+    off_table_pos = pos if len(strips) > 1 else None
+    if len(strips) > 1:
+        pos += 4 * len(strips)
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    so_data = b"".join(u(o, 4) for o in strip_offsets)
+    if len(strips) > 1:
+        packed.append((273, 4, len(strips), u(off_table_pos, 4)))
+        blobs.append(so_data)
+    else:
+        packed.append((273, 4, 1, so_data))
+    packed.sort(key=lambda e: e[0])
+
+    out = (b"II*\x00" if order == "little" else b"MM\x00*") + u(8, 4)
+    out += u(len(packed), 2)
+    for tag, typ, count, val in packed:
+        out += u(tag, 2) + u(typ, 2) + u(count, 4) + val
+    out += u(0, 4)  # no next IFD
+    for b in blobs:
+        out += b
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _rand(h, w, ch, seed):
+    a = np.random.RandomState(seed).randint(0, 256, (h, w, ch) if ch else (h, w))
+    return a.astype(np.uint8)
+
+
+@pytest.mark.parametrize("order", ["little", "big"])
+@pytest.mark.parametrize("comp", [1, 32773, 5])
+def test_rgb_roundtrip_all_compressions(order, comp):
+    px = _rand(11, 7, 3, seed=comp)
+    got = decode_tiff_pixels(make_tiff(px, order=order, comp=comp))
+    assert np.array_equal(got, px)
+
+
+def test_multistrip_and_gray_and_rgba():
+    gray = _rand(16, 9, 0, seed=9)
+    got = decode_tiff_pixels(make_tiff(gray, comp=5, rows_per_strip=5))
+    assert np.array_equal(got[..., 0], gray)
+    rgba = _rand(6, 6, 4, seed=10)
+    got = decode_tiff_pixels(make_tiff(rgba, comp=32773, rows_per_strip=2))
+    assert np.array_equal(got, rgba)
+
+
+def test_white_is_zero_inverted():
+    gray = _rand(5, 5, 0, seed=11)
+    got = decode_tiff_pixels(make_tiff(gray, photometric=0))
+    assert np.array_equal(got[..., 0], 255 - gray)
+
+
+def test_palette_color():
+    rng = np.random.RandomState(12)
+    cmap16 = rng.randint(0, 1 << 16, (3, 256)).astype(np.uint32)
+    idx = rng.randint(0, 256, (7, 9)).astype(np.uint8)
+    buf = make_tiff(idx, photometric=3, colormap=cmap16)
+    got = decode_tiff_pixels(buf)
+    lut = (cmap16 // 257).astype(np.uint8)
+    want = np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=-1)
+    assert np.array_equal(got, want)
+
+
+def test_bilevel_fax_shape():
+    rng = np.random.RandomState(13)
+    bits = rng.randint(0, 2, (10, 19)).astype(np.uint8)
+    got = decode_tiff_pixels(make_tiff(bits, bilevel=True, photometric=1))
+    assert np.array_equal(got[..., 0], bits * 255)
+    got0 = decode_tiff_pixels(make_tiff(bits, bilevel=True, photometric=0))
+    assert np.array_equal(got0[..., 0], (1 - bits) * 255)
+
+
+def test_header_and_named_boundaries():
+    px = _rand(4, 6, 3, seed=14)
+    buf = make_tiff(px)
+    assert parse_tiff_header(buf) == (6, 4)
+    buf2 = bytearray(make_tiff(px))
+    i = buf2.find((259).to_bytes(2, "little"))
+    buf2[i + 8 : i + 10] = (7).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="compression scheme 7"):
+        decode_tiff_pixels(bytes(buf2))
+
+
+def test_mutation_totality():
+    from rustcheatersdatapipeline_spark.functions.pixels import DECODE_QUARANTINE
+
+    base = make_tiff(_rand(8, 8, 3, seed=15), comp=5, rows_per_strip=3)
+    rng = np.random.RandomState(0)
+    for _ in range(300):
+        buf = bytearray(base)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        try:
+            decode_tiff_pixels(bytes(buf[: rng.randint(0, len(buf) + 1)]))
+        except DECODE_QUARANTINE:
+            pass
