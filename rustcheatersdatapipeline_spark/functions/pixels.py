@@ -1,9 +1,24 @@
 """Real pixel/sample decoding for the multimodal path — pure stdlib.
 
-Round 5 upgraded ``featurize_media(fake=False)`` from a stub to real
-HEADER decode (multimodal.py); this module goes the rest of the way for
-the two formats whose full payload is decodable with nothing but the
-standard library:
+This module holds the PNG/APNG/GIF/WAV decoders plus the BMP/ICO DIB
+family and the ``decode_media`` dispatch that routes every supported
+payload to its decoder. The full pure-stdlib decode matrix across the
+functions/ package (each with a spec-exact test-side encoder and
+mutation-totality fuzz):
+
+- images: PNG (every still-image variant) + APNG animation, GIF, JPEG
+  baseline+progressive (jpeg.py), lossless WebP/VP8L (vp8l.py), BMP,
+  ICO, TIFF (tiff.py);
+- audio: PCM WAV, FLAC (flac.py);
+- video/containers: AVI MJPEG/DIB frames (avi.py), MP4/ISO BMFF
+  metadata + keyframe byte ranges incl. fragmented (mp4.py);
+- documents: PDF (pdftext.py), DOCX/XLSX/PPTX/ODT/RTF (officetext.py).
+
+Only genuinely codec-library formats (H.264/H.265, lossy VP8,
+arithmetic JPEG, MP3/AAC payload decode) remain behind named
+``NotImplementedError`` boundaries, quarantined via the shared
+``DECODE_QUARANTINE`` contract below. Details of the formats coded
+directly in this module:
 
 - **PNG** (RFC 2083): chunk walk → concatenated IDAT → ``zlib``
   inflate → scanline unfiltering (all five filter types: None, Sub,
