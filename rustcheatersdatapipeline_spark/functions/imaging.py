@@ -71,38 +71,10 @@ def resize_nn(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def _decode_image(buf: bytes) -> np.ndarray | None:
     """First displayable frame of any supported image/video payload,
-    or None for non-visual/unsupported payloads."""
-    from .avi import decode_avi_frames
-    from .jpeg import decode_jpeg_pixels
-    from .multimodal import _PNG_SIGNATURE
-    from .pixels import (
-        decode_bmp_pixels,
-        decode_gif_pixels,
-        decode_ico_pixels,
-        decode_png_pixels,
-    )
+    or None — delegates to the single shared dispatch in pixels.py."""
+    from .pixels import decode_image_payload
 
-    if buf[:8] == _PNG_SIGNATURE:
-        return decode_png_pixels(buf)
-    if buf[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_pixels(buf)[0]
-    if buf[:2] == b"\xff\xd8":
-        return decode_jpeg_pixels(buf)
-    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
-        return decode_avi_frames(buf)[0]
-    if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-        from .vp8l import decode_webp_pixels
-
-        return decode_webp_pixels(buf)
-    if buf[:4] in (b"II*\x00", b"MM\x00*"):
-        from .tiff import decode_tiff_pixels
-
-        return decode_tiff_pixels(buf)
-    if len(buf) >= 54 and buf[:2] == b"BM":
-        return decode_bmp_pixels(buf)
-    if len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (b"\x01\x00", b"\x02\x00"):
-        return decode_ico_pixels(buf)
-    return None
+    return decode_image_payload(buf)
 
 
 RESIZED_SCHEMA = "item_id bigint, payload binary, width int, height int"
@@ -140,7 +112,7 @@ FRAMES_SCHEMA = "item_id bigint, frame_idx int, payload binary, width int, heigh
 
 
 def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
-    """Explode multi-frame payloads (GIF/AVI) into every ``step``-th
+    """Explode multi-frame payloads (GIF/AVI/APNG) into every ``step``-th
     frame as its own PNG row — the real form of ``featurize_media``'s
     ``sampled_frames`` index list. Single-frame images emit frame 0;
     non-visual payloads emit nothing."""
@@ -148,15 +120,7 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
         raise ValueError("sample_frames: step must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .avi import decode_avi_frames
-        from .jpeg import decode_jpeg_pixels
-        from .multimodal import _PNG_SIGNATURE
-        from .pixels import (
-            decode_apng_frames,
-            decode_bmp_pixels,
-            decode_gif_pixels,
-            decode_ico_pixels,
-        )
+        from .pixels import decode_image_frames
 
         cols = ["item_id", "frame_idx", "payload", "width", "height"]
         for pdf in batches:
@@ -164,32 +128,10 @@ def sample_frames(media: DataFrame, step: int = 2) -> DataFrame:
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 buf = bytes(payload) if payload is not None else b""
                 try:
-                    if buf[:6] in (b"GIF87a", b"GIF89a"):
-                        frames = decode_gif_pixels(buf)
-                    elif len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
-                        frames = decode_avi_frames(buf)
-                    elif buf[:8] == _PNG_SIGNATURE:
-                        frames = decode_apng_frames(buf)  # APNG-aware
-                    elif buf[:2] == b"\xff\xd8":
-                        frames = decode_jpeg_pixels(buf)[None, ...]
-                    elif len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-                        from .vp8l import decode_webp_pixels
-
-                        frames = decode_webp_pixels(buf)[None, ...]
-                    elif buf[:4] in (b"II*\x00", b"MM\x00*"):
-                        from .tiff import decode_tiff_pixels
-
-                        frames = decode_tiff_pixels(buf)[None, ...]
-                    elif len(buf) >= 54 and buf[:2] == b"BM":
-                        frames = decode_bmp_pixels(buf)[None, ...]
-                    elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (
-                        b"\x01\x00",
-                        b"\x02\x00",
-                    ):
-                        frames = decode_ico_pixels(buf)[None, ...]
-                    else:
-                        continue
+                    frames = decode_image_frames(buf)
                 except DECODE_QUARANTINE:
+                    continue
+                if frames is None:
                     continue
                 for i in range(0, frames.shape[0], step):
                     rows.append(

@@ -83,15 +83,7 @@ def featurize_phash(media: DataFrame) -> DataFrame:
     are dropped — they quarantine through ``featurize_pixels``' path,
     not here. ``phash`` is stored as a SIGNED 64-bit reinterpretation so
     it stays a plain bigint column."""
-    from .pixels import (
-        DECODE_QUARANTINE,
-        decode_bmp_pixels,
-        decode_gif_pixels,
-        decode_ico_pixels,
-        decode_png_pixels,
-    )
-    from .jpeg import decode_jpeg_pixels
-    from .multimodal import _PNG_SIGNATURE
+    from .pixels import DECODE_QUARANTINE, decode_image_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,28 +91,8 @@ def featurize_phash(media: DataFrame) -> DataFrame:
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 buf = bytes(payload) if payload is not None else b""
                 try:
-                    if buf[:8] == _PNG_SIGNATURE:
-                        px = decode_png_pixels(buf)
-                    elif buf[:6] in (b"GIF87a", b"GIF89a"):
-                        px = decode_gif_pixels(buf)[0]
-                    elif buf[:2] == b"\xff\xd8":
-                        px = decode_jpeg_pixels(buf)
-                    elif len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-                        from .vp8l import decode_webp_pixels
-
-                        px = decode_webp_pixels(buf)
-                    elif buf[:4] in (b"II*\x00", b"MM\x00*"):
-                        from .tiff import decode_tiff_pixels
-
-                        px = decode_tiff_pixels(buf)
-                    elif len(buf) >= 54 and buf[:2] == b"BM":
-                        px = decode_bmp_pixels(buf)
-                    elif len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (
-                        b"\x01\x00",
-                        b"\x02\x00",
-                    ):
-                        px = decode_ico_pixels(buf)
-                    else:
+                    px = decode_image_payload(buf)
+                    if px is None:
                         continue
                     h = phash64(px)
                 except DECODE_QUARANTINE:

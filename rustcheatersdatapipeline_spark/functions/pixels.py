@@ -781,6 +781,56 @@ def decode_ico_pixels(buf: bytes) -> np.ndarray:
     return px.copy()
 
 
+def decode_image_payload(buf: bytes) -> np.ndarray | None:
+    """First displayable frame of any supported image/video payload, or
+    None for non-visual payloads. THE shared sniff+dispatch for every
+    image featurizer (phash, resize, decode_media's image arm) — one
+    table, so format coverage cannot drift between featurizers (the
+    DECODE_QUARANTINE argument applied to dispatch)."""
+    if buf[:8] == _PNG_SIGNATURE:
+        return decode_png_pixels(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(buf)[0]
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(buf)
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from .avi import decode_avi_frames
+
+        return decode_avi_frames(buf)[0]
+    if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .vp8l import decode_webp_pixels
+
+        return decode_webp_pixels(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_pixels
+
+        return decode_tiff_pixels(buf)
+    if len(buf) >= 54 and buf[:2] == b"BM":
+        return decode_bmp_pixels(buf)
+    if len(buf) >= 6 and buf[0:2] == b"\x00\x00" and buf[2:4] in (b"\x01\x00", b"\x02\x00"):
+        return decode_ico_pixels(buf)
+    return None
+
+
+def decode_image_frames(buf: bytes) -> np.ndarray | None:
+    """ALL displayable frames, (n, h, w, c) — multi-frame for GIF, AVI
+    and APNG, single-frame for everything else ``decode_image_payload``
+    covers; None for non-visual payloads. The frame-sampling twin of
+    the shared dispatch above."""
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(buf)
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from .avi import decode_avi_frames
+
+        return decode_avi_frames(buf)
+    if buf[:8] == _PNG_SIGNATURE:
+        return decode_apng_frames(buf)
+    px = decode_image_payload(buf)
+    return None if px is None else px[None, ...]
+
+
 def decode_media(buf: bytes) -> dict:
     """Dispatch a payload to the right full decoder and reduce it to a
     bounded feature dict (the per-item output of ``featurize_pixels``)."""
