@@ -78,3 +78,24 @@ def test_mutated_palette_png_never_escapes(cut, xor_at, xor_val, depth):
     if xor_at < len(png):
         png[xor_at] ^= xor_val
     _decode_total(bytes(png[: cut if cut < len(png) else len(png)]))
+
+
+@given(junk=st.binary(min_size=0, max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_shared_dispatchers_total_on_arbitrary_bytes(junk):
+    """The unified dispatch helpers must stay inside the quarantine
+    surface for ANY bytes — they are the single entry every featurizer
+    now routes through."""
+    import zlib
+
+    from rustcheatersdatapipeline_spark.functions.pixels import (
+        decode_image_frames,
+        decode_image_payload,
+    )
+
+    for fn in (decode_image_payload, decode_image_frames):
+        try:
+            r = fn(bytes(junk))
+            assert r is None or r.dtype == np.uint8
+        except (NotImplementedError, ValueError, zlib.error, IndexError):
+            pass
