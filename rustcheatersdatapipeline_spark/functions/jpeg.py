@@ -69,10 +69,34 @@ def _idct2(coeff: np.ndarray) -> np.ndarray:
     return _C.T @ coeff @ _C
 
 
-def build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+class HuffTable(dict):
+    """{(code_length, code): symbol} plus a lazily-built 256-entry
+    lookahead LUT for codes of <= 8 bits (the overwhelming majority in
+    real streams) — one list index replaces up to 8 per-bit dict walks
+    in the decode hot loop. Plain-dict semantics otherwise, so every
+    existing call site and test is unchanged."""
+
+    __slots__ = ("_lut",)
+
+    @property
+    def lut(self) -> list:
+        try:
+            return self._lut
+        except AttributeError:
+            lut: list = [None] * 256
+            for (length, code), sym in self.items():
+                if length <= 8:
+                    base = code << (8 - length)
+                    for suffix in range(1 << (8 - length)):
+                        lut[base | suffix] = (sym, length)
+            self._lut = lut
+            return lut
+
+
+def build_huffman(bits: list[int], vals: bytes) -> HuffTable:
     """{(code_length, code): symbol} from the DHT BITS/HUFFVAL lists —
     canonical code assignment per T.81 annex C."""
-    table: dict[tuple[int, int], int] = {}
+    table = HuffTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -100,12 +124,35 @@ class _BitReader:
         return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.data) << 3:
+            raise ValueError("JPEG: truncated entropy-coded segment")
+        byte0 = self.pos >> 3
+        byte_end = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[byte0:byte_end], "big")
+        shift = ((byte_end - byte0) << 3) - (end - (byte0 << 3))
+        self.pos = end
+        return (chunk >> shift) & ((1 << n) - 1)
+
+    def _peek8(self) -> int:
+        byte = self.pos >> 3
+        off = self.pos & 7
+        d = self.data
+        b0 = d[byte] if byte < len(d) else 0
+        b1 = d[byte + 1] if byte + 1 < len(d) else 0
+        return ((b0 << 8) | b1) >> (8 - off) & 0xFF
 
     def decode(self, table: dict[tuple[int, int], int]) -> int:
+        if isinstance(table, HuffTable):
+            entry = table.lut[self._peek8()]
+            if entry is not None:
+                sym, length = entry
+                self.pos += length
+                if self.pos > len(self.data) << 3:
+                    raise ValueError("JPEG: truncated entropy-coded segment")
+                return sym
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.bit()
