@@ -6,9 +6,13 @@ library"); round 6 removed that boundary for **baseline sequential DCT
 modes that cover essentially every JPEG on the web. Supported: 8-bit
 samples, grayscale or 3-component YCbCr with the common sampling
 layouts (4:4:4, 4:2:2, 4:2:0 — any integer factors dividing the max),
-restart intervals, multi-table DQT/DHT segments; progressive spectral
-selection + successive approximation (DC first/refine, AC first/refine
-with EOB runs, interleaved DC and single-component AC scans per G.2).
+restart intervals, multi-table DQT/DHT segments, baseline streams with
+one non-interleaved scan per component; progressive spectral selection
++ successive approximation (DC first/refine, AC first/refine with EOB
+runs, interleaved DC and single-component AC scans per G.2). Both
+modes accumulate into one per-component coefficient tensor so the
+dequantize → de-zigzag → IDCT → upsample → YCbCr tail runs once,
+vectorized over all blocks, instead of per 8x8 block.
 Out of scope — each raises ``NotImplementedError`` with the exact
 variant named (quarantined upstream, never a task failure): extended/
 hierarchical/lossless modes, arithmetic coding, 12-bit precision,
@@ -62,11 +66,6 @@ def _dct_matrix() -> np.ndarray:
 
 
 _C = _dct_matrix()
-
-
-def _idct2(coeff: np.ndarray) -> np.ndarray:
-    """Inverse 2-D DCT of one 8x8 coefficient block (spatial = Cᵀ·F·C)."""
-    return _C.T @ coeff @ _C
 
 
 class HuffTable(dict):
@@ -166,38 +165,6 @@ def _extend(v: int, s: int) -> int:
     """Amplitude extension (T.81 F.2.2.1): map the s received bits to
     the signed coefficient value."""
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
-def _decode_block(
-    rd: _BitReader,
-    dc_tbl: dict,
-    ac_tbl: dict,
-    pred: int,
-    qt: np.ndarray,
-) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, np.int64)
-    s = rd.decode(dc_tbl)
-    if s > 11:
-        raise ValueError("JPEG: DC category out of range")
-    pred += _extend(rd.bits(s), s)
-    zz[0] = pred
-    k = 1
-    while k < 64:
-        rs = rd.decode(ac_tbl)
-        r, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("JPEG: AC run past end of block")
-        zz[k] = _extend(rd.bits(size), size)
-        k += 1
-    coeff = np.zeros(64, np.float64)
-    coeff[ZIGZAG] = zz * qt
-    return _idct2(coeff.reshape(8, 8)), pred
 
 
 def _unstuff(ecs: bytes) -> bytes:
@@ -303,6 +270,56 @@ class _ProgState:
         if len(scan) > 1:
             return sum(self.info[cid][0] * self.info[cid][1] for cid, *_ in scan)
         return 1
+
+    def baseline_scan(self, scan, huff, restart, segments) -> None:
+        """Baseline sequential (SOF0) scan: full-precision DC + AC per
+        block, MCU-interleaved or single-component raster. Sharing the
+        coefficient tensor with the progressive path means the
+        dequantize/IDCT/assembly tail runs once, vectorized over every
+        block (``finish``), instead of per 8x8 block — and baseline
+        streams with one non-interleaved scan per component decode
+        naturally instead of being rejected."""
+        tables = {}
+        for cid, td, ta in scan:
+            if cid not in self.coef:
+                raise ValueError("JPEG: scan references unknown component")
+            try:
+                tables[cid] = (huff[(0, td)], huff[(1, ta)])
+            except KeyError:
+                raise ValueError("JPEG: missing Huffman table") from None
+        seg_iter = iter(segments)
+        rd = _BitReader(next(seg_iter))
+        preds = {cid: 0 for cid, *_ in scan}
+        per_mcu = self._mcu_size(scan)
+        for i, (cid, by, bx) in enumerate(self._blocks_in_scan(scan)):
+            if restart and i and i % (restart * per_mcu) == 0:
+                try:
+                    rd = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("JPEG: missing restart segment") from None
+                preds = {c: 0 for c in preds}
+            blk = self.coef[cid][by, bx]
+            dc_tbl, ac_tbl = tables[cid]
+            s = rd.decode(dc_tbl)
+            if s > 11:
+                raise ValueError("JPEG: DC category out of range")
+            preds[cid] += _extend(rd.bits(s), s)
+            blk[0] = preds[cid]
+            k = 1
+            while k < 64:
+                rs = rd.decode(ac_tbl)
+                r, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG: AC run past end of block")
+                blk[k] = _extend(rd.bits(size), size)
+                k += 1
+        self.scans_done += 1
 
     def _dc_scan(self, scan, ah, al, huff, restart, segments) -> None:
         for cid, *_ in scan:
@@ -471,6 +488,7 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     prog: _ProgState | None = None
+    baseline = False
     restart = 0
     pos = 2
     n = len(buf)
@@ -532,8 +550,8 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-            if marker == 0xC2:
-                prog = _ProgState(frame)
+            prog = _ProgState(frame)
+            baseline = marker == 0xC0
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("JPEG: only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xCC:
@@ -553,8 +571,12 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
             segments, end = _split_scan(buf, pos + 2 + seg_len)
-            if prog is None:
-                return _decode_scan(frame, scan, qts, huff, restart, segments)
+            if baseline:
+                prog.baseline_scan(scan, huff, restart, segments)
+                if len(scan) == len(frame[2]):
+                    return prog.finish(qts)  # single interleaved scan
+                pos = end
+                continue
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG: progressive SOS missing Ss/Se/Ah/Al")
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
@@ -563,71 +585,6 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
             pos = end
             continue
         pos += 2 + seg_len
-    if prog is not None:
-        raise ValueError("JPEG: progressive stream missing EOI")
+    if prog is not None and prog.scans_done:
+        raise ValueError("JPEG: stream missing EOI")
     raise ValueError("JPEG: no SOS marker")
-
-
-def _decode_scan(frame, scan, qts, huff, restart, segments) -> np.ndarray:
-    h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ValueError("JPEG: zero frame dimension")
-    if h * w * 3 > _JPEG_MAX_DECODE_BYTES:
-        raise ValueError("JPEG: frame exceeds decode bound")
-    if len(scan) != len(comps):
-        raise NotImplementedError("JPEG: non-interleaved multi-scan")
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    max_h = max(hi for _, hi, _, _ in comps)
-    max_v = max(vi for _, _, vi, _ in comps)
-    for _, hi, vi, _ in comps:
-        if hi < 1 or vi < 1 or max_h % hi or max_v % vi:
-            raise NotImplementedError("JPEG: non-integer sampling ratio")
-    mcus_x = -(-w // (8 * max_h))
-    mcus_y = -(-h // (8 * max_v))
-    planes: dict[int, np.ndarray] = {}
-    meta = []  # (cid, hi, vi, qt, dc_tbl, ac_tbl)
-    for cid, td, ta in scan:
-        if cid not in by_id:
-            raise ValueError("JPEG: scan references unknown component")
-        hi, vi, tq = by_id[cid]
-        try:
-            qt, dc, ac = qts[tq], huff[(0, td)], huff[(1, ta)]
-        except KeyError:
-            raise ValueError("JPEG: missing quantizer/Huffman table") from None
-        planes[cid] = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
-        meta.append((cid, hi, vi, qt, dc, ac))
-
-    seg_iter = iter(segments)
-    rd = _BitReader(next(seg_iter))
-    preds = {cid: 0 for cid, *_ in meta}
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu and mcu % restart == 0:
-                try:
-                    rd = _BitReader(next(seg_iter))
-                except StopIteration:
-                    raise ValueError("JPEG: missing restart segment") from None
-                preds = {cid: 0 for cid in preds}
-            for cid, hi, vi, qt, dc, ac in meta:
-                for v in range(vi):
-                    for hh in range(hi):
-                        block, preds[cid] = _decode_block(rd, dc, ac, preds[cid], qt)
-                        y0 = (my * vi + v) * 8
-                        x0 = (mx * hi + hh) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu += 1
-
-    full = []
-    for cid, hi, vi, _, _, _ in meta:
-        p = planes[cid]
-        if hi != max_h or vi != max_v:
-            p = np.repeat(np.repeat(p, max_v // vi, axis=0), max_h // hi, axis=1)
-        full.append(p[:h, :w] + 128.0)
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)

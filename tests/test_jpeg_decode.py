@@ -673,3 +673,74 @@ def test_corrupt_jpeg_totality(pos_seed, byte):
         decode_jpeg_pixels(bytes(buf))
     except (ValueError, NotImplementedError):
         pass
+
+
+# ------------------------------------- baseline non-interleaved scans
+
+
+def encode_jpeg_multiscan(img: np.ndarray, restart: int = 0) -> tuple[bytes, np.ndarray]:
+    """Baseline 4:4:4 RGB stream written as THREE single-component SOS
+    segments (one per component, raster block order) instead of one
+    interleaved scan — the layout some encoders emit for baseline
+    streams. With 4:4:4 every component's padded block grid equals its
+    true grid, so no MCU-padding dummy blocks arise. In a
+    non-interleaved scan the restart interval counts single data units
+    (T.81 A.2.2), not multi-block MCUs."""
+    gray, h, w, ph, pw, comps, blocks, expected = _prepare(img, (1, 1))
+    assert not gray and all(hi == 1 and vi == 1 for _, hi, vi, _ in comps)
+    out = b"\xff\xd8"
+    dqt = bytes([0x00]) + bytes(QT_LUMA.tolist()) + bytes([0x01]) + bytes(QT_CHROMA.tolist())
+    out += _seg(0xDB, dqt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xC0, sof)
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + DC_VALS + bytes([0x10]) + bytes(AC_BITS) + AC_VALS
+        + bytes([0x01]) + bytes(DC_BITS) + DC_VALS + bytes([0x11]) + bytes(AC_BITS) + AC_VALS
+    )
+    out += _seg(0xC4, dht)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    for ci, (cid, _hi, _vi, _tq) in enumerate(comps):
+        t = 0 if ci == 0 else 1
+        out += _seg(0xDA, bytes([1, cid, (t << 4) | t, 0, 63, 0]))
+        segments = []
+        wtr = BitWriter()
+        pred = 0
+        for bi in range(len(blocks[ci])):
+            if restart and bi and bi % restart == 0:
+                segments.append(wtr.to_bytes())
+                wtr = BitWriter()
+                pred = 0
+            pred = _encode_block(wtr, blocks[ci][bi], pred)
+        segments.append(wtr.to_bytes())
+        ecs = segments[0]
+        for i, s in enumerate(segments[1:]):
+            ecs += bytes([0xFF, 0xD0 + (i % 8)]) + s
+        out += ecs
+    return out + b"\xff\xd9", expected
+
+
+def test_baseline_noninterleaved_multiscan():
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (21, 13, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg_multiscan(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_baseline_noninterleaved_restart_counts_blocks():
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 256, (17, 24, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg_multiscan(img, restart=3)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_baseline_multiscan_equals_interleaved_decode():
+    """Same coefficients through both baseline scan layouts must
+    reconstruct the identical image."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    single, _ = encode_jpeg(img, subsample=(1, 1))
+    multi, _ = encode_jpeg_multiscan(img)
+    assert np.array_equal(decode_jpeg_pixels(single), decode_jpeg_pixels(multi))
