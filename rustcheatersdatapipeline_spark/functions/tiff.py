@@ -6,9 +6,14 @@ Scope (named boundaries like every decoder here): the baseline spec —
 both byte orders, multi-strip images, compression None / PackBits /
 LZW (the TIFF variant: MSB-first packing with the early-change quirk),
 8-bit grayscale (both photometric polarities), RGB, RGBA (extra
-sample), palette-color (ColorMap), and 1-bit bilevel for the
-None/PackBits fax-scan shape. JPEG-in-TIFF and the other exotic
-compressions raise ``NotImplementedError`` with the scheme named.
+sample), palette-color (ColorMap), 1-bit bilevel for the
+None/PackBits fax-scan shape, and new-style JPEG (compression 7,
+TIFF Tech Note 2): each strip is a self-contained abbreviated JPEG
+stream, shared tables arriving via the JPEGTables tag (347) are
+spliced in after each strip's SOI before handing the stream to
+``functions/jpeg.py``. Old-style JPEG (compression 6), tiled layout,
+and the other exotic compressions raise ``NotImplementedError`` with
+the scheme named.
 Only the FIRST IFD (page) decodes — multi-page parity lives in the
 frame-sampling layer like GIF/APNG if ever needed.
 """
@@ -28,7 +33,7 @@ def _byte_order(buf: bytes) -> str | None:
     return None
 
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1}
 
 
 def _read_ifd(buf: bytes, order: str) -> dict[int, list[int]]:
@@ -154,6 +159,54 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _decode_jpeg_strips(
+    buf: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    rows_per_strip: int,
+    offsets: list[int],
+    counts: list[int],
+) -> np.ndarray:
+    """New-style JPEG strips (TIFF Tech Note 2): every strip is a full
+    JPEG stream covering ``rows_per_strip`` rows; a JPEGTables tag
+    holds shared DQT/DHT segments as an abbreviated table stream
+    (SOI tables EOI) spliced in after each strip's SOI."""
+    from .jpeg import decode_jpeg_pixels
+
+    prefix = b""
+    tables = tags.get(347)
+    if tables:
+        tb = bytes(tables)
+        if len(tb) < 4 or tb[:2] != b"\xff\xd8":
+            raise ValueError("TIFF: invalid JPEGTables stream")
+        end = tb.rfind(b"\xff\xd9")
+        if end == -1:
+            raise ValueError("TIFF: JPEGTables missing EOI")
+        prefix = tb[2:end]
+    parts: list[np.ndarray] = []
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        strip = buf[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("TIFF: strip out of range")
+        if strip[:2] != b"\xff\xd8":
+            raise ValueError("TIFF: JPEG strip missing SOI")
+        px = decode_jpeg_pixels(b"\xff\xd8" + prefix + strip[2:])
+        strip_rows = min(rows_per_strip, h - rows_done)
+        if px.shape[0] < strip_rows or px.shape[1] < w:
+            raise ValueError("TIFF: JPEG strip smaller than declared")
+        parts.append(px[:strip_rows, :w])
+        rows_done += strip_rows
+        if rows_done >= h:
+            break
+    if rows_done < h:
+        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    if len({p.shape[2] for p in parts}) != 1:
+        raise ValueError("TIFF: JPEG strips disagree on channel count")
+    return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def decode_tiff_pixels(buf: bytes) -> np.ndarray:
     """First-page decode → uint8 (h, w, 1|3|4). Corruption raises
     ValueError; out-of-scope compressions raise NotImplementedError
@@ -174,7 +227,15 @@ def decode_tiff_pixels(buf: bytes) -> np.ndarray:
     offsets = tags.get(273)
     counts = tags.get(279)
     if offsets is None or counts is None or len(offsets) != len(counts):
+        if 322 in tags or 323 in tags or 324 in tags or 325 in tags:
+            raise NotImplementedError("TIFF: tiled layout unsupported")
         raise ValueError("TIFF: missing strip tables")
+    if comp == 7:
+        if w * h * 3 > _TIFF_MAX_DECODE_BYTES:
+            raise ValueError("TIFF: image exceeds decode bound")
+        return _decode_jpeg_strips(buf, tags, w, h, rows_per_strip, offsets, counts)
+    if comp == 6:
+        raise NotImplementedError("TIFF: old-style JPEG (compression 6) unsupported")
     if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF: compression scheme {comp} unsupported")
     if set(bits) == {1} and spp == 1:

@@ -6,6 +6,7 @@ byte-exact round trips."""
 import numpy as np
 import pytest
 
+from rustcheatersdatapipeline_spark.functions.jpeg import decode_jpeg_pixels
 from rustcheatersdatapipeline_spark.functions.tiff import (
     decode_tiff_pixels,
     parse_tiff_header,
@@ -87,10 +88,14 @@ def make_tiff(
     photometric: int | None = None,
     colormap: np.ndarray | None = None,
     bilevel: bool = False,
+    jpeg_strips: list[bytes] | None = None,
+    jpeg_tables: bytes | None = None,
 ) -> bytes:
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     rows_per_strip = rows_per_strip or h
+    if jpeg_strips is not None:
+        comp = 7
     if bilevel:
         row_bytes = (w + 7) // 8
         flat_rows = [
@@ -99,15 +104,18 @@ def make_tiff(
     else:
         flat_rows = [px[y].astype(np.uint8).tobytes() for y in range(h)]
 
-    strips = []
-    for start in range(0, h, rows_per_strip):
-        raw = b"".join(flat_rows[start : start + rows_per_strip])
-        if comp == 1:
-            strips.append(raw)
-        elif comp == 32773:
-            strips.append(_pack_bits(raw))
-        else:
-            strips.append(_lzw_encode(raw))
+    if jpeg_strips is not None:
+        strips = list(jpeg_strips)
+    else:
+        strips = []
+        for start in range(0, h, rows_per_strip):
+            raw = b"".join(flat_rows[start : start + rows_per_strip])
+            if comp == 1:
+                strips.append(raw)
+            elif comp == 32773:
+                strips.append(_pack_bits(raw))
+            else:
+                strips.append(_lzw_encode(raw))
 
     def u(v, size):
         return int(v).to_bytes(size, order)
@@ -130,6 +138,8 @@ def make_tiff(
     entry(279, 4, [len(s) for s in strips])
     if colormap is not None:
         entry(320, 3, [int(v) for v in colormap.reshape(-1)])
+    if jpeg_tables is not None:
+        entries.append((347, 7, len(jpeg_tables), jpeg_tables))
     if spp == 4:
         entry(338, 3, [1])  # extra sample = associated alpha
 
@@ -228,9 +238,14 @@ def test_header_and_named_boundaries():
     assert parse_tiff_header(buf) == (6, 4)
     buf2 = bytearray(make_tiff(px))
     i = buf2.find((259).to_bytes(2, "little"))
-    buf2[i + 8 : i + 10] = (7).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError, match="compression scheme 7"):
+    buf2[i + 8 : i + 10] = (4).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="compression scheme 4"):
         decode_tiff_pixels(bytes(buf2))
+    buf3 = bytearray(make_tiff(px))
+    i = buf3.find((259).to_bytes(2, "little"))
+    buf3[i + 8 : i + 10] = (6).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="old-style JPEG"):
+        decode_tiff_pixels(bytes(buf3))
 
 
 def test_mutation_totality():
@@ -238,6 +253,90 @@ def test_mutation_totality():
 
     base = make_tiff(_rand(8, 8, 3, seed=15), comp=5, rows_per_strip=3)
     rng = np.random.RandomState(0)
+    for _ in range(300):
+        buf = bytearray(base)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        try:
+            decode_tiff_pixels(bytes(buf[: rng.randint(0, len(buf) + 1)]))
+        except DECODE_QUARANTINE:
+            pass
+
+
+# --------------------------------------------- new-style JPEG (comp 7)
+
+
+def _split_jpeg_tables(buf: bytes) -> tuple[bytes, bytes]:
+    """Split a full baseline JPEG into (JPEGTables stream, abbreviated
+    image stream) per TIFF Tech Note 2: tables = SOI DQT/DHT EOI,
+    image = SOI <everything else> ... EOI."""
+    segs = []
+    pos = 2
+    while True:
+        marker = buf[pos + 1]
+        if marker == 0xDA:
+            tail = buf[pos:]  # SOS + entropy-coded data + EOI
+            break
+        ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        segs.append((marker, buf[pos : pos + 2 + ln]))
+        pos += 2 + ln
+    tables = b"".join(s for m, s in segs if m in (0xDB, 0xC4))
+    rest = b"".join(s for m, s in segs if m not in (0xDB, 0xC4))
+    return b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + rest + tail
+
+
+def test_jpeg_in_tiff_single_strip():
+    from tests.test_jpeg_decode import encode_jpeg
+
+    img = _rand(21, 13, 3, seed=31)
+    jpg, _ = encode_jpeg(img, subsample=(1, 1))
+    expected = decode_jpeg_pixels(jpg)
+    buf = make_tiff(img, photometric=6, jpeg_strips=[jpg])
+    assert np.array_equal(decode_tiff_pixels(buf), expected)
+    assert parse_tiff_header(buf) == (13, 21)
+
+
+def test_jpeg_in_tiff_multistrip_and_gray():
+    from tests.test_jpeg_decode import encode_jpeg
+
+    img = _rand(20, 16, 3, seed=32)
+    bands = [img[0:8], img[8:16], img[16:20]]
+    jpgs = [encode_jpeg(b, subsample=(1, 1))[0] for b in bands]
+    expected = np.concatenate([decode_jpeg_pixels(j)[: b.shape[0]] for j, b in zip(jpgs, bands)])
+    buf = make_tiff(img, photometric=6, rows_per_strip=8, jpeg_strips=jpgs)
+    assert np.array_equal(decode_tiff_pixels(buf), expected)
+
+    gray = _rand(9, 11, 0, seed=33)
+    jpg, _ = encode_jpeg(gray)
+    buf = make_tiff(gray, jpeg_strips=[jpg])
+    assert np.array_equal(decode_tiff_pixels(buf), decode_jpeg_pixels(jpg))
+
+
+def test_jpeg_in_tiff_shared_tables():
+    """Strips with their DQT/DHT factored out into the JPEGTables tag
+    must decode identically to the self-contained streams."""
+    from tests.test_jpeg_decode import encode_jpeg
+
+    img = _rand(16, 12, 3, seed=34)
+    bands = [img[0:8], img[8:16]]
+    jpgs = [encode_jpeg(b, subsample=(1, 1))[0] for b in bands]
+    tables, _ = _split_jpeg_tables(jpgs[0])
+    abbreviated = [_split_jpeg_tables(j)[1] for j in jpgs]
+    assert all(b"\xff\xdb" not in a[:50] for a in abbreviated)
+    buf = make_tiff(img, photometric=6, rows_per_strip=8,
+                    jpeg_strips=abbreviated, jpeg_tables=tables)
+    expected = np.concatenate([decode_jpeg_pixels(j) for j in jpgs])
+    assert np.array_equal(decode_tiff_pixels(buf), expected)
+
+
+def test_jpeg_in_tiff_mutation_totality():
+    from rustcheatersdatapipeline_spark.functions.pixels import DECODE_QUARANTINE
+    from tests.test_jpeg_decode import encode_jpeg
+
+    img = _rand(8, 8, 3, seed=35)
+    jpg, _ = encode_jpeg(img, subsample=(1, 1))
+    tables, abbrev = _split_jpeg_tables(jpg)
+    base = make_tiff(img, photometric=6, jpeg_strips=[abbrev], jpeg_tables=tables)
+    rng = np.random.RandomState(1)
     for _ in range(300):
         buf = bytearray(base)
         buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
