@@ -4,8 +4,11 @@ The scan/archive image format: still the lingua franca of digitized
 documents and datasets even where the open web favors JPEG/PNG/WebP.
 Scope (named boundaries like every decoder here): the baseline spec —
 both byte orders, multi-strip images, compression None / PackBits /
-LZW (the TIFF variant: MSB-first packing with the early-change quirk),
-8-bit grayscale (both photometric polarities), RGB, RGBA (extra
+LZW (the TIFF variant: MSB-first packing with the early-change quirk)
+/ Deflate (8 and legacy 32946, inflate bounded by the declared strip
+size), the horizontal-differencing predictor (tag 317 value 2) on
+8-bit samples, 8-bit grayscale (both photometric polarities), RGB,
+RGBA (extra
 sample), palette-color (ColorMap), 1-bit bilevel for the
 None/PackBits fax-scan shape, and new-style JPEG (compression 7,
 TIFF Tech Note 2): each strip is a self-contained abbreviated JPEG
@@ -19,6 +22,8 @@ frame-sampling layer like GIF/APNG if ever needed.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 
@@ -236,8 +241,11 @@ def decode_tiff_pixels(buf: bytes) -> np.ndarray:
         return _decode_jpeg_strips(buf, tags, w, h, rows_per_strip, offsets, counts)
     if comp == 6:
         raise NotImplementedError("TIFF: old-style JPEG (compression 6) unsupported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF: compression scheme {comp} unsupported")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF: predictor {predictor} unsupported")
     if set(bits) == {1} and spp == 1:
         depth = 1
     elif set(bits) == {8}:
@@ -264,6 +272,15 @@ def decode_tiff_pixels(buf: bytes) -> np.ndarray:
             raw += strip[:expected]
         elif comp == 32773:
             raw += _unpackbits(strip, expected)
+        elif comp in (8, 32946):  # Adobe deflate / legacy deflate
+            d = zlib.decompressobj()
+            try:
+                inflated = d.decompress(strip, expected)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF: bad deflate strip ({exc})") from None
+            if len(inflated) < expected:
+                raise ValueError("TIFF: deflate strip shorter than declared")
+            raw += inflated
         else:
             raw += _lzw_decode(strip, expected)
         rows_done += strip_rows
@@ -271,6 +288,15 @@ def decode_tiff_pixels(buf: bytes) -> np.ndarray:
             break
     if rows_done < h:
         raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+
+    if predictor == 2:
+        # horizontal differencing (spec section 14): each byte sample
+        # stores the delta to the sample one pixel left, per channel —
+        # undo with a prefix sum along the row, modulo 256
+        if depth != 8:
+            raise NotImplementedError("TIFF: predictor 2 on sub-byte samples")
+        arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        raw = np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8).tobytes()
 
     if depth == 1:
         rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)

@@ -3,6 +3,8 @@ IFD construction in both byte orders, multi-strip layout, and forward
 None / PackBits / TIFF-LZW (early change) compressors. Lossless ⇒
 byte-exact round trips."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -90,6 +92,7 @@ def make_tiff(
     bilevel: bool = False,
     jpeg_strips: list[bytes] | None = None,
     jpeg_tables: bytes | None = None,
+    predictor: int = 1,
 ) -> bytes:
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
@@ -102,7 +105,15 @@ def make_tiff(
             np.packbits(px[y].astype(np.uint8)).tobytes()[:row_bytes] for y in range(h)
         ]
     else:
-        flat_rows = [px[y].astype(np.uint8).tobytes() for y in range(h)]
+        if predictor == 2:
+            planes = px.astype(np.int16)
+            if planes.ndim == 2:
+                planes = planes[..., None]
+            diffed = planes.copy()
+            diffed[:, 1:] = planes[:, 1:] - planes[:, :-1]
+            flat_rows = [(diffed[y] % 256).astype(np.uint8).tobytes() for y in range(h)]
+        else:
+            flat_rows = [px[y].astype(np.uint8).tobytes() for y in range(h)]
 
     if jpeg_strips is not None:
         strips = list(jpeg_strips)
@@ -114,6 +125,8 @@ def make_tiff(
                 strips.append(raw)
             elif comp == 32773:
                 strips.append(_pack_bits(raw))
+            elif comp in (8, 32946):
+                strips.append(zlib.compress(raw))
             else:
                 strips.append(_lzw_encode(raw))
 
@@ -140,6 +153,8 @@ def make_tiff(
         entry(320, 3, [int(v) for v in colormap.reshape(-1)])
     if jpeg_tables is not None:
         entries.append((347, 7, len(jpeg_tables), jpeg_tables))
+    if predictor != 1:
+        entry(317, 3, [predictor])
     if spp == 4:
         entry(338, 3, [1])  # extra sample = associated alpha
 
@@ -190,7 +205,7 @@ def _rand(h, w, ch, seed):
 
 
 @pytest.mark.parametrize("order", ["little", "big"])
-@pytest.mark.parametrize("comp", [1, 32773, 5])
+@pytest.mark.parametrize("comp", [1, 32773, 5, 8, 32946])
 def test_rgb_roundtrip_all_compressions(order, comp):
     px = _rand(11, 7, 3, seed=comp)
     got = decode_tiff_pixels(make_tiff(px, order=order, comp=comp))
@@ -344,3 +359,15 @@ def test_jpeg_in_tiff_mutation_totality():
             decode_tiff_pixels(bytes(buf[: rng.randint(0, len(buf) + 1)]))
         except DECODE_QUARANTINE:
             pass
+
+
+@pytest.mark.parametrize("comp", [5, 8])
+def test_horizontal_predictor(comp):
+    """Predictor 2 (horizontal differencing) under LZW and Deflate,
+    color and grayscale, multi-strip."""
+    rgb = _rand(13, 9, 3, seed=41)
+    got = decode_tiff_pixels(make_tiff(rgb, comp=comp, predictor=2, rows_per_strip=4))
+    assert np.array_equal(got, rgb)
+    gray = _rand(7, 15, 0, seed=42)
+    got = decode_tiff_pixels(make_tiff(gray, comp=comp, predictor=2))
+    assert np.array_equal(got[..., 0], gray)
