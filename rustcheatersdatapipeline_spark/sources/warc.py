@@ -405,14 +405,20 @@ _OFFICE_MIME_PREFIXES = (
     "application/vnd.oasis.opendocument",  # odt family
     "application/rtf",
     "text/rtf",
+    "application/msword",  # legacy .doc (CFB)
+    "application/vnd.ms-excel",  # legacy .xls (CFB)
+    "application/vnd.ms-powerpoint",  # legacy .ppt (CFB)
 )
 
 
 def warc_to_office_documents(warc: DataFrame) -> DataFrame:
-    """Distill 200-OK office-document responses (DOCX/XLSX/PPTX/ODT/RTF)
-    into the documents shape via the stdlib extractors
-    (functions/officetext.py). Failed or empty extractions are filtered
-    — same quality-gate-inside-the-distiller policy as the PDF path."""
+    """Distill 200-OK office-document responses (DOCX/XLSX/PPTX/ODT/RTF
+    plus the legacy CFB-container .doc/.xls/.ppt) into the documents
+    shape via the stdlib extractors (functions/officetext.py,
+    functions/cfbtext.py). Failed, empty, or named-boundary (encrypted,
+    pre-BIFF8) extractions are filtered — same
+    quality-gate-inside-the-distiller policy as the PDF path."""
+    from ..functions.cfbtext import cfb_to_text
     from ..functions.officetext import office_to_text, rtf_to_text
 
     @F.pandas_udf("string")
@@ -422,8 +428,10 @@ def warc_to_office_documents(warc: DataFrame) -> DataFrame:
             try:
                 if buf.startswith(b"{\\rtf"):
                     return rtf_to_text(buf) or None
+                if buf.startswith(b"\xd0\xcf\x11\xe0"):
+                    return cfb_to_text(buf)[1] or None
                 _kind, text = office_to_text(buf)
-            except ValueError:
+            except (ValueError, NotImplementedError):
                 return None
             return text or None
 
