@@ -3,8 +3,11 @@
 Round 5 left JPEG behind a ``NotImplementedError`` ("needs a codec
 library"); round 6 removed that boundary for **baseline sequential DCT
 (SOF0)** and round 7 for **progressive DCT (SOF2)** — together the two
-modes that cover essentially every JPEG on the web. Supported: 8-bit
-samples, grayscale or 3-component YCbCr with the common sampling
+modes that cover essentially every JPEG on the web, plus **extended
+sequential (SOF1)** with 12-bit samples and 16-bit quantizer tables
+(the medical/scientific shape; 12-bit output rescales onto the uint8
+pixel contract). Supported: 8/12-bit samples, grayscale or
+3-component YCbCr with the common sampling
 layouts (4:4:4, 4:2:2, 4:2:0 — any integer factors dividing the max),
 restart intervals, multi-table DQT/DHT segments, baseline streams with
 one non-interleaved scan per component; progressive spectral selection
@@ -14,9 +17,8 @@ modes accumulate into one per-component coefficient tensor so the
 dequantize → de-zigzag → IDCT → upsample → YCbCr tail runs once,
 vectorized over all blocks, instead of per 8x8 block.
 Out of scope — each raises ``NotImplementedError`` with the exact
-variant named (quarantined upstream, never a task failure): extended/
-hierarchical/lossless modes, arithmetic coding, 12-bit precision,
-16-bit quantizer tables.
+variant named (quarantined upstream, never a task failure):
+hierarchical/lossless modes and arithmetic coding.
 
 Decode path per ECS segment: Huffman-decode (canonical tables from the
 DHT BITS/HUFFVAL lists) → DC-predict + amplitude-extend → de-zigzag →
@@ -205,13 +207,15 @@ class _ProgState:
     all-zero bands). Coefficients live in zigzag order per block until
     ``finish`` dequantizes and runs the shared IDCT/assembly tail."""
 
-    def __init__(self, frame) -> None:
+    def __init__(self, frame, prec: int = 8) -> None:
         h, w, comps = frame
         if h == 0 or w == 0:
             raise ValueError("JPEG: zero frame dimension")
         if h * w * 3 > _JPEG_MAX_DECODE_BYTES:
             raise ValueError("JPEG: frame exceeds decode bound")
         self.h, self.w, self.comps = h, w, comps
+        self.prec = prec
+        self.dc_max = 11 if prec == 8 else 15  # T.81 F.1.2.1.1 / extended
         self.max_h = max(hi for _, hi, _, _ in comps)
         self.max_v = max(vi for _, _, vi, _ in comps)
         for _, hi, vi, _ in comps:
@@ -301,7 +305,7 @@ class _ProgState:
             blk = self.coef[cid][by, bx]
             dc_tbl, ac_tbl = tables[cid]
             s = rd.decode(dc_tbl)
-            if s > 11:
+            if s > self.dc_max:
                 raise ValueError("JPEG: DC category out of range")
             preds[cid] += _extend(rd.bits(s), s)
             blk[0] = preds[cid]
@@ -345,7 +349,7 @@ class _ProgState:
             blk = self.coef[cid][by, bx]
             if ah == 0:
                 s = rd.decode(tables[cid])
-                if s > 11:
+                if s > self.dc_max:
                     raise ValueError("JPEG: DC category out of range")
                 preds[cid] += _extend(rd.bits(s), s)
                 blk[0] = preds[cid] << al
@@ -459,6 +463,8 @@ class _ProgState:
             nat[..., ZIGZAG] = zz * qts[tq]
             spatial = _C.T @ nat.reshape(by, bx, 8, 8) @ _C
             planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        half = float(1 << (self.prec - 1))
+        maxval = float((1 << self.prec) - 1)
         full = []
         for cid, hi, vi, _tq in self.comps:
             p = planes[cid]
@@ -466,14 +472,19 @@ class _ProgState:
                 p = np.repeat(
                     np.repeat(p, self.max_v // vi, axis=0), self.max_h // hi, axis=1
                 )
-            full.append(p[: self.h, : self.w] + 128.0)
+            full.append(p[: self.h, : self.w] + half)
         if len(full) == 1:
-            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
-        y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+            out = np.clip(np.round(full[0]), 0, maxval)
+        else:
+            y, cb, cr = full
+            r = y + 1.402 * (cr - half)
+            g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+            b = y + 1.772 * (cb - half)
+            out = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxval)
+        if self.prec > 8:  # 12-bit samples → the uint8 pixel contract
+            out = np.round(out * (255.0 / maxval))
+        out = out.astype(np.uint8)
+        return out[..., None] if len(full) == 1 else out
 
 
 def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
@@ -509,18 +520,26 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
         if seg_len < 2 or pos + 2 + seg_len > n:
             raise ValueError("JPEG: truncated segment")
         body = buf[pos + 4 : pos + 2 + seg_len]
-        if marker == 0xDB:  # DQT (possibly several tables)
+        if marker == 0xDB:  # DQT (possibly several tables, 8 or 16-bit)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("JPEG: 16-bit quantizer tables")
-                if i + 65 > len(body):
-                    raise ValueError("JPEG: truncated DQT")
-                qts[tq] = np.frombuffer(body[i + 1 : i + 65], np.uint8).astype(
-                    np.int64
-                )
-                i += 65
+                if pq == 0:
+                    if i + 65 > len(body):
+                        raise ValueError("JPEG: truncated DQT")
+                    qts[tq] = np.frombuffer(body[i + 1 : i + 65], np.uint8).astype(
+                        np.int64
+                    )
+                    i += 65
+                elif pq == 1:
+                    if i + 129 > len(body):
+                        raise ValueError("JPEG: truncated DQT")
+                    qts[tq] = np.frombuffer(body[i + 1 : i + 129], ">u2").astype(
+                        np.int64
+                    )
+                    i += 129
+                else:
+                    raise ValueError("JPEG: bad DQT element precision")
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
@@ -534,12 +553,12 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
                     raise ValueError("JPEG: truncated DHT values")
                 huff[(tc, th)] = build_huffman(bits, vals)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / extended seq. / progressive
             if len(body) < 6:
                 raise ValueError("JPEG: truncated SOF")
             prec, h, w = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big")
-            if prec != 8:
-                raise NotImplementedError(f"JPEG: {prec}-bit precision")
+            if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+                raise NotImplementedError(f"JPEG: {prec}-bit precision (SOF{marker - 0xC0})")
             nc = body[5]
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG: {nc}-component frame")
@@ -550,10 +569,12 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-            prog = _ProgState(frame)
-            baseline = marker == 0xC0
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("JPEG: only baseline SOF0 / progressive SOF2 supported")
+            prog = _ProgState(frame, prec)
+            baseline = marker != 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: only sequential SOF0/SOF1 / progressive SOF2 supported"
+            )
         elif marker == 0xCC:
             raise NotImplementedError("JPEG: arithmetic coding")
         elif marker == 0xDD:  # DRI

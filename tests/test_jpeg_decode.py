@@ -553,16 +553,19 @@ def test_smooth_image_close_to_original():
     assert np.abs(px.astype(int) - img.astype(int)).mean() < 6
 
 
-def test_arith_and_16bit_dqt_named_unsupported():
+def test_arith_and_lossless_named_unsupported():
     img = np.zeros((8, 8), np.uint8)
     buf, _ = encode_jpeg(img)
-    arith = buf.replace(b"\xff\xc0", b"\xff\xc9")  # extended sequential
+    arith = buf.replace(b"\xff\xc0", b"\xff\xc9")  # arithmetic sequential
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg_pixels(arith)
-    # flip the DQT Pq nibble to 16-bit
+    lossless = buf.replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(lossless)
+    # flipping an 8-bit table's Pq nibble to 16-bit mis-sizes the DQT
     i = buf.index(b"\xff\xdb") + 4
     bad = buf[:i] + bytes([0x10]) + buf[i + 1 :]
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(ValueError, match="DQT"):
         decode_jpeg_pixels(bad)
 
 
@@ -744,3 +747,171 @@ def test_baseline_multiscan_equals_interleaved_decode():
     single, _ = encode_jpeg(img, subsample=(1, 1))
     multi, _ = encode_jpeg_multiscan(img)
     assert np.array_equal(decode_jpeg_pixels(single), decode_jpeg_pixels(multi))
+
+
+# ----------------------------------- 12-bit extended sequential (SOF1)
+
+#: 16 DC categories at length 5; AC run/size with sizes to 14 at length 9
+DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+DC12_VALS = bytes(range(16))
+AC12_VALS = bytes((r << 4) | s for r in range(16) for s in range(15))
+AC12_BITS = [0] * 8 + [len(AC12_VALS)] + [0] * 7
+
+DC12_CODES = _codes(DC12_BITS, DC12_VALS)
+AC12_CODES = _codes(AC12_BITS, AC12_VALS)
+
+
+def _encode_block12(w: BitWriter, zzq: np.ndarray, pred: int) -> int:
+    diff = int(zzq[0]) - pred
+    s = _cat(diff)
+    ln, code = DC12_CODES[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zzq[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = AC12_CODES[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        ln, code = AC12_CODES[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ln, code = AC12_CODES[0x00]
+        w.write(code, ln)
+    return int(zzq[0])
+
+
+def encode_jpeg12(img: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """(SOF1 12-bit jpeg bytes, expected uint8 decode) — gray or RGB
+    4:4:4, 16-bit DQT tables. The uint8 input upscales x16 into the
+    12-bit domain; the expected image replays quantization, the
+    independent IDCT, and the decoder's 12-to-8-bit rescale."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    f = img.astype(np.float64) * 16.0
+    if gray:
+        padded = [np.pad(f, ((0, ph - h), (0, pw - w)), "edge")]
+        comps = [(1, 0)]
+        qts = [QT_LUMA * 37]
+    else:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 2048 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 2048 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        padded = [np.pad(p, ((0, ph - h), (0, pw - w)), "edge") for p in (y, cb, cr)]
+        comps = [(1, 0), (2, 1), (3, 1)]
+        qts = [QT_LUMA * 37, np.full(64, 17 * 37, np.int64), np.full(64, 17 * 37, np.int64)]
+
+    C = _dct_basis()
+    blocks = []
+    for p, qt in zip(padded, qts):
+        qnat = np.empty(64, np.int64)
+        qnat[ZIGZAG] = qt
+        out = []
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                fc = C @ (p[y0 : y0 + 8, x0 : x0 + 8] - 2048.0) @ C.T
+                q = np.round(fc.reshape(64) / qnat).astype(np.int64)
+                out.append(q[ZIGZAG])
+        blocks.append(out)
+
+    # expected decode (independent dequant + IDCT + decoder rescale)
+    recon = []
+    for bl, qt in zip(blocks, qts):
+        qnat = np.empty(64, np.int64)
+        qnat[ZIGZAG] = qt
+        plane = np.empty((ph, pw))
+        i = 0
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                fnat = np.zeros(64)
+                fnat[ZIGZAG] = bl[i]
+                fq = (fnat * qnat).reshape(8, 8)
+                plane[y0 : y0 + 8, x0 : x0 + 8] = np.einsum("ux,uv,vy->xy", C, fq, C)
+                i += 1
+        recon.append(plane[:h, :w] + 2048.0)
+    if gray:
+        out12 = np.clip(np.round(recon[0]), 0, 4095)
+        expected = np.round(out12 * (255.0 / 4095.0)).astype(np.uint8)[..., None]
+    else:
+        yy, cbf, crf = recon
+        rr = yy + 1.402 * (crf - 2048.0)
+        gg = yy - 0.344136 * (cbf - 2048.0) - 0.714136 * (crf - 2048.0)
+        bb = yy + 1.772 * (cbf - 2048.0)
+        out12 = np.clip(np.round(np.stack([rr, gg, bb], -1)), 0, 4095)
+        expected = np.round(out12 * (255.0 / 4095.0)).astype(np.uint8)
+
+    # marker stream
+    wtr = BitWriter()
+    preds = [0] * len(comps)
+    nblocks = len(blocks[0])
+    for bi in range(nblocks):
+        for ci in range(len(comps)):
+            preds[ci] = _encode_block12(wtr, blocks[ci][bi], preds[ci])
+    ecs = wtr.to_bytes()
+
+    out = b"\xff\xd8"
+    dqt = b""
+    for tq, qt in zip((0, 1), qts[:2] if gray else (qts[0], qts[1])):
+        dqt += bytes([0x10 | tq]) + b"".join(int(v).to_bytes(2, "big") for v in qt)
+        if gray:
+            break
+    out += _seg(0xDB, dqt)
+    sof = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += _seg(0xC1, sof)
+    dht = bytes([0x00]) + bytes(DC12_BITS) + DC12_VALS + bytes([0x10]) + bytes(AC12_BITS) + AC12_VALS
+    if not gray:
+        dht += bytes([0x01]) + bytes(DC12_BITS) + DC12_VALS + bytes([0x11]) + bytes(AC12_BITS) + AC12_VALS
+    out += _seg(0xC4, dht)
+    sos = bytes([len(comps)])
+    for i, (cid, _tq) in enumerate(comps):
+        t = 0 if i == 0 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos) + ecs + b"\xff\xd9"
+    return out, expected
+
+
+def test_extended_12bit_gray_roundtrip():
+    rng = np.random.RandomState(61)
+    img = rng.randint(0, 256, (17, 10)).astype(np.uint8)
+    buf, expected = encode_jpeg12(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_extended_12bit_color_roundtrip():
+    rng = np.random.RandomState(62)
+    img = rng.randint(0, 256, (16, 13, 3)).astype(np.uint8)
+    buf, expected = encode_jpeg12(img)
+    _assert_close(decode_jpeg_pixels(buf), expected)
+
+
+def test_sof0_rejects_12bit():
+    buf, _ = encode_jpeg12(np.zeros((8, 8), np.uint8))
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg_pixels(buf.replace(b"\xff\xc1", b"\xff\xc0"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 300), st.integers(0, 255))
+def test_corrupt_12bit_totality(pos_seed, byte):
+    rng = np.random.RandomState(63)
+    img = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+    base, _ = encode_jpeg12(img)
+    buf = bytearray(base)
+    buf[2 + (pos_seed % (len(buf) - 2))] = byte
+    try:
+        decode_jpeg_pixels(bytes(buf))
+    except (ValueError, NotImplementedError):
+        pass
