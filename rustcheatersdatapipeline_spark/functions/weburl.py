@@ -118,3 +118,93 @@ def quality_compression_flags(
         "keep_compression",
         (F.col("compression_ratio") >= low) & (F.col("compression_ratio") <= high),
     )
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    max_links_per_page: int = 500,
+) -> DataFrame:
+    """(base, link) edge rows from raw HTML pages: ``href``/``src``
+    attribute values lift JVM-side (``regexp_extract_all`` — the scan
+    stays codegen), relative references resolve against the page URL
+    with stdlib ``urljoin`` in one Arrow batch step (the declared
+    Python boundary), and both ends canonicalize via ``canonical_url``.
+    Non-fetchable schemes (mailto/javascript/data/tel) and empty or
+    fragment-only references drop. ``max_links_per_page`` bounds the
+    explode fan-out so one pathological page cannot skew a partition."""
+    from urllib.parse import urljoin
+
+    @F.pandas_udf("string")
+    def _resolve(base: pd.Series, ref: pd.Series) -> pd.Series:
+        def run(b, r):
+            if b is None or r is None:
+                return None
+            try:
+                out = urljoin(b, r.strip())
+            except ValueError:
+                return None
+            return out if out.startswith(("http://", "https://")) else None
+
+        return pd.Series([run(b, r) for b, r in zip(base, ref)])
+
+    refs = F.slice(
+        F.regexp_extract_all(
+            F.col(html_col), F.lit(r'''(?i)\b(?:href|src)\s*=\s*["']([^"'<>]+)["']'''), 1
+        ),
+        1,
+        max_links_per_page,
+    )
+    bad = r"(?i)^(mailto|javascript|data|tel):"
+    return (
+        pages.select(F.col(base_col).alias("_base"), F.explode(refs).alias("_ref"))
+        .filter(
+            (F.trim("_ref") != "")
+            & ~F.trim("_ref").startswith("#")
+            & ~F.trim("_ref").rlike(bad)
+        )
+        .select(
+            canonical_url("_base").alias("base"),
+            canonical_url(_resolve("_base", "_ref")).alias("link"),
+        )
+        .filter(F.col("link").isNotNull() & (F.col("link") != F.col("base")))
+        .distinct()
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level projection of a
+    page link table (self-loops dropped): the input to host-rank
+    frontier prioritization. Pure codegen (``parse_url``), one
+    aggregate."""
+    hosts = links.select(
+        F.lower(F.parse_url("base", F.lit("HOST"))).alias("src_host"),
+        F.lower(F.parse_url("link", F.lit("HOST"))).alias("dst_host"),
+    )
+    return (
+        hosts.filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_rank(links: DataFrame, damping: float = 0.85, tol: float = 1e-8) -> DataFrame:
+    """(host, rank) — PageRank over the host graph: the standard crawl
+    scheduling signal (spend fetch budget on hosts the web links to).
+    Unweighted edges: host-level dedup already collapsed link
+    multiplicity, and unweighted host rank is the conventional
+    frontier form."""
+    from ..operators.graph import pagerank
+
+    return (
+        pagerank(host_graph(links), src="src_host", dst="dst_host",
+                 damping=damping, tol=tol)
+        .select(F.col("node").alias("host"), "rank")
+    )

@@ -1,4 +1,4 @@
-"""Distributed connected components (the dedup-clustering primitive).
+"""Distributed graph primitives: connected components + PageRank.
 
 Spark has no native CC operator; this is min-label propagation with
 POINTER JUMPING expressed as DataFrame joins, the standard shape for
@@ -76,3 +76,93 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 40,
+) -> DataFrame:
+    """(node, rank) by damped power iteration — the crawl-frontier
+    prioritization primitive (rank hosts/pages by link mass before
+    spending fetch budget).
+
+    Scale shape: each round is ONE data shuffle (contributions grouped
+    by destination); ranks and out-degrees ride a single co-keyed state
+    table; the only driver-side values are two scalars per round (the
+    L1 delta and the next round's dangling mass, folded into one
+    aggregate job); ``localCheckpoint`` truncates lineage so round N's
+    plan does not replay rounds 1..N-1. Dangling (sink) mass
+    redistributes uniformly, so rank mass is conserved (ranks sum to 1)
+    and the iteration contracts geometrically with factor ``damping``
+    for any graph — ``max_iter`` is a hard cap, ``tol`` the usual early
+    exit."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    state = (
+        nodes.join(deg, nodes.node == deg.src, "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    dangling = (
+        state.agg(
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0))
+        ).first()[0]
+        or 0.0
+    )
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        contrib = (
+            e.join(state, e.src == state.node)
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("in_mass"))
+        )
+        new_state = (
+            state.join(contrib, state.node == contrib.dst, "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(base + damping * dangling / n)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        stats = (
+            new_state.alias("new")
+            .join(state.alias("old"), "node")
+            .agg(
+                F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("new.out_deg") == 0, F.col("new.rank")).otherwise(0.0)
+                ).alias("dangling"),
+            )
+            .first()
+        )
+        state = new_state
+        dangling = stats["dangling"] or 0.0
+        if stats["delta"] is not None and stats["delta"] < tol:
+            break
+    return state.select("node", "rank")

@@ -1,0 +1,157 @@
+"""Link extraction + host graph + PageRank (functions/weburl.py,
+operators/graph.py). The PageRank oracle is a pure-Python power
+iteration implementing the IDENTICAL update (uniform start, damped
+contributions, dangling-mass redistribution, L1-delta early exit), so
+Spark must agree to float-sum-ordering tolerance at every setting."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rustcheatersdatapipeline_spark.functions.weburl import (
+    extract_links,
+    host_graph,
+    host_rank,
+)
+from rustcheatersdatapipeline_spark.operators.graph import pagerank
+
+
+def _pagerank_ref(edges, damping=0.85, tol=1e-6, max_iter=40):
+    eset = sorted(set(edges))
+    nodes = sorted({a for a, _ in eset} | {b for _, b in eset})
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for a, _ in eset:
+        out[a] += 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(max_iter):
+        dangling = sum(r for v, r in rank.items() if out[v] == 0)
+        new = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for a, b in eset:
+            new[b] += damping * rank[a] / out[a]
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < tol:
+            break
+    return rank
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame([(a, b) for a, b in edges], "src string, dst string")
+
+
+def test_pagerank_matches_reference_random_graph(spark):
+    rng = np.random.RandomState(71)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = {(nodes[rng.randint(40)], nodes[rng.randint(40)]) for _ in range(160)}
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, edges), max_iter=12, tol=1e-12).collect()
+    }
+    want = _pagerank_ref(edges, max_iter=12, tol=1e-12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_cycle_uniform_and_star_shape(spark):
+    cycle = [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)]
+    got = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, cycle), max_iter=8).collect()}
+    for v, r in got.items():
+        assert abs(r - 0.2) < 1e-12, v
+
+    star = [(f"leaf{i}", "hub") for i in range(6)]
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, star), max_iter=10, tol=1e-12).collect()}
+    want = _pagerank_ref(star, max_iter=10, tol=1e-12)
+    assert ranks["hub"] == max(ranks.values())
+    for v in want:
+        assert abs(ranks[v] - want[v]) < 1e-9
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # dangling hub conserved
+
+
+def test_pagerank_early_exit_agrees_with_reference(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, edges), tol=1e-3, max_iter=40).collect()}
+    want = _pagerank_ref(edges, tol=1e-3, max_iter=40)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_extract_links_resolution_and_filtering(spark):
+    html = """
+    <a href="http://other.test/page">abs</a>
+    <a href="/root.html">rooted</a>
+    <a href="sub/rel.html">relative</a>
+    <a href="../up.html">parent</a>
+    <a href="//proto.test/x">protocol-relative</a>
+    <a href="#frag">fragment only</a>
+    <a href="mailto:a@b.c">mail</a>
+    <a href="javascript:void(0)">js</a>
+    <IMG SRC='http://img.test/pic.png'>
+    <a href="HTTP://OTHER.test/page#sec?">case+frag</a>
+    """
+    df = spark.createDataFrame(
+        [("http://a.test/dir/index.html", html)], "url string, html string"
+    )
+    got = {r["link"] for r in extract_links(df, "html", "url").collect()}
+    assert got == {
+        "http://other.test/page",
+        "http://a.test/root.html",
+        "http://a.test/dir/sub/rel.html",
+        "http://a.test/up.html",
+        "http://proto.test/x",
+        "http://img.test/pic.png",
+    }
+
+
+def test_extract_links_urljoin_differential(spark):
+    """Resolution agrees with stdlib urljoin for a sweep of reference
+    shapes (the canonical_url pass applied identically to both)."""
+    from urllib.parse import urljoin
+
+    from rustcheatersdatapipeline_spark.functions.weburl import canonical_url
+
+    base = "https://host.test/a/b/c.html?x=1"
+    refs = [
+        "d.html", "./d.html", "../d.html", "../../d.html", "../../../d.html",
+        "/d.html", "//other.test/d", "https://abs.test/q?b=2&a=1",
+        "d.html?z=9#frag", "?only=query", "sub/", ".", "..",
+    ]
+    html = "".join(f'<a href="{r}">x</a>' for r in refs)
+    df = spark.createDataFrame([(base, html)], "url string, html string")
+    got = {r["link"] for r in extract_links(df, "html", "url").collect()}
+    expect_raw = {urljoin(base, r) for r in refs}
+    exp_df = spark.createDataFrame([(u,) for u in expect_raw] + [(base,)], "u string")
+    rows = exp_df.select("u", canonical_url("u").alias("c")).collect()
+    canon_base = next(r["c"] for r in rows if r["u"] == base)
+    expected = {r["c"] for r in rows if r["u"] != base} - {canon_base}
+    assert got == expected
+
+
+def test_extract_links_fanout_bound(spark):
+    html = "".join(f'<a href="/p{i}.html">x</a>' for i in range(50))
+    df = spark.createDataFrame([("http://a.test/", html)], "url string, html string")
+    got = extract_links(df, "html", "url", max_links_per_page=10).collect()
+    assert len(got) == 10
+
+
+def test_host_graph_and_rank(spark):
+    pages = [
+        ("http://a.test/1", '<a href="http://b.test/x">.</a><a href="http://b.test/y">.</a>'),
+        ("http://a.test/2", '<a href="http://c.test/x">.</a><a href="http://a.test/3">.</a>'),
+        ("http://c.test/1", '<a href="http://b.test/z">.</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    links = extract_links(df, "html", "url")
+    hg = {(r["src_host"], r["dst_host"]): r["n_links"] for r in host_graph(links).collect()}
+    assert hg == {("a.test", "b.test"): 2, ("a.test", "c.test"): 1, ("c.test", "b.test"): 1}
+    ranks = {r["host"]: r["rank"] for r in host_rank(links, tol=1e-10).collect()}
+    want = _pagerank_ref(
+        [("a.test", "b.test"), ("a.test", "c.test"), ("c.test", "b.test")], tol=1e-10
+    )
+    assert ranks["b.test"] == max(ranks.values())  # most linked-to host wins
+    for v in want:
+        assert abs(ranks[v] - want[v]) < 1e-9
