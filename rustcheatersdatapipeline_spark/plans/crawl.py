@@ -315,3 +315,101 @@ def repair_boilerplate(
         except ConcurrentWriteError as e:
             last = e
     raise last
+
+
+class HostGraphIngestSink:
+    """Persisted host-level link graph from the raw crawl stream — the
+    evidence table behind frontier prioritization (``host_rank``).
+
+    Runs beside the document sink over the same WARC record stream
+    (``read_warc`` shape): each micro-batch's 200-OK ``text/html``
+    responses yield (src_host, dst_host, n_links) edge deltas, appended
+    under the usual CAS loop. Deltas are SUM-mergeable, so compaction
+    folds the table to one row per host pair (the same counter-index
+    shape as the boilerplate evidence); a replayed foreachBatch batch
+    double-counts edge weights at worst, which PageRank normalizes away
+    per-source — link COUNTS are advisory, the graph topology is what
+    ranks. 100 TB shape: per batch it touches batch HTML only; the
+    persisted table is bounded by distinct linking host pairs, not by
+    crawl bytes."""
+
+    MAX_DIRS = 16
+    KEEP_VERSIONS = 4
+
+    def __init__(
+        self,
+        store: GoldStore,
+        table: str = "host_graph",
+        max_dirs: int | None = None,
+        keep_versions: int | None = None,
+    ):
+        self.store = store
+        self.table = table
+        self.max_dirs = self.MAX_DIRS if max_dirs is None else max_dirs
+        self.keep_versions = self.KEEP_VERSIONS if keep_versions is None else keep_versions
+
+    def __call__(self, warc_batch: DataFrame, batch_id: int) -> int:
+        from ..functions.weburl import extract_links, host_graph
+
+        pages = warc_batch.filter(
+            F.col("corrupt_reason").isNull()
+            & (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("mime").startswith("text/html")
+        ).select(
+            F.col("target_uri").alias("url"),
+            F.col("payload").cast("string").alias("html"),
+        )
+        delta = host_graph(extract_links(pages, "html", "url")).cache()
+        try:
+            n_pairs = delta.count()
+            if n_pairs == 0:
+                return 0
+            last: ConcurrentWriteError | None = None
+            for _ in range(5):
+                base = self.store.current_version()
+                try:
+                    self.store.publish_append({self.table: delta}, base)
+                    break
+                except ConcurrentWriteError as e:
+                    last = e
+            else:
+                raise last
+        finally:
+            delta.unpersist()
+        self._maybe_compact()
+        return n_pairs
+
+    def _maybe_compact(self) -> None:
+        tables = self.store.current_manifest()["tables"]
+        entry = tables.get(self.table)
+        if entry and len(self.store._dirs(entry)) > self.max_dirs:
+            try:
+                folded = (
+                    self.store.read(self.table)
+                    .groupBy("src_host", "dst_host")
+                    .agg(F.sum("n_links").alias("n_links"))
+                )
+                self.store.publish({self.table: folded}, self.store.current_version())
+                self.store.vacuum(keep_versions=self.keep_versions)
+            except ConcurrentWriteError:
+                pass  # a concurrent writer won; next batch retries
+
+
+def host_rank_from_store(
+    store: GoldStore, table: str = "host_graph", damping: float = 0.85
+) -> DataFrame:
+    """(host, rank) over the persisted host graph: fold the counter
+    deltas, rank the topology. The crawl scheduler joins this against
+    candidate frontier URLs (``parse_url(url, 'HOST')``) to order the
+    fetch queue."""
+    from ..operators.graph import pagerank
+
+    edges = (
+        store.read(table)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
+    return pagerank(edges, src="src_host", dst="dst_host", damping=damping).select(
+        F.col("node").alias("host"), "rank"
+    )

@@ -155,3 +155,62 @@ def test_host_graph_and_rank(spark):
     assert ranks["b.test"] == max(ranks.values())  # most linked-to host wins
     for v in want:
         assert abs(ranks[v] - want[v]) < 1e-9
+
+
+# ------------------------------------- persisted host graph (streaming)
+
+
+def _warc_batch(spark, pages):
+    """Rows in the read_warc shape the sink consumes: (url, html)."""
+    rows = [
+        (None, "response", 200, "text/html; charset=utf-8", url, bytearray(html.encode()))
+        for url, html in pages
+    ]
+    return spark.createDataFrame(
+        rows,
+        "corrupt_reason string, warc_type string, http_status int, "
+        "mime string, target_uri string, payload binary",
+    )
+
+
+def test_host_graph_sink_accumulates_across_batches(spark, tmp_path):
+    from rustcheatersdatapipeline_spark.plans.crawl import (
+        HostGraphIngestSink,
+        host_rank_from_store,
+    )
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = HostGraphIngestSink(store)
+    b1 = _warc_batch(
+        spark,
+        [
+            ("http://a.test/1", '<a href="http://b.test/x">.</a><a href="http://c.test/y">.</a>'),
+        ],
+    )
+    b2 = _warc_batch(spark, [("http://c.test/1", '<a href="http://b.test/z">.</a>')])
+    assert sink(b1, 0) == 2
+    assert sink(b2, 1) == 1
+    ranks = {r["host"]: r["rank"] for r in host_rank_from_store(store).collect()}
+    want = _pagerank_ref([("a.test", "b.test"), ("a.test", "c.test"), ("c.test", "b.test")])
+    for v in want:
+        assert abs(ranks[v] - want[v]) < 1e-9
+    # replaying a batch double-counts weights but never changes ranks
+    sink(b2, 1)
+    ranks2 = {r["host"]: r["rank"] for r in host_rank_from_store(store).collect()}
+    assert ranks2 == pytest.approx(ranks)
+
+
+def test_host_graph_sink_compaction_folds_counters(spark, tmp_path):
+    from rustcheatersdatapipeline_spark.plans.crawl import HostGraphIngestSink
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = HostGraphIngestSink(store, max_dirs=1)
+    page = [("http://a.test/1", '<a href="http://b.test/x">.</a>')]
+    for i in range(3):
+        sink(_warc_batch(spark, page), i)
+    rows = store.read("host_graph").collect()
+    assert len(rows) == 1
+    assert rows[0]["src_host"] == "a.test" and rows[0]["dst_host"] == "b.test"
+    assert rows[0]["n_links"] == 3
