@@ -1182,6 +1182,121 @@ def ann_ivf_search(spark, sf_dir, nprobe: int = 2):
     )
 
 
+#: product-quantization geometry: subspaces × codebook entries. The
+#: codebook is the deterministic seed rule the IVF stack already uses
+#: (vectors vec_id < PQ_CODEBOOK supply the codewords), which keeps the
+#: DuckDB oracle an exact replica — production swaps in per-subspace
+#: kmeans_lloyd codebooks without touching the encode/search shape.
+PQ_M = 4
+PQ_CODEBOOK = 16
+
+
+def _pq_parts(v):
+    """(vec_id, m, sv): each vector split into its PQ_M contiguous
+    subspace slices (dimension read from the data, never hardcoded)."""
+    sub = (F.size("e") / PQ_M).cast("int")
+    return v.select(
+        "vec_id",
+        F.explode(F.array([F.lit(i) for i in range(PQ_M)])).alias("m"),
+        "e",
+    ).select("vec_id", "m", F.slice("e", F.col("m") * sub + 1, sub).alias("sv"))
+
+
+def _pq_sqdist(a, b):
+    """||a-b||² as a·a + b·b − 2(a·b) — every dot is the sequential
+    per-dimension fold shared with DuckDB's list_dot_product, and the
+    combining expression is written in one fixed order, so distances
+    are bit-identical to the oracle."""
+    return dot_product(a, a) + dot_product(b, b) - F.lit(2.0) * dot_product(a, b)
+
+
+def _pq_codebook(spark, sf_dir):
+    return _pq_parts(
+        _vectors(spark, sf_dir).filter(F.col("vec_id") < PQ_CODEBOOK)
+    ).select(
+        F.col("vec_id").alias("code"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    )
+
+
+def _pq_codes(parts, cb):
+    dist = _pq_sqdist(F.col("sv"), F.col("cv"))
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("dist").asc(), "code")
+    return (
+        parts.join(F.broadcast(cb), parts.m == cb.cm)
+        .select("vec_id", "m", "code", dist.alias("dist"))
+        .select("vec_id", "m", "code", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def ann_pq_encode(spark, sf_dir):
+    """Product-quantization encode: every vector compresses to PQ_M
+    one-byte codes — (vec_id, m, code), code = nearest codeword of
+    subspace m by L2 (ties → lower code). The 100 TB story is MEMORY:
+    M bytes per vector instead of d floats (64·4B → 4B here), so the
+    search structure for a trillion vectors fits a cluster's RAM. One
+    corpus scan against a broadcast M×K codebook — no shuffle until
+    the tiny per-(vec,m) argmin."""
+    v = _vectors(spark, sf_dir, partitions=32)
+    codes = _pq_codes(_pq_parts(v), _pq_codebook(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.col("m").cast("int").alias("m"), "code"
+    ).orderBy("vec_id", "m")
+
+
+def ann_pq_search(spark, sf_dir):
+    """Asymmetric-distance PQ search: queries (vec_id <
+    KNN_QUERY_MAX_ID) keep exact subvectors; every corpus vector is
+    represented only by its codes. Per query a PQ_M×PQ_CODEBOOK lookup
+    table of partial distances broadcasts; the corpus-wide ADC is then
+    a code-table join + fixed-order sum of the M partials (no float
+    reassociation — the oracle matches bit-for-bit), top-KNN_K per
+    query by approximate distance. Scale shape: the scan touches codes
+    (bytes), not embeddings; production composes this with the IVF
+    lists (probe-local candidates) — the query here runs corpus-wide
+    to exercise the ADC machinery end to end."""
+    v = _vectors(spark, sf_dir, partitions=32)
+    cb = _pq_codebook(spark, sf_dir)
+    codes = _pq_codes(_pq_parts(v), cb)
+    qparts = _pq_parts(v.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)).select(
+        F.col("vec_id").alias("q_id"), F.col("m").alias("qm"), F.col("sv").alias("qv")
+    )
+    lut = qparts.join(F.broadcast(cb), qparts.qm == cb.cm).select(
+        "q_id",
+        F.col("qm").alias("m"),
+        "code",
+        _pq_sqdist(F.col("qv"), F.col("cv")).alias("partial"),
+    )
+    per = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("m") == i, F.col("partial"))).alias(f"p{i}")
+                for i in range(PQ_M)
+            ]
+        )
+    )
+    adc = F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    wq = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        per.select("q_id", "vec_id", adc.alias("adc"))
+        .select(
+            "q_id", "vec_id", "adc", F.row_number().over(wq).alias("rnk")
+        )
+        .filter(F.col("rnk") <= KNN_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2296,6 +2411,8 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_label_centroids": embed_label_centroids,
     "ngram_freq_top": ngram_freq_top,
     "doc_length_histogram": doc_length_histogram,
+    "ann_pq_encode": ann_pq_encode,
+    "ann_pq_search": ann_pq_search,
 }
 
 
@@ -2468,7 +2585,46 @@ ORACLE_SQL: dict[str, str] = {
 
 #: Oracles for the tests-only builders — same compare, run by pytest
 #: (tests/test_training_oracle.py) instead of the driver.
+_PQ_CTE = (
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+    f"ms AS (SELECT * FROM (VALUES {', '.join(f'({i})' for i in range(PQ_M))}) t(m)), "
+    f"parts AS (SELECT vec_id, m, e[(m*(len(e)//{PQ_M})+1):((m+1)*(len(e)//{PQ_M}))] AS sv "
+    "FROM v, ms), "
+    f"cb AS (SELECT vec_id AS code, m AS cm, sv AS cv FROM parts WHERE vec_id < {PQ_CODEBOOK}), "
+    "d AS (SELECT p.vec_id, p.m, c.code, "
+    "list_dot_product(p.sv, p.sv) + list_dot_product(c.cv, c.cv) "
+    "- 2.0 * list_dot_product(p.sv, c.cv) AS dist "
+    "FROM parts p JOIN cb c ON p.m = c.cm), "
+    "r AS (SELECT vec_id, m, code, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM d), "
+    "codes AS (SELECT vec_id, m, code FROM r WHERE rn = 1)"
+)
+
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "ann_pq_encode": (
+        f"{_PQ_CTE} "
+        "SELECT vec_id, CAST(m AS INTEGER) AS m, code FROM codes ORDER BY vec_id, m"
+    ),
+    "ann_pq_search": (
+        f"{_PQ_CTE}, "
+        f"q AS (SELECT vec_id AS q_id, m, sv AS qv FROM parts WHERE vec_id < {KNN_QUERY_MAX_ID}), "
+        "lut AS (SELECT q.q_id, q.m, c.code, "
+        "list_dot_product(q.qv, q.qv) + list_dot_product(c.cv, c.cv) "
+        "- 2.0 * list_dot_product(q.qv, c.cv) AS partial "
+        "FROM q JOIN cb c ON q.m = c.cm), "
+        "p AS (SELECT l.q_id, k.vec_id, "
+        "SUM(CASE WHEN k.m = 0 THEN l.partial END) "
+        "+ SUM(CASE WHEN k.m = 1 THEN l.partial END) "
+        "+ SUM(CASE WHEN k.m = 2 THEN l.partial END) "
+        "+ SUM(CASE WHEN k.m = 3 THEN l.partial END) AS adc "
+        "FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code "
+        "AND l.q_id <> k.vec_id GROUP BY l.q_id, k.vec_id), "
+        "t AS (SELECT q_id, vec_id, adc, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk FROM p) "
+        f"SELECT q_id AS query_id, CAST(rnk AS INTEGER) AS rnk, "
+        f"vec_id AS neighbor_id, adc FROM t WHERE rnk <= {KNN_K} "
+        "ORDER BY query_id, rnk"
+    ),
     "domain_mix": (
         "WITH base AS (SELECT source, "
         "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok, "
