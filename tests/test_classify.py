@@ -1,0 +1,109 @@
+"""Naive Bayes quality classifier (operators/classify.py): the oracle
+is a pure-Python multinomial NB implementing the identical smoothing,
+vocabulary bound (top-df, ties token-asc), and scoring sum — Spark must
+agree to float tolerance on every document."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from rustcheatersdatapipeline_spark.operators.classify import nb_score, nb_train
+
+
+def _ref(docs, vocab_size, alpha):
+    """(weights, prior) exactly as nb_train defines them."""
+    df = Counter()
+    for _id, text, _y in docs:
+        df.update(set(text.lower().split()))
+    vocab = sorted(df, key=lambda t: (-df[t], t))[:vocab_size]
+    vset = set(vocab)
+    c_pos, c_neg = Counter(), Counter()
+    n_pos = n_neg = 0
+    for _id, text, y in docs:
+        toks = [t for t in text.lower().split() if t in vset]
+        if y == 1:
+            c_pos.update(toks)
+            n_pos += 1
+        else:
+            c_neg.update(toks)
+            n_neg += 1
+    t_pos, t_neg = sum(c_pos.values()), sum(c_neg.values())
+    w = {
+        t: math.log((c_pos[t] + alpha) / (t_pos + alpha * vocab_size))
+        - math.log((c_neg[t] + alpha) / (t_neg + alpha * vocab_size))
+        for t in vocab
+    }
+    return w, math.log(n_pos) - math.log(n_neg)
+
+
+def _ref_score(text, w, prior):
+    return prior + sum(w[t] for t in text.lower().split() if t in w)
+
+
+_SEED = [
+    (1, "the measured results confirm the analysis of the experiment", 1),
+    (2, "we present a careful study of the observed data", 1),
+    (3, "the method improves the baseline in every measured case", 1),
+    (4, "click here buy now cheap deals click click", 0),
+    (5, "free free casino bonus click now winner", 0),
+    (6, "cheap pills buy now free shipping deals", 0),
+]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_nb_matches_reference_model_and_scores(spark):
+    docs = _docs_df(spark, _SEED)
+    model, prior = nb_train(docs, vocab_size=100, alpha=1.0)
+    w_ref, prior_ref = _ref(_SEED, vocab_size=100, alpha=1.0)
+    got = {r["token"]: r["weight"] for r in model.collect()}
+    assert set(got) == set(w_ref)
+    for t in w_ref:
+        assert abs(got[t] - w_ref[t]) < 1e-12, t
+    assert abs(prior - prior_ref) < 1e-12
+
+    unseen = [
+        (10, "the analysis of the measured data", None),
+        (11, "buy cheap deals click now", None),
+        (12, "completely novel vocabulary only", None),
+        (13, "", None),
+    ]
+    sdf = spark.createDataFrame(unseen, "doc_id long, text string, label int")
+    scores = {r["doc_id"]: r["nb_score"] for r in nb_score(sdf, model, prior).collect()}
+    for did, text, _ in unseen:
+        assert abs(scores[did] - _ref_score(text, w_ref, prior_ref)) < 1e-9, did
+    assert scores[10] > 0 > scores[11]  # planted signal separates
+    assert scores[12] == pytest.approx(prior_ref)  # OOV-only → prior
+    assert scores[13] == pytest.approx(prior_ref)  # empty → prior
+
+
+def test_nb_vocab_bound_is_deterministic(spark):
+    docs = _docs_df(spark, _SEED)
+    model, _ = nb_train(docs, vocab_size=5, alpha=0.5)
+    w_ref, _ = _ref(_SEED, vocab_size=5, alpha=0.5)
+    got = {r["token"]: r["weight"] for r in model.collect()}
+    assert set(got) == set(w_ref)  # same top-5, same tie-break
+    for t in w_ref:
+        assert abs(got[t] - w_ref[t]) < 1e-12
+
+
+def test_nb_single_class_fails_fast(spark):
+    docs = _docs_df(spark, [r for r in _SEED if r[2] == 1])
+    with pytest.raises(ValueError, match="both classes"):
+        nb_train(docs)
+
+
+def test_nb_corpus_curation_end_to_end(spark, sf_dir):
+    """Train on a synthetic seed, score the real documents table — every
+    row gets a finite score (the curation-threshold input)."""
+    from rustcheatersdatapipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    model, prior = nb_train(_docs_df(spark, _SEED), vocab_size=1000)
+    scored = nb_score(docs, model, prior)
+    rows = scored.select("doc_id", "nb_score").collect()
+    assert len(rows) == 200
+    assert all(r["nb_score"] is not None and math.isfinite(r["nb_score"]) for r in rows)
