@@ -60,3 +60,34 @@ def test_multiprobe_lifts_ann_recall(spark, sf_dir):
     # recommended-for-production multiprobe path cannot silently rot
     # back toward the 0.66 single-probe recall
     assert multi >= 0.95, f"multiprobe recall@5 {multi:.3f}"
+
+
+def test_pq_rerank_lifts_recall_vs_exact_l2(spark, sf_dir):
+    """Raw ADC top-5 is quantization-bound (measured ≈ 0.23 on this
+    structureless synthetic corpus — PQ's worst case); the production
+    rerank stage (exact L2 over the ADC top-200 shortlist) must clear
+    0.9 while reading full vectors only for the shortlist."""
+    import numpy as np
+
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    rows = T._vectors(spark, sf_dir).collect()
+    E = {r["vec_id"]: np.array(r["e"]) for r in rows}
+    ids = sorted(E)
+    X = np.stack([E[i] for i in ids])
+    exact = {}
+    for q in [i for i in ids if i < T.KNN_QUERY_MAX_ID]:
+        dist = np.sum((X - E[q]) ** 2, axis=1)
+        exact[q] = set([ids[j] for j in np.argsort(dist) if ids[j] != q][: T.KNN_K])
+
+    def recall(fn):
+        got = {}
+        for r in fn(spark, sf_dir).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / (T.KNN_K * len(exact))
+
+    raw = recall(T.ann_pq_search)
+    reranked = recall(T.ann_pq_rerank)
+    assert reranked >= 0.9, f"pq rerank recall@5 {reranked:.3f}"
+    assert reranked > raw + 0.3, f"rerank lift {raw:.3f} -> {reranked:.3f}"
