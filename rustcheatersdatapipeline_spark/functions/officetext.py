@@ -129,6 +129,62 @@ def _odt_text(zf: zipfile.ZipFile) -> str:
     return "\n".join(paras)
 
 
+def _epub_text(zf: zipfile.ZipFile) -> str:
+    """EPUB (public OCF/OPF spec: a zip of XHTML content documents):
+    reading order from the OPF spine (located via
+    ``META-INF/container.xml``) when parseable, else all HTML-ish
+    members in name order; each content document goes through the same
+    total HTML extractor the WARC distiller uses."""
+    from ..sources.warc import html_payload_to_text
+
+    spine: list[str] | None = None
+    container = _read_part(zf, "META-INF/container.xml")
+    if container is not None:
+        try:
+            root = _parse(container)
+            opf_path = next(
+                (
+                    e.get("full-path")
+                    for e in root.iter()
+                    if e.tag.endswith("rootfile") and e.get("full-path")
+                ),
+                None,
+            )
+            if opf_path:
+                opf_data = _read_part(zf, opf_path)
+                if opf_data is not None:
+                    opf = _parse(opf_data)
+                    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+                    manifest = {
+                        e.get("id"): e.get("href")
+                        for e in opf.iter()
+                        if e.tag.endswith("item") and e.get("href")
+                    }
+                    order = [
+                        manifest.get(e.get("idref"))
+                        for e in opf.iter()
+                        if e.tag.endswith("itemref")
+                    ]
+                    spine = [base + h for h in order if h]
+        except ValueError:
+            spine = None
+    if not spine:
+        spine = sorted(
+            n for n in zf.namelist() if n.lower().endswith((".xhtml", ".html", ".htm"))
+        )
+    chunks = []
+    for name in spine:
+        data = _read_part(zf, name)
+        if data is None:
+            continue
+        text = html_payload_to_text(data, "text/html; charset=utf-8")
+        if text:
+            chunks.append(text)
+    if not chunks:
+        raise ValueError("EPUB: no content documents")
+    return "\n".join(chunks)
+
+
 _RTF_CONTROL = re.compile(rb"\\([a-z]{1,32})(-?\d{1,10})? ?|\\'([0-9a-fA-F]{2})|\\([^a-z])")
 _RTF_SKIP_DESTS = {
     b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
@@ -208,6 +264,10 @@ def office_to_text(buf: bytes) -> tuple[str, str]:
     try:
         with zipfile.ZipFile(io.BytesIO(buf)) as zf:
             names = set(zf.namelist())
+            if "mimetype" in names:
+                mt = (_read_part(zf, "mimetype") or b"").strip()
+                if mt == b"application/epub+zip":
+                    return "epub", _epub_text(zf)
             if "word/document.xml" in names:
                 return "docx", _docx_text(zf)
             if any(n.startswith("ppt/slides/") for n in names):

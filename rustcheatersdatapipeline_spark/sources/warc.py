@@ -405,6 +405,7 @@ _OFFICE_MIME_PREFIXES = (
     "application/vnd.oasis.opendocument",  # odt family
     "application/rtf",
     "text/rtf",
+    "application/epub",  # EPUB e-books (zip of XHTML)
     "application/msword",  # legacy .doc (CFB)
     "application/vnd.ms-excel",  # legacy .xls (CFB)
     "application/vnd.ms-powerpoint",  # legacy .ppt (CFB)

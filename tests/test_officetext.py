@@ -182,3 +182,63 @@ def test_rtf_extraction():
             rtf_to_text(bytes(buf[: rng.randint(0, len(buf) + 1)]))
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------- epub
+
+
+def make_epub(chapters: list[str], with_spine: bool = True, reverse_spine: bool = False) -> bytes:
+    """OCF container: mimetype + container.xml → OPF spine → XHTML
+    chapters (named so name-order DIFFERS from spine order when
+    ``reverse_spine`` exercises the spine path)."""
+    files = {
+        f"OEBPS/ch{i}.xhtml": f"<html><body><p>{c}</p></body></html>".encode()
+        for i, c in enumerate(chapters)
+    }
+    order = list(range(len(chapters)))
+    if reverse_spine:
+        order = order[::-1]
+    manifest = "".join(
+        f'<item id="c{i}" href="ch{i}.xhtml" media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in order)
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf">'
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    ).encode()
+    container = (
+        '<?xml version="1.0"?><container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    ).encode()
+    parts = {"mimetype": b"application/epub+zip", **files}
+    if with_spine:
+        parts["META-INF/container.xml"] = container
+        parts["OEBPS/content.opf"] = opf
+    return _zip(parts)
+
+
+def test_epub_spine_order():
+    chapters = ["First chapter text.", "Second chapter text.", "Third chapter text."]
+    kind, text = office_to_text(make_epub(chapters, reverse_spine=True))
+    assert kind == "epub"
+    assert text.split("\n") == chapters[::-1]  # spine order wins over names
+
+
+def test_epub_fallback_without_container():
+    chapters = ["Alpha body.", "Beta body."]
+    kind, text = office_to_text(make_epub(chapters, with_spine=False))
+    assert kind == "epub" and text.split("\n") == chapters
+
+
+def test_epub_mutation_totality():
+    base = make_epub(["Some chapter."])
+    rng = __import__("numpy").random.RandomState(7)
+    for _ in range(150):
+        buf = bytearray(base)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        try:
+            office_to_text(bytes(buf[: rng.randint(0, len(buf) + 1)]))
+        except ValueError:
+            pass
