@@ -1,0 +1,97 @@
+"""Tar dataset-dump source (sources/archive.py): forward writers are
+stdlib tarfile archives (plain + gz), so member round-trips are exact;
+corrupt archives and over-budget members must quarantine, not crash."""
+
+import io
+import tarfile
+
+import numpy as np
+
+from rustcheatersdatapipeline_spark.sources.archive import (
+    read_tar,
+    tar_to_documents,
+)
+
+
+def _make_tar(members: dict[str, bytes], gz: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz" if gz else "w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        d = tarfile.TarInfo("subdir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+    return buf.getvalue()
+
+
+_MEMBERS = {
+    "docs/a.txt": b"Plain text document alpha.",
+    "docs/b.html": b"<html><body><p>Hyper text beta.</p><script>junk()</script></body></html>",
+    "data/skip.bin": b"\x00\x01\x02\x03",
+    "docs/c.md": "Unicode — markdown gamma.".encode(),
+}
+
+
+def test_members_round_trip_plain_and_gz(spark, tmp_path):
+    (tmp_path / "a.tar").write_bytes(_make_tar(_MEMBERS))
+    (tmp_path / "b.tar.gz").write_bytes(_make_tar({"x.txt": b"gzipped shard"}, gz=True))
+    rows = read_tar(spark, str(tmp_path)).collect()
+    ok = {(r["archive"].rsplit("/", 1)[-1], r["member"]): r for r in rows}
+    assert bytes(ok[("a.tar", "docs/a.txt")]["payload"]) == _MEMBERS["docs/a.txt"]
+    assert bytes(ok[("b.tar.gz", "x.txt")]["payload"]) == b"gzipped shard"
+    assert all(r["corrupt_reason"] is None for r in rows)
+    assert len(rows) == 5  # directories skipped
+
+
+def test_documents_distillation(spark, tmp_path):
+    (tmp_path / "a.tar").write_bytes(_make_tar(_MEMBERS))
+    docs = {r["source"].split("::")[1]: r for r in tar_to_documents(read_tar(spark, str(tmp_path))).collect()}
+    assert set(docs) == {"docs/a.txt", "docs/b.html", "docs/c.md"}  # .bin filtered
+    assert docs["docs/a.txt"]["text"] == "Plain text document alpha."
+    assert docs["docs/b.html"]["text"] == "Hyper text beta."  # script stripped
+    assert "markdown gamma" in docs["docs/c.md"]["text"]
+    assert all(r["doc_id"] is not None and r["n_chars"] > 0 for r in docs.values())
+
+
+def test_member_budget_and_corrupt_quarantine(spark, tmp_path):
+    (tmp_path / "a.tar").write_bytes(_make_tar({"big.txt": b"x" * 2048, "ok.txt": b"fine"}))
+    (tmp_path / "junk.tar").write_bytes(b"definitely not a tar archive")
+    rows = read_tar(spark, str(tmp_path), max_member=1024).collect()
+    by_reason = {}
+    for r in rows:
+        by_reason.setdefault(
+            None if r["corrupt_reason"] is None else r["corrupt_reason"].split(":")[0], []
+        ).append(r)
+    assert [r["member"] for r in by_reason[None]] == ["ok.txt"]
+    assert by_reason["member exceeds 1024 bytes"][0]["member"] == "big.txt"
+    assert by_reason["unreadable archive"][0]["archive"].endswith("junk.tar")
+
+
+def test_truncated_archive_keeps_prefix(spark, tmp_path):
+    """A torn tail never crashes and never loses the intact prefix:
+    stdlib tarfile reads a partial trailing header as end-of-archive,
+    so the complete first member survives and the torn second simply
+    does not appear (no payload row with garbage bytes)."""
+    full = _make_tar({"first.txt": b"kept member", "second.txt": b"lost member"})
+    (tmp_path / "torn.tar").write_bytes(full[: 512 + 512 + 100])  # header+data+partial
+    rows = read_tar(spark, str(tmp_path)).collect()
+    kept = {r["member"] for r in rows if r["corrupt_reason"] is None}
+    assert kept == {"first.txt"}
+
+
+def test_mutation_totality(spark, tmp_path):
+    base = _make_tar(_MEMBERS, gz=True)
+    rng = np.random.RandomState(9)
+    cases = []
+    for i in range(40):
+        buf = bytearray(base)
+        buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+        cases.append(bytes(buf[: rng.randint(1, len(buf) + 1)]))
+    for i, c in enumerate(cases):
+        (tmp_path / f"m{i}.tar.gz").write_bytes(c)
+    # every mutated shard parses to rows (possibly quarantine) — no task failure
+    rows = read_tar(spark, str(tmp_path)).collect()
+    assert len(rows) >= len(cases) * 0  # reaching here is the assertion
+    tar_to_documents(read_tar(spark, str(tmp_path))).collect()
