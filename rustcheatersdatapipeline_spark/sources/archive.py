@@ -177,3 +177,77 @@ def open_tar_documents_stream(
         .load(path)
     )
     return tar_to_documents(tar_members(files), lines=lines)
+
+
+def _walk_zip(path: str, content: bytes, max_member: int) -> Iterator[dict]:
+    import zipfile
+    import zlib
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except (zipfile.BadZipFile, OSError) as exc:
+        yield {
+            "archive": path,
+            "member": None,
+            "size": None,
+            "payload": None,
+            "corrupt_reason": f"unreadable archive: {exc}",
+        }
+        return
+    with zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            if info.file_size > max_member:
+                yield {
+                    "archive": path,
+                    "member": info.filename,
+                    "size": info.file_size,
+                    "payload": None,
+                    "corrupt_reason": f"member exceeds {max_member} bytes",
+                }
+                continue
+            try:
+                with zf.open(info) as f:
+                    data = f.read(max_member + 1)
+            except (zipfile.BadZipFile, zlib.error, EOFError, OSError) as exc:
+                yield {
+                    "archive": path,
+                    "member": info.filename,
+                    "size": info.file_size,
+                    "payload": None,
+                    "corrupt_reason": f"unreadable member: {exc}",
+                }
+                continue
+            yield {
+                "archive": path,
+                "member": info.filename,
+                "size": info.file_size,
+                "payload": data,
+                "corrupt_reason": None,
+            }
+
+
+def zip_members(files: DataFrame, max_member: int = MAX_MEMBER_BYTES) -> DataFrame:
+    """ZIP twin of ``tar_members`` — same TAR_SCHEMA rows, same
+    quarantine discipline (the central directory makes corrupt members
+    individually skippable where tar must stop at a tear)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for rec in _walk_zip(p, bytes(content), max_member):
+                    rows.append(rec)
+                    if len(rows) >= 256:
+                        yield pd.DataFrame(rows, columns=_COLUMNS)
+                        rows = []
+        yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return files.select("path", "content").mapInPandas(run, schema=TAR_SCHEMA)
+
+
+def read_zip(spark: SparkSession, path: str, max_member: int = MAX_MEMBER_BYTES) -> DataFrame:
+    """All members of the zip shards under ``path``; feed the result to
+    ``tar_to_documents`` (the distiller is archive-format-agnostic)."""
+    return zip_members(spark.read.format("binaryFile").load(path), max_member)

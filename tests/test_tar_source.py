@@ -95,3 +95,41 @@ def test_mutation_totality(spark, tmp_path):
     rows = read_tar(spark, str(tmp_path)).collect()
     assert len(rows) >= len(cases) * 0  # reaching here is the assertion
     tar_to_documents(read_tar(spark, str(tmp_path))).collect()
+
+
+def test_zip_shards_share_the_distiller(spark, tmp_path):
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in _MEMBERS.items():
+            zf.writestr(name, data)
+    (tmp_path / "a.zip").write_bytes(buf.getvalue())
+    (tmp_path / "junk.zip").write_bytes(b"PK\x03\x04 but not really a zip")
+
+    from rustcheatersdatapipeline_spark.sources.archive import read_zip
+
+    rows = read_zip(spark, str(tmp_path)).collect()
+    ok = {r["member"]: r for r in rows if r["corrupt_reason"] is None}
+    assert bytes(ok["docs/a.txt"]["payload"]) == _MEMBERS["docs/a.txt"]
+    assert any(
+        r["corrupt_reason"] and r["archive"].endswith("junk.zip") for r in rows
+    )
+    docs = {r["source"].split("::")[1] for r in tar_to_documents(read_zip(spark, str(tmp_path))).collect()}
+    assert docs == {"docs/a.txt", "docs/b.html", "docs/c.md"}
+
+
+def test_zip_member_budget(spark, tmp_path):
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("big.txt", "x" * 2048)
+        zf.writestr("ok.txt", "fine")
+    (tmp_path / "a.zip").write_bytes(buf.getvalue())
+
+    from rustcheatersdatapipeline_spark.sources.archive import read_zip
+
+    rows = {r["member"]: r for r in read_zip(spark, str(tmp_path), max_member=1024).collect()}
+    assert rows["ok.txt"]["corrupt_reason"] is None
+    assert "exceeds" in rows["big.txt"]["corrupt_reason"]
