@@ -195,16 +195,23 @@ def host_graph(links: DataFrame) -> DataFrame:
     )
 
 
-def host_rank(links: DataFrame, damping: float = 0.85, tol: float = 1e-8) -> DataFrame:
+def host_rank(
+    links: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    weighted: bool = False,
+) -> DataFrame:
     """(host, rank) — PageRank over the host graph: the standard crawl
     scheduling signal (spend fetch budget on hosts the web links to).
-    Unweighted edges: host-level dedup already collapsed link
-    multiplicity, and unweighted host rank is the conventional
-    frontier form."""
+    Unweighted (the default, conventional frontier form) the topology
+    alone ranks; ``weighted=True`` makes link multiplicity (n_links)
+    count — only meaningful when the edge counts are trustworthy (a
+    replayed ingest batch inflates its own edges' counts)."""
     from ..operators.graph import pagerank
 
     return (
         pagerank(host_graph(links), src="src_host", dst="dst_host",
-                 damping=damping, tol=tol)
+                 damping=damping, tol=tol,
+                 weight="n_links" if weighted else None)
         .select(F.col("node").alias("host"), "rank")
     )

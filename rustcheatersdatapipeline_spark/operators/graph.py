@@ -85,10 +85,14 @@ def pagerank(
     damping: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 40,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank) by damped power iteration — the crawl-frontier
     prioritization primitive (rank hosts/pages by link mass before
-    spending fetch budget).
+    spending fetch budget). With ``weight`` set, each edge contributes
+    rank proportional to its weight share of the source's total
+    out-weight (duplicate (src, dst) rows fold by summing first);
+    unweighted, duplicate edges collapse to one.
 
     Scale shape: each round is ONE data shuffle (contributions grouped
     by destination); ranks and out-degrees ride a single co-keyed state
@@ -100,12 +104,30 @@ def pagerank(
     and the iteration contracts geometrically with factor ``damping``
     for any graph — ``max_iter`` is a hard cap, ``tol`` the usual early
     exit."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .withColumn("ew", F.lit(1.0))
+            .localCheckpoint()
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("ew"),
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("ew") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("ew").alias("ew"))
+            .localCheckpoint()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -114,12 +136,12 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = e.groupBy("src").agg(F.sum("ew").alias("out_deg"))
     state = (
         nodes.join(deg, nodes.node == deg.src, "left")
         .select(
             "node",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
             F.lit(1.0 / n).alias("rank"),
         )
         .localCheckpoint()
@@ -134,7 +156,9 @@ def pagerank(
     for _ in range(max_iter):
         contrib = (
             e.join(state, e.src == state.node)
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
+            .select(
+                "dst", (F.col("rank") * F.col("ew") / F.col("out_deg")).alias("w")
+            )
             .groupBy("dst")
             .agg(F.sum("w").alias("in_mass"))
         )

@@ -397,12 +397,16 @@ class HostGraphIngestSink:
 
 
 def host_rank_from_store(
-    store: GoldStore, table: str = "host_graph", damping: float = 0.85
+    store: GoldStore, table: str = "host_graph", damping: float = 0.85,
+    weighted: bool = False,
 ) -> DataFrame:
     """(host, rank) over the persisted host graph: fold the counter
     deltas, rank the topology. The crawl scheduler joins this against
     candidate frontier URLs (``parse_url(url, 'HOST')``) to order the
-    fetch queue."""
+    fetch queue. Default unweighted (replay-stable — foreachBatch
+    replays can only inflate counts, never add edges);
+    ``weighted=True`` uses the accumulated n_links when the ingest
+    history is known replay-free."""
     from ..operators.graph import pagerank
 
     edges = (
@@ -410,6 +414,7 @@ def host_rank_from_store(
         .groupBy("src_host", "dst_host")
         .agg(F.sum("n_links").alias("n_links"))
     )
-    return pagerank(edges, src="src_host", dst="dst_host", damping=damping).select(
-        F.col("node").alias("host"), "rank"
-    )
+    return pagerank(
+        edges, src="src_host", dst="dst_host", damping=damping,
+        weight="n_links" if weighted else None,
+    ).select(F.col("node").alias("host"), "rank")

@@ -214,3 +214,54 @@ def test_host_graph_sink_compaction_folds_counters(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["src_host"] == "a.test" and rows[0]["dst_host"] == "b.test"
     assert rows[0]["n_links"] == 3
+
+
+def _pagerank_ref_weighted(edges, damping=0.85, tol=1e-6, max_iter=40):
+    """edges: {(a, b): w} — same update with weight-share contributions."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {v: 0.0 for v in nodes}
+    for (a, _), w in edges.items():
+        out[a] += w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(max_iter):
+        dangling = sum(r for v, r in rank.items() if out[v] == 0)
+        new = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for (a, b), w in edges.items():
+            new[b] += damping * rank[a] * w / out[a]
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < tol:
+            break
+    return rank
+
+
+def test_weighted_pagerank_matches_reference(spark):
+    edges = {("a", "b"): 3.0, ("a", "c"): 1.0, ("c", "b"): 2.0, ("b", "a"): 1.0}
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in edges.items()], "src string, dst string, w double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", max_iter=15, tol=1e-12).collect()
+    }
+    want = _pagerank_ref_weighted(edges, max_iter=15, tol=1e-12)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    # weights matter: b receives 3x a->b mass vs unweighted
+    unw = {r["node"]: r["rank"] for r in pagerank(df.drop("w"), max_iter=15, tol=1e-12).collect()}
+    assert got["b"] > unw["b"]
+
+
+def test_weighted_pagerank_folds_duplicate_edges(spark):
+    dup = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "b", 2.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    folded = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0)], "src string, dst string, w double"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(dup, weight="w", max_iter=10).collect()}
+    want = {r["node"]: r["rank"] for r in pagerank(folded, weight="w", max_iter=10).collect()}
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
