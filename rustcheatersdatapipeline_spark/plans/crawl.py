@@ -418,3 +418,46 @@ def host_rank_from_store(
         edges, src="src_host", dst="dst_host", damping=damping,
         weight="n_links" if weighted else None,
     ).select(F.col("node").alias("host"), "rank")
+
+
+def curate_dump(
+    spark: SparkSession,
+    dump_path: str,
+    store: GoldStore,
+    k: int | None = None,
+    fmt: str = "tar",
+) -> int:
+    """One-shot dataset-dump ingestion — the archive analog of
+    ``curate_crawl``: tar/zip shards → distilled documents → curation →
+    dedup-vs-index + atomic publish; returns the admitted count from
+    the sink (O(dump bytes), corpus never rescanned; idempotent under
+    re-landing the same dump).
+
+    Curation differences from the web path, both deliberate: identity
+    dedup keys on the RAW ``archive::member`` provenance string (these
+    are not URLs — ``canonical_url`` would collapse them all to one
+    empty-authority form — and a dump has no crawl frontier), and
+    boilerplate groups by ARCHIVE — the dump analog of per-site (a
+    shard family shares its template headers the way a site shares its
+    chrome)."""
+    from pyspark.sql.window import Window
+
+    from ..sources.archive import read_tar, read_zip, tar_to_documents
+
+    if fmt not in ("tar", "zip"):
+        raise ValueError(f"curate_dump: unknown dump format {fmt!r}")
+    members = (read_zip if fmt == "zip" else read_tar)(spark, dump_path)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    docs = (
+        tar_to_documents(members, lines=True)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_domain", F.split("source", "::").getItem(0))
+    )
+    clean = remove_boilerplate(docs, group_col="_domain").withColumnRenamed(
+        "text", "_clean"
+    )
+    curated = _finish_curation(docs, clean)
+    sink = CorpusIngestSink(store, k=k)
+    return sink(curated, batch_id=-1)

@@ -133,3 +133,37 @@ def test_zip_member_budget(spark, tmp_path):
     rows = {r["member"]: r for r in read_zip(spark, str(tmp_path), max_member=1024).collect()}
     assert rows["ok.txt"]["corrupt_reason"] is None
     assert "exceeds" in rows["big.txt"]["corrupt_reason"]
+
+
+def test_curate_dump_end_to_end(spark, tmp_path):
+    """Dump shards → curated corpus: per-archive boilerplate stripped,
+    quality cuts applied, re-landing the same dump admits nothing."""
+    from rustcheatersdatapipeline_spark.plans.crawl import curate_dump
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    header = "Generated by DumpTool v3 - do not edit"
+    topics = [
+        "The river delta floods every spring when snowmelt raises the gauge "
+        "past four meters and the levee crews begin their rotating watches.",
+        "Compiler backends allocate registers with graph coloring; spilled "
+        "values migrate to stack slots whenever the interference graph saturates.",
+        "Medieval trade fairs rotated between Champagne towns, each granting "
+        "merchants safe conduct and standardized weights for cloth and spice.",
+        "Coral polyps secrete aragonite skeletons at night, and the reef's "
+        "accretion rate falls measurably when ocean acidity rises offshore.",
+    ]
+    bodies = {
+        f"doc{i}.txt": f"{header}\n{t}".encode() for i, t in enumerate(topics)
+    }
+    (tmp_path / "dump").mkdir()
+    (tmp_path / "dump" / "shard0.tar").write_bytes(_make_tar(bodies))
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    admitted = curate_dump(spark, str(tmp_path / "dump"), store)
+    assert admitted == 4
+    rows = store.read("corpus").collect()
+    assert len(rows) == 4
+    assert all(header not in r["text"] for r in rows)  # template stripped
+    joined = " ".join(r["text"] for r in rows)
+    for marker in ("river delta", "graph coloring", "Champagne", "aragonite"):
+        assert marker in joined  # every distinct body survived curation
+    assert curate_dump(spark, str(tmp_path / "dump"), store) == 0  # idempotent
