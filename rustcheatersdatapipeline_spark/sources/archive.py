@@ -130,29 +130,26 @@ def read_tar(spark: SparkSession, path: str, max_member: int = MAX_MEMBER_BYTES)
 
 def tar_to_documents(members: DataFrame, lines: bool = False) -> DataFrame:
     """Distill text-bearing members into the documents-table shape
-    (doc_id, text, lang, source, n_chars): plain-text suffixes decode
-    UTF-8 (bad bytes replaced — never raised), HTML suffixes go through
-    the WARC path's total HTML extractor. ``source`` is
+    (doc_id, text, lang, source, n_chars) via the unified magic-sniff
+    dispatcher (``functions/distill.py``): plain text and HTML, plus
+    PDF, OOXML/ODT/EPUB, RTF, and legacy CFB Office members — a dump
+    of mixed document formats distills in one pass. Binary members and
+    failed extractions drop (quarantine-not-crash). ``source`` is
     ``archive::member`` so provenance survives dedup; ``doc_id`` is the
     content-independent xxhash64 of that identity, keeping re-landed
     dumps idempotent under insert-if-absent."""
-    from .warc import html_payload_to_text
+    from ..functions.distill import payload_to_text
 
     @F.pandas_udf("string")
     def _extract(payload: pd.Series, member: pd.Series) -> pd.Series:
-        def run(p, name):
-            data = bytes(p) if p is not None else b""
-            low = (name or "").lower()
-            if low.endswith(HTML_SUFFIXES):
-                return html_payload_to_text(data, "text/html; charset=utf-8", lines)
-            return data.decode("utf-8", errors="replace")
+        return pd.Series(
+            [
+                payload_to_text(bytes(p) if p is not None else b"", n, lines)
+                for p, n in zip(payload, member)
+            ]
+        )
 
-        return pd.Series([run(p, n) for p, n in zip(payload, member)])
-
-    suffix_ok = F.lit(False)
-    for suf in TEXT_SUFFIXES + HTML_SUFFIXES:
-        suffix_ok = suffix_ok | F.lower("member").endswith(suf)
-    docs = members.filter(F.col("corrupt_reason").isNull() & suffix_ok)
+    docs = members.filter(F.col("corrupt_reason").isNull())
     return (
         docs.select(
             F.xxhash64("archive", "member").alias("doc_id"),
@@ -160,7 +157,7 @@ def tar_to_documents(members: DataFrame, lines: bool = False) -> DataFrame:
             F.lit(None).cast("string").alias("lang"),
             F.concat_ws("::", "archive", "member").alias("source"),
         )
-        .filter(F.col("text") != "")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
         .withColumn("n_chars", F.length("text").cast("long"))
     )
 

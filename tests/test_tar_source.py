@@ -167,3 +167,36 @@ def test_curate_dump_end_to_end(spark, tmp_path):
     for marker in ("river delta", "graph coloring", "Champagne", "aragonite"):
         assert marker in joined  # every distinct body survived curation
     assert curate_dump(spark, str(tmp_path / "dump"), store) == 0  # idempotent
+
+
+def test_mixed_format_dump_distillation(spark, tmp_path):
+    """A dump mixing PDF, DOCX, legacy .doc, EPUB, RTF, HTML, and plain
+    text distills every text-bearing member through the unified
+    magic-sniff dispatcher; binary members drop."""
+    from tests.test_cfbtext import make_cfb, make_doc_streams
+    from tests.test_officetext import make_docx, make_epub
+    from tests.test_pdftext import make_pdf
+
+    members = {
+        "a.txt": b"Plain prose member.",
+        "b.html": b"<html><body><p>Markup member.</p></body></html>",
+        "c.pdf": make_pdf(b"BT (Portable member text) Tj ET"),
+        "d.docx": make_docx([["Open XML member."]]),
+        "e.doc": make_cfb(make_doc_streams([("Legacy binary member.\r", True)])),
+        "f.epub": make_epub(["Electronic book member."]),
+        "g.rtf": rb"{\rtf1 Rich text member. \par}",
+        "z.bin": b"\x00\x01\x02\xff pure binary",
+    }
+    (tmp_path / "mixed.tar").write_bytes(_make_tar(members))
+    docs = {
+        r["source"].split("::")[1]: r["text"]
+        for r in tar_to_documents(read_tar(spark, str(tmp_path))).collect()
+    }
+    assert "z.bin" not in docs
+    assert docs["a.txt"] == "Plain prose member."
+    assert docs["b.html"] == "Markup member."
+    assert "Portable member text" in docs["c.pdf"]
+    assert "Open XML member." in docs["d.docx"]
+    assert "Legacy binary member." in docs["e.doc"]
+    assert "Electronic book member." in docs["f.epub"]
+    assert "Rich text member." in docs["g.rtf"]
