@@ -139,3 +139,30 @@ def test_predicates_reach_scans(spark, sf_dir, qname):
     the filter is inherently post-scan.)"""
     p = _plan(Q.SPARK_QUERIES[qname](spark, sf_dir))
     assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+
+
+def test_pq_search_broadcasts_lut_never_cartesian(spark, sf_dir):
+    """The ADC scan must be a broadcast-hash join of codes against the
+    per-query lookup table — never a cartesian/nested-loop over the
+    corpus — and the codebook side of the encode join must broadcast."""
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    p = _plan(T.ann_pq_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    p = _plan(T.ann_pq_rerank(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_state_join_is_hash_not_nested_loop(spark):
+    """One power-iteration round: the contribution join must hash, not
+    nested-loop, and the plan must not grow a cartesian product."""
+    from rustcheatersdatapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    p = _plan(pagerank(edges, max_iter=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
