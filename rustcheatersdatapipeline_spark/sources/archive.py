@@ -128,36 +128,82 @@ def read_tar(spark: SparkSession, path: str, max_member: int = MAX_MEMBER_BYTES)
     return tar_members(spark.read.format("binaryFile").load(path), max_member)
 
 
+def _member_texts(data: bytes, name: str, lines: bool) -> list[str]:
+    """Documents carried by one member: gzip members inflate (bounded)
+    then re-dispatch on the inner name; ``.jsonl``/``.ndjson`` members
+    yield one document per line with a ``text`` field (the interchange
+    convention of ``sources/jsonl.py``); everything else goes through
+    the unified magic-sniff distiller as a single document."""
+    import json
+    import zlib
+
+    from ..functions.distill import payload_to_text
+
+    low = (name or "").lower()
+    if low.endswith(".gz") and data[:2] == b"\x1f\x8b":
+        try:
+            data = zlib.decompressobj(31).decompress(data, MAX_MEMBER_BYTES)
+        except zlib.error:
+            return []
+        low = low[:-3]
+    if low.endswith((".jsonl", ".ndjson")):
+        out = []
+        for ln in data.splitlines():
+            if not ln.strip():
+                continue
+            try:
+                obj = json.loads(ln)
+            except (ValueError, UnicodeDecodeError):
+                continue
+            t = obj.get("text") if isinstance(obj, dict) else None
+            if isinstance(t, str) and t:
+                out.append(t)
+        return out
+    text = payload_to_text(data, low, lines)
+    return [text] if text else []
+
+
 def tar_to_documents(members: DataFrame, lines: bool = False) -> DataFrame:
     """Distill text-bearing members into the documents-table shape
     (doc_id, text, lang, source, n_chars) via the unified magic-sniff
     dispatcher (``functions/distill.py``): plain text and HTML, plus
-    PDF, OOXML/ODT/EPUB, RTF, and legacy CFB Office members — a dump
-    of mixed document formats distills in one pass. Binary members and
+    PDF, OOXML/ODT/EPUB, RTF, legacy CFB Office, gzipped members, and
+    JSONL members (one document per line, ``text`` field) — a dump of
+    mixed document formats distills in one pass. Binary members and
     failed extractions drop (quarantine-not-crash). ``source`` is
-    ``archive::member`` so provenance survives dedup; ``doc_id`` is the
-    content-independent xxhash64 of that identity, keeping re-landed
-    dumps idempotent under insert-if-absent."""
-    from ..functions.distill import payload_to_text
+    ``archive::member`` (line index appended as ``#N`` past the first
+    for multi-document members, keeping identities unique); ``doc_id``
+    is the content-independent xxhash64 of that identity, so re-landed
+    dumps stay idempotent under insert-if-absent."""
 
-    @F.pandas_udf("string")
+    @F.pandas_udf("array<string>")
     def _extract(payload: pd.Series, member: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                payload_to_text(bytes(p) if p is not None else b"", n, lines)
+                _member_texts(bytes(p) if p is not None else b"", n, lines)
                 for p, n in zip(payload, member)
             ]
         )
 
     docs = members.filter(F.col("corrupt_reason").isNull())
+    ident = F.when(
+        F.col("pos") == 0, F.concat_ws("::", "archive", "member")
+    ).otherwise(
+        F.concat(F.concat_ws("::", "archive", "member"), F.lit("#"), F.col("pos"))
+    )
     return (
         docs.select(
-            F.xxhash64("archive", "member").alias("doc_id"),
-            _extract("payload", "member").alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-            F.concat_ws("::", "archive", "member").alias("source"),
+            "archive",
+            "member",
+            F.posexplode(_extract("payload", "member")).alias("pos", "text"),
         )
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            F.xxhash64(ident).alias("doc_id"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+            ident.alias("source"),
+        )
         .withColumn("n_chars", F.length("text").cast("long"))
     )
 

@@ -200,3 +200,37 @@ def test_mixed_format_dump_distillation(spark, tmp_path):
     assert "Legacy binary member." in docs["e.doc"]
     assert "Electronic book member." in docs["f.epub"]
     assert "Rich text member." in docs["g.rtf"]
+
+
+def test_jsonl_and_gzipped_members(spark, tmp_path):
+    """.jsonl members explode one document per text line; .gz members
+    inflate and re-dispatch on the inner name; identities stay unique
+    and idempotent."""
+    import gzip
+    import json
+
+    jsonl = b"\n".join(
+        [
+            json.dumps({"text": "Line document one.", "meta": 1}).encode(),
+            b"not json at all {",
+            json.dumps({"no_text": True}).encode(),
+            json.dumps({"text": "Line document two."}).encode(),
+        ]
+    )
+    members = {
+        "corpus.jsonl": jsonl,
+        "packed.jsonl.gz": gzip.compress(
+            json.dumps({"text": "Compressed line document."}).encode()
+        ),
+        "page.html.gz": gzip.compress(b"<html><body><p>Zipped markup.</p></body></html>"),
+    }
+    (tmp_path / "a.tar").write_bytes(_make_tar(members))
+    rows = tar_to_documents(read_tar(spark, str(tmp_path))).collect()
+    by_src = {r["source"].split("::", 1)[1]: r["text"] for r in rows}
+    assert by_src == {
+        "corpus.jsonl": "Line document one.",
+        "corpus.jsonl#1": "Line document two.",
+        "packed.jsonl.gz": "Compressed line document.",
+        "page.html.gz": "Zipped markup.",
+    }
+    assert len({r["doc_id"] for r in rows}) == 4  # unique identities
