@@ -86,13 +86,20 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 40,
     weight: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) by damped power iteration — the crawl-frontier
     prioritization primitive (rank hosts/pages by link mass before
     spending fetch budget). With ``weight`` set, each edge contributes
     rank proportional to its weight share of the source's total
     out-weight (duplicate (src, dst) rows fold by summing first);
-    unweighted, duplicate edges collapse to one.
+    unweighted, duplicate edges collapse to one. ``reset`` switches to
+    PERSONALIZED PageRank: a (node, mass) frame of teleport seeds —
+    both the restart probability and the dangling-mass redistribution
+    concentrate on the seeds (normalized internally), ranking the
+    graph "as seen from" them (the focused-crawl form: seed the topics
+    you want, rank hosts by proximity). Seeds absent from the graph
+    are ignored; nodes unreachable from every seed decay toward 0.
 
     Scale shape: each round is ONE data shuffle (contributions grouped
     by destination); ranks and out-degrees ride a single co-keyed state
@@ -137,15 +144,34 @@ def pagerank(
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.sum("ew").alias("out_deg"))
-    state = (
-        nodes.join(deg, nodes.node == deg.src, "left")
-        .select(
-            "node",
-            F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
-            F.lit(1.0 / n).alias("rank"),
-        )
-        .localCheckpoint()
+    state = nodes.join(deg, nodes.node == deg.src, "left").select(
+        "node", F.coalesce("out_deg", F.lit(0.0)).alias("out_deg")
     )
+    if reset is None:
+        state = state.select(
+            "node", "out_deg", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("rp")
+        ).localCheckpoint()
+    else:
+        seeds = reset.select(
+            F.col("node").alias("r_node"), F.col("mass").cast("double").alias("r_mass")
+        ).filter(F.col("r_mass") > 0)
+        total = (
+            seeds.join(state.select(F.col("node").alias("r_node")), "r_node")
+            .agg(F.sum("r_mass"))
+            .first()[0]
+        )
+        if not total:
+            raise ValueError("pagerank: reset seeds have no mass inside the graph")
+        state = (
+            state.join(F.broadcast(seeds), state.node == seeds.r_node, "left")
+            .select(
+                "node",
+                "out_deg",
+                (F.coalesce("r_mass", F.lit(0.0)) / F.lit(float(total))).alias("rp"),
+            )
+            .withColumn("rank", F.col("rp"))
+            .localCheckpoint()
+        )
     dangling = (
         state.agg(
             F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0))
@@ -162,13 +188,18 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("w").alias("in_mass"))
         )
+        if reset is None:
+            teleport = F.lit(base + damping * dangling / n)
+        else:
+            teleport = F.lit(1.0 - damping + damping * dangling) * F.col("rp")
         new_state = (
             state.join(contrib, state.node == contrib.dst, "left")
             .select(
                 "node",
                 "out_deg",
+                "rp",
                 (
-                    F.lit(base + damping * dangling / n)
+                    teleport
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -265,3 +265,52 @@ def test_weighted_pagerank_folds_duplicate_edges(spark):
     want = {r["node"]: r["rank"] for r in pagerank(folded, weight="w", max_iter=10).collect()}
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Teleport + dangling mass concentrate on the seed distribution;
+    nodes unreachable from the seeds decay toward zero."""
+    edges = [
+        ("seed", "near", None),
+        ("near", "seed", None),
+        ("near", "far", None),
+        ("island_a", "island_b", None),
+        ("island_b", "island_a", None),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in edges], "src string, dst string")
+    seeds = spark.createDataFrame([("seed", 2.0), ("ghost", 5.0)], "node string, mass double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, reset=seeds, max_iter=25, tol=1e-14).collect()
+    }
+
+    # reference: identical update with teleport vector r
+    eset = sorted({(a, b) for a, b, _ in edges})
+    nodes = sorted({a for a, _ in eset} | {b for _, b in eset})
+    rp = {v: (1.0 if v == "seed" else 0.0) for v in nodes}  # ghost not in graph
+    out = {v: 0.0 for v in nodes}
+    for a, _ in eset:
+        out[a] += 1
+    rank = dict(rp)
+    d = 0.85
+    for _ in range(25):
+        dangling = sum(r for v, r in rank.items() if out[v] == 0)
+        new = {v: (1 - d + d * dangling) * rp[v] for v in nodes}
+        for a, b in eset:
+            new[b] += d * rank[a] / out[a]
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < 1e-14:
+            break
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    assert got["seed"] > got["near"] > got["far"] > 0
+    assert got["island_a"] < 1e-6 and got["island_b"] < 1e-6  # unreachable decays
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved on the seeds
+
+
+def test_personalized_pagerank_rejects_ghost_only_seeds(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("ghost", 1.0)], "node string, mass double")
+    with pytest.raises(ValueError, match="no mass inside the graph"):
+        pagerank(df, reset=seeds)
