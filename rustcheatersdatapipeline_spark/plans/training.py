@@ -1364,6 +1364,40 @@ def ann_pq_rerank(spark, sf_dir, candidates: int = PQ_RERANK_CANDIDATES):
     )
 
 
+#: sliding-window chunking geometry (chars per chunk / window stride)
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+def chunk_sliding(spark, sf_dir):
+    """Sliding-window document chunking — the standard segmentation
+    step before embedding or packing long documents: windows of
+    CHUNK_CHARS chars every CHUNK_STRIDE (overlap = chars − stride),
+    with the final window pinned to the document tail so every
+    character is covered exactly (no torn tail). Pure codegen
+    (sequence → array_union → explode → substring): chunking a 100 TB
+    corpus is one scan with no Python and no shuffle until the output
+    sort; chunk identity is (doc_id, chunk_start), deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    glen = F.greatest(F.length("text") - F.lit(CHUNK_CHARS - 1), F.lit(1))
+    starts = F.array_union(
+        F.sequence(F.lit(1), glen, F.lit(CHUNK_STRIDE)), F.array(glen)
+    )
+    return (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("chunk_start"), CHUNK_CHARS).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text").cast("long"))
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2481,6 +2515,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_encode": ann_pq_encode,
     "ann_pq_search": ann_pq_search,
     "ann_pq_rerank": ann_pq_rerank,
+    "chunk_sliding": chunk_sliding,
 }
 
 
@@ -2692,6 +2727,19 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"SELECT q_id AS query_id, CAST(rnk AS INTEGER) AS rnk, "
         f"vec_id AS neighbor_id, adc FROM t WHERE rnk <= {KNN_K} "
         "ORDER BY query_id, rnk"
+    ),
+    "chunk_sliding": (
+        "WITH d AS (SELECT doc_id, text, "
+        f"GREATEST(len(text) - {CHUNK_CHARS - 1}, 1) AS glen FROM documents "
+        "WHERE len(text) > 0), "
+        "st AS (SELECT doc_id, text, "
+        f"unnest(list_distinct(list_append(range(1, glen + 1, {CHUNK_STRIDE}), glen))) "
+        "AS chunk_start FROM d) "
+        "SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start, "
+        f"substr(text, CAST(chunk_start AS BIGINT), {CHUNK_CHARS}) AS chunk_text, "
+        "CAST(len(substr(text, CAST(chunk_start AS BIGINT), "
+        f"{CHUNK_CHARS})) AS BIGINT) AS n_chunk_chars "
+        "FROM st ORDER BY doc_id, chunk_start"
     ),
     "ann_pq_rerank": (
         f"{_PQ_CTE}, "
