@@ -221,3 +221,100 @@ def pagerank(
         if stats["delta"] is not None and stats["delta"] < tol:
             break
     return state.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """(node, hub, authority) by the HITS mutual-reinforcement
+    iteration — the complement of PageRank for crawl scheduling: hubs
+    are the index/directory pages worth re-crawling for LINK discovery,
+    authorities the content pages worth fetching. Per round: authority
+    = sum of in-neighbor hub scores, L2-normalized; hub = sum of
+    out-neighbor authority scores, L2-normalized; stop when the summed
+    L1 movement of both vectors drops under ``tol``.
+
+    Scale shape mirrors ``pagerank``: the (node, hub, authority) state
+    rides one co-keyed table, each half-round is one shuffle keyed by
+    the receiving endpoint, per-round driver traffic is three scalars
+    (two norms + the delta), and ``localCheckpoint`` truncates lineage
+    every round."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    import math
+
+    init = 1.0 / math.sqrt(n)
+    state = nodes.select(
+        "node", F.lit(init).alias("h"), F.lit(init).alias("a")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        a_raw = (
+            e.join(state, e.src == state.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        with_a = state.join(a_raw, state.node == a_raw.dst, "left").select(
+            "node", "h", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        )
+        a_norm = math.sqrt(
+            with_a.agg(F.sum(F.col("a_raw") * F.col("a_raw"))).first()[0] or 0.0
+        )
+        if a_norm == 0.0:
+            break
+        with_a = with_a.withColumn("a_new", F.col("a_raw") / F.lit(a_norm))
+        h_raw = (
+            e.join(with_a, e.dst == with_a.node)
+            .groupBy("src")
+            .agg(F.sum("a_new").alias("h_raw"))
+        )
+        new_state = (
+            with_a.join(h_raw, with_a.node == h_raw.src, "left")
+            .select(
+                "node",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                F.col("a_new").alias("a"),
+            )
+        )
+        h_norm = math.sqrt(
+            new_state.agg(F.sum(F.col("h_raw") * F.col("h_raw"))).first()[0] or 0.0
+        )
+        if h_norm == 0.0:
+            break
+        new_state = new_state.select(
+            "node", (F.col("h_raw") / F.lit(h_norm)).alias("h"), "a"
+        ).localCheckpoint()
+        delta = (
+            new_state.alias("new")
+            .join(state.alias("old"), "node")
+            .agg(
+                F.sum(
+                    F.abs(F.col("new.h") - F.col("old.h"))
+                    + F.abs(F.col("new.a") - F.col("old.a"))
+                )
+            )
+            .first()[0]
+        )
+        state = new_state
+        if delta is not None and delta < tol:
+            break
+    return state.select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -314,3 +314,68 @@ def test_personalized_pagerank_rejects_ghost_only_seeds(spark):
     seeds = spark.createDataFrame([("ghost", 1.0)], "node string, mass double")
     with pytest.raises(ValueError, match="no mass inside the graph"):
         pagerank(df, reset=seeds)
+
+
+def _hits_ref(edges, max_iter=30, tol=1e-9):
+    import math
+
+    eset = sorted(set(edges))
+    nodes = sorted({a for a, _ in eset} | {b for _, b in eset})
+    n = len(nodes)
+    h = {v: 1.0 / math.sqrt(n) for v in nodes}
+    a = dict(h)
+    for _ in range(max_iter):
+        a_raw = {v: 0.0 for v in nodes}
+        for u, v in eset:
+            a_raw[v] += h[u]
+        norm = math.sqrt(sum(x * x for x in a_raw.values()))
+        if norm == 0:
+            break
+        a_new = {v: x / norm for v, x in a_raw.items()}
+        h_raw = {v: 0.0 for v in nodes}
+        for u, v in eset:
+            h_raw[u] += a_new[v]
+        norm = math.sqrt(sum(x * x for x in h_raw.values()))
+        if norm == 0:
+            break
+        h_new = {v: x / norm for v, x in h_raw.items()}
+        delta = sum(abs(h_new[v] - h[v]) + abs(a_new[v] - a[v]) for v in nodes)
+        h, a = h_new, a_new
+        if delta < tol:
+            break
+    return h, a
+
+
+def test_hits_matches_reference(spark):
+    from rustcheatersdatapipeline_spark.operators.graph import hits
+
+    rng = np.random.RandomState(81)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = list(
+        {(nodes[rng.randint(25)], nodes[rng.randint(25)]) for _ in range(90)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(_edges_df(spark, edges), max_iter=10, tol=1e-15).collect()
+    }
+    h, a = _hits_ref(edges, max_iter=10, tol=1e-15)
+    for v in h:
+        assert abs(got[v][0] - h[v]) < 1e-9, v
+        assert abs(got[v][1] - a[v]) < 1e-9, v
+
+
+def test_hits_hub_and_authority_separate(spark):
+    """A directory page linking to every content page is the top hub;
+    the page every directory links to is the top authority."""
+    from rustcheatersdatapipeline_spark.operators.graph import hits
+
+    edges = [("dir1", f"page{i}") for i in range(4)] + [
+        ("dir2", "page0"),
+        ("dir2", "page1"),
+    ]
+    got = {r["node"]: r for r in hits(_edges_df(spark, edges), max_iter=20).collect()}
+    assert got["dir1"]["hub"] == max(r["hub"] for r in got.values())
+    assert got["page0"]["authority"] == max(r["authority"] for r in got.values())
+    assert got["dir1"]["authority"] == 0.0  # nothing links to the directory
+    assert got["page0"]["hub"] == 0.0  # content pages link nowhere
