@@ -379,3 +379,34 @@ def test_hits_hub_and_authority_separate(spark):
     assert got["page0"]["authority"] == max(r["authority"] for r in got.values())
     assert got["dir1"]["authority"] == 0.0  # nothing links to the directory
     assert got["page0"]["hub"] == 0.0  # content pages link nowhere
+
+
+def test_host_graph_and_corpus_sinks_share_one_store(spark, tmp_path):
+    """The document sink and the host-graph sink publish to the SAME
+    GoldStore without clobbering each other's tables — the CAS loop
+    absorbs the version interleaving."""
+    from rustcheatersdatapipeline_spark.plans.crawl import HostGraphIngestSink
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+    from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    doc_sink = CorpusIngestSink(store)
+    hg_sink = HostGraphIngestSink(store)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A perfectly ordinary standalone prose document about levees.", None, "http://a.test/1"),
+            (2, "A second unrelated document discussing register allocation.", None, "http://a.test/2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    warc = _warc_batch(
+        spark, [("http://a.test/1", '<a href="http://b.test/x">.</a>')]
+    )
+    assert doc_sink(docs, 0) == 2
+    assert hg_sink(warc, 0) == 1
+    assert doc_sink(docs, 1) == 0  # replay still deduped after interleaving
+    tables = store.current_manifest()["tables"]
+    assert {"corpus", "host_graph"} <= set(tables)
+    assert store.read("host_graph").count() == 1
+    assert store.read("corpus").count() == 2
