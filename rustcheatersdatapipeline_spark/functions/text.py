@@ -94,3 +94,29 @@ def token_explode(df, text_col: str, id_col: str):
 def marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
     """Number of token occurrences that are in ``markers``."""
     return F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x.isin(*markers)))
+
+
+def lang_pred(text_col: str = "text") -> Column:
+    """Marker-stopword language prediction as a single codegen CASE
+    column — the same scoring + tie-break rule as the ``lang_id``
+    query, reusable anywhere a documents frame needs its ``lang``
+    column filled (the distillers emit NULL: detection is a pipeline
+    choice, not a parsing fact)."""
+    langs = list(LANG_MARKERS)
+    score = {lang: marker_count(text_col, m) for lang, m in LANG_MARKERS.items()}
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (score[lang] >= score[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def with_lang(docs, text_col: str = "text", lang_col: str = "lang"):
+    """Documents with ``lang`` filled where NULL (already-tagged rows
+    keep their label — detection never overrides provenance)."""
+    return docs.withColumn(
+        lang_col, F.coalesce(F.col(lang_col), lang_pred(text_col))
+    )

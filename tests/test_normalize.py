@@ -60,3 +60,22 @@ def test_normalization_restores_dedup_recall(spark):
     ).collect()
     assert digests[0]["raw"] != digests[1]["raw"]
     assert digests[0]["norm"] == digests[1]["norm"]
+
+
+def test_with_lang_agrees_with_lang_id_query(spark, sf_dir):
+    """The reusable column form must predict exactly what the lang_id
+    query predicts, and must never override an existing label."""
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.catalog import table
+    from rustcheatersdatapipeline_spark.functions.text import with_lang
+    from rustcheatersdatapipeline_spark.plans.training import lang_id
+
+    docs = table(spark, sf_dir, "documents").limit(300)
+    tagged = with_lang(docs.withColumn("lang", F.lit(None).cast("string")))
+    got = {r["doc_id"]: r["lang"] for r in tagged.collect()}
+    want = {r["doc_id"]: r["lang_pred"] for r in lang_id(spark, sf_dir).collect()}
+    assert all(got[d] == want[d] for d in got)
+
+    keep = with_lang(docs.withColumn("lang", F.lit("xx")))
+    assert {r["lang"] for r in keep.select("lang").distinct().collect()} == {"xx"}
