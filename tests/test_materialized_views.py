@@ -133,3 +133,39 @@ def test_corpus_stats_instance(spark, tmp_path):
         for r in store.read("corpus_stats_by_source").collect()
     }
     assert got == {"src0": (2, 12), "src1": (1, 3)}
+
+
+def test_refresh_retries_past_racing_writer(spark, tmp_path):
+    """A writer advancing the store between the view's read and publish
+    fails the CAS; the retry recomputes against the new truth and folds
+    the racer's rows too."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    view = IncrementalAggregateView(
+        store, "docs", "stats", keys=["source"], sums={"total_chars": "n_chars"}
+    )
+    b1 = [(1, "a", 10)]
+    store.publish_append({"docs": _batch(spark, b1)}, store.current_version())
+    view.refresh()
+    b2 = [(2, "a", 5)]
+    store.publish_append({"docs": _batch(spark, b2)}, store.current_version())
+
+    b3 = [(3, "b", 7)]
+    raced = {"fired": False}
+    orig_publish = store.publish
+
+    def racing_publish(gold, base, **kw):
+        if not raced["fired"]:
+            raced["fired"] = True
+            # a concurrent writer lands first, invalidating our base
+            store.publish_append({"docs": _batch(spark, b3)}, store.current_version())
+        return orig_publish(gold, base, **kw)
+
+    store.publish = racing_publish
+    try:
+        folded = view.refresh()
+    finally:
+        store.publish = orig_publish
+    assert raced["fired"]
+    assert folded in (2, 3)  # first attempt CAS-fails; retry folds b2(+b3)
+    view.refresh()  # converge whatever the retry timing left over
+    assert _view_dict(view) == _expected(b1 + b2 + b3)
