@@ -1398,6 +1398,32 @@ def chunk_sliding(spark, sf_dir):
     )
 
 
+def corpus_source_report(spark, sf_dir):
+    """Per-source curation dashboard: documents, total and mean chars
+    and whitespace tokens — one hash-keyed aggregate (map-side partial
+    sums; exact bigint totals, so the derived means are bit-identical
+    across engines regardless of row order)."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(ws_tokens("text")).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(n_tok).alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (F.col("total_chars") / F.col("n_docs")).alias("mean_chars"),
+            (F.col("total_tokens") / F.col("n_docs")).alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2516,6 +2542,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_search": ann_pq_search,
     "ann_pq_rerank": ann_pq_rerank,
     "chunk_sliding": chunk_sliding,
+    "corpus_source_report": corpus_source_report,
 }
 
 
@@ -2727,6 +2754,18 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"SELECT q_id AS query_id, CAST(rnk AS INTEGER) AS rnk, "
         f"vec_id AS neighbor_id, adc FROM t WHERE rnk <= {KNN_K} "
         "ORDER BY query_id, rnk"
+    ),
+    "corpus_source_report": (
+        "WITH b AS (SELECT source, len(text) AS nc, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt "
+        "FROM documents), "
+        "a AS (SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(nc) AS BIGINT) AS total_chars, CAST(SUM(nt) AS BIGINT) AS total_tokens "
+        "FROM b GROUP BY source) "
+        "SELECT source, n_docs, total_chars, total_tokens, "
+        "CAST(total_chars AS DOUBLE) / n_docs AS mean_chars, "
+        "CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens "
+        "FROM a ORDER BY source"
     ),
     "chunk_sliding": (
         "WITH d AS (SELECT doc_id, text, "
