@@ -1424,6 +1424,36 @@ def corpus_source_report(spark, sf_dir):
     )
 
 
+#: weighted-sample size and the hash-uniform modulus (2^40 draws)
+WSAMPLE_K = 50
+_WSAMPLE_M = 1 << 40
+
+
+def weighted_sample_k(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement at corpus scale —
+    Efraimidis–Spirakis A-ES: each document draws u∈(0,1) from its
+    portable hash (deterministic "randomness", so the run is
+    reproducible AND the DuckDB oracle replays it exactly), takes key
+    = ln(u)/w, and the k largest keys are the sample. Inclusion
+    probability is proportional to weight (chars here — the
+    token-budget-weighted corpus draw) with no replacement and no
+    second pass: one scan + a TakeOrderedAndProject top-k, never a
+    per-stratum shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    u = (F.pmod(h, F.lit(_WSAMPLE_M - 1)) + 1) / F.lit(float(_WSAMPLE_M))
+    w = (F.col("n_chars") + 1).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("w"),
+            (F.log(u) / w).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2543,6 +2573,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_rerank": ann_pq_rerank,
     "chunk_sliding": chunk_sliding,
     "corpus_source_report": corpus_source_report,
+    "weighted_sample_k": weighted_sample_k,
 }
 
 
@@ -2754,6 +2785,14 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"SELECT q_id AS query_id, CAST(rnk AS INTEGER) AS rnk, "
         f"vec_id AS neighbor_id, adc FROM t WHERE rnk <= {KNN_K} "
         "ORDER BY query_id, rnk"
+    ),
+    "weighted_sample_k": (
+        "WITH b AS (SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS w, "
+        f"((('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT "
+        f"% {_WSAMPLE_M - 1}) + 1) / CAST({_WSAMPLE_M} AS DOUBLE) AS u "
+        "FROM documents) "
+        "SELECT doc_id, w, ln(u) / w AS sample_key FROM b "
+        f"ORDER BY sample_key DESC, doc_id LIMIT {WSAMPLE_K}"
     ),
     "corpus_source_report": (
         "WITH b AS (SELECT source, len(text) AS nc, "
