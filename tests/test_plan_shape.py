@@ -166,3 +166,12 @@ def test_pagerank_state_join_is_hash_not_nested_loop(spark):
     p = _plan(pagerank(edges, max_iter=2))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """The A-ES top-k must plan as TakeOrderedAndProject (bounded
+    per-partition heaps + driver merge), never a global sort."""
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    p = _plan(T.weighted_sample_k(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
