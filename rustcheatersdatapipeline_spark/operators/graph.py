@@ -152,9 +152,17 @@ def pagerank(
             "node", "out_deg", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("rp")
         ).localCheckpoint()
     else:
-        seeds = reset.select(
-            F.col("node").alias("r_node"), F.col("mass").cast("double").alias("r_mass")
-        ).filter(F.col("r_mass") > 0)
+        seeds = (
+            reset.select(
+                F.col("node").alias("r_node"),
+                F.col("mass").cast("double").alias("r_mass"),
+            )
+            .filter(F.col("r_mass") > 0)
+            # fold duplicate seed rows BEFORE joining: a repeated node
+            # must add its masses, not duplicate the state row
+            .groupBy("r_node")
+            .agg(F.sum("r_mass").alias("r_mass"))
+        )
         total = (
             seeds.join(state.select(F.col("node").alias("r_node")), "r_node")
             .agg(F.sum("r_mass"))

@@ -410,3 +410,18 @@ def test_host_graph_and_corpus_sinks_share_one_store(spark, tmp_path):
     assert {"corpus", "host_graph"} <= set(tables)
     assert store.read("host_graph").count() == 1
     assert store.read("corpus").count() == 2
+
+
+def test_personalized_pagerank_folds_duplicate_seeds(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    dup = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "node string, mass double"
+    )
+    folded = spark.createDataFrame(
+        [("a", 3.0), ("b", 3.0)], "node string, mass double"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, reset=dup, max_iter=8).collect()}
+    want = {r["node"]: r["rank"] for r in pagerank(df, reset=folded, max_iter=8).collect()}
+    assert set(got) == {"a", "b"}  # no duplicated state rows
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
