@@ -234,3 +234,31 @@ def test_jsonl_and_gzipped_members(spark, tmp_path):
         "page.html.gz": "Zipped markup.",
     }
     assert len({r["doc_id"] for r in rows}) == 4  # unique identities
+
+
+def test_payload_to_text_dispatch_totality():
+    """Arbitrary byte mutations of every supported format through the
+    ONE dispatch entry either distill or return None — never raise
+    (the same single-dispatch fuzz contract as the image decoders)."""
+    from tests.test_cfbtext import make_cfb, make_doc_streams
+    from tests.test_officetext import make_docx, make_epub
+    from tests.test_pdftext import make_pdf
+
+    from rustcheatersdatapipeline_spark.functions.distill import payload_to_text
+
+    bases = [
+        (b"plain prose bytes", "a.txt"),
+        (b"<html><body><p>markup</p></body></html>", "b.html"),
+        (make_pdf(b"BT (pdf text) Tj ET"), "c.pdf"),
+        (make_docx([["docx text"]]), "d.docx"),
+        (make_cfb(make_doc_streams([("doc text.\r", True)])), "e.doc"),
+        (make_epub(["epub text"]), "f.epub"),
+        (rb"{\rtf1 rtf text \par}", "g.rtf"),
+    ]
+    rng = np.random.RandomState(17)
+    for base, name in bases:
+        for _ in range(80):
+            buf = bytearray(base)
+            buf[rng.randint(0, len(buf))] ^= rng.randint(1, 256)
+            out = payload_to_text(bytes(buf[: rng.randint(1, len(buf) + 1)]), name)
+            assert out is None or isinstance(out, str)
