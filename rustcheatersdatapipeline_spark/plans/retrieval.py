@@ -1,0 +1,271 @@
+"""Sparse lexical retrieval over ``documents`` — BM25 search and
+TF-IDF keyword extraction as distributed DataFrame plans.
+
+A 100 TB curation pipeline needs corpus *search* (find the documents
+lexically closest to a probe text) for retrieval-based
+decontamination, audit queries ("show me everything that looks like
+this leaked benchmark item"), and near-dup triage beyond shingle
+overlap.  This module provides the two standard primitives:
+
+- **BM25 top-k search** (Robertson/Okapi, the Lucene ``ln(1 + …)``
+  idf variant so scores are never negative): queries are scored
+  against the full corpus through an inverted-posting join, never a
+  quadratic scan.
+- **TF-IDF top terms per document** (sklearn-style smooth idf):
+  keyword extraction / document signatures.
+
+Scale shape (per operator, audited via .explain):
+
+- One corpus-wide shuffle builds the posting list (term, doc_id, tf)
+  with map-side partial aggregation — identical cost to a word-count.
+- The query-term table is BOUNDED by construction
+  (≤ BM25_QUERY_MAX_ID × BM25_QUERY_PREFIX rows), so broadcasting it
+  — and the per-term df stats derived from it — follows the repo's
+  broadcast policy (explicit hints only from bounded facts; see
+  SCALE.md).  The corpus-side work after the broadcast semi-join
+  touches only postings that contain a query term.
+- Document length joins by doc_id against a narrow projection of the
+  scan (no extra corpus shuffle beyond the join itself; AQE
+  broadcasts it at test scale and shuffle-joins beyond).
+- All floating-point per-term contributions are scaled by 1e6 and
+  floored to int64 BEFORE any aggregation (the ``lm_score``
+  discipline): the per-(query, doc) sum is order-independent integer
+  arithmetic, so the DuckDB oracle matches bit-for-bit and the
+  distributed sum is reassociation-safe.
+
+Reference parity note: the reference pipeline (RustCheatersDataPipeline)
+has no search surface; this is extension inventory (SURVEY.md §2.10)
+for the training-data mission.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+#: how many results per query BM25 returns
+BM25_TOPK = 10
+#: documents with doc_id below this are the probe/query set
+BM25_QUERY_MAX_ID = 8
+#: a query is the distinct first-BM25_QUERY_PREFIX tokens of its doc
+BM25_QUERY_PREFIX = 12
+#: TF-IDF keywords kept per document
+TFIDF_TOPK = 5
+
+# BM25 parameters, written as the SAME literals in the oracle SQL so
+# both engines parse the identical IEEE-754 doubles: k1 = 1.2,
+# b = 0.75 (so 1 - b = 0.25 and k1 + 1 = 2.2 appear as literals).
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) one row per token occurrence — whitespace
+    tokenization shared with lm_score/token_count (literal single
+    space, trailing empties kept by both engines)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+
+
+def _doc_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl) token count per document, straight off the scan —
+    no shuffle; must equal SUM(tf) per doc (same split)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted postings (term, doc_id, tf): ONE corpus shuffle with
+    map-side combine — word-count shape, uniform keys."""
+    return (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, term): distinct first-BM25_QUERY_PREFIX tokens of
+    each probe document.  Bounded by construction (≤ 8×12 rows) —
+    eligible for an explicit broadcast hint under the repo policy."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BM25_QUERY_MAX_ID
+    )
+    return (
+        docs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.col("text"), " "), 1, BM25_QUERY_PREFIX)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOPK corpus documents per probe query by BM25.
+
+    score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene variant,
+    always ≥ 0).  Every per-term contribution is floored to
+    ⌊x·1e6⌋ int64 before the per-(query, doc) sum, so aggregation
+    order cannot change the result and the DuckDB oracle is bit-exact.
+    Ties rank by lower doc_id.
+
+    Plan: postings ⋈ broadcast(query terms) prunes the corpus to
+    postings on query terms; df for those terms is a tiny aggregate
+    (broadcast back); document lengths join by doc_id.  No quadratic
+    step anywhere — candidate rows are |postings on query terms|.
+    """
+    post = _postings(spark, sf_dir)
+    qt = _query_terms(spark, sf_dir)
+    terms = qt.select("term").distinct()
+    # corpus postings restricted to query terms (broadcast semi-join)
+    postq = post.join(F.broadcast(terms), "term")
+    # document frequency of each query term over the FULL corpus
+    # (postq already spans the full corpus for those terms)
+    dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        _doc_len(spark, sf_dir)
+        .agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs"))
+        .select("sum_dl", "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (idf * (F.col("tf") * F.lit(2.2))) / denom
+    scored = (
+        postq.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .join(_doc_len(spark, sf_dir), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(contrib * F.lit(1000000.0)).cast("bigint").alias("c_scaled"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_scaled").alias("score_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_scaled").desc(), "doc_id")
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            "score_scaled",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("query_id", "rnk", "doc_id", "score_scaled")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK keywords per document by smooth TF-IDF
+    (sklearn shape: tfidf = tf · (ln((1+N)/(1+df)) + 1)), scaled-int
+    like bm25_search.  Ties rank by term ascending.
+
+    Plan: postings (one corpus shuffle) ⋈ per-term df (vocabulary-
+    sized aggregate — no hint: AQE broadcasts while it fits, policy as
+    dedup_ngram_jaccard's dfreq) → per-doc window top-k (doc_id
+    shuffle).  Linear in postings at any scale.
+    """
+    post = _postings(spark, sf_dir)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tfidf = (
+        F.col("tf")
+        * (
+            F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0)
+        )
+    ) * F.lit(1000000.0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_scaled").desc(), "term"
+    )
+    return (
+        post.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(tfidf).cast("bigint").alias("tfidf_scaled"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tfidf_scaled",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "term", "tfidf_scaled")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_TOK_CTE = (
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+    "post AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), "
+    "dlen AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl "
+    "FROM documents)"
+)
+
+
+TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_search": bm25_search,
+    "tfidf_topterms": tfidf_topterms,
+}
+
+TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "bm25_search": (
+        f"WITH {_TOK_CTE}, "
+        "qt AS (SELECT DISTINCT query_id, term FROM "
+        f"(SELECT doc_id AS query_id, unnest(list_slice(string_split(text, ' '), 1, {BM25_QUERY_PREFIX})) AS term "
+        f"FROM documents WHERE doc_id < {BM25_QUERY_MAX_ID})), "
+        "terms AS (SELECT DISTINCT term FROM qt), "
+        "postq AS (SELECT p.doc_id, p.term, p.tf FROM post p JOIN terms USING (term)), "
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM postq GROUP BY term), "
+        "stats AS (SELECT SUM(dl) AS sum_dl, COUNT(*) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlen), "
+        "contrib AS (SELECT qt.query_id, p.doc_id, "
+        "CAST(FLOOR(((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.2)) / "
+        "(p.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))) * 1000000.0) AS BIGINT) AS c_scaled "
+        "FROM postq p JOIN dfreq d USING (term) JOIN qt USING (term) "
+        "JOIN dlen l ON p.doc_id = l.doc_id, stats s), "
+        "sc AS (SELECT query_id, doc_id, CAST(SUM(c_scaled) AS BIGINT) AS score_scaled "
+        "FROM contrib GROUP BY query_id, doc_id), "
+        "r AS (SELECT query_id, doc_id, score_scaled, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk "
+        "FROM sc) "
+        f"SELECT query_id, rnk, doc_id, score_scaled FROM r WHERE rnk <= {BM25_TOPK} "
+        "ORDER BY query_id, rnk"
+    ),
+    "tfidf_topterms": (
+        f"WITH {_TOK_CTE}, "
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term), "
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "sc AS (SELECT doc_id, term, "
+        "CAST(FLOOR((p.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0)) * 1000000.0) AS BIGINT) AS tfidf_scaled "
+        "FROM post p JOIN dfreq d USING (term), nd n), "
+        "r AS (SELECT doc_id, term, tfidf_scaled, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_scaled DESC, term) AS INT) AS rnk "
+        "FROM sc) "
+        f"SELECT doc_id, rnk, term, tfidf_scaled FROM r WHERE rnk <= {TFIDF_TOPK} "
+        "ORDER BY doc_id, rnk"
+    ),
+}
