@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..functions.sketches import DD_LN_GAMMA, dd_rows, hll_rows
 from ..functions.similarity import (
     MINHASH_PERMS,
     SIMHASH_BITS,
@@ -2544,7 +2545,32 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_bounds": sketch_bounds,
 }
 
+
+
+def hll_register_rows(spark, sf_dir):
+    """Persistable HLL distinct-text sketch per source, in the pure-
+    integer rows form (source, reg, rank) — see functions/sketches.py.
+    Unlike sketch_bounds (which checks Spark's OPAQUE built-in sketch
+    by error envelope), these registers ARE the merge contract, so the
+    oracle recomputes them exactly: portable md5 hash, integer
+    bucket/shift, bit_length via bin() — no floats anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    return hll_rows(docs, "text", ["source"]).orderBy("source", "reg")
+
+
+def ddsketch_buckets(spark, sf_dir):
+    """Persistable DDSketch of n_chars per source, rows form
+    (source, bucket, n_rows): bucket = ceil(ln(x)/ln(gamma)), SUM-
+    mergeable counts; ln(gamma) crosses both engines as ONE shared
+    literal.  Feeds dd_quantile for alpha-relative-error percentiles
+    without touching raw data."""
+    docs = table(spark, sf_dir, "documents")
+    return dd_rows(docs, "n_chars", ["source"]).orderBy("source", "bucket")
+
+
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_register_rows": hll_register_rows,
+    "ddsketch_buckets": ddsketch_buckets,
     "dedup_spans": dedup_spans,
     "domain_mix": domain_mix,
     "kmeans_lloyd": kmeans_lloyd,
@@ -2762,6 +2788,21 @@ _PQ_CTE = (
 )
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "hll_register_rows": (
+        "WITH h AS (SELECT source, (('0x'||substr(md5(text),1,15))::BIGINT) AS h FROM documents), "
+        "rr AS (SELECT source, CAST(h % 256 AS INT) AS reg, h // 256 AS w FROM h), "
+        "rk AS (SELECT source, reg, CASE WHEN w = 0 THEN 53 "
+        "ELSE CAST(52 - length(bin(w)) + 1 AS INT) END AS \"rank\" FROM rr) "
+        "SELECT source, reg, CAST(MAX(\"rank\") AS INT) AS \"rank\" FROM rk "
+        "GROUP BY source, reg ORDER BY source, reg"
+    ),
+    "ddsketch_buckets": (
+        "WITH b AS (SELECT source, "
+        f"CAST(CEIL(ln(CAST(n_chars AS DOUBLE)) / {DD_LN_GAMMA!r}) AS INT) AS bucket "
+        "FROM documents) "
+        "SELECT source, bucket, COUNT(*) AS n_rows FROM b "
+        "GROUP BY source, bucket ORDER BY source, bucket"
+    ),
     "ann_pq_encode": (
         f"{_PQ_CTE} "
         "SELECT vec_id, CAST(m AS INTEGER) AS m, code FROM codes ORDER BY vec_id, m"

@@ -34,9 +34,18 @@ class IncrementalAggregateView:
     materialized as ``view_table`` and refreshed from CDC deltas.
 
     ``keys`` are the grouping columns; ``sums`` maps output column →
-    source column to SUM (a row count ``n_rows`` is always included).
-    Merging a delta summary into the stored view is re-aggregation of
-    their union — valid exactly because every measure is a sum."""
+    source column to SUM (a row count ``n_rows`` is always included)
+    and ``maxes`` maps output column → source column to MAX.  Merging
+    a delta summary into the stored view is re-aggregation of their
+    union — valid exactly because SUM is additive over disjoint
+    append-only deltas and MAX is commutative + idempotent.
+
+    ``transform`` (optional) is applied to the source rows — full
+    scan and CDC delta alike — BEFORE aggregation.  It must be
+    row-local (no aggregation of its own), which keeps the
+    delta-equals-rescan identity trivially true; it is what lets
+    sketch projections (HLL reg/rank, DDSketch buckets — see
+    ``functions/sketches.py``) ride this machinery unchanged."""
 
     def __init__(
         self,
@@ -45,19 +54,33 @@ class IncrementalAggregateView:
         view_table: str,
         keys: list[str],
         sums: dict[str, str] | None = None,
+        maxes: dict[str, str] | None = None,
+        transform=None,
     ):
         self.store = store
         self.source_table = source_table
         self.view_table = view_table
         self.keys = list(keys)
         self.sums = dict(sums or {})
+        self.maxes = dict(maxes or {})
+        self.transform = transform
         if not self.keys:
             raise ValueError("IncrementalAggregateView: at least one key column")
+        overlap = set(self.sums) & set(self.maxes)
+        if overlap or "n_rows" in self.sums or "n_rows" in self.maxes:
+            raise ValueError(
+                f"IncrementalAggregateView: measure name collision {overlap or 'n_rows'}"
+            )
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
+        if self.transform is not None:
+            df = self.transform(df)
         measures = [F.count(F.lit(1)).cast("long").alias("n_rows")]
         measures += [
             F.sum(F.col(src)).cast("long").alias(out) for out, src in self.sums.items()
+        ]
+        measures += [
+            F.max(F.col(src)).alias(out) for out, src in self.maxes.items()
         ]
         return df.groupBy(*self.keys).agg(*measures)
 
@@ -65,6 +88,7 @@ class IncrementalAggregateView:
         both = view.unionByName(delta_agg)
         measures = [F.sum("n_rows").cast("long").alias("n_rows")]
         measures += [F.sum(out).cast("long").alias(out) for out in self.sums]
+        measures += [F.max(out).alias(out) for out in self.maxes]
         return both.groupBy(*self.keys).agg(*measures)
 
     def refresh(self) -> int:
