@@ -326,3 +326,119 @@ def hits(
     return state.select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts (node, n_tri) over the undirected
+    simple graph of ``edges`` (self-loops and duplicates dropped).
+
+    Scale shape: DEGREE-ORDERED ORIENTATION (Cohen's MapReduce
+    triangle algorithm / Latapy's compact-forward) — every edge is
+    directed from its (degree, id)-smaller endpoint to the larger, so
+    out-degree is bounded by O(√m) and the wedge join generates
+    O(m^1.5) candidates worst case instead of Σdeg² (a star's hub
+    produces NO wedges: all its edges point inward).  Three equi-join
+    shuffles total: degree aggregation, wedge self-join on the pivot,
+    wedge-closing edge join.  The DuckDB oracle runs the naive
+    three-way join — optimizer-vs-spec equivalence, same contract as
+    dedup_ngram_jaccard's PPJoin-vs-naive."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ed = e.join(da, "a").join(db, "b")
+    # orient u -> v iff (deg(u), u) < (deg(v), v): a total order, so
+    # each undirected edge appears exactly once
+    fwd = F.col("dega") < F.col("degb")
+    tie = (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    o = ed.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd | tie, F.col("dega")).otherwise(F.col("degb")).alias("du"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd | tie, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    ).localCheckpoint()
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    # wedges (u; v, w) with v before w in orientation order — the
+    # closing edge, if present, is then oriented exactly v -> w
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u"))
+        & (
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | ((F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
+        ),
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """Community detection by synchronous label propagation with a
+    DETERMINISTIC update: each round every node adopts its neighbors'
+    most frequent label, ties broken by the smaller label (classic LPA
+    randomizes both the visit order and tie-breaks; pinning them makes
+    the result reproducible and oracle-replayable).  Fixed round
+    budget — synchronous LPA can oscillate on bipartite structures, so
+    convergence-to-fixpoint is not a meaningful stop condition.
+
+    Per round: one join shuffle (labels onto edge endpoints) + one
+    aggregation (neighbor label histogram) + one window top-1 per
+    node — all keyed by node id, linear state, no skew beyond the
+    graph's own degree skew (AQE's job).  Returns (node, label)."""
+    if rounds < 0:
+        raise ValueError("label_propagation: rounds must be >= 0")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(rounds):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        hist = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+        labels = (
+            hist.select("node", "label", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..operators.graph import triangle_counts
 from ..functions.sketches import DD_LN_GAMMA, dd_rows, hll_rows
 from ..functions.similarity import (
     MINHASH_PERMS,
@@ -2568,7 +2569,29 @@ def ddsketch_buckets(spark, sf_dir):
     return dd_rows(docs, "n_chars", ["source"]).orderBy("source", "bucket")
 
 
+
+
+def _toy_edges(spark, sf_dir):
+    """Deterministic ~500-edge graph on 200 nodes derived from doc_id
+    via the portable md5 hash — exists only so graph operators get a
+    DuckDB-differential fixture on the standard tables."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    a = portable_hash64(F.concat(F.lit("ga:"), F.col("doc_id").cast("string"))) % 200
+    b = portable_hash64(F.concat(F.lit("gb:"), F.col("doc_id").cast("string"))) % 200
+    return docs.select(a.alias("src"), b.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+
+
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts via degree-ordered orientation
+    (operators/graph.py triangle_counts); the oracle runs the naive
+    three-way self-join — optimizer-vs-spec equivalence."""
+    return triangle_counts(_toy_edges(spark, sf_dir)).orderBy("node")
+
+
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_triangles": graph_triangles,
     "hll_register_rows": hll_register_rows,
     "ddsketch_buckets": ddsketch_buckets,
     "dedup_spans": dedup_spans,
@@ -2788,6 +2811,16 @@ _PQ_CTE = (
 )
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "graph_triangles": (
+        "WITH raw AS (SELECT ((('0x'||substr(md5('ga:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sa, ((('0x'||substr(md5('gb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sb FROM documents), "
+        "e AS (SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b "
+        "FROM raw WHERE sa <> sb), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) "
+        "SELECT node, COUNT(*) AS n_tri FROM n GROUP BY node ORDER BY node"
+    ),
     "hll_register_rows": (
         "WITH h AS (SELECT source, (('0x'||substr(md5(text),1,15))::BIGINT) AS h FROM documents), "
         "rr AS (SELECT source, CAST(h % 256 AS INT) AS reg, h // 256 AS w FROM h), "

@@ -14,7 +14,11 @@ from rustcheatersdatapipeline_spark.functions.weburl import (
     host_graph,
     host_rank,
 )
-from rustcheatersdatapipeline_spark.operators.graph import pagerank
+from rustcheatersdatapipeline_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
 
 
 def _pagerank_ref(edges, damping=0.85, tol=1e-6, max_iter=40):
@@ -425,3 +429,100 @@ def test_personalized_pagerank_folds_duplicate_seeds(spark):
     assert set(got) == {"a", "b"}  # no duplicated state rows
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12
+
+
+# ---- triangle counting + label propagation (r8) ------------------------
+
+
+def _triangles_ref(edges):
+    """Naive reference: per-node triangle membership counts."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_match_reference_random_graph(spark):
+    rng = np.random.RandomState(88)
+    edges = [
+        (int(rng.randint(0, 40)), int(rng.randint(0, 40))) for _ in range(220)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == _triangles_ref(edges)
+
+
+def test_triangle_counts_known_shapes(spark):
+    # K4 has 4 triangles, every node in 3; a path has none
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+    # duplicates + reversed edges + self loops must not inflate counts
+    noisy = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + [(1, 1), (0, 1)], "src long, dst long"
+    )
+    got2 = {r["node"]: r["n_tri"] for r in triangle_counts(noisy).collect()}
+    assert got2 == got
+
+
+def _lpa_ref(edges, rounds):
+    """Identical-definition synchronous LPA: most frequent neighbor
+    label, ties to the smaller label."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            hist = {}
+            for m in adj[n]:
+                hist[labels[m]] = hist.get(labels[m], 0) + 1
+            best = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    rng = np.random.RandomState(19)
+    edges = [
+        (int(rng.randint(0, 30)), int(rng.randint(0, 30))) for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (0, 1, 3, 8):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == _lpa_ref(edges, rounds), rounds
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge settle into two
+    communities labeled by each clique's minimum id."""
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    df = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    got = {
+        r["node"]: r["label"] for r in label_propagation(df, rounds=6).collect()
+    }
+    assert all(got[n] == 0 for n in range(5))
+    assert all(got[n] == 10 for n in range(10, 15))
