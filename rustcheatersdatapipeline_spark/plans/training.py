@@ -354,18 +354,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # so the explode+distinct shuffle runs once, not three times
     k = choose_shingle_k(spark, sf_dir)
     sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
-    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc set size as a window count over the SAME partition key as
     # the row_number — both windows share one doc_id shuffle, replacing
     # the former groupBy("doc_id")+join (one aggregate exchange and one
     # join fewer; results identical since shingles are distinct per doc)
     wn = Window.partitionBy("doc_id")
-    # no hint on dfreq: it scales with the shingle vocabulary — AQE
-    # broadcasts it while it fits (the test-scale case) and
-    # shuffle-joins beyond, same policy as _jaccard_verify
+    # document frequency as a window count over g: shingles are distinct
+    # per doc, so COUNT(*) OVER (PARTITION BY g) IS df(g) exactly. This
+    # replaces the former groupBy("g")+join-back — one g-shuffle of the
+    # shingle table instead of an aggregate exchange PLUS a join that
+    # re-shuffled the same rows by g (the largest intermediate in the
+    # query, so one fewer full-data exchange at any corpus size).
+    wg = Window.partitionBy("g")
     prefix = (
-        sh.join(dfreq, "g")
+        sh.withColumn("df", F.count(F.lit(1)).over(wg))
         .select(
             "doc_id",
             "g",
@@ -428,13 +431,13 @@ def dedup_containment(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     k = choose_shingle_k(spark, sf_dir)
     sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
-    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
-    # same single-shuffle window trick as dedup_ngram_jaccard: the
-    # per-doc size rides the doc_id window instead of a groupBy+join
+    # same single-shuffle window tricks as dedup_ngram_jaccard: df rides
+    # a g-window and the per-doc size a doc_id-window — no groupBy+join
     wn = Window.partitionBy("doc_id")
+    wg = Window.partitionBy("g")
     prefix = (
-        sh.join(dfreq, "g")
+        sh.withColumn("df", F.count(F.lit(1)).over(wg))
         .select(
             "doc_id",
             "g",
