@@ -199,7 +199,27 @@ class GoldStore:
         delta must expose the same column set as ``read()`` after
         additive evolution, not its footer's pre-evolution subset.
         Legacy entries without a recorded schema fall back to
-        ``mergeSchema`` (footer merge)."""
+        ``mergeSchema`` (footer merge).
+
+        ``file_level`` entries (produced by ``merge``) reference an
+        explicit FILE set rather than whole dirs — a copy-on-write merge
+        rewrote some files of a dir and carried the rest forward by
+        reference, so the dir alone no longer describes the table."""
+        if entry.get("file_level"):
+            df = self._grouped_file_read([f["path"] for f in entry["files"]])
+            if entry.get("schema") is not None:
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import StructType
+
+                want = StructType.fromJson(entry["schema"])
+                cols = [
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in want.fields
+                ]
+                df = df.select(*cols)
+            return df
         dirs = [os.path.join(self.path, d) for d in self._dirs(entry)]
         r = self.spark.read
         if entry.get("schema") is not None:
@@ -209,6 +229,30 @@ class GoldStore:
         elif len(dirs) > 1:
             r = r.option("mergeSchema", "true")
         return r.parquet(*dirs)
+
+    def _grouped_file_read(self, rel_paths: list[str]) -> DataFrame:
+        """Open an explicit file list, grouped by staged table root
+        (``_data/<txn>/<name>``) so a ``col=value`` partition layout
+        reads with ``basePath`` pinned and Spark reconstructs the
+        partition column for exactly the files passed. Groups (one
+        schema each — a txn dir is written once) union by name with
+        missing columns allowed, the same additive-evolution semantics
+        as multi-dir entries."""
+        if not rel_paths:
+            raise ValueError("empty file list")
+        groups: dict[str, list[str]] = {}
+        for p in rel_paths:
+            parts = p.split(os.sep)
+            root = os.path.join(self.path, *parts[:3])
+            groups.setdefault(root, []).append(os.path.join(self.path, p))
+        frames = [
+            self.spark.read.option("basePath", root).parquet(*fs)
+            for root, fs in sorted(groups.items())
+        ]
+        base = frames[0]
+        for fr in frames[1:]:
+            base = base.unionByName(fr, allowMissingColumns=True)
+        return base
 
     def read(self, name: str) -> DataFrame:
         return self._read_entry(self.current_manifest()["tables"][name])
@@ -269,7 +313,42 @@ class GoldStore:
                 f"{name}: the manifest for v{from_version} was pruned — the "
                 "baseline is unknowable; do a full read instead"
             ) from None
-        base_dirs = set(self._dirs(base_tables[name])) if name in base_tables else set()
+        base_entry = base_tables.get(name)
+        if cur.get("file_level") or (base_entry or {}).get("file_level"):
+            # a merge() produced file-level entries: the dir set no
+            # longer describes the table, so diff at FILE granularity.
+            # Appends only grow the file set; a merge between the two
+            # versions shrank it (rewritten files dropped), and reading
+            # the new files would misreport updates as inserts — raise,
+            # consumer does a full read (same contract as an unrecorded
+            # compaction).
+            base_files = (
+                {f["path"] for f in (base_entry.get("files") or [])}
+                if base_entry is not None
+                else set()
+            )
+            if base_entry is not None and base_entry.get("files") is None:
+                raise ValueError(
+                    f"{name}: baseline v{from_version} predates file stats — "
+                    "file-level diff is unknowable; do a full read instead"
+                )
+            cur_files = [f["path"] for f in cur["files"]]
+            if not base_files <= set(cur_files):
+                raise ValueError(
+                    f"{name}: a merge since v{from_version} rewrote files — "
+                    "the delta is not append-only; do a full read instead"
+                )
+            delta_files = [p for p in cur_files if p not in base_files]
+            if not delta_files:
+                return self._read_entry(cur).limit(0)
+            return self._read_entry(
+                {
+                    "file_level": True,
+                    "files": [{"path": p} for p in delta_files],
+                    "schema": cur.get("schema"),
+                }
+            )
+        base_dirs = set(self._dirs(base_entry)) if base_entry is not None else set()
         cur_dirs = self._dirs(cur)
         if base_dirs <= set(cur_dirs):
             delta = [d for d in cur_dirs if d not in base_dirs]
@@ -302,6 +381,11 @@ class GoldStore:
         appended: list[str] = []
         for v in expected:
             entry = self.manifest_at(v)["tables"].get(name)
+            if entry is not None and entry.get("file_level"):
+                raise ValueError(
+                    f"{name}: v{v} is a merge (file-level rewrite) — dir-level "
+                    "diff would be wrong; do a full read instead"
+                )
             nxt = list(self._dirs(entry)) if entry else []
             if set(prev) <= set(nxt):
                 pset = set(prev)
@@ -440,7 +524,10 @@ class GoldStore:
                     maxs.append(st.max)
                 if mins and all(isinstance(v, (int, float, str, bool)) for v in (min(mins), max(maxs))):
                     stats[cname] = [min(mins), max(maxs)]
-            entry = {"path": os.path.relpath(fp, base), "stats": stats}
+            # per-file row count (free from the footer): lets merge()
+            # maintain the entry row total from metadata alone when it
+            # carries untouched files forward
+            entry = {"path": os.path.relpath(fp, base), "rows": md.num_rows, "stats": stats}
             # a col=value partition layout encodes columns in directory
             # names — record them per file so the planner can prune
             # partitioned facts from the manifest alone
@@ -618,6 +705,11 @@ class GoldStore:
                             name, prior.get("schema"), delta["schema"]
                         ),
                     }
+                    # appending to a merge-produced entry: the prior dirs
+                    # are only partially referenced, so the new entry must
+                    # stay file-level or reads would resurrect dead files
+                    if prior.get("file_level"):
+                        entry["file_level"] = True
                 if props is not None:
                     entry["properties"] = props
                 tables[name] = entry
@@ -648,6 +740,174 @@ class GoldStore:
             properties={name: props} if props else None,
             entry_extra={name: {"compacted_from": list(replaced)}},
         )
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        key_cols: list[str],
+        mode: str = "upsert",
+        lock_timeout: float = 30.0,
+    ) -> int:
+        """Row-level MERGE INTO with file-level copy-on-write — the
+        Delta/Iceberg merge shape (public designs), built on the store's
+        own manifest stats:
+
+        - ``mode="upsert"``: target rows whose key appears in ``source``
+          are REPLACED by the source row; source keys absent from the
+          target are INSERTED. ``source`` must carry full rows (additive
+          new columns evolve the schema) and unique keys.
+        - ``mode="delete"``: target rows whose key appears in ``source``
+          are removed; ``source`` only needs the key columns.
+
+        Cost model (the 100 TB contract): only files that MIGHT contain a
+        source key are ever opened. Candidates come from the manifest's
+        per-file [min,max]/partition metadata intersected with the
+        source's key bounds (one bounded agg job, metadata-only pruning);
+        the exact touched set then comes from an ``input_file_name()``
+        semi-join over candidates only. Untouched files carry forward BY
+        REFERENCE (``file_level`` entry) — a merge touching 3 files of a
+        million-file table stages 3 files' worth of rewrite plus the
+        inserts, never a table rewrite. Rewritten-away files stay on disk
+        until ``compact``/``vacuum`` (copy-on-write space amplification,
+        the standard trade).
+
+        Same write-audit-CAS protocol as ``publish``; ``changes_since``
+        across a merge raises (an update is not an append) unless the
+        merge was insert-only, which diffs exactly at file level."""
+        from pyspark.sql import functions as F
+
+        if mode not in ("upsert", "delete"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        base_version = self.current_version()
+        entry = self.current_manifest()["tables"].get(name)
+        if entry is None:
+            raise KeyError(name)
+        if mode == "upsert":
+            dup = (
+                source.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source has duplicate keys on {key_cols} — "
+                    "latest-wins needs an explicit pre-aggregation"
+                )
+        files = entry.get("files")
+        if files is None:
+            # legacy entry without file stats: no pruning possible —
+            # correct full copy-on-write rewrite of the whole table
+            touched_rel = None
+            untouched: list[dict] = []
+            target = self._read_entry(entry)
+        else:
+            # metadata-only candidate pruning: source key bounds vs the
+            # per-file [min,max]/partition metadata, one bounded agg job
+            bounds_row = source.agg(
+                *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
+                *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
+            ).collect()[0]
+            cand = []
+            for f in files:
+                keep = True
+                for i, c in enumerate(key_cols):
+                    lo, hi = bounds_row[f"lo_{i}"], bounds_row[f"hi_{i}"]
+                    if lo is None or hi is None:
+                        continue
+                    pm = self._partition_matches(f, c, lo, hi)
+                    if pm is False:
+                        keep = False
+                        break
+                    if pm is True:
+                        continue
+                    rng = f.get("stats", {}).get(c)
+                    if rng is not None and not (rng[1] >= lo and rng[0] <= hi):
+                        keep = False
+                        break
+                if keep:
+                    cand.append(f)
+            # exact touched set: which candidate files actually hold a
+            # source key (bounded collect — file names, not rows)
+            touched_rel = []
+            if cand:
+                keys = source.select(*key_cols).dropDuplicates(key_cols)
+                hit = (
+                    self._grouped_file_read([f["path"] for f in cand])
+                    .withColumn("__file", F.input_file_name())
+                    .join(keys, key_cols, "left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                from urllib.parse import unquote, urlparse
+
+                abs_hits = {
+                    unquote(urlparse(r["__file"]).path)
+                    if "://" in r["__file"] or r["__file"].startswith("file:")
+                    else r["__file"]
+                    for r in hit
+                }
+                touched_rel = [
+                    f["path"]
+                    for f in cand
+                    if os.path.join(self.path, f["path"]) in abs_hits
+                ]
+            if mode == "delete" and not touched_rel:
+                return base_version  # nothing to delete — no-op, no new version
+            untouched = [f for f in files if f["path"] not in set(touched_rel)]
+            target = (
+                self._grouped_file_read(touched_rel)
+                if touched_rel
+                else None
+            )
+
+        matched_keys = source.select(*key_cols).dropDuplicates(key_cols)
+        if target is not None:
+            kept = target.join(matched_keys, key_cols, "left_anti")
+        else:
+            kept = None
+        if mode == "upsert":
+            new_rows = source if kept is None else kept.unionByName(
+                source, allowMissingColumns=True
+            )
+        else:
+            if kept is None:
+                raise AssertionError("delete mode reached stage with no target")
+            new_rows = kept
+        txn = uuid.uuid4().hex[:12]
+        staged = self._stage_tables({name: new_rows}, txn, partitioned=False)
+
+        def merge_tables(tables: dict) -> None:
+            prior = tables[name]
+            delta = staged[name]
+            if untouched and not all("rows" in f for f in untouched):
+                carried = self._grouped_file_read(
+                    [f["path"] for f in untouched]
+                ).count()
+            else:
+                carried = sum(int(f["rows"]) for f in untouched)
+            prior_dirs = self._dirs(prior)
+            live_roots = {os.sep.join(f["path"].split(os.sep)[:3]) for f in untouched}
+            dirs = [d for d in prior_dirs if d in live_roots] + [delta["dir"]]
+            new_entry = {
+                "file_level": True,
+                "dirs": dirs,
+                "rows": carried + delta["rows"],
+                "files": untouched + delta["files"],
+                "schema": self._merge_schemas(name, prior.get("schema"), delta["schema"]),
+            }
+            props = prior.get("properties")
+            if props is not None:
+                new_entry["properties"] = props
+            tables[name] = new_entry
+
+        try:
+            return self._commit(merge_tables, base_version, txn, lock_timeout)
+        finally:
+            self._unmark_staged(txn)
 
     def _commit(self, update_tables, base_version: int, txn: str, lock_timeout: float) -> int:
         lock = os.path.join(self.path, self.LOCK)

@@ -1,0 +1,213 @@
+"""GoldStore.merge: file-level copy-on-write MERGE INTO.
+
+The reference's closest analogue is the Postgres ON CONFLICT upsert
+(LoadDimsOperator.py:25-28) — whole-table semantics through the DB. At
+100 TB the engine must do the same row-level upsert while opening ONLY
+the files that can contain a matched key; these tests pin both the
+semantics (vs a naive recompute) and the cost contract (untouched files
+carry forward by reference, byte-identical on disk).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rustcheatersdatapipeline_spark.warehouse.persist import (
+    ConcurrentWriteError,
+    GoldStore,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _rows(store, name):
+    return {tuple(r) for r in store.read(name).collect()}
+
+
+def _store_with_batches(spark, tmp_path, batches):
+    """An append-published table: one immutable dir per batch, disjoint
+    key ranges — the manifest stats make them individually prunable."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    v = 0
+    for rows in batches:
+        # coalesce(1): one file per batch so "touched files" == "touched
+        # batches" and the pruning assertions are exact
+        v = store.publish_append({"t": _df(spark, rows).coalesce(1)}, base_version=v)
+    return store, v
+
+
+BATCHES = [
+    [(1, "a1"), (2, "a2"), (3, "a3")],
+    [(10, "b1"), (11, "b2")],
+    [(20, "c1"), (21, "c2"), (22, "c3")],
+]
+
+
+def test_upsert_semantics_match_naive_recompute(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    src = _df(spark, [(2, "A2"), (21, "C2"), (99, "new")])
+    v = store.merge("t", src, ["k"])
+    assert v == 4
+    expect = {(1, "a1"), (2, "A2"), (3, "a3"), (10, "b1"), (11, "b2"),
+              (20, "c1"), (21, "C2"), (22, "c3"), (99, "new")}
+    assert _rows(store, "t") == expect
+    assert store.current_manifest()["tables"]["t"]["rows"] == len(expect)
+
+
+def test_untouched_files_carry_forward_by_reference(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    before = {f["path"] for f in store.current_manifest()["tables"]["t"]["files"]}
+    mtimes = {
+        p: os.stat(os.path.join(store.path, p)).st_mtime_ns for p in before
+    }
+    # keys hit batch 1 and batch 3 only — batch 2's file must survive
+    # with the same path and bytes (copy-on-write never rewrites it)
+    store.merge("t", _df(spark, [(2, "A2"), (21, "C2")]), ["k"])
+    entry = store.current_manifest()["tables"]["t"]
+    assert entry["file_level"] is True
+    after = {f["path"] for f in entry["files"]}
+    carried = before & after
+    # exactly one original file carried (the middle batch)
+    assert len(carried) == 1
+    p = next(iter(carried))
+    assert os.stat(os.path.join(store.path, p)).st_mtime_ns == mtimes[p]
+    # the carried file is the one whose key range the source misses
+    assert {tuple(r) for r in store.read("t").collect()} >= {(10, "b1"), (11, "b2")}
+
+
+def test_stats_prune_limits_the_exact_probe(spark, tmp_path):
+    """Files whose [min,max] key range cannot contain a source key are
+    never even candidates — checked through the manifest alone."""
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    entry = store.current_manifest()["tables"]["t"]
+    ranges = {f["path"]: f["stats"]["k"] for f in entry["files"]}
+    # source bounded inside batch 2's range: batches 1 and 3 prune on
+    # bounds; merge must carry BOTH forward untouched
+    before = set(ranges)
+    store.merge("t", _df(spark, [(11, "B2")]), ["k"])
+    after = {f["path"] for f in store.current_manifest()["tables"]["t"]["files"]}
+    assert len(before & after) == 2
+    assert _rows(store, "t") >= {(1, "a1"), (11, "B2"), (22, "c3")}
+
+
+def test_insert_only_merge_and_cdc_file_diff(spark, tmp_path):
+    store, v0 = _store_with_batches(spark, tmp_path, BATCHES)
+    before = {f["path"] for f in store.current_manifest()["tables"]["t"]["files"]}
+    store.merge("t", _df(spark, [(50, "x"), (51, "y")]), ["k"])
+    # no key matched: every original file carried, merge == append
+    entry = store.current_manifest()["tables"]["t"]
+    assert before <= {f["path"] for f in entry["files"]}
+    # and CDC across an insert-only merge is exact at file level
+    delta = {tuple(r) for r in store.changes_since("t", v0).collect()}
+    assert delta == {(50, "x"), (51, "y")}
+
+
+def test_cdc_raises_across_an_update_merge(spark, tmp_path):
+    store, v0 = _store_with_batches(spark, tmp_path, BATCHES)
+    store.merge("t", _df(spark, [(2, "A2")]), ["k"])
+    with pytest.raises(ValueError, match="rewrote files"):
+        store.changes_since("t", v0)
+
+
+def test_delete_mode(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    v = store.merge("t", spark.createDataFrame([(10,), (22,)], "k bigint"),
+                    ["k"], mode="delete")
+    assert v == 4
+    assert _rows(store, "t") == {(1, "a1"), (2, "a2"), (3, "a3"), (11, "b2"),
+                                 (20, "c1"), (21, "c2")}
+    # deleting keys that do not exist is a no-op and commits NO version
+    assert store.merge("t", spark.createDataFrame([(777,)], "k bigint"),
+                       ["k"], mode="delete") == v
+    assert store.current_version() == v
+    # deleting EVERY remaining row of a file stages an empty rewrite —
+    # the entry must stay readable
+    store.merge("t", spark.createDataFrame([(11,)], "k bigint"), ["k"], mode="delete")
+    assert _rows(store, "t") == {(1, "a1"), (2, "a2"), (3, "a3"),
+                                 (20, "c1"), (21, "c2")}
+
+
+def test_duplicate_source_keys_rejected(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        store.merge("t", _df(spark, [(2, "x"), (2, "y")]), ["k"])
+
+
+def test_additive_schema_evolution_through_merge(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    src = spark.createDataFrame([(2, "A2", 7)], "k bigint, v string, extra int")
+    store.merge("t", src, ["k"])
+    got = {tuple(r) for r in store.read("t").collect()}
+    assert (2, "A2", 7) in got
+    assert (10, "b1", None) in got  # pre-evolution file yields NULL
+
+
+def test_merge_then_append_then_read_and_compact(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    v = store.merge("t", _df(spark, [(2, "A2")]), ["k"])
+    v = store.publish_append({"t": _df(spark, [(60, "z")])}, base_version=v)
+    assert store.current_manifest()["tables"]["t"]["file_level"] is True
+    assert (60, "z") in _rows(store, "t") and (2, "A2") in _rows(store, "t")
+    rows_before = _rows(store, "t")
+    store.compact("t")
+    assert _rows(store, "t") == rows_before
+    assert "file_level" not in store.current_manifest()["tables"]["t"]
+
+
+def test_vacuum_keeps_partially_referenced_dirs(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    store.merge("t", _df(spark, [(2, "A2")]), ["k"])
+    rows = _rows(store, "t")
+    removed = store.vacuum(min_age_seconds=0.0)
+    # every dir still contributes at least one referenced file (the
+    # rewritten batch dir was fully superseded — allowed to go)
+    assert _rows(store, "t") == rows
+    live = {d for d in store.current_manifest()["tables"]["t"]["dirs"]}
+    for d in live:
+        assert os.path.isdir(os.path.join(store.path, d))
+    assert all(f"_data{os.sep}{t}" not in live for t in removed)
+
+
+def test_merge_cas_race_rejected(spark, tmp_path):
+    store, v = _store_with_batches(spark, tmp_path, BATCHES)
+    # another writer lands between read and merge commit: merge reads
+    # base_version itself, so simulate by a racing publish through a
+    # second handle after merge captured its base — easiest determinism:
+    # monkeypatch current_version to return a stale base
+    stale = v - 1
+    orig = store.current_version
+    store.current_version = lambda: stale  # type: ignore[method-assign]
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.merge("t", _df(spark, [(2, "A2")]), ["k"])
+    finally:
+        store.current_version = orig  # type: ignore[method-assign]
+
+
+def test_merge_on_partitioned_replace_published_table(spark, tmp_path):
+    """A replace-published partitioned fact (date_sk layout) merges with
+    the partition column reconstructed for carried files."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    df = spark.createDataFrame(
+        [(1, 100, "x"), (2, 100, "y"), (3, 200, "z")], "k bigint, date_sk int, v string"
+    ).repartition(1)
+    # PARTITIONED_FACTS gates on name; use plain publish (partitioned
+    # layout only applies to known facts) — emulate by two appends per
+    # date instead
+    v = store.publish_append({"fact": df.filter("date_sk = 100").coalesce(1)}, 0)
+    v = store.publish_append({"fact": df.filter("date_sk = 200").coalesce(1)}, v)
+    store.merge("fact", spark.createDataFrame([(2, 100, "Y")], "k bigint, date_sk int, v string"), ["k"])
+    assert _rows(store, "fact") == {(1, 100, "x"), (2, 100, "Y"), (3, 200, "z")}
+    # pruning on the untouched partition still works from the manifest
+    files = store.pruned_files("fact", "date_sk", 200, 200)
+    assert files is not None and len(files) == 1
+
+
+def test_read_at_time_travel_survives_merge(spark, tmp_path):
+    store, v0 = _store_with_batches(spark, tmp_path, BATCHES)
+    pre = {tuple(r) for r in store.read("t").collect()}
+    store.merge("t", _df(spark, [(2, "A2")]), ["k"])
+    assert {tuple(r) for r in store.read_at("t", v0).collect()} == pre
