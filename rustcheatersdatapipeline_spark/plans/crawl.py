@@ -461,3 +461,217 @@ def curate_dump(
     curated = _finish_curation(docs, clean)
     sink = CorpusIngestSink(store, k=k)
     return sink(curated, batch_id=-1)
+
+
+# --------------------------------------------------------------------------
+# crawl politeness: persisted robots rules + the scheduler's frontier feed
+# --------------------------------------------------------------------------
+
+
+class RobotsIngestSink:
+    """Persisted RFC 9309 rules from the raw crawl stream — the
+    politeness evidence behind frontier admission.
+
+    Runs beside the document/host-graph sinks over the same WARC record
+    stream: each micro-batch's 200-OK ``*/robots.txt`` responses parse
+    into rule rows (functions/robots.py) stamped with a per-host
+    ``fetch_seq``; reads resolve LATEST-FETCH-WINS per host, so a
+    re-crawl that changed a site's robots.txt supersedes the old rules
+    without rewriting anything (append-only ingest, the same CAS loop
+    as every other index). A replayed batch appends byte-identical rows
+    under the same fetch_seq, which the latest-wins read collapses —
+    decisions are replay-stable. Compaction folds the table to each
+    host's newest fetch. 100 TB shape: O(robots responses in the batch)
+    per batch; the table is bounded by hosts x rules, independent of
+    crawl bytes."""
+
+    MAX_DIRS = 16
+    KEEP_VERSIONS = 4
+
+    def __init__(
+        self,
+        store: GoldStore,
+        table: str = "robots_rules",
+        max_dirs: int | None = None,
+        keep_versions: int | None = None,
+    ):
+        self.store = store
+        self.table = table
+        self.max_dirs = self.MAX_DIRS if max_dirs is None else max_dirs
+        self.keep_versions = self.KEEP_VERSIONS if keep_versions is None else keep_versions
+
+    def __call__(self, warc_batch: DataFrame, batch_id: int) -> int:
+        from ..functions.robots import parse_robots
+
+        bodies = warc_batch.filter(
+            F.col("corrupt_reason").isNull()
+            & (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.lower(F.col("target_uri")).rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt(\?.*)?$")
+        ).select(
+            F.col("target_uri").alias("url"),
+            F.col("payload").cast("string").alias("body"),
+        )
+        delta = parse_robots(bodies).withColumn(
+            "fetch_seq", F.lit(int(batch_id)).cast("bigint")
+        ).cache()
+        try:
+            n_rules = delta.count()
+            if n_rules == 0:
+                return 0
+            last: ConcurrentWriteError | None = None
+            for _ in range(5):
+                base = self.store.current_version()
+                try:
+                    self.store.publish_append({self.table: delta}, base)
+                    break
+                except ConcurrentWriteError as e:
+                    last = e
+            else:
+                raise last
+        finally:
+            delta.unpersist()
+        self._maybe_compact()
+        return n_rules
+
+    def _maybe_compact(self) -> None:
+        tables = self.store.current_manifest()["tables"]
+        entry = tables.get(self.table)
+        if entry and len(self.store._dirs(entry)) > self.max_dirs:
+            try:
+                folded = _latest_rules(self.store.read(self.table))
+                self.store.publish({self.table: folded}, self.store.current_version())
+                self.store.vacuum(keep_versions=self.keep_versions)
+            except ConcurrentWriteError:
+                pass  # a concurrent writer won; next batch retries
+
+
+def _latest_rules(rules: DataFrame) -> DataFrame:
+    """Each host's newest fetch (max fetch_seq), duplicates from batch
+    replays folded — the read-side resolution of the append-only rules
+    history. One host-keyed window + distinct."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host")
+    return (
+        rules.withColumn("_mx", F.max("fetch_seq").over(w))
+        .filter(F.col("fetch_seq") == F.col("_mx"))
+        .drop("_mx")
+        .distinct()
+    )
+
+
+def robots_rules_from_store(store: GoldStore, table: str = "robots_rules") -> DataFrame:
+    """The current per-host rule set (latest fetch wins), shaped for
+    ``functions.robots.robots_decisions``. Empty-shaped frame when no
+    robots have been ingested yet (every URL then defaults to
+    allowed)."""
+    tables = store.current_manifest()["tables"]
+    if table not in tables:
+        return store.spark.createDataFrame(
+            [],
+            "host string, agent string, is_allow int, pattern string, "
+            "like_pattern string, pattern_len int, crawl_delay double, "
+            "fetch_seq bigint",
+        )
+    return _latest_rules(store.read(table))
+
+
+def frontier_decisions(
+    urls: DataFrame,
+    store: GoldStore,
+    agent: str,
+    table: str = "robots_rules",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, allowed int, crawl_delay double|null) for candidate
+    frontier URLs against the persisted rules — the admission gate a
+    crawl scheduler applies before enqueueing fetches. Hosts with no
+    ingested robots.txt default to allowed (RFC 9309 5xx/absent
+    semantics are the fetcher's concern; the table records what WAS
+    fetched)."""
+    from ..functions.robots import robots_decisions
+
+    return robots_decisions(
+        urls, robots_rules_from_store(store, table).drop("fetch_seq"), agent,
+        url_col=url_col,
+    )
+
+
+def prioritized_frontier(
+    urls: DataFrame,
+    store: GoldStore,
+    agent: str,
+    robots_table: str = "robots_rules",
+    graph_table: str = "host_graph",
+    url_col: str = "url",
+) -> DataFrame:
+    """The crawl scheduler's feed: candidate URLs admitted by the
+    persisted robots rules, annotated with the host's PageRank from the
+    persisted link graph and ordered best-first:
+
+    (url, host, crawl_delay double|null, rank double)
+
+    Disallowed URLs are dropped; hosts absent from the link graph rank
+    0 (still crawled, after known-good hosts). Both inputs are the
+    bounded per-host indexes — nothing here scans the corpus."""
+    from ..functions.robots import _host_of
+
+    decided = frontier_decisions(urls, store, agent, robots_table, url_col=url_col)
+    admitted = decided.filter(F.col("allowed") == 1).select(
+        "url", _host_of(F.col("url")).alias("host"), "crawl_delay"
+    )
+    tables = store.current_manifest()["tables"]
+    if graph_table in tables:
+        ranks = host_rank_from_store(store, graph_table)
+    else:
+        ranks = store.spark.createDataFrame([], "host string, rank double")
+    return (
+        admitted.join(ranks, "host", "left")
+        .select(
+            "url", "host", "crawl_delay", F.coalesce("rank", F.lit(0.0)).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), "url")
+    )
+
+
+def discover_sitemap_urls(warc_batch: DataFrame) -> DataFrame:
+    """(host, url, kind) candidates discovered from the batch's
+    politeness documents: ``kind='sitemap'`` rows are further sitemap
+    fetches (``Sitemap:`` directives inside robots.txt responses and
+    ``<loc>`` entries of sitemap-INDEX documents); ``kind='page'`` rows
+    are page URLs from urlset documents. Feed the pages (minus the
+    persisted URL frontier) into ``prioritized_frontier`` to seed the
+    next fetch round — sitemap discovery is how a polite crawler finds
+    pages without scraping for links."""
+    from ..functions.robots import parse_sitemaps, robots_sitemap_urls, _host_of
+
+    ok = warc_batch.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+    )
+    robots = ok.filter(
+        F.lower(F.col("target_uri")).rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt(\?.*)?$")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("body"),
+    )
+    from_robots = robots_sitemap_urls(robots).select(
+        "host", F.col("sitemap_url").alias("url"), F.lit("sitemap").alias("kind")
+    )
+    xml = ok.filter(
+        F.lower(F.col("target_uri")).rlike(r"\.xml(\.gz)?(\?.*)?$")
+        | F.col("mime").isin("application/xml", "text/xml")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("body"),
+    )
+    from_xml = parse_sitemaps(xml).select(
+        _host_of(F.col("loc")).alias("host"),
+        F.col("loc").alias("url"),
+        F.when(F.col("kind") == "index", F.lit("sitemap"))
+        .otherwise(F.lit("page"))
+        .alias("kind"),
+    )
+    return from_robots.unionByName(from_xml).distinct()
