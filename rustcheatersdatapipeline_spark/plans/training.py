@@ -1459,6 +1459,128 @@ def weighted_sample_k(spark, sf_dir):
     )
 
 
+#: DSIR hashed-n-gram feature space (buckets) and resample size
+DSIR_BUCKETS = 2048
+DSIR_K = 40
+#: fixed-point scale for per-bucket log-ratio contributions — summing
+#: scaled BIGINTs is order-independent, so the distributed fold is
+#: bit-identical to the oracle (the BM25/TF-IDF discipline)
+_DSIR_SCALE = 1000000.0
+
+
+def _dsir_grams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bucket): one row per unigram AND bigram OCCURRENCE (counts
+    matter — the model is a bag of hashed n-grams), bucketed by the
+    portable 60-bit hash into DSIR_BUCKETS. Pure codegen."""
+    ts = ws_tokens(text_col)
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({_WS_EXPR(text_col)}) - 1), "
+            f"i -> concat(element_at({_WS_EXPR(text_col)}, i), ' ', "
+            f"element_at({_WS_EXPR(text_col)}, i + 1)))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(ts, bigrams)).alias("gram"),
+    )
+    return grams.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("ds:"), F.col("gram"))),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+
+
+def _WS_EXPR(text_col: str) -> str:
+    """SQL-text form of ws_tokens for use inside F.expr lambdas."""
+    return f"filter(split({text_col}, ' '), x -> x <> '')"
+
+
+def dsir_logweight_frame(raw: DataFrame, target: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public) — importance log-weights of ``raw`` documents toward the
+    ``target`` distribution, under bag-of-hashed-n-gram unigram models
+    with Laplace smoothing:
+
+        logw(doc) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]
+
+    Returns (doc_id, logw_scaled bigint, n_grams bigint): each bucket's
+    log-ratio is fixed-point-scaled (⌊1e6·Δln⌋) so the per-document sum
+    is an exact integer fold — order-independent across partitions and
+    bit-identical in the SQL oracle. Empty-text documents carry no
+    grams and drop out (no evidence, no weight).
+
+    100 TB shape: two linear gram scans + a DSIR_BUCKETS-row score
+    table joined back (AQE broadcasts it — bounded by construction) +
+    one hash aggregate. No driver transfer, no pairwise anything."""
+    rg = _dsir_grams(raw, text_col, id_col)
+    tg = _dsir_grams(target, text_col, id_col)
+    rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rcnt"))
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("tcnt"))
+    tot = rg.agg(F.count(F.lit(1)).alias("r_tot")).crossJoin(
+        tg.agg(F.count(F.lit(1)).alias("t_tot"))
+    )
+    b = F.lit(float(DSIR_BUCKETS))
+    s = F.floor(
+        F.lit(_DSIR_SCALE)
+        * (
+            F.log((F.coalesce(F.col("tcnt"), F.lit(0)) + 1) / (F.col("t_tot") + b))
+            - F.log((F.col("rcnt") + 1) / (F.col("r_tot") + b))
+        )
+    ).cast("bigint")
+    scores = rc.join(tc, "bucket", "left").crossJoin(tot).select("bucket", s.alias("s"))
+    return (
+        rg.join(scores, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").alias("logw_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+    )
+
+
+def _dsir_target(docs: DataFrame) -> DataFrame:
+    """The deterministic pseudo-target slice used by the query entries
+    (a fixed 1-in-11 sample standing in for 'trusted high-quality
+    corpus')."""
+    return docs.filter(F.col("doc_id") % 11 == 0)
+
+
+def dsir_logweights(spark, sf_dir):
+    """DSIR importance log-weights of every document toward the fixed
+    pseudo-target slice — the scoring half of importance resampling."""
+    docs = table(spark, sf_dir, "documents")
+    return dsir_logweight_frame(docs, _dsir_target(docs)).orderBy("doc_id")
+
+
+def dsir_resample(spark, sf_dir):
+    """DSIR selection: Gumbel-max sampling WITHOUT replacement of
+    DSIR_K documents with probability ∝ exp(logw) — equivalent to A-ES
+    but computed entirely in the log domain (exp(logw) overflows for
+    long documents; logw + Gumbel noise never does). The Gumbel draw
+    comes from the portable hash, so the 'randomness' replays
+    identically in the oracle; the key stays a scaled BIGINT so
+    ordering is platform-exact."""
+    docs = table(spark, sf_dir, "documents")
+    lw = dsir_logweight_frame(docs, _dsir_target(docs))
+    h = portable_hash64(F.concat(F.lit("dg:"), F.col("doc_id").cast("string")))
+    u = (F.pmod(h, F.lit(_WSAMPLE_M - 1)) + 1) / F.lit(float(_WSAMPLE_M))
+    gumbel_scaled = F.floor(F.lit(_DSIR_SCALE) * -F.log(-F.log(u))).cast("bigint")
+    return (
+        lw.select(
+            "doc_id",
+            "logw_scaled",
+            (F.col("logw_scaled") + gumbel_scaled).alias("key_scaled"),
+        )
+        .orderBy(F.col("key_scaled").desc(), "doc_id")
+        .limit(DSIR_K)
+    )
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2626,7 +2748,34 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_sliding": chunk_sliding,
     "corpus_source_report": corpus_source_report,
     "weighted_sample_k": weighted_sample_k,
+    "dsir_logweights": dsir_logweights,
+    "dsir_resample": dsir_resample,
 }
+
+
+#: shared DSIR oracle CTE chain: hashed unigram+bigram occurrences for
+#: the raw corpus and the fixed 1-in-11 pseudo-target, the Laplace
+#: log-ratio score per bucket (fixed-point BIGINT), per-doc integer sums
+_DSIR_CTE = (
+    "ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts "
+    "FROM documents), "
+    "uni AS (SELECT doc_id, unnest(ts) AS gram FROM ts), "
+    "bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1), "
+    "i -> ts[i] || ' ' || ts[i + 1])) AS gram FROM ts), "
+    "g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+    f"rg AS (SELECT doc_id, (('0x'||substr(md5('ds:'||gram),1,15))::BIGINT) % {DSIR_BUCKETS} AS bucket FROM g), "
+    "tg AS (SELECT bucket FROM rg WHERE doc_id % 11 = 0), "
+    "rc AS (SELECT bucket, COUNT(*) AS rcnt FROM rg GROUP BY bucket), "
+    "tc AS (SELECT bucket, COUNT(*) AS tcnt FROM tg GROUP BY bucket), "
+    "tot AS (SELECT (SELECT COUNT(*) FROM rg) AS r_tot, (SELECT COUNT(*) FROM tg) AS t_tot), "
+    "sc AS (SELECT bucket, CAST(FLOOR(1000000.0 * ("
+    f"ln((COALESCE(tcnt, 0) + 1) / (t_tot + {DSIR_BUCKETS}.0)) - "
+    f"ln((rcnt + 1) / (r_tot + {DSIR_BUCKETS}.0)))) AS BIGINT) AS s "
+    "FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot), "
+    "lw AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS logw_scaled, "
+    "CAST(COUNT(*) AS BIGINT) AS n_grams "
+    "FROM rg JOIN sc USING (bucket) GROUP BY doc_id)"
+)
 
 
 def _jaccard_tail(pair_src: str) -> str:
@@ -2870,6 +3019,19 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "FROM documents) "
         "SELECT doc_id, w, ln(u) / w AS sample_key FROM b "
         f"ORDER BY sample_key DESC, doc_id LIMIT {WSAMPLE_K}"
+    ),
+    "dsir_logweights": (
+        f"WITH {_DSIR_CTE} "
+        "SELECT doc_id, logw_scaled, n_grams FROM lw ORDER BY doc_id"
+    ),
+    "dsir_resample": (
+        f"WITH {_DSIR_CTE}, "
+        "k AS (SELECT doc_id, logw_scaled, logw_scaled + CAST(FLOOR(1000000.0 * "
+        f"-ln(-ln(((('0x'||substr(md5('dg:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT "
+        f"% {_WSAMPLE_M - 1}) + 1) / CAST({_WSAMPLE_M} AS DOUBLE)))) AS BIGINT) AS key_scaled "
+        "FROM lw) "
+        "SELECT doc_id, logw_scaled, key_scaled FROM k "
+        f"ORDER BY key_scaled DESC, doc_id LIMIT {DSIR_K}"
     ),
     "corpus_source_report": (
         "WITH b AS (SELECT source, len(text) AS nc, "
