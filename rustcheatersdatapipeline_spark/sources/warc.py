@@ -600,3 +600,32 @@ def warc_to_documents(warc: DataFrame, lines: bool = False) -> DataFrame:
         F.lit(None).cast("string").alias("lang"),
         F.col("target_uri").alias("source"),
     ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def wet_to_documents(warc: DataFrame) -> DataFrame:
+    """Distill WET ``conversion`` records (Common Crawl's pre-extracted
+    text sidecar — the same WARC container, ``WARC-Type: conversion``
+    with a UTF-8 ``text/plain`` payload and no HTTP envelope) into the
+    documents-table shape. WET is the cheapest crawl entry point at
+    100 TB: the text extraction already happened upstream, so this path
+    is pure codegen — a filter, a binary→string cast, and the stable
+    identity hash; no Python worker at all (vs the HTML parse in
+    ``warc_to_documents``).
+
+    Reads through the SAME ``read_warc``/``open_warc_*`` machinery
+    (WET files are WARC files), so corrupt-span quarantine, gzip member
+    handling, and the streaming drop-folder form all apply unchanged."""
+    conv = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "conversion")
+        & F.col("mime").startswith("text/plain")
+    )
+    return (
+        conv.select(
+            F.xxhash64("record_id", "target_uri").alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("target_uri").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
