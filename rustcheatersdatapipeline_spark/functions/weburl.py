@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 #: query parameters that identify a CLICK, not a resource
 TRACKING_PARAMS = (
@@ -120,6 +121,25 @@ def quality_compression_flags(
     )
 
 
+@F.pandas_udf(StringType())
+def _resolve(base: pd.Series, ref: pd.Series) -> pd.Series:
+    """Resolve a (possibly relative) reference against its page URL with
+    stdlib ``urljoin`` — the one Arrow-batched Python step in the link
+    and anchor extractors; non-HTTP results drop to NULL."""
+    from urllib.parse import urljoin
+
+    def run(b, r):
+        if b is None or r is None:
+            return None
+        try:
+            out = urljoin(b, r.strip())
+        except ValueError:
+            return None
+        return out if out.startswith(("http://", "https://")) else None
+
+    return pd.Series([run(b, r) for b, r in zip(base, ref)])
+
+
 def extract_links(
     pages: DataFrame,
     html_col: str = "html",
@@ -134,21 +154,6 @@ def extract_links(
     Non-fetchable schemes (mailto/javascript/data/tel) and empty or
     fragment-only references drop. ``max_links_per_page`` bounds the
     explode fan-out so one pathological page cannot skew a partition."""
-    from urllib.parse import urljoin
-
-    @F.pandas_udf("string")
-    def _resolve(base: pd.Series, ref: pd.Series) -> pd.Series:
-        def run(b, r):
-            if b is None or r is None:
-                return None
-            try:
-                out = urljoin(b, r.strip())
-            except ValueError:
-                return None
-            return out if out.startswith(("http://", "https://")) else None
-
-        return pd.Series([run(b, r) for b, r in zip(base, ref)])
-
     refs = F.slice(
         F.regexp_extract_all(
             F.col(html_col), F.lit(r'''(?i)\b(?:href|src)\s*=\s*["']([^"'<>]+)["']'''), 1
@@ -214,4 +219,76 @@ def host_rank(
                  damping=damping, tol=tol,
                  weight="n_links" if weighted else None)
         .select(F.col("node").alias("host"), "rank")
+    )
+
+
+#: anchor elements: href attribute + inner markup up to the closing tag
+_ANCHOR_RX = r'''(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]+)["'][^>]*>(.*?)</a>'''
+
+
+def extract_anchors(
+    pages: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    max_anchors_per_page: int = 500,
+) -> DataFrame:
+    """(base, link, anchor) rows from raw HTML pages — the anchor-TEXT
+    signal the link extractor drops: what other pages CALL a document is
+    a classic relevance/label source for pretraining and retrieval
+    corpora (public technique — anchor text has powered web ranking
+    since WWW7's Google paper).
+
+    The element scan is one JVM regex applied twice (group 1 = href,
+    group 2 = inner markup) — two ``regexp_extract_all`` calls over the
+    SAME pattern yield position-aligned arrays, so ``arrays_zip`` pairs
+    them without a Python step. Inner markup strips nested tags and
+    collapses whitespace in codegen; href resolution reuses the shared
+    Arrow ``_resolve`` boundary. Image-only/empty anchors drop (no text
+    signal); the per-page cap bounds explode fan-out exactly like
+    ``extract_links``."""
+    pairs = F.slice(
+        F.arrays_zip(
+            F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RX), 1).alias("ref"),
+            F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RX), 2).alias("raw"),
+        ),
+        1,
+        max_anchors_per_page,
+    )
+    bad = r"(?i)^(mailto|javascript|data|tel):"
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p.raw"), r"<[^>]*>", " "),
+            r"[\t\n\x0B\f\r ]+",
+            " ",
+        )
+    )
+    return (
+        pages.select(F.col(base_col).alias("_base"), F.explode(pairs).alias("_p"))
+        .select("_base", F.col("_p.ref").alias("_ref"), text.alias("anchor"))
+        .filter(
+            (F.col("anchor") != "")
+            & (F.trim("_ref") != "")
+            & ~F.trim("_ref").startswith("#")
+            & ~F.trim("_ref").rlike(bad)
+        )
+        .select(
+            canonical_url("_base").alias("base"),
+            canonical_url(_resolve("_base", "_ref")).alias("link"),
+            "anchor",
+        )
+        .filter(F.col("link").isNotNull() & (F.col("link") != F.col("base")))
+        .distinct()
+    )
+
+
+def anchor_text_summary(anchors: DataFrame) -> DataFrame:
+    """(link, anchor, n_pages) — how many DISTINCT pages describe
+    ``link`` with each anchor text: the aggregated training/retrieval
+    signal (a target's most common anchor is its crowd-sourced title).
+    One hash aggregate over the anchor rows; ``n_pages`` counts pages
+    not occurrences, so a single page repeating its nav bar cannot
+    dominate a label."""
+    return (
+        anchors.groupBy("link", "anchor")
+        .agg(F.countDistinct("base").alias("n_pages"))
     )
