@@ -195,3 +195,114 @@ def image_dedup_clusters(hashes: DataFrame, max_hamming: int = HAM_K) -> DataFra
         )
         .withColumn("survivor", (F.col("item_id") == F.col("cluster")).cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# video: keyframe pHash sequences
+# --------------------------------------------------------------------------
+
+#: evenly-spaced keyframes hashed per video, and how many of those rank
+#: positions must match (each within HAM_K) for a near-dup verdict —
+#: 3-of-4 tolerates one scene swap/retitle while rejecting coincidental
+#: single-frame collisions
+VIDEO_FRAMES = 4
+VIDEO_MIN_MATCH = 3
+
+VIDEO_PHASH_SCHEMA = "item_id bigint, frame_rank int, phash bigint"
+
+
+def featurize_video_phash(media: DataFrame, n_frames: int = VIDEO_FRAMES) -> DataFrame:
+    """(item_id, frame_rank, phash) — pHash of ``n_frames`` evenly-spaced
+    frames per multi-frame payload (AVI/GIF/APNG through the shared
+    decode dispatch). Rank positions are duration-NORMALIZED (rank r
+    samples frame ⌊r·(T−1)/(n−1)⌋), so two copies of the same content at
+    different frame counts (re-muxed, fps-converted) hash the same
+    positions. One decode per video, no per-frame PNG round-trip;
+    undecodable payloads quarantine out exactly like the still path."""
+    if n_frames < 2:
+        raise ValueError("featurize_video_phash: n_frames must be >= 2")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .pixels import DECODE_QUARANTINE, decode_image_frames
+
+        cols = ["item_id", "frame_rank", "phash"]
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    frames = decode_image_frames(buf)
+                except DECODE_QUARANTINE:
+                    continue
+                if frames is None or frames.shape[0] == 0:
+                    continue
+                t = frames.shape[0]
+                for r in range(n_frames):
+                    idx = (r * (t - 1)) // (n_frames - 1)
+                    h = phash64(frames[idx])
+                    rows.append(
+                        {
+                            "item_id": item_id,
+                            "frame_rank": r,
+                            "phash": h - (1 << 64) if h >= (1 << 63) else h,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_neardup(
+    sigs: DataFrame,
+    min_matching: int = VIDEO_MIN_MATCH,
+    max_hamming: int = HAM_K,
+    rank_tolerance: int = 0,
+) -> DataFrame:
+    """(item_a, item_b, n_frames_matched) video near-dup pairs: at least
+    ``min_matching`` rank positions whose frame pHashes are within
+    ``max_hamming``.
+
+    Candidates reuse the image pigeonhole machinery per frame — the
+    band equi-join is complete for each frame pair within the radius,
+    and a qualifying VIDEO pair needs every counted frame pair to be
+    within the radius, so completeness lifts from frames to videos.
+    ``rank_tolerance=1`` also matches neighboring rank positions
+    (trimmed/offset copies) at ~3x the candidate volume. Never a
+    pairwise scan: candidates ≈ videos sharing a (band, key) bucket per
+    rank."""
+    if max_hamming >= N_BANDS:
+        raise ValueError("bands must outnumber the Hamming radius")
+    bands = explode_bands(sigs, extra=("item_id", "frame_rank"))
+    a, b = bands.alias("a"), bands.alias("b")
+    rank_cond = (
+        (F.col("a.frame_rank") == F.col("b.frame_rank"))
+        if rank_tolerance == 0
+        else (
+            F.abs(F.col("a.frame_rank") - F.col("b.frame_rank")) <= rank_tolerance
+        )
+    )
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.item_id") < F.col("b.item_id"))
+            & rank_cond,
+        )
+        .select(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+            F.col("a.frame_rank").alias("rank_a"),
+            F.col("b.frame_rank").alias("rank_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("item_a", "item_b", "rank_a")
+        .distinct()  # one vote per (pair, source rank) however many bands agree
+    )
+    return (
+        matched.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_matching)
+        .orderBy("item_a", "item_b")
+    )
