@@ -909,6 +909,73 @@ class GoldStore:
         finally:
             self._unmark_staged(txn)
 
+    def optimize(
+        self,
+        name: str,
+        min_live_fraction: float = 0.5,
+        lock_timeout: float = 30.0,
+    ) -> int | None:
+        """Reclaim merge debt: rewrite the dirs of a ``file_level``
+        entry whose LIVE fraction (referenced files / files on disk)
+        fell below ``min_live_fraction``, folding their live rows into
+        one fresh dir. Healthy dirs and their files carry forward
+        untouched — unlike ``compact`` this never rewrites the whole
+        table, so the maintenance cost tracks the DEAD bytes, not the
+        table size (the Delta OPTIMIZE shape). Dead files become
+        unreferenced-dir garbage for ``vacuum`` once their dir drops
+        out of the retained manifests. Returns the committed version,
+        or None when there was nothing to do."""
+        import glob as _glob
+
+        base_version = self.current_version()
+        entry = self.current_manifest()["tables"].get(name)
+        if entry is None:
+            raise KeyError(name)
+        if not entry.get("file_level"):
+            return None
+        files = entry["files"]
+        by_dir: dict[str, list[dict]] = {}
+        for f in files:
+            d = os.sep.join(f["path"].split(os.sep)[:3])
+            by_dir.setdefault(d, []).append(f)
+        victims = []
+        for d, live in by_dir.items():
+            on_disk = _glob.glob(
+                os.path.join(self.path, d, "**", "*.parquet"), recursive=True
+            )
+            if on_disk and len(live) / len(on_disk) < min_live_fraction:
+                victims.append(d)
+        if not victims:
+            return None
+        vset = set(victims)
+        rewritten = [f for f in files if os.sep.join(f["path"].split(os.sep)[:3]) in vset]
+        untouched = [f for f in files if os.sep.join(f["path"].split(os.sep)[:3]) not in vset]
+        live_rows = self._grouped_file_read([f["path"] for f in rewritten])
+        txn = uuid.uuid4().hex[:12]
+        staged = self._stage_tables({name: live_rows}, txn, partitioned=False)
+
+        def fold_tables(tables: dict) -> None:
+            prior = tables[name]
+            delta = staged[name]
+            prior_dirs = self._dirs(prior)
+            live_roots = {os.sep.join(f["path"].split(os.sep)[:3]) for f in untouched}
+            new_entry = {
+                "file_level": True,
+                "dirs": [d for d in prior_dirs if d in live_roots] + [delta["dir"]],
+                "rows": int(prior.get("rows", 0)),  # row-preserving rewrite
+                "files": untouched + delta["files"],
+                "schema": self._merge_schemas(name, prior.get("schema"), delta["schema"]),
+            }
+            props = prior.get("properties")
+            if props is not None:
+                new_entry["properties"] = props
+            tables[name] = new_entry
+
+        try:
+            return self._commit(fold_tables, base_version, txn, lock_timeout)
+        finally:
+            self._unmark_staged(txn)
+
     def _commit(self, update_tables, base_version: int, txn: str, lock_timeout: float) -> int:
         lock = os.path.join(self.path, self.LOCK)
         deadline = time.monotonic() + lock_timeout

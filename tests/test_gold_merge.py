@@ -211,3 +211,36 @@ def test_read_at_time_travel_survives_merge(spark, tmp_path):
     pre = {tuple(r) for r in store.read("t").collect()}
     store.merge("t", _df(spark, [(2, "A2")]), ["k"])
     assert {tuple(r) for r in store.read_at("t", v0).collect()} == pre
+
+
+def test_optimize_reclaims_merge_debt(spark, tmp_path):
+    """After merges hollow out a dir, optimize rewrites ONLY that dir's
+    live rows; healthy dirs carry forward byte-identical."""
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    # write batch 1's file half-dead: rewrite 2 of its 3 keys
+    store.merge("t", _df(spark, [(1, "A1"), (2, "A2")]), ["k"])
+    rows_before = _rows(store, "t")
+    entry = store.current_manifest()["tables"]["t"]
+    healthy = {
+        f["path"] for f in entry["files"]
+        if f["path"].split(os.sep)[1] != entry["dirs"][-1].split(os.sep)[1]
+    }
+    # the merge rewrote batch-1's whole file (copy-on-write), so every
+    # dir is fully live — force debt by deleting from the NEW dir too
+    v = store.merge("t", _df(spark, [(3, "B3")]), ["k"])
+    # now the first merge's staged dir contains a dead file
+    got = store.optimize("t", min_live_fraction=1.0)
+    assert got == v + 1
+    assert _rows(store, "t") == (rows_before - {(3, "a3")}) | {(3, "B3")}
+    new_entry = store.current_manifest()["tables"]["t"]
+    assert new_entry["rows"] == len(_rows(store, "t"))
+    # untouched original batch dirs still referenced by the same paths
+    kept = {f["path"] for f in new_entry["files"]}
+    assert healthy & kept == healthy
+    # and a second optimize is a no-op
+    assert store.optimize("t", min_live_fraction=1.0) is None
+
+
+def test_optimize_noop_on_dir_level_entry(spark, tmp_path):
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    assert store.optimize("t") is None
