@@ -772,18 +772,26 @@ class GoldStore:
         until ``compact``/``vacuum`` (copy-on-write space amplification,
         the standard trade).
 
+        - ``mode="insert_if_absent"``: source keys already present keep
+          the TARGET row (``ON CONFLICT DO NOTHING`` — the reference's
+          D11 semantics, LoadDimsOperator.py:25-28); only fresh keys
+          land. No file is ever rewritten: freshness is decided against
+          the stats-pruned candidate files only, and the fresh rows
+          publish as a plain append — O(candidates + batch) at any
+          table size.
+
         Same write-audit-CAS protocol as ``publish``; ``changes_since``
         across a merge raises (an update is not an append) unless the
         merge was insert-only, which diffs exactly at file level."""
         from pyspark.sql import functions as F
 
-        if mode not in ("upsert", "delete"):
+        if mode not in ("upsert", "delete", "insert_if_absent"):
             raise ValueError(f"unknown merge mode {mode!r}")
         base_version = self.current_version()
         entry = self.current_manifest()["tables"].get(name)
         if entry is None:
             raise KeyError(name)
-        if mode == "upsert":
+        if mode in ("upsert", "insert_if_absent"):
             dup = (
                 source.groupBy(*key_cols)
                 .agg(F.count(F.lit(1)).alias("c"))
@@ -800,6 +808,19 @@ class GoldStore:
         if files is None:
             # legacy entry without file stats: no pruning possible —
             # correct full copy-on-write rewrite of the whole table
+            # (insert_if_absent still appends, but freshness must check
+            # the whole table)
+            if mode == "insert_if_absent":
+                existing = self._read_entry(entry).select(*key_cols)
+                fresh = source.join(
+                    existing.dropDuplicates(key_cols), key_cols, "left_anti"
+                ).cache()
+                try:
+                    if fresh.count() == 0:
+                        return base_version
+                    return self.publish_append({name: fresh}, base_version, lock_timeout)
+                finally:
+                    fresh.unpersist()
             touched_rel = None
             untouched: list[dict] = []
             target = self._read_entry(entry)
@@ -829,6 +850,26 @@ class GoldStore:
                         break
                 if keep:
                     cand.append(f)
+            if mode == "insert_if_absent":
+                # a key present anywhere in the target MUST live in a
+                # candidate file (pruning is conservative), so the
+                # anti-join against candidates alone decides freshness
+                if cand:
+                    existing = self._grouped_file_read(
+                        [f["path"] for f in cand]
+                    ).select(*key_cols)
+                    fresh = source.join(
+                        existing.dropDuplicates(key_cols), key_cols, "left_anti"
+                    )
+                else:
+                    fresh = source
+                fresh = fresh.cache()
+                try:
+                    if fresh.count() == 0:
+                        return base_version  # pure replay — no new version
+                    return self.publish_append({name: fresh}, base_version, lock_timeout)
+                finally:
+                    fresh.unpersist()
             # exact touched set: which candidate files actually hold a
             # source key (bounded collect — file names, not rows)
             touched_rel = []

@@ -244,3 +244,31 @@ def test_optimize_reclaims_merge_debt(spark, tmp_path):
 def test_optimize_noop_on_dir_level_entry(spark, tmp_path):
     store, _ = _store_with_batches(spark, tmp_path, BATCHES)
     assert store.optimize("t") is None
+
+
+def test_insert_if_absent_mode(spark, tmp_path):
+    """D11 ON CONFLICT DO NOTHING at file-level cost: present keys keep
+    the TARGET row, fresh keys append, nothing is rewritten."""
+    store, v = _store_with_batches(spark, tmp_path, BATCHES)
+    before = {f["path"] for f in store.current_manifest()["tables"]["t"]["files"]}
+    got = store.merge(
+        "t", _df(spark, [(2, "SHOULD-LOSE"), (99, "fresh")]), ["k"],
+        mode="insert_if_absent",
+    )
+    assert got == v + 1
+    rows = _rows(store, "t")
+    assert (2, "a2") in rows and (2, "SHOULD-LOSE") not in rows
+    assert (99, "fresh") in rows
+    # pure append: every original file still referenced, entry stays
+    # dir-level (no file_level flag — nothing was rewritten)
+    entry = store.current_manifest()["tables"]["t"]
+    assert before <= {f["path"] for f in entry["files"]}
+    assert "file_level" not in entry
+    # full replay commits NO new version
+    assert store.merge(
+        "t", _df(spark, [(2, "SHOULD-LOSE"), (99, "fresh")]), ["k"],
+        mode="insert_if_absent",
+    ) == got
+    assert store.current_version() == got
+    # and CDC sees exactly the fresh rows (append-only history)
+    assert {tuple(r) for r in store.changes_since("t", v).collect()} == {(99, "fresh")}
