@@ -155,7 +155,16 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    from rustcheatersdatapipeline_spark.plans import analytics as _A
+    from rustcheatersdatapipeline_spark.plans import queries as _Q
+    from rustcheatersdatapipeline_spark.plans import retrieval as _R
+    from rustcheatersdatapipeline_spark.plans import training as _T
+
+    # the gate accepts tests-only operators too — new ops join the trend
+    # check without touching the declared-50 surface
+    qs = dict(entry.queries())
+    for _m in (_T, _R, _A, _Q):
+        qs.update(getattr(_m, "TESTS_ONLY_QUERIES", {}))
     results = {}
     for name in names:
         fn = qs[name]
