@@ -175,3 +175,63 @@ def test_weighted_sample_plans_take_ordered(spark, sf_dir):
 
     p = _plan(T.weighted_sample_k(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_dsir_topk_plans_take_ordered_and_no_cartesian_blowup(spark, sf_dir):
+    """dsir_resample's selection must compile to TakeOrderedAndProject
+    (never a global sort of the corpus), and the only cartesian in the
+    weight plan is the 1-row totals grid."""
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    import re
+
+    p = _plan(T.dsir_resample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    # the ONLY non-equi joins allowed are the totals grid: r_tot x t_tot
+    # (1 row x 1 row) and scores x totals (buckets x 1 row). With static
+    # auto-broadcast off (engine policy) they compile to CartesianProduct
+    # over aggregated single-row inputs — harmless; anything beyond two
+    # is a real blowup.
+    cart = len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", p))
+    assert cart <= 2
+
+
+def test_dsir_grams_join_is_hash_on_bucket(spark, sf_dir):
+    """The gram->score join must be an equi-join on bucket (hash or
+    broadcast), never nested-loop: candidates stay linear in grams."""
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    p = _plan(T.dsir_logweights(spark, sf_dir))
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_video_neardup_is_banded_equijoin(spark):
+    """The video pair join must key on (band, key[, rank]) — an
+    equi-join — not a theta-join over all video pairs."""
+    from rustcheatersdatapipeline_spark.functions.phash import video_neardup
+
+    sigs = spark.createDataFrame(
+        [(1, 0, 7), (1, 1, 9), (2, 0, 7), (2, 1, 9)],
+        "item_id bigint, frame_rank int, phash bigint",
+    )
+    p = _plan(video_neardup(sigs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anchor_scan_is_single_pass_codegen(spark):
+    """extract_anchors must not re-scan the pages per regex group: one
+    scan row-explodes the zipped arrays (the Python boundary is only
+    the urljoin resolver)."""
+    from rustcheatersdatapipeline_spark.functions.weburl import extract_anchors
+
+    pages = spark.createDataFrame(
+        [("http://a.test/", '<a href="/x">y</a>')], "url string, html string"
+    )
+    import re
+
+    p = _plan(extract_anchors(pages))
+    # one scan of the in-memory relation, exploded once (count plan
+    # NODES — explain('formatted') repeats names in the detail section)
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) == 1
+    assert "Generate" in p  # the explode
