@@ -460,6 +460,53 @@ class GoldStore:
                 keep.append(f)
         return keep
 
+    def pruned_files_multi(self, name: str, bounds: dict) -> list[str] | None:
+        """Conjunctive pruning: files whose metadata intersects EVERY
+        ``col: (lo, hi)`` predicate — the read shape that pays off a
+        Z-ordered layout (each additional indexed column multiplies the
+        cut). Same conservative semantics as ``pruned_files`` per
+        column; returns None when the manifest carries no stats."""
+        entry = self.current_manifest()["tables"][name]
+        files = entry.get("files")
+        if files is None:
+            return None
+        keep = []
+        for f in files:
+            ok = True
+            for col, (lo, hi) in bounds.items():
+                pm = self._partition_matches(f, col, lo, hi)
+                if pm is False:
+                    ok = False
+                    break
+                if pm is True:
+                    continue
+                rng = f.get("stats", {}).get(col)
+                if rng is not None and not (rng[1] >= lo and rng[0] <= hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        return keep
+
+    def read_pruned_multi(self, name: str, bounds: dict) -> DataFrame:
+        """``read(name)`` filtered to the conjunction of every
+        ``col: (lo, hi)`` bound, scanning only the multi-predicate
+        manifest-pruned file set (residual filters still apply — stats
+        prune files, not rows)."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files_multi(name, bounds)
+        if files is None:
+            base = self.read(name)
+        elif not files:
+            base = self.spark.createDataFrame([], self.read(name).schema)
+        else:
+            base = self._grouped_file_read([f["path"] for f in files])
+        cond = F.lit(True)
+        for col, (lo, hi) in bounds.items():
+            cond = cond & (F.col(col) >= lo) & (F.col(col) <= hi)
+        return base.filter(cond)
+
     def read_pruned(self, name: str, col: str, lo, hi) -> DataFrame:
         """``read(name).filter(lo <= col <= hi)`` but scanning only the
         manifest-pruned file set. Combine with a Z-ordered layout

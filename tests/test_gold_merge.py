@@ -272,3 +272,31 @@ def test_insert_if_absent_mode(spark, tmp_path):
     assert store.current_version() == got
     # and CDC sees exactly the fresh rows (append-only history)
     assert {tuple(r) for r in store.changes_since("t", v).collect()} == {(99, "fresh")}
+
+
+def test_multi_predicate_pruning_multiplies_the_cut(spark, tmp_path):
+    """Quadrant-clustered files: a 2-column bound must open exactly the
+    one file both predicates intersect; either single column alone
+    keeps two."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    v = 0
+    quads = {
+        (0, 0): [(1, 1, "a"), (2, 2, "b")],
+        (0, 1): [(1, 11, "c"), (2, 12, "d")],
+        (1, 0): [(11, 1, "e"), (12, 2, "f")],
+        (1, 1): [(11, 11, "g"), (12, 12, "h")],
+    }
+    for rows in quads.values():
+        df = spark.createDataFrame(rows, "x bigint, y bigint, v string").coalesce(1)
+        v = store.publish_append({"z": df}, base_version=v)
+    both = store.pruned_files_multi("z", {"x": (0, 5), "y": (0, 5)})
+    assert len(both) == 1
+    only_x = store.pruned_files("z", "x", 0, 5)
+    assert len(only_x) == 2
+    got = {tuple(r) for r in store.read_pruned_multi(
+        "z", {"x": (0, 5), "y": (0, 5)}).collect()}
+    assert got == {(1, 1, "a"), (2, 2, "b")}
+    # residual filtering still applies inside the kept file
+    got = {tuple(r) for r in store.read_pruned_multi(
+        "z", {"x": (2, 5), "y": (0, 5)}).collect()}
+    assert got == {(2, 2, "b")}

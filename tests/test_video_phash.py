@@ -106,3 +106,45 @@ def test_undecodable_payload_quarantines_out(spark):
 def test_n_frames_validation(spark):
     with pytest.raises(ValueError, match="n_frames"):
         featurize_video_phash(_media(spark, {1: _avi(BASE)}), n_frames=1)
+
+
+def test_video_neardup_complete_vs_bruteforce(spark):
+    """Banded candidates must find EXACTLY the brute-force pair set on
+    random signatures with planted near-pairs (completeness is the
+    pigeonhole claim, lifted to sequences)."""
+    import itertools
+    import random
+
+    rng = random.Random(8)
+    n, ranks = 30, 4
+    sigs = {}
+    for i in range(n):
+        sigs[i] = [rng.getrandbits(64) for _ in range(ranks)]
+    # plant: 5 pairs at controlled per-frame distances
+    for j, (a, b) in enumerate([(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]):
+        base = sigs[a]
+        copy = []
+        for r, h in enumerate(base):
+            flips = rng.sample(range(64), j % 4)  # hamming 0..3 per frame
+            for f in flips:
+                h ^= 1 << f
+            copy.append(h)
+        sigs[b] = copy
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    expect = set()
+    for a, b in itertools.combinations(range(n), 2):
+        matched = sum(1 for r in range(ranks) if ham(sigs[a][r], sigs[b][r]) <= 3)
+        if matched >= 3:
+            expect.add((a, b))
+
+    rows = [
+        (i, r, h - (1 << 64) if h >= (1 << 63) else h)
+        for i, hs in sigs.items()
+        for r, h in enumerate(hs)
+    ]
+    df = spark.createDataFrame(rows, "item_id bigint, frame_rank int, phash bigint")
+    got = {(r["item_a"], r["item_b"]) for r in video_neardup(df).collect()}
+    assert got == expect and len(expect) >= 4
