@@ -376,12 +376,116 @@ def events_sliding_counts(spark, sf_dir):
     )
 
 
+#: funnel step chain: first view → first click AFTER it → first
+#: purchase after that (strict ordering, ties broken by the strict
+#: inequality itself — a same-instant event does not advance the chain)
+FUNNEL_STEPS = ("view", "click", "purchase")
+#: retention cohort anchor (the corpus starts 2024-01-01); weeks are
+#: integer day-diffs div 7 — identical arithmetic in both engines, no
+#: locale/week-start semantics involved
+RETENTION_ANCHOR = "2024-01-01"
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel: users whose FIRST view precedes a
+    click that precedes a purchase. Three chained conditional-min
+    aggregates (each a hash aggregate on user_id; the join back is
+    user-keyed, co-partitioned with the aggregate) — no window over the
+    full event stream, no per-user state. Output: (step, step_type,
+    n_users), monotone non-increasing."""
+    return funnel_frame(table(spark, sf_dir, "events"))
+
+
+def funnel_frame(ev: DataFrame) -> DataFrame:
+    u1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    parts = []
+    for i, (df, st) in enumerate(zip((u1, u2, u3), FUNNEL_STEPS), start=1):
+        parts.append(
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(st).alias("step_type"),
+                "n_users",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")
+
+
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by FIRST-ACTIVITY week,
+    counted in every later week they return. (cohort_week, week_offset,
+    n_users) — the classic product-analytics triangle. Two hash
+    aggregates + one user-keyed join; weeks are integer day-diffs from
+    a fixed anchor div 7, so the bucketing is pure arithmetic in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    # integer div, not /7-then-cast: DuckDB CAST(double) ROUNDS while
+    # Spark truncates (the recorded cross-engine gotcha)
+    wk = F.expr(f"datediff(to_date(ts), date '{RETENTION_ANCHOR}') div 7").cast("int")
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": events_scd2,
     "events_sliding_counts": events_sliding_counts,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "events_funnel": (
+        "WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id), "
+        "u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        f"JOIN u1 USING (user_id) WHERE e.event_type = '{FUNNEL_STEPS[1]}' "
+        "AND e.ts > u1.t1 GROUP BY e.user_id), "
+        "u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        f"JOIN u2 USING (user_id) WHERE e.event_type = '{FUNNEL_STEPS[2]}' "
+        "AND e.ts > u2.t2 GROUP BY e.user_id) "
+        f"SELECT CAST(1 AS INT) AS step, '{FUNNEL_STEPS[0]}' AS step_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1 "
+        f"UNION ALL SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT) FROM u2 "
+        f"UNION ALL SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT) FROM u3 "
+        "ORDER BY step"
+    ),
+    "events_retention": (
+        "WITH active AS (SELECT DISTINCT user_id, "
+        f"CAST(date_diff('day', DATE '{RETENTION_ANCHOR}', CAST(ts AS DATE)) // 7 AS INT) AS week "
+        "FROM events), "
+        "cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id) "
+        "SELECT cohort_week, a.week - c.cohort_week AS week_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM active a JOIN cohort c USING (user_id) "
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"
+    ),
     "events_scd2": (
         "WITH ordered AS (SELECT user_id, event_type, value, ts, "
         "LAG(value) OVER w AS prev FROM events "

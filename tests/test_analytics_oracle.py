@@ -65,3 +65,30 @@ def test_real_decode_quarantines_non_media_payloads(spark, sf_dir):
         and r["n_frames"] == 0
         for r in out
     )
+
+
+def test_funnel_drops_on_planted_chains(spark):
+    """The synthetic corpus converts fully (every user does everything
+    constantly) — plant chains where the strict ordering actually
+    bites: out-of-order steps must not advance the funnel."""
+    from datetime import datetime
+
+    from rustcheatersdatapipeline_spark.plans.analytics import funnel_frame
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clean view < click < purchase — all 3 steps
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE its first view — stops at step 1
+        (2, t(2), "view"), (2, t(1), "click"),
+        # u3: purchase before the click — steps 1-2 only
+        (3, t(1), "view"), (3, t(3), "click"), (3, t(2), "purchase"),
+        # u4: no view at all — contributes to nothing
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_frame(ev).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
