@@ -1215,3 +1215,26 @@ def publish_with_retry(store: GoldStore, build_fn, max_attempts: int = 5) -> int
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]
+
+
+def merge_with_retry(
+    store: GoldStore,
+    name: str,
+    source: DataFrame,
+    key_cols: list[str],
+    mode: str = "upsert",
+    max_attempts: int = 5,
+) -> int:
+    """``store.merge`` with rebuild-on-lost-race: merge re-reads the
+    manifest at every attempt (candidate pruning, touched-file probe and
+    commit all key off the fresh base), and merge semantics are
+    idempotent per source batch — replaying upsert/delete/insert over
+    the winner's state converges — so retrying the WHOLE merge is safe.
+    The ingestion-loop counterpart of ``publish_with_retry``."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(max_attempts):
+        try:
+            return store.merge(name, source, key_cols, mode=mode)
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

@@ -300,3 +300,34 @@ def test_multi_predicate_pruning_multiplies_the_cut(spark, tmp_path):
     got = {tuple(r) for r in store.read_pruned_multi(
         "z", {"x": (2, 5), "y": (0, 5)}).collect()}
     assert got == {(2, 2, "b")}
+
+
+def test_merge_with_retry_rebuilds_on_lost_race(spark, tmp_path):
+    from rustcheatersdatapipeline_spark.warehouse.persist import merge_with_retry
+
+    store, _ = _store_with_batches(spark, tmp_path, BATCHES)
+    real = store._commit
+    fails = {"n": 0}
+
+    def flaky(update_tables, base_version, txn, lock_timeout):
+        if fails["n"] < 2:
+            fails["n"] += 1
+            raise ConcurrentWriteError("simulated racing writer")
+        return real(update_tables, base_version, txn, lock_timeout)
+
+    store._commit = flaky  # type: ignore[method-assign]
+    try:
+        v = merge_with_retry(store, "t", _df(spark, [(2, "A2")]), ["k"])
+    finally:
+        store._commit = real  # type: ignore[method-assign]
+    assert fails["n"] == 2 and v == store.current_version()
+    assert (2, "A2") in _rows(store, "t")
+    # exhausted retries surface the last error
+    store._commit = lambda *a, **k: (_ for _ in ()).throw(  # type: ignore[method-assign]
+        ConcurrentWriteError("always busy")
+    )
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            merge_with_retry(store, "t", _df(spark, [(3, "x")]), ["k"], max_attempts=2)
+    finally:
+        store._commit = real  # type: ignore[method-assign]
