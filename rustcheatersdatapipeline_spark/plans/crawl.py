@@ -675,3 +675,72 @@ def discover_sitemap_urls(warc_batch: DataFrame) -> DataFrame:
         .alias("kind"),
     )
     return from_robots.unionByName(from_xml).distinct()
+
+
+def crawl_tick(
+    spark: SparkSession,
+    warc_path: str,
+    store: GoldStore,
+    agent: str = "sparkgraftbot",
+    k: int | None = None,
+) -> dict:
+    """One full crawl maintenance tick over a dump of raw WARC files —
+    the single call a crawl operator runs per fetched batch, composing
+    every persisted index the engine maintains:
+
+    1. **robots rules** ingest (RFC 9309, latest-fetch-wins);
+    2. **host link graph** ingest (PageRank evidence);
+    3. **document curation + dedup-ingest** (boilerplate via the
+       persisted per-site index, URL frontier dedup, quality cuts,
+       MinHash dedup vs the persisted signatures, atomic publish);
+    4. **next frontier**: link + sitemap discoveries, minus the
+       persisted URL frontier, gated by the fresh robots rules and
+       ordered by host rank.
+
+    Returns ``{"admitted", "robots_rules", "host_pairs", "frontier"}``
+    — the counts are O(batch) facts from the sinks; ``frontier`` is a
+    LAZY prioritized DataFrame for the fetch scheduler. Each stage
+    reads only the batch plus its bounded index, so the tick is
+    O(crawl bytes) at any corpus size."""
+    from ..functions.weburl import canonical_url, extract_links
+
+    warc = read_warc(spark, warc_path)
+    n_rules = RobotsIngestSink(store)(warc, batch_id=store.current_version())
+    n_pairs = HostGraphIngestSink(store)(warc, batch_id=store.current_version())
+
+    docs = distill_and_curate(spark, warc_path)
+    sink = CuratedCorpusIngestSink(store, k=k)
+    admitted = sink(docs, batch_id=-1)
+
+    pages = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("mime").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    discovered = (
+        extract_links(pages, "html", "url")
+        .select(F.col("link").alias("url"))
+        .unionByName(
+            discover_sitemap_urls(warc).filter(F.col("kind") == "page").select("url")
+        )
+        .distinct()
+    )
+    tables = store.current_manifest()["tables"]
+    if sink.url_table in tables:
+        seen = store.read(sink.url_table).select("url_digest")
+        discovered = discovered.withColumn(
+            "_ud", F.xxhash64(canonical_url("url"))
+        ).join(
+            seen.withColumnRenamed("url_digest", "_ud"), "_ud", "left_anti"
+        ).drop("_ud")
+    frontier = prioritized_frontier(discovered, store, agent)
+    return {
+        "admitted": admitted,
+        "robots_rules": n_rules,
+        "host_pairs": n_pairs,
+        "frontier": frontier,
+    }

@@ -364,3 +364,64 @@ def test_repair_runs_automatically_on_compaction(spark, tmp_path):
     assert len(corpus) == 5
     assert NAV not in corpus["http://a.test/p0"]  # repaired by compaction
     assert NAV not in corpus["http://a.test/p4"]
+
+
+def test_crawl_tick_composes_every_index(spark, tmp_path):
+    """One crawl_tick over a mixed batch must: ingest robots rules,
+    accumulate the host graph, admit curated documents, and emit a
+    prioritized next frontier that respects robots and drops seen
+    URLs."""
+    from rustcheatersdatapipeline_spark.plans.crawl import crawl_tick
+
+    recs = []
+    for i in range(4):
+        body = _page([_para(i), f'<a href="http://hub.test/x{i}">hub</a>'])
+        recs.append(
+            warc_record("response", f"http://a.test/p{i}", body, rid=f"<urn:t{i}>")
+        )
+    robots = (
+        "User-agent: *\nDisallow: /private/\n"
+        "Sitemap: http://a.test/sitemap.xml\n"
+    )
+    recs.append(
+        warc_record(
+            "response", "http://a.test/robots.txt",
+            http_response(robots.encode(), ctype="text/plain"), rid="<urn:rb>",
+        )
+    )
+    sm = (
+        '<?xml version="1.0"?><urlset><url><loc>http://a.test/new-page</loc></url>'
+        "<url><loc>http://hub.test/private/blocked</loc></url></urlset>"
+    )
+    recs.append(
+        warc_record(
+            "response", "http://a.test/sitemap.xml",
+            http_response(sm.encode(), ctype="application/xml"), rid="<urn:sm>",
+        )
+    )
+    # hub.test's robots blocks /private/ too
+    recs.append(
+        warc_record(
+            "response", "http://hub.test/robots.txt",
+            http_response(b"User-agent: *\nDisallow: /private/\n", ctype="text/plain"),
+            rid="<urn:rb2>",
+        )
+    )
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(b"".join(recs))
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    out = crawl_tick(spark, str(p), store, agent="testbot", k=9)
+    assert out["admitted"] >= 4
+    assert out["robots_rules"] >= 2
+    assert out["host_pairs"] >= 1
+    frontier = out["frontier"].collect()
+    urls = [r["url"] for r in frontier]
+    # discovered, robots-allowed, unseen URLs only
+    assert "http://a.test/new-page" in urls
+    assert all("/private/" not in u for u in urls)
+    # crawled pages are already in the url frontier — never re-enqueued
+    assert all(not u.startswith("http://a.test/p") for u in urls)
+    # hub.test is the only linked host — it outranks unlinked hosts
+    ranks = {r["url"]: r["rank"] for r in frontier}
+    hub = [u for u in urls if u.startswith("http://hub.test/")]
+    assert hub and all(ranks[h] >= max(ranks.values()) - 1e-12 for h in hub)
