@@ -169,3 +169,36 @@ def test_refresh_retries_past_racing_writer(spark, tmp_path):
     assert folded in (2, 3)  # first attempt CAS-fails; retry folds b2(+b3)
     view.refresh()  # converge whatever the retry timing left over
     assert _view_dict(view) == _expected(b1 + b2 + b3)
+
+
+def test_update_merge_on_source_forces_rebuild_and_stays_correct(spark, tmp_path):
+    """A MERGE that rewrote source rows makes the dir diff unprovable:
+    the view must fall back to a full rebuild (not raise, not
+    double-count) and land on the recomputed truth; an INSERT-ONLY
+    merge keeps the incremental path."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    view = IncrementalAggregateView(
+        store, "docs", "stats", keys=["source"], sums={"total_chars": "n_chars"}
+    )
+    b1 = [(1, "a", 10), (2, "a", 20), (3, "b", 5)]
+    store.publish_append({"docs": _batch(spark, b1)}, store.current_version())
+    view.refresh()
+
+    # update merge: doc 2 shrinks from 20 to 2 chars
+    store.merge("docs", _batch(spark, [(2, "a", 2)]), ["doc_id"])
+    view.refresh()
+    assert _view_dict(view) == _expected([(1, "a", 10), (2, "a", 2), (3, "b", 5)])
+
+    # insert-only merge: exact file-level CDC keeps the delta path
+    store.merge(
+        "docs", _batch(spark, [(9, "c", 50)]), ["doc_id"], mode="insert_if_absent"
+    )
+    calls = []
+    orig = store.changes_since
+    store.changes_since = lambda name, v: calls.append(v) or orig(name, v)
+    view.refresh()
+    store.changes_since = orig
+    assert calls  # delta path consulted and did not raise
+    assert _view_dict(view) == _expected(
+        [(1, "a", 10), (2, "a", 2), (3, "b", 5), (9, "c", 50)]
+    )
