@@ -454,11 +454,34 @@ def events_retention(spark, sf_dir):
     )
 
 
+def events_props_rollup(spark, sf_dir):
+    """Semi-structured rollup: the ``props`` column is a JSON payload
+    (the reference's raw API blobs, §1.2) — extract ``$.k`` with the
+    engine's JSON path function (JVM-side, no UDF), bucket it, and
+    aggregate per (event_type, bucket). Sums stay integer (exact,
+    order-independent); the JSON parse happens inside the scan
+    projection, so the plan is one hash aggregate over a codegen
+    extract."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k div 10").cast("int").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": events_scd2,
     "events_sliding_counts": events_sliding_counts,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_props_rollup": events_props_rollup,
 }
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
@@ -475,6 +498,14 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"UNION ALL SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT) FROM u2 "
         f"UNION ALL SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT) FROM u3 "
         "ORDER BY step"
+    ),
+    "events_props_rollup": (
+        "WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k "
+        "FROM events) "
+        "SELECT event_type, CAST(k // 10 AS INT) AS k_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k "
+        "FROM k WHERE k IS NOT NULL "
+        "GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket"
     ),
     "events_retention": (
         "WITH active AS (SELECT DISTINCT user_id, "

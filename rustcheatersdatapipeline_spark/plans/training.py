@@ -28,6 +28,7 @@ Scale design notes (the 100 TB story, per operator):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1581,6 +1582,54 @@ def dsir_resample(spark, sf_dir):
     )
 
 
+#: explicit codepoint ranges (NOT \p{script=...} classes, whose
+#: membership depends on each engine's Unicode table version): the
+#: ranges are identical bytes in both regex engines, so counts cannot
+#: drift. (start, end) inclusive.
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "han": f"{chr(0x4E00)}-{chr(0x9FFF)}",
+    "cyrillic": f"{chr(0x0400)}-{chr(0x04FF)}",
+    "digit": "0-9",
+}
+#: dominant-script tie-break priority (rarer scripts first so a doc
+#: mixing CJK into Latin prose is flagged as the interesting case)
+SCRIPT_PRIORITY = ("han", "cyrillic", "latin", "digit")
+
+
+def script_mix(spark, sf_dir):
+    """Per-document Unicode script profile — the multilingual-curation
+    signal that language-ID alone misses (a lang_id of 'en' over 40%
+    CJK characters is mislabeled boilerplate soup). One codegen
+    ``regexp_count`` per range inside the scan projection; the dominant
+    label is a CASE over the counts with a fixed priority for ties.
+    No tokenization, no UDF — scan-throughput at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    counts = {
+        name: F.regexp_count("text", F.lit(f"[{rng}]")).cast("bigint")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    sel = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    dom = F.lit("none")
+    for name in reversed(SCRIPT_PRIORITY):
+        others = [o for o in SCRIPT_PRIORITY if o != name]
+        cond = (F.col(f"n_{name}") > 0) & functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"n_{name}") >= F.col(f"n_{o}")
+                if SCRIPT_PRIORITY.index(o) > SCRIPT_PRIORITY.index(name)
+                else F.col(f"n_{name}") > F.col(f"n_{o}")
+                for o in others
+            ],
+        )
+        dom = F.when(cond, F.lit(name)).otherwise(dom)
+    return sel.withColumn("script", dom).orderBy("doc_id")
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2750,7 +2799,31 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_k": weighted_sample_k,
     "dsir_logweights": dsir_logweights,
     "dsir_resample": dsir_resample,
+    "script_mix": script_mix,
 }
+
+
+def _script_mix_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '[{rng}]')) AS BIGINT) AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    # top-down priority CASE: first script with count > 0 that ties-or-
+    # beats every other wins — evaluated in SCRIPT_PRIORITY order, which
+    # is exactly the Spark side's explicit strict/non-strict split
+    whens = []
+    for name in SCRIPT_PRIORITY:
+        conds = [f"n_{name} > 0"] + [
+            f"n_{name} >= n_{o}" for o in SCRIPT_PRIORITY if o != name
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'none' END"
+    return (
+        f"WITH c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, {counts} "
+        "FROM documents) "
+        f"SELECT doc_id, n_chars, n_latin, n_han, n_cyrillic, n_digit, {case} AS script "
+        "FROM c ORDER BY doc_id"
+    )
 
 
 #: shared DSIR oracle CTE chain: hashed unigram+bigram occurrences for
@@ -3024,6 +3097,7 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"WITH {_DSIR_CTE} "
         "SELECT doc_id, logw_scaled, n_grams FROM lw ORDER BY doc_id"
     ),
+    "script_mix": _script_mix_sql(),
     "dsir_resample": (
         f"WITH {_DSIR_CTE}, "
         "k AS (SELECT doc_id, logw_scaled, logw_scaled + CAST(FLOOR(1000000.0 * "

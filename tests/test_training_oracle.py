@@ -24,3 +24,14 @@ def test_ann_lsh_buckets_runs(spark, sf_dir):
     from rustcheatersdatapipeline_spark.catalog import table
 
     assert total == table(spark, sf_dir, "embeddings").count()  # every vector bucketed
+
+
+def test_script_mix_is_nonvacuous(spark, sf_dir):
+    """The synthetic corpus carries CJK language markers — the dominant-
+    script label must actually vary (the differential alone would pass
+    on an all-'latin' corpus)."""
+    rows = T.script_mix(spark, sf_dir).collect()
+    labels = {r["script"] for r in rows}
+    assert "latin" in labels and "han" in labels
+    han = next(r for r in rows if r["script"] == "han")
+    assert han["n_han"] >= han["n_latin"]
