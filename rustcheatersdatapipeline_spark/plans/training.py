@@ -1604,7 +1604,10 @@ def script_mix(spark, sf_dir):
     ``regexp_count`` per range inside the scan projection; the dominant
     label is a CASE over the counts with a fixed priority for ties.
     No tokenization, no UDF — scan-throughput at any corpus size."""
-    docs = table(spark, sf_dir, "documents")
+    return script_mix_frame(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def script_mix_frame(docs: DataFrame) -> DataFrame:
     counts = {
         name: F.regexp_count("text", F.lit(f"[{rng}]")).cast("bigint")
         for name, rng in SCRIPT_RANGES.items()
@@ -1627,7 +1630,7 @@ def script_mix(spark, sf_dir):
             ],
         )
         dom = F.when(cond, F.lit(name)).otherwise(dom)
-    return sel.withColumn("script", dom).orderBy("doc_id")
+    return sel.withColumn("script", dom)
 
 
 #: within-cluster cosine above which the higher-id vector is pruned

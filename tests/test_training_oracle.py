@@ -26,12 +26,24 @@ def test_ann_lsh_buckets_runs(spark, sf_dir):
     assert total == table(spark, sf_dir, "embeddings").count()  # every vector bucketed
 
 
-def test_script_mix_is_nonvacuous(spark, sf_dir):
-    """The synthetic corpus carries CJK language markers — the dominant-
-    script label must actually vary (the differential alone would pass
-    on an all-'latin' corpus)."""
-    rows = T.script_mix(spark, sf_dir).collect()
-    labels = {r["script"] for r in rows}
-    assert "latin" in labels and "han" in labels
-    han = next(r for r in rows if r["script"] == "han")
-    assert han["n_han"] >= han["n_latin"]
+def test_script_mix_planted_labels(spark):
+    """The synthetic corpus is all-Latin, so the dominant-script logic
+    is exercised on planted docs: CJK- and Cyrillic-dominant texts,
+    the han-wins-tie rule, digits-only, and empty."""
+    from rustcheatersdatapipeline_spark.plans.training import script_mix_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello plain english words"),
+            (2, "\u4e2d\u6587\u6587\u6863\u5185\u5bb9 ok"),   # han-dominant
+            (3, "\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442"),  # cyrillic
+            (4, "\u4e00\u4e8cab"),                      # 2 han vs 2 latin: han wins tie
+            (5, "123456"),
+            (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["script"] for r in script_mix_frame(docs).collect()}
+    assert got == {1: "latin", 2: "han", 3: "cyrillic", 4: "han", 5: "digit", 6: "none"}
+    counts = {r["doc_id"]: r["n_han"] for r in script_mix_frame(docs).collect()}
+    assert counts[2] == 6 and counts[4] == 2
