@@ -92,7 +92,12 @@ def distill_and_curate(spark: SparkSession, warc_path: str) -> DataFrame:
     (doc_id, text, lang, source, n_chars, compression_ratio) — content
     dedup (stage 5) happens at publish so it can run against the
     persisted index."""
-    warc = read_warc(spark, warc_path)
+    return distill_frame(read_warc(spark, warc_path))
+
+
+def distill_frame(warc: DataFrame) -> DataFrame:
+    """The distillation stages over an already-open record frame (batch
+    read or a foreachBatch micro-batch)."""
     curated = curate_documents(warc_to_documents(warc, lines=True))
     # PDFs and Office documents join after the HTML-only stages (no
     # site boilerplate to strip; their distillers carry their own
@@ -744,3 +749,31 @@ def crawl_tick(
         "host_pairs": n_pairs,
         "frontier": frontier,
     }
+
+
+class CrawlStreamSink:
+    """The streaming form of ``crawl_tick``: one foreachBatch callable
+    over RAW record micro-batches (``open_warc_records_stream``) that
+    maintains every persisted crawl index per batch — robots rules,
+    host graph, and the curated deduplicated corpus (URL frontier +
+    boilerplate evidence ride the curated sink). All sinks share one
+    store through the ordinary CAS loop; each touches only its own
+    record slice of the batch plus its bounded index. The next fetch
+    frontier is pull-based — call ``prioritized_frontier`` (or
+    ``crawl_tick`` over a dump) off the persisted state whenever the
+    scheduler wants it."""
+
+    def __init__(self, store: GoldStore, k: int | None = None, **curated_kwargs):
+        self.robots = RobotsIngestSink(store)
+        self.hosts = HostGraphIngestSink(store)
+        self.docs = CuratedCorpusIngestSink(store, k=k, **curated_kwargs)
+
+    def __call__(self, warc_batch: DataFrame, batch_id: int) -> int:
+        self.robots(warc_batch, batch_id)
+        self.hosts(warc_batch, batch_id)
+        docs = (
+            warc_to_documents(warc_batch, lines=True)
+            .unionByName(warc_to_pdf_documents(warc_batch))
+            .unionByName(warc_to_office_documents(warc_batch))
+        )
+        return self.docs(docs, batch_id)

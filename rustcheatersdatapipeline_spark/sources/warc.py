@@ -359,6 +359,20 @@ def open_warc_documents_stream(
     return warc_to_documents(warc_records(files), lines=lines)
 
 
+def open_warc_records_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming RAW records from a WARC drop folder — the feed for
+    multi-index crawl sinks (documents + robots + host graph consume
+    the SAME record batch, each filtering its own record types), unlike
+    ``open_warc_documents_stream`` which pre-narrows to distilled HTML
+    documents."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+    )
+    return warc_records(files)
+
+
 def warc_to_pdf_documents(warc: DataFrame, min_printable: float = 0.9) -> DataFrame:
     """Distill 200-OK ``application/pdf`` responses into the documents
     shape via the scoped stdlib extractor (functions/pdftext.py).

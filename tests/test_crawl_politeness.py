@@ -207,3 +207,71 @@ def test_discover_sitemap_urls(spark):
     assert ("a.test", "http://a.test/page2", "page") in got
     assert ("a.test", "http://a.test/sitemap-2.xml", "sitemap") in got
     assert all(k in ("sitemap", "page") for _, _, k in got)
+
+
+def test_crawl_stream_sink_maintains_every_index(spark, tmp_path):
+    """Drop-folder records stream through CrawlStreamSink: one batch
+    populates corpus, robots rules, host graph and URL frontier; a
+    replayed drop leaves every table version-stable."""
+    from rustcheatersdatapipeline_spark.plans.crawl import CrawlStreamSink
+    from rustcheatersdatapipeline_spark.sources.warc import open_warc_records_stream
+    from tests.test_warc_source import http_response, warc_record
+
+    para = " ".join(f"w{j}q{(j * 7) % 31}" for j in range(40))
+    recs = b"".join(
+        [
+            warc_record(
+                "response",
+                f"http://a.test/p{i}",
+                http_response(
+                    f'<html><body><p>article {i}: {para}</p>'
+                    f'<a href="http://hub.test/x">h</a></body></html>'.encode()
+                ),
+                rid=f"<urn:s{i}>",
+            )
+            for i in range(3)
+        ]
+        + [
+            warc_record(
+                "response",
+                "http://a.test/robots.txt",
+                http_response(b"User-agent: *\nDisallow: /no/\n", ctype="text/plain"),
+                rid="<urn:srb>",
+            )
+        ]
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CrawlStreamSink(store, k=9)
+
+    def run(ck):
+        q = (
+            open_warc_records_stream(spark, str(drop))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    (drop / "a.warc").write_bytes(recs)
+    run("ck1")
+    tables = store.current_manifest()["tables"]
+    for t in ("corpus", "robots_rules", "host_graph", "url_frontier"):
+        assert t in tables, t
+    assert store.read("corpus").count() == 3
+    d = _decide(spark, store, ["http://a.test/no/x", "http://a.test/ok"])
+    assert d["http://a.test/no/x"][0] == 0 and d["http://a.test/ok"][0] == 1
+    hg = store.read("host_graph").collect()
+    assert {(r["src_host"], r["dst_host"]) for r in hg} == {("a.test", "hub.test")}
+
+    # replay: fresh checkpoint re-delivers the same file — corpus and
+    # frontier must not grow
+    v = store.current_version()
+    n_corpus = store.read("corpus").count()
+    run("ck2")
+    assert store.read("corpus").count() == n_corpus
+    # robots/host sinks append advisory rows; decisions and ranks stable
+    d2 = _decide(spark, store, ["http://a.test/no/x", "http://a.test/ok"])
+    assert d2 == d
