@@ -476,12 +476,64 @@ def events_props_rollup(spark, sf_dir):
     )
 
 
+def events_resample_hourly(spark, sf_dir):
+    """Time-series regularization: each user's irregular event stream
+    resampled onto an hourly grid between their first and last event,
+    with the ``value`` forward-filled from the latest observation — the
+    gap-filling primitive every downstream window/asof consumer wants a
+    regular grid for.
+
+    Shape: one (user, hour) hash aggregate for the last observation per
+    cell, a per-user ``sequence`` explode for the grid (array-local, no
+    shuffle), one user-keyed join, and one running ``last(ignorenulls)``
+    window — state bounded by the grid, never the event count. The
+    filled value is a bit-copied observation (no arithmetic), so the
+    oracle compare is exact on doubles."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        # ts reads as TIMESTAMP_NTZ; the cast interprets it in the
+        # session TZ (UTC), exactly how the oracle's epoch_us sees it
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_last = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        e.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    span = e.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    w_fill = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(obs, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": events_scd2,
     "events_sliding_counts": events_sliding_counts,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_props_rollup": events_props_rollup,
+    "events_resample_hourly": events_resample_hourly,
 }
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
@@ -498,6 +550,21 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"UNION ALL SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT) FROM u2 "
         f"UNION ALL SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT) FROM u3 "
         "ORDER BY step"
+    ),
+    "events_resample_hourly": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h, value, ts, event_id "
+        "FROM events), "
+        "obs AS (SELECT user_id, h, value FROM "
+        "(SELECT user_id, h, value, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn FROM e) "
+        "WHERE rn = 1), "
+        "span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id), "
+        "grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span), "
+        "j AS (SELECT g.user_id, g.h, o.value FROM grid g "
+        "LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h) "
+        "SELECT user_id, h, last_value(value IGNORE NULLS) OVER "
+        "(PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS value_ffill FROM j ORDER BY user_id, h"
     ),
     "events_props_rollup": (
         "WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k "

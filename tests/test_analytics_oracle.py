@@ -92,3 +92,19 @@ def test_funnel_drops_on_planted_chains(spark):
     )
     got = {r["step"]: r["n_users"] for r in funnel_frame(ev).collect()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_resample_fills_planted_gaps(spark, sf_dir):
+    """Every grid cell is populated, the grid is contiguous per user,
+    and filled values equal the most recent observation."""
+    from rustcheatersdatapipeline_spark.plans.analytics import events_resample_hourly
+
+    rows = events_resample_hourly(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["h"], r["value_ffill"]))
+    assert by_user
+    for u, cells in by_user.items():
+        hs = [h for h, _ in cells]
+        assert hs == list(range(min(hs), max(hs) + 1)), u  # contiguous grid
+        assert all(v is not None for _, v in cells), u  # first cell observed
