@@ -45,6 +45,12 @@ def epoch_shuffle(
     )
 
 
+#: shard output formats: parquet for Spark/Arrow loaders, ORC for Hive
+#: ecosystems, json(l) for line-oriented tokenizer feeds — all three
+#: JVM-native writers, same maxRecordsPerFile sizing contract
+SHARD_FORMATS = ("parquet", "orc", "json")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -52,16 +58,36 @@ def write_training_shards(
     key_cols: list[str],
     rows_per_shard: int = 10_000,
     num_partitions: int = 32,
+    fmt: str = "parquet",
 ) -> None:
-    """Epoch-shuffle then write parquet shards of at most
-    ``rows_per_shard`` rows each."""
+    """Epoch-shuffle then write shards of at most ``rows_per_shard``
+    rows each, in any of ``SHARD_FORMATS`` (``json`` writes JSONL — one
+    object per line, the tokenizer-feed interchange the jsonl SOURCE
+    already reads back)."""
+    if fmt not in SHARD_FORMATS:
+        raise ValueError(f"write_training_shards: unknown format {fmt!r}")
     (
         epoch_shuffle(df, seed, key_cols, num_partitions)
         .drop(_ORDER_COL)
         .write.option("maxRecordsPerFile", rows_per_shard)
         .mode("overwrite")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
+
+
+def _sniff_shard_format(path: str) -> str:
+    """Which SHARD_FORMATS the directory holds, from file extensions —
+    the manifest writer reads back files this module itself wrote, so
+    the extension is authoritative (this is not external-input schema
+    inference)."""
+    import os
+
+    for f in sorted(os.listdir(path)):
+        for fmt in SHARD_FORMATS:
+            if f.endswith(f".{fmt}") or (fmt == "parquet" and f.endswith(".zstd.parquet")):
+                return fmt
+    return "parquet"
 
 
 def write_shard_manifest(spark, path: str) -> dict:
@@ -77,7 +103,8 @@ def write_shard_manifest(spark, path: str) -> dict:
     import json
     import os
 
-    df = spark.read.parquet(path)
+    fmt = _sniff_shard_format(path)
+    df = spark.read.format(fmt).load(path)
     per = (
         df.withColumn("_f", F.input_file_name())
         .withColumn("_h", F.xxhash64(*df.columns))
@@ -100,7 +127,7 @@ def write_shard_manifest(spark, path: str) -> dict:
             }
         )
     manifest = {
-        "format": "parquet",
+        "format": fmt,
         "n_shards": len(shards),
         "n_rows": sum(s["rows"] for s in shards),
         "shards": shards,

@@ -3,6 +3,7 @@
 import glob
 
 import pyarrow.parquet as pq
+import pytest
 
 from rustcheatersdatapipeline_spark.catalog import table
 from rustcheatersdatapipeline_spark.operators.export import (
@@ -92,3 +93,35 @@ def test_shard_manifest_counts_digests_and_determinism(spark, tmp_path):
     write_training_shards(df2, p, seed=7, key_cols=["id"], rows_per_shard=100)
     m2 = write_shard_manifest(spark, p)
     assert {s["digest"] for s in m2["shards"]} != {s["digest"] for s in m["shards"]}
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json"])
+def test_shard_formats_round_trip(spark, tmp_path, fmt):
+    """ORC and JSONL shards honor the same sizing + manifest contract
+    as parquet, and read back with identical content."""
+    from rustcheatersdatapipeline_spark.operators.export import (
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / f"shards_{fmt}")
+    write_training_shards(df, out, seed=1, key_cols=["doc_id"],
+                          rows_per_shard=20, num_partitions=4, fmt=fmt)
+    man = write_shard_manifest(spark, out)
+    assert man["format"] == fmt
+    assert man["n_rows"] == 100
+    assert all(s["rows"] <= 20 for s in man["shards"])
+    back = spark.read.format(fmt).load(out)
+    got = {(int(r["doc_id"]), r["text"]) for r in back.collect()}
+    assert got == {(i, f"doc {i}") for i in range(100)}
+
+
+def test_unknown_shard_format_rejected(spark, tmp_path):
+    from rustcheatersdatapipeline_spark.operators.export import write_training_shards
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="unknown format"):
+        write_training_shards(df, str(tmp_path / "s"), 1, ["doc_id"], fmt="csvx")
