@@ -106,6 +106,13 @@ class SchemaEvolutionError(RuntimeError):
     would otherwise fail mid-scan or silently coerce."""
 
 
+class ExpectationError(RuntimeError):
+    """Raised at AUDIT time when a staged table violates a declared
+    row-level expectation (``publish(..., expectations=...)``). Nothing
+    commits — the store is untouched, exactly like a failed schema
+    audit. The message names the predicate and the violation count."""
+
+
 class TablePropertiesError(RuntimeError):
     """Raised when a publish's table properties conflict with the
     properties already recorded in the manifest — e.g. appending MinHash
@@ -591,14 +598,27 @@ class GoldStore:
     # -- write + audit + publish ------------------------------------------
 
     def _stage_tables(
-        self, tables: dict[str, DataFrame], txn: str, partitioned: bool
+        self,
+        tables: dict[str, DataFrame],
+        txn: str,
+        partitioned: bool,
+        expectations: dict[str, list[str]] | None = None,
     ) -> dict[str, dict]:
         """Write + audit each table into ``_data/<txn>/``, dropping a
         ``_STAGED`` marker FIRST so a concurrent ``vacuum`` can never
         reclaim the dir during the stage→commit window. The marker is
         removed by the publish wrapper once the commit attempt resolves
         (success: the manifest now references the dir; rejection: the
-        dir is a plain orphan, reclaimable after the retention age)."""
+        dir is a plain orphan, reclaimable after the retention age).
+
+        ``expectations`` maps table name → SQL predicates every row must
+        satisfy (the Delta-constraints shape, public design): violations
+        are counted on the AUDIT read-back — what actually landed, not
+        the logical plan — and any violation raises ``ExpectationError``
+        before a manifest exists, so a bad batch can never become
+        visible."""
+        from pyspark.sql import functions as F
+
         txn_dir = os.path.join(self.path, "_data", txn)
         os.makedirs(txn_dir, exist_ok=True)
         with open(os.path.join(txn_dir, self.STAGED_MARKER), "w", encoding="utf-8") as f:
@@ -614,6 +634,27 @@ class GoldStore:
             # audit: reread what actually landed — a table that cannot be
             # scanned (torn file, schema corruption) must never publish
             back = self.spark.read.parquet(target)
+            exprs = (expectations or {}).get(name) or []
+            if exprs:
+                # one job for all predicates: count rows violating each
+                viol = back.agg(
+                    *[
+                        F.sum(
+                            F.when(~F.expr(e), F.lit(1)).otherwise(F.lit(0))
+                            # a predicate evaluating to NULL is a violation
+                            + F.when(F.expr(e).isNull(), F.lit(1)).otherwise(F.lit(0))
+                        ).alias(f"v{i}")
+                        for i, e in enumerate(exprs)
+                    ]
+                ).collect()[0]
+                for i, e in enumerate(exprs):
+                    n_bad = int(viol[f"v{i}"] or 0)
+                    if n_bad:
+                        raise ExpectationError(
+                            f"table {name!r}: {n_bad} row(s) violate "
+                            f"expectation {e!r} — publish rejected, store "
+                            "untouched"
+                        )
             staged[name] = {
                 "dir": rel,
                 "rows": back.count(),
@@ -675,6 +716,7 @@ class GoldStore:
         lock_timeout: float = 30.0,
         properties: dict[str, dict] | None = None,
         entry_extra: dict[str, dict] | None = None,
+        expectations: dict[str, list[str]] | None = None,
     ) -> int:
         """Stage ``gold``, audit it, and commit it as the next version iff
         the store is still at ``base_version``. Tables not named in
@@ -687,7 +729,7 @@ class GoldStore:
         this way so ``changes_since`` can prove the rewrite was
         row-preserving). Returns the committed version."""
         txn = uuid.uuid4().hex[:12]
-        staged = self._stage_tables(gold, txn, partitioned=True)
+        staged = self._stage_tables(gold, txn, partitioned=True, expectations=expectations)
 
         def replace_tables(tables: dict) -> None:
             for name, entry in staged.items():
@@ -709,6 +751,7 @@ class GoldStore:
         base_version: int,
         lock_timeout: float = 30.0,
         properties: dict[str, dict] | None = None,
+        expectations: dict[str, list[str]] | None = None,
     ) -> int:
         """Append-only publish: stage each delta and commit a manifest
         whose entries reference the prior data dirs PLUS the delta dir.
@@ -726,7 +769,7 @@ class GoldStore:
         at audit/commit time, leaving the store untouched.
         """
         txn = uuid.uuid4().hex[:12]
-        staged = self._stage_tables(deltas, txn, partitioned=False)
+        staged = self._stage_tables(deltas, txn, partitioned=False, expectations=expectations)
 
         def append_tables(tables: dict) -> None:
             for name, delta in staged.items():
@@ -1063,6 +1106,43 @@ class GoldStore:
             return self._commit(fold_tables, base_version, txn, lock_timeout)
         finally:
             self._unmark_staged(txn)
+
+    def restore(
+        self, version: int, tables: list[str] | None = None, lock_timeout: float = 30.0
+    ) -> int:
+        """Roll back to a retained ``version`` as a NEW commit (the
+        Delta RESTORE shape, public design): the target manifest's
+        entries (all tables, or just ``tables``) are re-published under
+        the ordinary CAS — history moves FORWARD, nothing is deleted,
+        and the bad intermediate versions stay readable for forensics
+        until vacuumed. Metadata-only: no data is read or rewritten
+        (the restored dirs are still on disk exactly while the target
+        manifest is retained; a vacuumed target raises via
+        ``manifest_at``'s missing file before anything commits)."""
+        target = self.manifest_at(version)
+        base_version = self.current_version()
+        names = list(target["tables"]) if tables is None else list(tables)
+        missing = [n for n in names if n not in target["tables"]]
+        if missing:
+            raise KeyError(f"restore: {missing} not in v{version}")
+        # fail fast if any restored dir is already vacuumed — a commit
+        # pointing at deleted data must never land
+        for n in names:
+            entry = target["tables"][n]
+            for d in self._dirs(entry):
+                if not os.path.isdir(os.path.join(self.path, d)):
+                    raise FileNotFoundError(
+                        f"restore: v{version} table {n!r} references vacuumed "
+                        f"dir {d} — that snapshot is no longer restorable"
+                    )
+
+        def roll_back(cur_tables: dict) -> None:
+            for n in names:
+                cur_tables[n] = dict(target["tables"][n])
+
+        txn = uuid.uuid4().hex[:12]
+        # no staging (metadata-only), but the commit protocol is shared
+        return self._commit(roll_back, base_version, txn, lock_timeout)
 
     def _commit(self, update_tables, base_version: int, txn: str, lock_timeout: float) -> int:
         lock = os.path.join(self.path, self.LOCK)
