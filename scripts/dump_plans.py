@@ -38,13 +38,27 @@ ANNOTATED = {
         "final ORDER BY"
     ),
     "events_sessionize": "one shuffle on user_id shared by both window passes",
+    "dedup_ngram_jaccard": (
+        "df(g) as a window count over one g-exchange of the shingle table "
+        "(round-8: replaces the former groupBy+join that shuffled the same "
+        "rows by g twice); per-doc size and prefix rank share one doc_id "
+        "exchange"
+    ),
+    "dsir_resample": (
+        "bucket score table joined back on an equi key; the only non-equi "
+        "joins are the two single-row totals grids; selection is "
+        "TakeOrderedAndProject over integer Gumbel keys"
+    ),
 }
 
 
 def main() -> None:
     spark = get_spark(cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    from rustcheatersdatapipeline_spark.plans import training as _T
+
+    qs.update(_T.TESTS_ONLY_QUERIES)
     out = [
         "# PLANS — physical plans of the headline queries\n",
         "Regenerate with `python scripts/dump_plans.py` (sf0.01 inputs; the",
