@@ -71,12 +71,17 @@ class IncrementalIngestSink:
         index_table: str,
         max_dirs: int | None = None,
         keep_versions: int | None = None,
+        expectations: list[str] | None = None,
     ):
         self.store = store
         self.data_table = data_table
         self.index_table = index_table
         self.max_dirs = self.MAX_DIRS if max_dirs is None else max_dirs
         self.keep_versions = self.KEEP_VERSIONS if keep_versions is None else keep_versions
+        #: row-level SQL predicates every ADMITTED document must satisfy
+        #: (validated on the staged audit read-back — a violating batch
+        #: raises ExpectationError and nothing publishes)
+        self.expectations = list(expectations or [])
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -151,7 +156,12 @@ class IncrementalIngestSink:
                 frames.update(extra_frames)
                 properties.update(extra_props)
                 self.store.publish_append(
-                    frames, base, properties=properties or None
+                    frames,
+                    base,
+                    properties=properties or None,
+                    expectations={self.data_table: self.expectations}
+                    if self.expectations
+                    else None,
                 )
                 self._maybe_compact()
                 self.last_admitted = admitted
@@ -210,8 +220,12 @@ class CorpusIngestSink(IncrementalIngestSink):
         est_threshold: float | None = None,
         max_dirs: int | None = None,
         keep_versions: int | None = None,
+        expectations: list[str] | None = None,
     ):
-        super().__init__(store, corpus_table, index_table, max_dirs, keep_versions)
+        super().__init__(
+            store, corpus_table, index_table, max_dirs, keep_versions,
+            expectations=expectations,
+        )
         self.id_col = id_col
         self.text_col = text_col
         self._explicit_k = k

@@ -97,3 +97,25 @@ def test_restore_vacuumed_target_fails_fast(spark, tmp_path):
         store.restore(v1)
     # nothing committed
     assert store.read("t").count() == 1
+
+
+def test_ingest_sink_expectations_gate_the_crawl(spark, tmp_path):
+    """A curation bug producing empty admitted docs must fail the
+    PUBLISH, not poison the corpus: the sink forwards its expectations
+    to the audit stage."""
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+
+    docs = spark.createDataFrame(
+        [(1, "a real document with plenty of text", None, "http://a/1", 36),
+         (2, "", None, "http://a/2", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(store, k=9, expectations=["n_chars > 0"])
+    with pytest.raises(ExpectationError, match="n_chars > 0"):
+        sink(docs, batch_id=1)
+    assert "corpus" not in store.current_manifest()["tables"]
+    # the compliant slice publishes fine through the same sink
+    ok = docs.filter("n_chars > 0")
+    assert sink(ok, batch_id=2) == 1
+    assert store.read("corpus").count() == 1
