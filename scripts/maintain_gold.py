@@ -7,6 +7,8 @@ Usage:
     python scripts/maintain_gold.py <store_path> compact <table>
     python scripts/maintain_gold.py <store_path> vacuum [--keep-versions N]
     python scripts/maintain_gold.py <store_path> zorder <table> <col> [col ...]
+    python scripts/maintain_gold.py <store_path> optimize <table> [--min-live F]
+    python scripts/maintain_gold.py <store_path> restore <version> [table ...]
 
 - ``status``  — current version, per-table dir counts, retained versions.
 - ``compact`` — fold a table's append dirs into one (CAS-protected).
@@ -16,6 +18,10 @@ Usage:
   (operators/layout.py) and publish the clustered copy as a new version
   through the normal write-audit-publish path, so readers see either
   the old or the new layout, never a half-rewrite.
+- ``optimize`` — reclaim copy-on-write merge debt: rewrite only dirs
+  whose live-file fraction fell below the threshold (default 0.5).
+- ``restore`` — roll the store (or named tables) back to a retained
+  version as a NEW commit; nothing is deleted.
 
 Every verb is a thin shell over tested library methods — the CLI adds
 argument parsing only.
@@ -91,6 +97,17 @@ def main() -> int:
         cmd_vacuum(store, keep)
     elif verb == "zorder":
         cmd_zorder(store, rest[0], rest[1:])
+    elif verb == "optimize":
+        frac = 0.5
+        if "--min-live" in rest:
+            frac = float(rest[rest.index("--min-live") + 1])
+            i = rest.index("--min-live")
+            rest = rest[:i] + rest[i + 2 :]
+        v = store.optimize(rest[0], min_live_fraction=frac)
+        print(f"optimize {rest[0]}: " + ("nothing to do" if v is None else f"version {v}"))
+    elif verb == "restore":
+        v = store.restore(int(rest[0]), tables=rest[1:] or None)
+        print(f"restored to v{rest[0]} as version {v}")
     else:
         print(__doc__)
         return 2
