@@ -72,16 +72,27 @@ class IncrementalIngestSink:
         max_dirs: int | None = None,
         keep_versions: int | None = None,
         expectations: list[str] | None = None,
+        on_violation: str = "fail",
     ):
         self.store = store
         self.data_table = data_table
         self.index_table = index_table
         self.max_dirs = self.MAX_DIRS if max_dirs is None else max_dirs
         self.keep_versions = self.KEEP_VERSIONS if keep_versions is None else keep_versions
-        #: row-level SQL predicates every ADMITTED document must satisfy
-        #: (validated on the staged audit read-back — a violating batch
-        #: raises ExpectationError and nothing publishes)
+        #: row-level SQL predicates every ADMITTED document must satisfy.
+        #: on_violation="fail": validated on the staged audit read-back —
+        #: a violating batch raises ExpectationError and nothing
+        #: publishes (the circuit-breaker mode: a curation bug should
+        #: stop the pipeline, not thin the corpus). on_violation="drop":
+        #: violating rows are filtered BEFORE dedup/indexing (they never
+        #: enter the signature index either) and counted in
+        #: ``last_dropped`` — the lossy production mode for expected
+        #: dirt. NULL predicate results count as violations in both.
+        if on_violation not in ("fail", "drop"):
+            raise ValueError(f"on_violation must be fail|drop, got {on_violation!r}")
         self.expectations = list(expectations or [])
+        self.on_violation = on_violation
+        self.last_dropped: int = 0
 
     def _collapse_batch(self, batch_df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -128,6 +139,18 @@ class IncrementalIngestSink:
         callers (plans/crawl.py curate_crawl) use it directly."""
         self._bind_contract()
         collapsed = self._collapse_batch(batch_df)
+        self.last_dropped = 0
+        if self.expectations and self.on_violation == "drop":
+            from pyspark.sql import functions as F
+
+            pred = None
+            for e in self.expectations:
+                c = F.coalesce(F.expr(e), F.lit(False))
+                pred = c if pred is None else (pred & c)
+            collapsed = collapsed.cache()
+            good = collapsed.filter(pred)
+            self.last_dropped = collapsed.count() - good.count()
+            collapsed = good
 
         last: ConcurrentWriteError | None = None
         for _ in range(5):
@@ -160,7 +183,7 @@ class IncrementalIngestSink:
                     base,
                     properties=properties or None,
                     expectations={self.data_table: self.expectations}
-                    if self.expectations
+                    if self.expectations and self.on_violation == "fail"
                     else None,
                 )
                 self._maybe_compact()
@@ -221,10 +244,11 @@ class CorpusIngestSink(IncrementalIngestSink):
         max_dirs: int | None = None,
         keep_versions: int | None = None,
         expectations: list[str] | None = None,
+        on_violation: str = "fail",
     ):
         super().__init__(
             store, corpus_table, index_table, max_dirs, keep_versions,
-            expectations=expectations,
+            expectations=expectations, on_violation=on_violation,
         )
         self.id_col = id_col
         self.text_col = text_col

@@ -119,3 +119,39 @@ def test_ingest_sink_expectations_gate_the_crawl(spark, tmp_path):
     ok = docs.filter("n_chars > 0")
     assert sink(ok, batch_id=2) == 1
     assert store.read("corpus").count() == 1
+
+
+def test_ingest_sink_drop_mode_filters_and_counts(spark, tmp_path):
+    """on_violation='drop': dirty rows never publish, never enter the
+    dedup index, and are counted; the clean slice flows normally."""
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+
+    docs = spark.createDataFrame(
+        [(1, "a real document with plenty of text", None, "http://a/1", 36),
+         (2, "", None, "http://a/2", 0),
+         (3, None, None, "http://a/3", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(
+        store, k=9, expectations=["n_chars > 0"], on_violation="drop"
+    )
+    assert sink(docs, batch_id=1) == 1
+    assert sink.last_dropped == 2  # empty text + NULL predicate both drop
+    assert store.read("corpus").count() == 1
+    # dropped rows never entered the index: re-sending a NOW-valid doc 2
+    # admits it (it was never indexed as seen)
+    fixed = spark.createDataFrame(
+        [(2, "doc two grew real content this crawl", None, "http://a/2", 37)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert sink(fixed, batch_id=2) == 1
+    assert sink.last_dropped == 0
+
+
+def test_on_violation_validated(spark, tmp_path):
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    with pytest.raises(ValueError, match="fail|drop"):
+        CorpusIngestSink(store, on_violation="warn")
