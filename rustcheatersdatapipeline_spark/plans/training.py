@@ -1934,6 +1934,82 @@ def decontaminate(spark, sf_dir):
     return hits.orderBy("doc_id")
 
 
+#: Bloom prefilter sizing for decontaminate_bloom: 2^18 bits (32 KiB as
+#: 4096 longs) x 4 hashes — ~2.4% FP at 25k distinct benchmark grams;
+#: false positives only cost verify-join candidates, never correctness
+BLOOM_BITS = 1 << 18
+BLOOM_K = 4
+
+
+def _bloom_words(gram_df: DataFrame, col: str) -> list[int]:
+    """Fold the benchmark grams' hash positions into BLOOM_BITS/64
+    longs. Driver transfer is the DISTINCT position set — bounded by
+    BLOOM_BITS (≤262k ints) no matter how large the benchmark suite
+    grows, unlike broadcasting the gram strings themselves."""
+    pos = (
+        gram_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(BLOOM_BITS))
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # reinterpret as signed int64 for the Spark literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_might_contain(words: list[int], col: str):
+    """Pure-codegen membership probe: k bit tests against the 4096-long
+    array literal — the scan-side runtime filter, no join, no broadcast
+    of the gram strings."""
+    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    cond = None
+    for i in range(BLOOM_K):
+        p = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(BLOOM_BITS))
+        word = F.element_at(arr, ((p / 64).cast("int") + 1).cast("int"))
+        # the python shiftrightunsigned wrapper only takes a literal bit
+        # count — call_function passes the Column through
+        bit = F.call_function(
+            "shiftrightunsigned", word, (p % 64).cast("int")
+        ).bitwiseAND(F.lit(1))
+        c = bit == 1
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def decontaminate_bloom(spark, sf_dir):
+    """``decontaminate`` for the regime where the benchmark gram set is
+    too big to broadcast: a fixed 32 KiB Bloom filter rides the corpus
+    SCAN as a codegen predicate (the runtime-filter pattern Spark
+    applies to joins, built explicitly), and only the ~2% surviving
+    candidates reach the exact semi-join (no hint — AQE sizes it).
+    Blooms have no false negatives with the same hash family on both
+    sides, so the output is EXACTLY ``decontaminate``'s — the oracle is
+    the identical SQL."""
+    docs = table(spark, sf_dir, "documents")
+    k = 13
+    grams = char_shingles(docs, "text", "doc_id", k=k)
+    bench = grams.filter(F.col("doc_id") < 10).select(F.col("g").alias("bg")).distinct()
+    words = _bloom_words(bench, "bg")
+    cand = grams.filter(F.col("doc_id") >= 10).filter(_bloom_might_contain(words, "g"))
+    hits = (
+        cand.join(bench, F.col("g") == F.col("bg"), "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return hits.orderBy("doc_id")
+
+
 #: CDC cut rule: a token position ends its chunk when the portable hash
 #: of the 3-token window ending there is ≡ 0 (mod 8) → expected chunk
 #: length 8 tokens, boundaries resynchronize ~2 tokens after any edit.
@@ -2803,6 +2879,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_logweights": dsir_logweights,
     "dsir_resample": dsir_resample,
     "script_mix": script_mix,
+    "decontaminate_bloom": decontaminate_bloom,
 }
 
 
@@ -3101,6 +3178,9 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, logw_scaled, n_grams FROM lw ORDER BY doc_id"
     ),
     "script_mix": _script_mix_sql(),
+    # exactness by construction: the bloom prefilter has no false
+    # negatives, so the oracle is decontaminate's own SQL verbatim
+    # (bound after the dict literal below)
     "dsir_resample": (
         f"WITH {_DSIR_CTE}, "
         "k AS (SELECT doc_id, logw_scaled, logw_scaled + CAST(FLOOR(1000000.0 * "
@@ -3434,3 +3514,8 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "FROM documents GROUP BY 1 ORDER BY bucket"
     ),
 }
+
+# decontaminate_bloom is output-identical to decontaminate by
+# construction (no-false-negative prefilter + exact verify): reuse the
+# declared query's oracle verbatim
+TESTS_ONLY_ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]

@@ -47,3 +47,28 @@ def test_script_mix_planted_labels(spark):
     assert got == {1: "latin", 2: "han", 3: "cyrillic", 4: "han", 5: "digit", 6: "none"}
     counts = {r["doc_id"]: r["n_han"] for r in script_mix_frame(docs).collect()}
     assert counts[2] == 6 and counts[4] == 2
+
+
+def test_bloom_prefilter_is_exact_and_selective(spark, sf_dir):
+    """decontaminate_bloom ≡ decontaminate (no false negatives by
+    construction), and the scan-side filter actually prunes — the
+    candidate volume must be a small fraction of the corpus grams."""
+    from rustcheatersdatapipeline_spark.functions.text import char_shingles
+    from rustcheatersdatapipeline_spark.catalog import table as _table
+    from pyspark.sql import functions as F
+
+    a = {tuple(r) for r in T.decontaminate(spark, sf_dir).collect()}
+    b = {tuple(r) for r in T.decontaminate_bloom(spark, sf_dir).collect()}
+    assert a == b and a
+
+    docs = _table(spark, sf_dir, "documents")
+    grams = char_shingles(docs, "text", "doc_id", k=13)
+    bench = grams.filter(F.col("doc_id") < 10).select(F.col("g").alias("bg")).distinct()
+    words = T._bloom_words(bench, "bg")
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    total = corpus.count()
+    cand = corpus.filter(T._bloom_might_contain(words, "g")).count()
+    true_hits = corpus.join(bench, F.col("g") == F.col("bg"), "left_semi").count()
+    assert cand >= true_hits            # no false negatives
+    fp = (cand - true_hits) / max(total - true_hits, 1)
+    assert fp < 0.05                    # the 32 KiB filter prunes ≥95%
