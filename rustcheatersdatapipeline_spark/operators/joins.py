@@ -99,3 +99,49 @@ def asof_join(
         + [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in rcols]
     )
     return matched.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    inclusive: str = "both",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Equi+range join: every ``left`` row pairs with the ``right``
+    rows of the same ``by`` group whose [start, end] interval contains
+    ``left.time`` — the generic form of the declared
+    ``events_session_attribution`` shape.
+
+    The plan is a hash/sort-merge join on ``by`` with the range
+    predicate evaluated inline: both sides co-partition on the group
+    key, so there is no quadratic interval explosion — per-group cost is
+    (left rows x overlapping intervals), the output size itself. For
+    non-overlapping intervals per group (sessions), that is one match
+    per left row. ``inclusive``: both|left|right|neither (interval
+    endpoint semantics)."""
+    bounds = {
+        "both": lambda t, s, e: (t >= s) & (t <= e),
+        "left": lambda t, s, e: (t >= s) & (t < e),
+        "right": lambda t, s, e: (t > s) & (t <= e),
+        "neither": lambda t, s, e: (t > s) & (t < e),
+    }
+    if inclusive not in bounds:
+        raise ValueError(f"inclusive must be one of {sorted(bounds)}")
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = None
+    for c in by:
+        eq = F.col(f"l.{c}") == F.col(f"r.{c}")
+        cond = eq if cond is None else (cond & eq)
+    cond = cond & bounds[inclusive](
+        F.col(f"l.{time_col}"), F.col(f"r.{start_col}"), F.col(f"r.{end_col}")
+    )
+    rpay = [c for c in right.columns if c not in by]
+    return l.join(r, cond, "left").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"{c}{suffix}") for c in rpay],
+    )

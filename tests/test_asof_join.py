@@ -109,3 +109,80 @@ def test_matches_declared_query_semantics(spark, sf_dir):
     }
     want = {r["l_id"]: r["r_id"] for r in events_asof_join(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_interval_join_matches_naive(spark):
+    """Differential vs the naive python double loop on seeded random
+    intervals, all four endpoint modes."""
+    import random
+
+    from rustcheatersdatapipeline_spark.operators.joins import interval_join
+
+    rng = random.Random(5)
+    left = [(rng.randrange(3), float(rng.randrange(100)), i) for i in range(50)]
+    right = []
+    for j in range(25):
+        g, s = rng.randrange(3), float(rng.randrange(100))
+        right.append((g, s, s + rng.randrange(1, 15), f"iv{j}"))
+    ldf = spark.createDataFrame(left, "g int, t double, lid int")
+    rdf = spark.createDataFrame(right, "g int, s double, e double, tag string")
+
+    checks = {
+        "both": lambda t, s, e: s <= t <= e,
+        "left": lambda t, s, e: s <= t < e,
+        "right": lambda t, s, e: s < t <= e,
+        "neither": lambda t, s, e: s < t < e,
+    }
+    for mode, ok in checks.items():
+        want = set()
+        for g, t, lid in left:
+            matched = [tag for (rg, s, e, tag) in right if rg == g and ok(t, s, e)]
+            for tag in matched or [None]:
+                want.add((lid, tag))
+        got = {
+            (r["lid"], r["tag_r"])
+            for r in interval_join(
+                ldf, rdf, ["g"], "t", "s", "e", inclusive=mode
+            ).collect()
+        }
+        assert got == want, mode
+
+
+def test_interval_join_reproduces_session_attribution_shape(spark, sf_dir):
+    """Attributing events to their sessions through the generic
+    operator recounts exactly the sessionizer's n_events."""
+    from pyspark.sql.window import Window
+
+    from rustcheatersdatapipeline_spark.catalog import table
+    from rustcheatersdatapipeline_spark.operators.joins import interval_join
+    from rustcheatersdatapipeline_spark.plans.analytics import SESSION_GAP_MIN
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE")),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess_rows = flagged.select(
+        "user_id", "ts", "event_id", F.sum("new_s").over(w).alias("session_id")
+    )
+    sessions = sess_rows.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    attributed = interval_join(
+        ev.select("user_id", "ts", "event_id"), sessions, ["user_id"], "ts", "s", "e"
+    )
+    recount = attributed.groupBy("user_id", "session_id_r").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = recount.join(
+        sessions,
+        (recount["user_id"] == sessions["user_id"])
+        & (recount["session_id_r"] == sessions["session_id"]),
+    ).select("n", "n_events").collect()
+    assert joined and all(r["n"] == r["n_events"] for r in joined)
