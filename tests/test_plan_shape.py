@@ -235,3 +235,19 @@ def test_anchor_scan_is_single_pass_codegen(spark):
     # NODES — explain('formatted') repeats names in the detail section)
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) == 1
     assert "Generate" in p  # the explode
+
+
+def test_temporal_joins_never_plan_cartesian(spark):
+    """asof_join is a window over one group-key shuffle (no join node at
+    all); interval_join must key the join on the group columns — never
+    a cartesian/nested-loop over all pairs."""
+    from rustcheatersdatapipeline_spark.operators.joins import asof_join, interval_join
+
+    ldf = spark.createDataFrame([(0, 1.0, 1)], "g int, t double, lid int")
+    rdf = spark.createDataFrame([(0, 1.0, "x")], "g int, t double, payload string")
+    p = _plan(asof_join(ldf, rdf, "t", ["g"]))
+    assert "Join" not in p  # union + window, not a join
+    assert "Window" in p
+    idf = spark.createDataFrame([(0, 1.0, 2.0, "x")], "g int, s double, e double, tag string")
+    q = _plan(interval_join(ldf, idf, ["g"], "t", "s", "e"))
+    assert "CartesianProduct" not in q and "BroadcastNestedLoopJoin" not in q
