@@ -443,3 +443,83 @@ class MediaIngestSink(IncrementalIngestSink):
         from ..operators.incremental import build_media_index
 
         return build_media_index(novel, self.id_col, self.payload_col)
+
+
+class MergeUpsertSink:
+    """foreachBatch CDC-upsert into a GoldStore table — the streaming
+    dimension-maintenance shape (the reference's hourly ON CONFLICT DO
+    UPDATE loads, LoadDimsOperator.py:25-28, as a lakehouse sink).
+
+    Each micro-batch collapses to one row per key (latest by
+    ``order_col``, ties to the larger value — deterministic under
+    replay) and merges copy-on-write: only files containing a batch key
+    are rewritten, so a trickle of updates against a petabyte dimension
+    costs O(touched files + batch) per trigger. Replays converge: the
+    same batch re-merged lands identical rows (a new version, same
+    state). Lost CAS races against other writers rebuild and retry.
+
+    Ordering contract: the checkpointed stream delivers batches in
+    order, so normal foreachBatch replays (same checkpoint) can only
+    re-apply a suffix — idempotent here. Reprocessing OLD batches out
+    of order through a FRESH checkpoint is last-writer-wins and can
+    regress keys to stale values; ``order_col`` arbitrates only WITHIN
+    a batch (cross-batch arbitration would need the target's current
+    value per key, i.e. a read of the touched rows the caller can do
+    with ``read_pruned`` when replaying history is a real workload)."""
+
+    def __init__(
+        self,
+        store,
+        table: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+        expectations: list[str] | None = None,
+    ):
+        from ..warehouse.persist import GoldStore  # noqa: F401 (typing only)
+
+        self.store = store
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.order_col = order_col
+        self.expectations = list(expectations or [])
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> int:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ..warehouse.persist import merge_with_retry
+
+        if self.expectations:
+            pred = None
+            for e in self.expectations:
+                c = F.coalesce(F.expr(e), F.lit(False))
+                pred = c if pred is None else (pred & c)
+            batch_df = batch_df.filter(pred)
+        if self.order_col:
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                F.col(self.order_col).desc(),
+                *[F.col(c).desc() for c in batch_df.columns if c not in self.key_cols],
+            )
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates(self.key_cols)
+        batch_df = batch_df.cache()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return 0
+            tables = self.store.current_manifest()["tables"]
+            if self.table not in tables:
+                # first batch bootstraps the table (plain append)
+                self.store.publish_append(
+                    {self.table: batch_df}, self.store.current_version()
+                )
+            else:
+                merge_with_retry(self.store, self.table, batch_df, self.key_cols)
+            return n
+        finally:
+            batch_df.unpersist()

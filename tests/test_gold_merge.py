@@ -331,3 +331,47 @@ def test_merge_with_retry_rebuilds_on_lost_race(spark, tmp_path):
             merge_with_retry(store, "t", _df(spark, [(3, "x")]), ["k"], max_attempts=2)
     finally:
         store._commit = real  # type: ignore[method-assign]
+
+
+def test_merge_upsert_sink_streaming_cdc(spark, tmp_path):
+    """Drop-folder CDC stream through MergeUpsertSink: latest-wins per
+    key within and across batches, copy-on-write cost, replay-stable
+    state."""
+    import json
+
+    from rustcheatersdatapipeline_spark.streaming.ingest import MergeUpsertSink
+
+    drop = tmp_path / "cdc"
+    drop.mkdir()
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = MergeUpsertSink(store, "dim", ["k"], order_col="seq")
+
+    def run(ck):
+        q = (
+            spark.readStream.schema("k bigint, v string, seq bigint")
+            .json(str(drop))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def drop_file(name, rows):
+        (drop / name).write_text(
+            "\n".join(json.dumps(dict(zip(("k", "v", "seq"), r))) for r in rows)
+        )
+
+    # batch 1: initial states, including an in-batch update (seq wins)
+    drop_file("b1.jsonl", [(1, "a1", 10), (2, "b1", 10), (1, "a1-NEW", 11)])
+    run("ck1")
+    assert {tuple(r) for r in store.read("dim").collect()} == {
+        (1, "a1-NEW", 11), (2, "b1", 10), }
+    # batch 2: update one key, insert another
+    drop_file("b2.jsonl", [(2, "b2", 20), (3, "c1", 20)])
+    run("ck1")
+    state = {tuple(r) for r in store.read("dim").collect()}
+    assert state == {(1, "a1-NEW", 11), (2, "b2", 20), (3, "c1", 20)}
+    # replay both files through a fresh checkpoint: state unchanged
+    run("ck2")
+    assert {tuple(r) for r in store.read("dim").collect()} == state
