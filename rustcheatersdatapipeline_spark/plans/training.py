@@ -1633,6 +1633,44 @@ def script_mix_frame(docs: DataFrame) -> DataFrame:
     return sel.withColumn("script", dom)
 
 
+def readability(spark, sf_dir):
+    """Flesch reading-ease per document — the classic prose-quality
+    score (public formula) joining the length/punct/stopword heuristics
+    in ``quality_score``:
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Counts are pure codegen regex: sentences are terminal-punctuation
+    runs followed by whitespace/EOL (floored at 1 — a fragment is one
+    sentence), syllables the standard vowel-group heuristic (groups
+    cannot span a space, so one whole-text scan equals the per-word
+    sum). The score arithmetic runs on identical integers in identical
+    order in both engines, so doubles are bit-identical. Explicit
+    ``[\\t\\n\\f\\r ]`` whitespace class — Java's ``\\s`` and RE2's
+    differ on \\x0B (the recorded gotcha)."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.size(ws_tokens("text")).cast("bigint")
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count("text", F.lit(r"[.!?]+([\t\n\f\r ]|$)")).cast("bigint"),
+    )
+    syll = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("bigint"),
+    )
+    stats = docs.select(
+        "doc_id", words.alias("n_words"), sents.alias("n_sentences"), syll.alias("n_syllables")
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return stats.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch")
+    ).orderBy("doc_id")
+
+
 #: within-cluster cosine above which the higher-id vector is pruned
 SEMDEDUP_THRESHOLD = 0.45
 
@@ -2880,6 +2918,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_resample": dsir_resample,
     "script_mix": script_mix,
     "decontaminate_bloom": decontaminate_bloom,
+    "readability": readability,
 }
 
 
@@ -3178,6 +3217,16 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, logw_scaled, n_grams FROM lw ORDER BY doc_id"
     ),
     "script_mix": _script_mix_sql(),
+    "readability": (
+        "WITH c AS (SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words, "
+        "GREATEST(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+([\t\n\f\r ]|$)')) AS BIGINT)) AS n_sentences, "
+        "GREATEST(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syllables "
+        "FROM documents) "
+        "SELECT doc_id, n_words, n_sentences, n_syllables, "
+        "206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) AS flesch "
+        "FROM c WHERE n_words > 0 ORDER BY doc_id"
+    ),
     # exactness by construction: the bloom prefilter has no false
     # negatives, so the oracle is decontaminate's own SQL verbatim
     # (bound after the dict literal below)
