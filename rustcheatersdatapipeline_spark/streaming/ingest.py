@@ -140,6 +140,7 @@ class IncrementalIngestSink:
         self._bind_contract()
         collapsed = self._collapse_batch(batch_df)
         self.last_dropped = 0
+        drop_cached = None
         if self.expectations and self.on_violation == "drop":
             from pyspark.sql import functions as F
 
@@ -147,11 +148,21 @@ class IncrementalIngestSink:
             for e in self.expectations:
                 c = F.coalesce(F.expr(e), F.lit(False))
                 pred = c if pred is None else (pred & c)
-            collapsed = collapsed.cache()
-            good = collapsed.filter(pred)
-            self.last_dropped = collapsed.count() - good.count()
+            # cached only for the two counts below; unpersisted in the
+            # outer finally — a long-running stream otherwise accumulates
+            # one pinned RDD per micro-batch (ADVICE r8)
+            drop_cached = collapsed.cache()
+            good = drop_cached.filter(pred)
+            self.last_dropped = drop_cached.count() - good.count()
             collapsed = good
 
+        try:
+            return self._ingest_collapsed(collapsed)
+        finally:
+            if drop_cached is not None:
+                drop_cached.unpersist()
+
+    def _ingest_collapsed(self, collapsed: DataFrame) -> int:
         last: ConcurrentWriteError | None = None
         for _ in range(5):
             base = self.store.current_version()
@@ -487,7 +498,7 @@ class MergeUpsertSink:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        from ..warehouse.persist import merge_with_retry
+        from ..warehouse.persist import ConcurrentWriteError, merge_with_retry
 
         if self.expectations:
             pred = None
@@ -512,14 +523,24 @@ class MergeUpsertSink:
             n = batch_df.count()
             if n == 0:
                 return 0
-            tables = self.store.current_manifest()["tables"]
-            if self.table not in tables:
-                # first batch bootstraps the table (plain append)
-                self.store.publish_append(
-                    {self.table: batch_df}, self.store.current_version()
-                )
-            else:
-                merge_with_retry(self.store, self.table, batch_df, self.key_cols)
-            return n
+            last: ConcurrentWriteError | None = None
+            for _ in range(5):
+                base = self.store.current_version()
+                if self.table in self.store.current_manifest()["tables"]:
+                    merge_with_retry(self.store, self.table, batch_df, self.key_cols)
+                    return n
+                try:
+                    # first batch bootstraps the table (plain append) —
+                    # under the SAME CAS-retry discipline as the steady
+                    # state: a concurrent writer landing between the
+                    # version read and the commit loses this race, and
+                    # the loser re-checks existence so two sinks racing
+                    # the bootstrap converge via merge instead of
+                    # double-appending under distinct bases (ADVICE r8)
+                    self.store.publish_append({self.table: batch_df}, base)
+                    return n
+                except ConcurrentWriteError as e:
+                    last = e
+            raise last
         finally:
             batch_df.unpersist()

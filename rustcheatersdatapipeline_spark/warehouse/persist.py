@@ -166,8 +166,13 @@ class GoldStore:
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
-        os.makedirs(path, exist_ok=True)
+        # normalized so manifest-relative paths never depend on how the
+        # caller spelled the store path (relative, ./-prefixed, symlinked
+        # temp dirs): every comparison against Spark-reported file URIs
+        # goes through the _data/<txn>/... suffix, but os.path.join
+        # arithmetic elsewhere needs one canonical root
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
 
@@ -422,6 +427,43 @@ class GoldStore:
         return dict(entry.get("properties") or {}) if entry else {}
 
     @staticmethod
+    def _rel_data_path(uri: str) -> str:
+        """Manifest-relative ``_data/<txn>/...`` path of a Spark-reported
+        file URI. Staged files live directly under ``<store>/_data/``, so
+        the suffix after the LAST ``/_data/`` is exactly the manifest's
+        relative path — immune to scheme prefixes, URL quoting, symlink
+        resolution, or a non-normalized store path."""
+        from urllib.parse import unquote, urlparse
+
+        p = (
+            unquote(urlparse(uri).path)
+            if "://" in uri or uri.startswith("file:")
+            else uri
+        )
+        head, sep, tail = p.rpartition(os.sep + "_data" + os.sep)
+        return os.path.join("_data", tail) if sep else p
+
+    @classmethod
+    def _complete_files(cls, entry: dict) -> list[dict] | None:
+        """The entry's per-file records iff they cover EVERY referenced
+        dir; None otherwise ("no usable stats — read/rewrite whole dirs").
+        A legacy dir-level entry (files None) later extended by
+        ``publish_append`` carries a PARTIAL list — treating it as
+        complete would make file-list readers silently drop the legacy
+        dir's rows and ``merge`` silently lose them (ADVICE r8)."""
+        files = entry.get("files")
+        if files is None:
+            return None
+        if entry.get("file_level"):
+            # merge-produced entries are born with full coverage and the
+            # dirs list is derived FROM the file set — nothing to check
+            return files
+        covered = {os.sep.join(f["path"].split(os.sep)[:3]) for f in files}
+        if any(d not in covered for d in cls._dirs(entry)):
+            return None
+        return files
+
+    @staticmethod
     def _partition_matches(f: dict, col: str, lo, hi) -> bool | None:
         """True/False if the file's manifest-recorded partition value for
         ``col`` decides the predicate; None if ``col`` is not a partition
@@ -451,7 +493,7 @@ class GoldStore:
         "cannot prune, read everything". Files without metadata for
         ``col`` are kept (conservative)."""
         entry = self.current_manifest()["tables"][name]
-        files = entry.get("files")
+        files = self._complete_files(entry)
         if files is None:
             return None
         keep = []
@@ -474,7 +516,7 @@ class GoldStore:
         cut). Same conservative semantics as ``pruned_files`` per
         column; returns None when the manifest carries no stats."""
         entry = self.current_manifest()["tables"][name]
-        files = entry.get("files")
+        files = self._complete_files(entry)
         if files is None:
             return None
         keep = []
@@ -894,9 +936,10 @@ class GoldStore:
                     f"merge source has duplicate keys on {key_cols} — "
                     "latest-wins needs an explicit pre-aggregation"
                 )
-        files = entry.get("files")
+        files = self._complete_files(entry)
         if files is None:
-            # legacy entry without file stats: no pruning possible —
+            # legacy or partially-covered entry without usable file
+            # stats: no pruning possible —
             # correct full copy-on-write rewrite of the whole table
             # (insert_if_absent still appends, but freshness must check
             # the whole table)
@@ -973,19 +1016,17 @@ class GoldStore:
                     .distinct()
                     .collect()
                 )
-                from urllib.parse import unquote, urlparse
-
-                abs_hits = {
-                    unquote(urlparse(r["__file"]).path)
-                    if "://" in r["__file"] or r["__file"].startswith("file:")
-                    else r["__file"]
-                    for r in hit
+                # match on the _data/<txn>/... suffix, NOT the absolute
+                # prefix: input_file_name() URIs go through the
+                # filesystem's view of the path (symlinks resolved, e.g.
+                # macOS /var -> /private/var temp dirs; scheme-prefixed),
+                # and an absolute-prefix comparison silently matching
+                # NOTHING would make upsert keep stale rows beside the
+                # inserted ones and delete no-op (ADVICE r8)
+                rel_hits = {
+                    self._rel_data_path(r["__file"]) for r in hit
                 }
-                touched_rel = [
-                    f["path"]
-                    for f in cand
-                    if os.path.join(self.path, f["path"]) in abs_hits
-                ]
+                touched_rel = [f["path"] for f in cand if f["path"] in rel_hits]
             if mode == "delete" and not touched_rel:
                 return base_version  # nothing to delete — no-op, no new version
             untouched = [f for f in files if f["path"] not in set(touched_rel)]

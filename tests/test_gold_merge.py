@@ -375,3 +375,93 @@ def test_merge_upsert_sink_streaming_cdc(spark, tmp_path):
     # replay both files through a fresh checkpoint: state unchanged
     run("ck2")
     assert {tuple(r) for r in store.read("dim").collect()} == state
+
+
+# -- ADVICE r8 regressions --------------------------------------------------
+
+
+def test_merge_through_symlinked_relative_store_path(spark, tmp_path, monkeypatch):
+    """Touched-file detection must survive a store path that the
+    filesystem reports differently than the caller spelled it (symlinked
+    temp dirs, relative paths): a miss here silently keeps stale target
+    rows beside the inserted ones. Matching on the _data/<txn>/ suffix
+    makes the spelling irrelevant."""
+    real = tmp_path / "real_gold"
+    real.mkdir()
+    link = tmp_path / "link_gold"
+    os.symlink(real, link)
+    monkeypatch.chdir(tmp_path)
+    # relative spelling THROUGH the symlink — worst case for prefix match
+    store = GoldStore(spark, "link_gold")
+    v = store.publish_append({"t": _df(spark, BATCHES[0]).coalesce(1)}, 0)
+    store.publish_append({"t": _df(spark, BATCHES[1]).coalesce(1)}, v)
+    store.merge("t", _df(spark, [(2, "A2"), (99, "new")]), ["k"])
+    assert _rows(store, "t") == {
+        (1, "a1"), (2, "A2"), (3, "a3"), (10, "b1"), (11, "b2"), (99, "new")
+    }
+    # delete must actually remove, not silently no-op
+    store.merge("t", _df(spark, [(1, None)]).select("k"), ["k"], mode="delete")
+    assert 1 not in {k for k, _ in _rows(store, "t")}
+
+
+def _strip_file_stats(store, name):
+    """Emulate a legacy manifest entry written before per-file stats
+    existed: files -> None in both the live manifest and the history."""
+    import json
+
+    for p in [store._manifest_file()] + [
+        os.path.join(store.path, "_manifests", f"v{v}.json")
+        for v in store.versions()
+    ]:
+        with open(p, encoding="utf-8") as f:
+            m = json.load(f)
+        if name in m["tables"]:
+            m["tables"][name]["files"] = None
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(m, f)
+
+
+def test_merge_partial_file_stats_takes_full_rewrite_path(spark, tmp_path):
+    """A legacy (files=None) entry later extended by publish_append has
+    a PARTIAL file list. Treating it as complete would make merge drop
+    the legacy dir's rows (data loss) and pruned reads skip them; both
+    must fall back to whole-dir semantics instead."""
+    store, v = _store_with_batches(spark, tmp_path, BATCHES[:1])
+    _strip_file_stats(store, "t")
+    store.publish_append({"t": _df(spark, BATCHES[1]).coalesce(1)}, v)
+    entry = store.current_manifest()["tables"]["t"]
+    # the emulated hazard is real: a partial list covering only batch 2
+    assert entry["files"] is not None and len(entry["files"]) == 1
+    assert store.pruned_files("t", "k", 1, 1) is None  # no silent skip
+    store.merge("t", _df(spark, [(2, "A2"), (99, "new")]), ["k"])
+    assert _rows(store, "t") == {
+        (1, "a1"), (2, "A2"), (3, "a3"), (10, "b1"), (11, "b2"), (99, "new")
+    }
+    assert store.current_manifest()["tables"]["t"]["rows"] == 6
+
+
+def test_merge_upsert_sink_bootstrap_race_converges(spark, tmp_path):
+    """Two sinks racing the first-ever batch: the loser's bootstrap
+    append is CAS-rejected, and it must fall through to merge on the
+    winner's table — not double-append under a distinct base."""
+    from rustcheatersdatapipeline_spark.streaming.ingest import MergeUpsertSink
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = MergeUpsertSink(store, "dim", ["k"])
+    original = store.publish_append
+    raced = {"done": False}
+
+    def racing_publish_append(frames, base, **kw):
+        if not raced["done"] and "dim" in frames:
+            raced["done"] = True
+            # the other sink wins the bootstrap with ITS batch first
+            original({"dim": _df(spark, [(1, "other"), (5, "theirs")])}, base)
+            return original(frames, base, **kw)  # -> ConcurrentWriteError
+        return original(frames, base, **kw)
+
+    store.publish_append = racing_publish_append
+    assert sink(_df(spark, [(1, "mine"), (2, "mine")]), batch_id=0) == 2
+    # loser merged over the winner's rows: k=1 latest-wins to the loser's
+    # replay, k=5 survives, k=2 inserted — and no duplicate keys exist
+    rows = _rows(store, "dim")
+    assert rows == {(1, "mine"), (2, "mine"), (5, "theirs")}

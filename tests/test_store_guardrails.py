@@ -155,3 +155,22 @@ def test_on_violation_validated(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     with pytest.raises(ValueError, match="fail|drop"):
         CorpusIngestSink(store, on_violation="warn")
+
+
+def test_ingest_sink_drop_mode_unpersists_its_cache(spark, tmp_path):
+    """drop-mode caches the batch to count violations; a long-running
+    stream must not accumulate one pinned RDD per micro-batch."""
+    from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "a real document with plenty of text", None, "http://a/1", 36),
+         (2, "", None, "http://a/2", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    sink = CorpusIngestSink(
+        store, k=9, expectations=["n_chars > 0"], on_violation="drop"
+    )
+    assert sink(docs, batch_id=1) == 1
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
