@@ -1,0 +1,109 @@
+"""Backfill driver: resumable catchup over an interval range
+(reference: dags/rust_twitter_steam_pipeline.py:44-51 hourly schedule,
+max_active_runs=1, Airflow catchup semantics)."""
+
+import datetime as dt
+
+import pytest
+
+from rustcheatersdatapipeline_spark.backfill import (
+    PROGRESS_TABLE,
+    completed_intervals,
+    interval_ends,
+    run_interval_range,
+)
+from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
+from tests.fixtures import write_fixtures
+
+START = dt.datetime(2021, 10, 2, 0, 0, 0)
+STEP = dt.timedelta(hours=1)
+
+
+@pytest.fixture()
+def bronze(tmp_path):
+    (tmp_path / "bronze").mkdir()
+    write_fixtures(tmp_path / "bronze")
+    return str(tmp_path / "bronze")
+
+
+def test_interval_schedule_is_airflow_shaped():
+    ends = interval_ends(START, START + 3 * STEP, STEP)
+    assert ends == [START + STEP, START + 2 * STEP, START + 3 * STEP]
+    assert interval_ends(START, START, STEP) == []
+    with pytest.raises(ValueError):
+        interval_ends(START, START + STEP, dt.timedelta(0))
+
+
+def test_backfill_runs_every_interval_once(spark, tmp_path, bronze):
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    ran = run_interval_range(
+        spark, store, lambda _: bronze, START, START + 3 * STEP
+    )
+    assert [ie for ie, _, _ in ran] == interval_ends(START, START + 3 * STEP, STEP)
+    assert all(res.succeeded for _, res, _ in ran)
+    assert len(completed_intervals(store)) == 3
+    # key-idempotent upserts: three identical intervals, still 2 players
+    assert store.read("player_dim").count() == 2
+    # a full rerun of the same range is a pure no-op
+    assert run_interval_range(
+        spark, store, lambda _: bronze, START, START + 3 * STEP
+    ) == []
+
+
+def test_backfill_crash_midrange_resumes_without_duplicates(
+    spark, tmp_path, bronze, monkeypatch
+):
+    """Crash while interval 2 is uncommitted: rerun must redo ONLY
+    intervals 2 and 3, and the converged store must equal the
+    uninterrupted run's (no duplicate rows, no duplicate progress)."""
+    import rustcheatersdatapipeline_spark.backfill as bf
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    calls = {"n": 0}
+    real_run_batch = bf.run_batch
+
+    def crashing_run_batch(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-range")
+        return real_run_batch(*a, **k)
+
+    monkeypatch.setattr(bf, "run_batch", crashing_run_batch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_interval_range(spark, store, lambda _: bronze, START, START + 3 * STEP)
+    assert len(completed_intervals(store)) == 1  # interval 1 committed
+
+    ran = run_interval_range(
+        spark, store, lambda _: bronze, START, START + 3 * STEP
+    )
+    # resumed exactly at interval 2 — interval 1 never re-ran
+    assert [ie for ie, _, _ in ran] == [START + 2 * STEP, START + 3 * STEP]
+    assert calls["n"] == 4  # 1 ok + 1 crash + 2 resumed
+    assert len(completed_intervals(store)) == 3
+
+    # converged state == an uninterrupted serial run on a fresh store
+    clean = GoldStore(spark, str(tmp_path / "gold_clean"))
+    run_interval_range(spark, clean, lambda _: bronze, START, START + 3 * STEP)
+    for name in store.current_manifest()["tables"]:
+        if name == PROGRESS_TABLE:
+            continue
+        cols = sorted(store.read(name).columns)
+        assert sorted(map(tuple, store.read(name).select(*cols).collect())) == sorted(
+            map(tuple, clean.read(name).select(*cols).collect())
+        ), name
+
+
+def test_progress_commits_atomically_with_gold(spark, tmp_path, bronze):
+    """The progress row and the interval's tables land in ONE manifest
+    version — completion can never be recorded without visibility."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    ran = run_interval_range(
+        spark, store, lambda _: bronze, START, START + STEP
+    )
+    (_, res, version) = ran[0]
+    m = store.manifest_at(version)
+    assert PROGRESS_TABLE in m["tables"]
+    assert "player_dim" in m["tables"]
+    row = store.read(PROGRESS_TABLE).collect()[0]
+    assert row["interval_end"] == (START + STEP).isoformat()
+    assert "player_dim" in row["loaded"] and row["failed"] == []
