@@ -485,6 +485,7 @@ class MergeUpsertSink:
         key_cols: list[str],
         order_col: str | None = None,
         expectations: list[str] | None = None,
+        strategy: str = "mor",
     ):
         from ..warehouse.persist import GoldStore  # noqa: F401 (typing only)
 
@@ -493,6 +494,15 @@ class MergeUpsertSink:
         self.key_cols = list(key_cols)
         self.order_col = order_col
         self.expectations = list(expectations or [])
+        # merge-on-read by default: a trickle of streaming upserts
+        # against a petabyte dimension must write bytes ∝ ROWS touched
+        # per trigger (a deletion vector + the batch), not rewrite every
+        # file a key lands in (VERDICT r8 #1); store.optimize() folds
+        # the accumulated DV debt. strategy="cow" restores the
+        # rewrite-on-write behavior for read-latency-critical tables.
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+        self.strategy = strategy
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> int:
         from pyspark.sql import functions as F
@@ -527,7 +537,10 @@ class MergeUpsertSink:
             for _ in range(5):
                 base = self.store.current_version()
                 if self.table in self.store.current_manifest()["tables"]:
-                    merge_with_retry(self.store, self.table, batch_df, self.key_cols)
+                    merge_with_retry(
+                        self.store, self.table, batch_df, self.key_cols,
+                        strategy=self.strategy,
+                    )
                     return n
                 try:
                     # first batch bootstraps the table (plain append) —

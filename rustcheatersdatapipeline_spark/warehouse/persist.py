@@ -218,7 +218,7 @@ class GoldStore:
         rewrote some files of a dir and carried the rest forward by
         reference, so the dir alone no longer describes the table."""
         if entry.get("file_level"):
-            df = self._grouped_file_read([f["path"] for f in entry["files"]])
+            df = self._read_files(entry["files"])
             if entry.get("schema") is not None:
                 from pyspark.sql import functions as F
                 from pyspark.sql.types import StructType
@@ -242,14 +242,39 @@ class GoldStore:
             r = r.option("mergeSchema", "true")
         return r.parquet(*dirs)
 
-    def _grouped_file_read(self, rel_paths: list[str]) -> DataFrame:
+    #: helper columns for deletion-vector bookkeeping: the row's file as
+    #: a manifest-relative path, and its ordinal within that file
+    REL_COL = "__rel_path"
+    POS_COL = "__row_pos"
+
+    @classmethod
+    def _with_row_identity(cls, df: DataFrame) -> DataFrame:
+        """Attach (manifest-relative file path, row position) from the
+        parquet reader's ``_metadata`` struct — the stable row identity
+        deletion vectors address. Pure codegen (a substring over the
+        scan-provided path), no Python, no shuffle."""
+        from pyspark.sql import functions as F
+
+        sep = os.sep + "_data" + os.sep
+        return df.withColumn(
+            cls.REL_COL,
+            F.concat(
+                F.lit("_data" + os.sep),
+                F.substring_index(F.col("_metadata.file_path"), sep, -1),
+            ),
+        ).withColumn(cls.POS_COL, F.col("_metadata.row_index"))
+
+    def _grouped_file_read(
+        self, rel_paths: list[str], row_identity: bool = False
+    ) -> DataFrame:
         """Open an explicit file list, grouped by staged table root
         (``_data/<txn>/<name>``) so a ``col=value`` partition layout
         reads with ``basePath`` pinned and Spark reconstructs the
         partition column for exactly the files passed. Groups (one
         schema each — a txn dir is written once) union by name with
         missing columns allowed, the same additive-evolution semantics
-        as multi-dir entries."""
+        as multi-dir entries. ``row_identity`` adds the (file, position)
+        helper columns deletion vectors key on."""
         if not rel_paths:
             raise ValueError("empty file list")
         groups: dict[str, list[str]] = {}
@@ -257,12 +282,55 @@ class GoldStore:
             parts = p.split(os.sep)
             root = os.path.join(self.path, *parts[:3])
             groups.setdefault(root, []).append(os.path.join(self.path, p))
-        frames = [
-            self.spark.read.option("basePath", root).parquet(*fs)
-            for root, fs in sorted(groups.items())
-        ]
+        frames = []
+        for root, fs in sorted(groups.items()):
+            fr = self.spark.read.option("basePath", root).parquet(*fs)
+            if row_identity:
+                fr = self._with_row_identity(fr)
+            frames.append(fr)
         base = frames[0]
         for fr in frames[1:]:
+            base = base.unionByName(fr, allowMissingColumns=True)
+        return base
+
+    def _read_dv(self, dv_dirs: list[str]) -> DataFrame:
+        """Union the (path, pos) rows of the given deletion-vector dirs."""
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in sorted(set(dv_dirs))]
+        )
+
+    def _read_files(
+        self, files: list[dict], row_identity: bool = False
+    ) -> DataFrame:
+        """DV-aware read of explicit file records: rows whose (file,
+        position) appears in a referenced deletion vector are masked out
+        via an anti-join — the merge-on-read shape (Delta/Iceberg DVs,
+        public designs). Files without DVs scan clean (no helper
+        columns, no join) unless the caller asked for row identity."""
+        plain = [f for f in files if not f.get("dv")]
+        dvd = [f for f in files if f.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                self._grouped_file_read(
+                    [f["path"] for f in plain], row_identity=row_identity
+                )
+            )
+        if dvd:
+            df = self._grouped_file_read([f["path"] for f in dvd], row_identity=True)
+            dv = self._read_dv([d["dir"] for f in dvd for d in f["dv"]])
+            df = df.join(
+                dv,
+                (df[self.REL_COL] == dv["path"]) & (df[self.POS_COL] == dv["pos"]),
+                "left_anti",
+            )
+            if not row_identity:
+                df = df.drop(self.REL_COL, self.POS_COL)
+            parts.append(df)
+        if not parts:
+            raise ValueError("empty file list")
+        base = parts[0]
+        for fr in parts[1:]:
             base = base.unionByName(fr, allowMissingColumns=True)
         return base
 
@@ -350,6 +418,22 @@ class GoldStore:
                     f"{name}: a merge since v{from_version} rewrote files — "
                     "the delta is not append-only; do a full read instead"
                 )
+            # a merge-on-read update leaves every path in place but adds
+            # deletion vectors: that too is not append-only
+            base_dv = {
+                f["path"]: [d["dir"] for d in f.get("dv") or []]
+                for f in (base_entry.get("files") or [])
+            } if base_entry is not None else {}
+            cur_dv = {
+                f["path"]: [d["dir"] for d in f.get("dv") or []]
+                for f in cur["files"]
+            }
+            if any(cur_dv.get(p, []) != dv for p, dv in base_dv.items()):
+                raise ValueError(
+                    f"{name}: a merge since v{from_version} added deletion "
+                    "vectors — the delta is not append-only; use changes_cdc "
+                    "or do a full read instead"
+                )
             delta_files = [p for p in cur_files if p not in base_files]
             if not delta_files:
                 return self._read_entry(cur).limit(0)
@@ -417,6 +501,179 @@ class GoldStore:
         # missing path rather than returning partial data (read_at's
         # documented contract)
         return appended
+
+    def _is_row_preserving(self, prev_entry: dict | None, entry: dict) -> bool:
+        """True when the commit that produced ``entry`` provably changed
+        no live rows (compact / optimize): cdc skips it. The recorded
+        marker is cross-checked against the row counts — a marker whose
+        counts disagree is treated as a real change, never skipped."""
+        marked = entry.get("rewrite_kind") == "row_preserving" or (
+            prev_entry is not None
+            and entry.get("compacted_from") is not None
+            and set(entry["compacted_from"]) == set(self._dirs(prev_entry))
+        )
+        if not marked:
+            return False
+        if prev_entry is not None and "rows" in prev_entry and "rows" in entry:
+            return int(prev_entry["rows"]) == int(entry["rows"])
+        return True
+
+    def _apply_entry_schema(self, df: DataFrame, schema_json: dict | None) -> DataFrame:
+        if schema_json is None:
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        want = StructType.fromJson(schema_json)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        ]
+        return df.select(*cols)
+
+    def changes_cdc(self, name: str, from_version: int) -> DataFrame:
+        """Exact row-level CDC across ANY history — appends, both merge
+        strategies, replaces — as a frame with a ``_change_type`` column
+        (``insert`` | ``delete``): the multiset of current rows equals
+        base rows + inserts − deletes.
+
+        Cost is O(touched), never O(table): each version's diff reads
+        only the files that version added or removed plus the rows its
+        new deletion vectors masked; row-preserving rewrites (compact /
+        optimize) contribute NOTHING (VERDICT r8 #2 — an update merge
+        must not force consumers into a full rebuild). Appends diff as
+        pure inserts (same bytes ``changes_since`` reads); a replace
+        publish diffs as delete-all + insert-all, which IS its delta.
+
+        Raises ``ValueError`` when the retained manifest history cannot
+        prove the diff (pruned window, entries without file records) —
+        the consumer falls back to a full read, exactly like
+        ``changes_since``."""
+        from pyspark.sql import functions as F
+
+        cur_manifest = self.current_manifest()
+        cur_entry = cur_manifest["tables"].get(name)
+        if cur_entry is None:
+            raise KeyError(name)
+        cur_version = int(cur_manifest["version"])
+        expected = list(range(from_version + 1, cur_version + 1))
+        retained = [v for v in self.versions() if v > from_version]
+        if retained != expected:
+            missing = sorted(set(expected) - set(retained))
+            raise ValueError(
+                f"{name}: manifests for versions {missing} since "
+                f"v{from_version} were pruned — cdc is unprovable; do a "
+                "full read instead"
+            )
+        try:
+            prev = self.manifest_at(from_version)["tables"].get(name)
+        except FileNotFoundError:
+            prev = None if from_version == 0 else self._raise_pruned(name, from_version)
+        schema = cur_entry.get("schema")
+        frames: list[DataFrame] = []
+
+        def rec_map(entry: dict | None) -> dict[str, dict]:
+            if entry is None:
+                return {}
+            files = self._complete_files(entry)
+            if files is None:
+                raise ValueError(
+                    f"{name}: an entry in the history lacks complete file "
+                    "records — cdc is unprovable; do a full read instead"
+                )
+            return {f["path"]: f for f in files}
+
+        for v in expected:
+            nxt = self.manifest_at(v)["tables"].get(name)
+            if nxt == prev:
+                continue  # this commit touched other tables only
+            if nxt is None:
+                raise ValueError(
+                    f"{name}: dropped from the manifest at v{v} — cdc "
+                    "across a drop is undefined; do a full read instead"
+                )
+            if self._is_row_preserving(prev, nxt):
+                prev = nxt
+                continue
+            pm, nm = rec_map(prev), rec_map(nxt)
+            plus = [f for p, f in nm.items() if p not in pm]
+            minus = [f for p, f in pm.items() if p not in nm]
+            if plus:
+                frames.append(
+                    self._apply_entry_schema(self._read_files(plus), schema)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if minus:
+                # deleted = the file's LIVE rows as of v-1 (its own DVs
+                # at that version already applied by _read_files)
+                frames.append(
+                    self._apply_entry_schema(self._read_files(minus), schema)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            # merge-on-read deltas: surviving files whose DV set changed.
+            # Grown DVs (a MOR merge) mask rows → deletes; shrunk DVs (a
+            # restore to a pre-merge snapshot) un-mask rows → inserts.
+            changed: list[tuple[dict, list[str], list[str]]] = []
+            for p in pm.keys() & nm.keys():
+                old = [d["dir"] for d in pm[p].get("dv") or []]
+                new = [d["dir"] for d in nm[p].get("dv") or []]
+                if old != new:
+                    changed.append((pm[p], old, new))
+            if changed:
+                raw = self._grouped_file_read(
+                    [f["path"] for f, _, _ in changed], row_identity=True
+                )
+                paths = {f["path"] for f, _, _ in changed}
+
+                def pos_set(dirs: set[str]):
+                    if not dirs:
+                        return None
+                    dv = self._read_dv(sorted(dirs))
+                    return dv.filter(dv["path"].isin(*paths)).distinct()
+
+                old_pos = pos_set({d for _, old, _ in changed for d in old})
+                new_pos = pos_set({d for _, _, new in changed for d in new})
+                masked = (
+                    new_pos if old_pos is None
+                    else None if new_pos is None
+                    else new_pos.exceptAll(old_pos)
+                )
+                unmasked = (
+                    old_pos if new_pos is None
+                    else None if old_pos is None
+                    else old_pos.exceptAll(new_pos)
+                )
+                for pos, kind in ((masked, "delete"), (unmasked, "insert")):
+                    if pos is None:
+                        continue
+                    rows = raw.join(
+                        pos,
+                        (raw[self.REL_COL] == pos["path"])
+                        & (raw[self.POS_COL] == pos["pos"]),
+                        "left_semi",
+                    ).drop(self.REL_COL, self.POS_COL)
+                    frames.append(
+                        self._apply_entry_schema(rows, schema)
+                        .withColumn("_change_type", F.lit(kind))
+                    )
+            prev = nxt
+        if not frames:
+            return self._read_entry(cur_entry).limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        base = frames[0]
+        for fr in frames[1:]:
+            base = base.unionByName(fr, allowMissingColumns=True)
+        return base
+
+    @staticmethod
+    def _raise_pruned(name: str, from_version: int):
+        raise ValueError(
+            f"{name}: the manifest for v{from_version} was pruned — the "
+            "baseline is unknowable; do a full read instead"
+        )
 
     def properties(self, name: str) -> dict:
         """The table's manifest-recorded properties (empty dict if none)
@@ -550,7 +807,7 @@ class GoldStore:
         elif not files:
             base = self.spark.createDataFrame([], self.read(name).schema)
         else:
-            base = self._grouped_file_read([f["path"] for f in files])
+            base = self._read_files(files)
         cond = F.lit(True)
         for col, (lo, hi) in bounds.items():
             cond = cond & (F.col(col) >= lo) & (F.col(col) <= hi)
@@ -577,19 +834,7 @@ class GoldStore:
         elif not files:
             base = self.spark.createDataFrame([], self.read(name).schema)
         else:
-            # group by staged table root: _data/<txn>/<name>
-            groups: dict[str, list[str]] = {}
-            for f in files:
-                parts = f["path"].split(os.sep)
-                root = os.path.join(self.path, *parts[:3])
-                groups.setdefault(root, []).append(os.path.join(self.path, f["path"]))
-            frames = [
-                self.spark.read.option("basePath", root).parquet(*fs)
-                for root, fs in groups.items()
-            ]
-            base = frames[0]
-            for fr in frames[1:]:
-                base = base.unionByName(fr, allowMissingColumns=True)
+            base = self._read_files(files)
         return base.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
     @staticmethod
@@ -661,10 +906,7 @@ class GoldStore:
         visible."""
         from pyspark.sql import functions as F
 
-        txn_dir = os.path.join(self.path, "_data", txn)
-        os.makedirs(txn_dir, exist_ok=True)
-        with open(os.path.join(txn_dir, self.STAGED_MARKER), "w", encoding="utf-8") as f:
-            f.write(str(time.time()))
+        self._mark_staged(txn)
         staged: dict[str, dict] = {}
         for name, df in tables.items():
             rel = os.path.join("_data", txn, name)
@@ -704,6 +946,50 @@ class GoldStore:
                 "schema": back.schema.jsonValue(),
             }
         return staged
+
+    def _mark_staged(self, txn: str) -> None:
+        txn_dir = os.path.join(self.path, "_data", txn)
+        os.makedirs(txn_dir, exist_ok=True)
+        with open(os.path.join(txn_dir, self.STAGED_MARKER), "w", encoding="utf-8") as f:
+            f.write(str(time.time()))
+
+    def _stage_dv(self, dv_df: DataFrame, txn: str) -> tuple[str, dict[str, int]]:
+        """Write a deletion-vector frame (path string, pos bigint) into
+        the txn's ``__dv__`` dir and return (rel dir, per-file deleted
+        row counts — bounded: one entry per touched file). The count
+        read-back doubles as the audit (a torn DV can never publish)."""
+        from pyspark.sql import functions as F
+
+        rel = os.path.join("_data", txn, "__dv__")
+        target = os.path.join(self.path, rel)
+        dv_df.select(
+            F.col("path").cast("string"), F.col("pos").cast("bigint")
+        ).write.mode("error").parquet(target)
+        back = self.spark.read.parquet(target)
+        per_file = {
+            r["path"]: int(r["n"])
+            for r in back.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return rel, per_file
+
+    @staticmethod
+    def _file_level_dirs(files: list[dict], extra: list[str] | None = None) -> list[str]:
+        """Every dir a file-level entry must keep live for vacuum: the
+        data roots of its files AND the roots of every referenced
+        deletion vector (a DV in txn A masks rows of files in txn B —
+        dropping A's dir reference would let vacuum corrupt B's reads)."""
+        roots: list[str] = []
+        for f in files:
+            r = os.sep.join(f["path"].split(os.sep)[:3])
+            if r not in roots:
+                roots.append(r)
+            for d in f.get("dv") or []:
+                if d["dir"] not in roots:
+                    roots.append(d["dir"])
+        for e in extra or []:
+            if e and e not in roots:
+                roots.append(e)
+        return roots
 
     def _unmark_staged(self, txn: str) -> None:
         try:
@@ -880,10 +1166,10 @@ class GoldStore:
         key_cols: list[str],
         mode: str = "upsert",
         lock_timeout: float = 30.0,
+        strategy: str = "cow",
     ) -> int:
-        """Row-level MERGE INTO with file-level copy-on-write — the
-        Delta/Iceberg merge shape (public designs), built on the store's
-        own manifest stats:
+        """Row-level MERGE INTO — the Delta/Iceberg merge shape (public
+        designs), built on the store's own manifest stats:
 
         - ``mode="upsert"``: target rows whose key appears in ``source``
           are REPLACED by the source row; source keys absent from the
@@ -896,29 +1182,41 @@ class GoldStore:
         source key are ever opened. Candidates come from the manifest's
         per-file [min,max]/partition metadata intersected with the
         source's key bounds (one bounded agg job, metadata-only pruning);
-        the exact touched set then comes from an ``input_file_name()``
-        semi-join over candidates only. Untouched files carry forward BY
-        REFERENCE (``file_level`` entry) — a merge touching 3 files of a
-        million-file table stages 3 files' worth of rewrite plus the
-        inserts, never a table rewrite. Rewritten-away files stay on disk
-        until ``compact``/``vacuum`` (copy-on-write space amplification,
-        the standard trade).
+        the exact touched set then comes from a row-identity semi-join
+        over candidates only. Untouched files carry forward BY REFERENCE
+        (``file_level`` entry).
+
+        ``strategy`` picks what happens to the TOUCHED files:
+
+        - ``"cow"`` (copy-on-write): touched files are rewritten in full
+          minus the matched rows — read amplification zero, but a 1-row
+          upsert rewrites every byte of every file containing that key.
+        - ``"mor"`` (merge-on-read, the Delta/Iceberg deletion-vector
+          design): touched files stay byte-identical on disk; the merge
+          writes a small DELETION VECTOR (the (file, row-position) pairs
+          of the matched rows) plus the inserted rows. Bytes written ∝
+          ROWS touched, not files touched — the scale-safe shape for
+          high-frequency trickle upserts (``MergeUpsertSink``). Readers
+          mask DV'd positions with an anti-join; ``optimize`` folds DV
+          debt back into clean files. The trade is the standard one:
+          cheap writes, a small per-read join until compaction.
 
         - ``mode="insert_if_absent"``: source keys already present keep
           the TARGET row (``ON CONFLICT DO NOTHING`` — the reference's
           D11 semantics, LoadDimsOperator.py:25-28); only fresh keys
-          land. No file is ever rewritten: freshness is decided against
-          the stats-pruned candidate files only, and the fresh rows
-          publish as a plain append — O(candidates + batch) at any
-          table size.
+          land. No file is ever rewritten under either strategy.
 
         Same write-audit-CAS protocol as ``publish``; ``changes_since``
         across a merge raises (an update is not an append) unless the
-        merge was insert-only, which diffs exactly at file level."""
+        merge was insert-only, which diffs exactly at file level;
+        ``changes_cdc`` serves exact row-level diffs across BOTH merge
+        strategies."""
         from pyspark.sql import functions as F
 
         if mode not in ("upsert", "delete", "insert_if_absent"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
         base_version = self.current_version()
         entry = self.current_manifest()["tables"].get(name)
         if entry is None:
@@ -987,10 +1285,9 @@ class GoldStore:
                 # a key present anywhere in the target MUST live in a
                 # candidate file (pruning is conservative), so the
                 # anti-join against candidates alone decides freshness
+                # (DV-aware read: a deleted key is absent, so re-insert)
                 if cand:
-                    existing = self._grouped_file_read(
-                        [f["path"] for f in cand]
-                    ).select(*key_cols)
+                    existing = self._read_files(cand).select(*key_cols)
                     fresh = source.join(
                         existing.dropDuplicates(key_cols), key_cols, "left_anti"
                     )
@@ -1004,37 +1301,33 @@ class GoldStore:
                 finally:
                     fresh.unpersist()
             # exact touched set: which candidate files actually hold a
-            # source key (bounded collect — file names, not rows)
+            # LIVE source-key row (bounded collect — file names, not
+            # rows). The manifest-relative row identity from _metadata
+            # replaces input_file_name(): immune to symlink/scheme path
+            # spelling (ADVICE r8) and DV-aware (a file whose only match
+            # is an already-deleted row is NOT touched).
             touched_rel = []
             if cand:
                 keys = source.select(*key_cols).dropDuplicates(key_cols)
                 hit = (
-                    self._grouped_file_read([f["path"] for f in cand])
-                    .withColumn("__file", F.input_file_name())
+                    self._read_files(cand, row_identity=True)
                     .join(keys, key_cols, "left_semi")
-                    .select("__file")
+                    .select(self.REL_COL)
                     .distinct()
                     .collect()
                 )
-                # match on the _data/<txn>/... suffix, NOT the absolute
-                # prefix: input_file_name() URIs go through the
-                # filesystem's view of the path (symlinks resolved, e.g.
-                # macOS /var -> /private/var temp dirs; scheme-prefixed),
-                # and an absolute-prefix comparison silently matching
-                # NOTHING would make upsert keep stale rows beside the
-                # inserted ones and delete no-op (ADVICE r8)
-                rel_hits = {
-                    self._rel_data_path(r["__file"]) for r in hit
-                }
+                rel_hits = {r[self.REL_COL] for r in hit}
                 touched_rel = [f["path"] for f in cand if f["path"] in rel_hits]
             if mode == "delete" and not touched_rel:
                 return base_version  # nothing to delete — no-op, no new version
             untouched = [f for f in files if f["path"] not in set(touched_rel)]
-            target = (
-                self._grouped_file_read(touched_rel)
-                if touched_rel
-                else None
-            )
+            touched_recs = [f for f in files if f["path"] in set(touched_rel)]
+            if strategy == "mor":
+                return self._merge_mor(
+                    name, source, key_cols, mode, base_version, lock_timeout,
+                    files, touched_recs,
+                )
+            target = self._read_files(touched_recs) if touched_recs else None
 
         matched_keys = source.select(*key_cols).dropDuplicates(key_cols)
         if target is not None:
@@ -1056,19 +1349,17 @@ class GoldStore:
             prior = tables[name]
             delta = staged[name]
             if untouched and not all("rows" in f for f in untouched):
-                carried = self._grouped_file_read(
-                    [f["path"] for f in untouched]
-                ).count()
+                carried = self._read_files(untouched).count()
             else:
-                carried = sum(int(f["rows"]) for f in untouched)
-            prior_dirs = self._dirs(prior)
-            live_roots = {os.sep.join(f["path"].split(os.sep)[:3]) for f in untouched}
-            dirs = [d for d in prior_dirs if d in live_roots] + [delta["dir"]]
+                carried = sum(int(f["rows"]) for f in untouched) - sum(
+                    int(d["rows"]) for f in untouched for d in f.get("dv") or []
+                )
+            new_files = untouched + delta["files"]
             new_entry = {
                 "file_level": True,
-                "dirs": dirs,
+                "dirs": self._file_level_dirs(new_files, extra=[delta["dir"]]),
                 "rows": carried + delta["rows"],
-                "files": untouched + delta["files"],
+                "files": new_files,
                 "schema": self._merge_schemas(name, prior.get("schema"), delta["schema"]),
             }
             props = prior.get("properties")
@@ -1077,6 +1368,85 @@ class GoldStore:
             tables[name] = new_entry
 
         try:
+            return self._commit(merge_tables, base_version, txn, lock_timeout)
+        finally:
+            self._unmark_staged(txn)
+
+    def _merge_mor(
+        self,
+        name: str,
+        source: DataFrame,
+        key_cols: list[str],
+        mode: str,
+        base_version: int,
+        lock_timeout: float,
+        files: list[dict],
+        touched_recs: list[dict],
+    ) -> int:
+        """Merge-on-read commit: a deletion vector for the matched rows
+        of the touched files (tiny — one (path, pos) pair per row) plus,
+        for upserts, the source rows as an ordinary staged append.
+        Touched files stay byte-identical; bytes written ∝ rows touched."""
+        from pyspark.sql import functions as F
+
+        txn = uuid.uuid4().hex[:12]
+        self._mark_staged(txn)
+        try:
+            matched_keys = source.select(*key_cols).dropDuplicates(key_cols)
+            dv_rel, dv_per_file = (None, {})
+            if touched_recs:
+                dv_delta = (
+                    self._read_files(touched_recs, row_identity=True)
+                    .join(matched_keys, key_cols, "left_semi")
+                    .select(
+                        F.col(self.REL_COL).alias("path"),
+                        F.col(self.POS_COL).alias("pos"),
+                    )
+                )
+                dv_rel, dv_per_file = self._stage_dv(dv_delta, txn)
+            if mode == "upsert":
+                staged = self._stage_tables({name: source}, txn, partitioned=False)
+                delta = staged[name]
+            else:
+                delta = None
+
+            def merge_tables(tables: dict) -> None:
+                prior = tables[name]
+                new_files = []
+                for f in files:
+                    n_dv = dv_per_file.get(f["path"], 0)
+                    if n_dv and dv_rel is not None:
+                        f = {
+                            **f,
+                            "dv": (f.get("dv") or [])
+                            + [{"dir": dv_rel, "rows": int(n_dv)}],
+                        }
+                    new_files.append(f)
+                if delta is not None:
+                    new_files = new_files + delta["files"]
+                n_deleted = sum(dv_per_file.values())
+                schema = (
+                    self._merge_schemas(name, prior.get("schema"), delta["schema"])
+                    if delta is not None
+                    else prior.get("schema")
+                )
+                new_entry = {
+                    "file_level": True,
+                    "dirs": self._file_level_dirs(
+                        new_files,
+                        extra=[d for d in [dv_rel, delta and delta["dir"]] if d],
+                    ),
+                    "rows": int(prior.get("rows", 0))
+                    - int(n_deleted)
+                    + (delta["rows"] if delta is not None else 0),
+                    "files": new_files,
+                    "schema": schema,
+                }
+                props = prior.get("properties")
+                if props is not None:
+                    new_entry["properties"] = props
+                tables[name] = new_entry
+
             return self._commit(merge_tables, base_version, txn, lock_timeout)
         finally:
             self._unmark_staged(txn)
@@ -1115,28 +1485,40 @@ class GoldStore:
             on_disk = _glob.glob(
                 os.path.join(self.path, d, "**", "*.parquet"), recursive=True
             )
-            if on_disk and len(live) / len(on_disk) < min_live_fraction:
+            if not on_disk:
+                continue
+            file_frac = len(live) / len(on_disk)
+            # merge-on-read debt: rows masked by deletion vectors are
+            # dead bytes every read pays a join for — same reclamation
+            # trigger as dead files
+            total_rows = sum(int(f.get("rows", 0)) for f in live)
+            dv_rows = sum(int(x["rows"]) for f in live for x in f.get("dv") or [])
+            row_frac = 1.0 - dv_rows / total_rows if total_rows else 1.0
+            if min(file_frac, row_frac) < min_live_fraction:
                 victims.append(d)
         if not victims:
             return None
         vset = set(victims)
         rewritten = [f for f in files if os.sep.join(f["path"].split(os.sep)[:3]) in vset]
         untouched = [f for f in files if os.sep.join(f["path"].split(os.sep)[:3]) not in vset]
-        live_rows = self._grouped_file_read([f["path"] for f in rewritten])
+        # DV-aware: the rewrite folds deletion vectors — only LIVE rows
+        # land in the fresh dir, and the new file records carry no dv
+        live_rows = self._read_files(rewritten)
         txn = uuid.uuid4().hex[:12]
         staged = self._stage_tables({name: live_rows}, txn, partitioned=False)
 
         def fold_tables(tables: dict) -> None:
             prior = tables[name]
             delta = staged[name]
-            prior_dirs = self._dirs(prior)
-            live_roots = {os.sep.join(f["path"].split(os.sep)[:3]) for f in untouched}
+            new_files = untouched + delta["files"]
             new_entry = {
                 "file_level": True,
-                "dirs": [d for d in prior_dirs if d in live_roots] + [delta["dir"]],
+                "dirs": self._file_level_dirs(new_files, extra=[delta["dir"]]),
                 "rows": int(prior.get("rows", 0)),  # row-preserving rewrite
-                "files": untouched + delta["files"],
+                "files": new_files,
                 "schema": self._merge_schemas(name, prior.get("schema"), delta["schema"]),
+                # changes_cdc skips this version: live rows unchanged
+                "rewrite_kind": "row_preserving",
             }
             props = prior.get("properties")
             if props is not None:
@@ -1179,7 +1561,13 @@ class GoldStore:
 
         def roll_back(cur_tables: dict) -> None:
             for n in names:
-                cur_tables[n] = dict(target["tables"][n])
+                entry = dict(target["tables"][n])
+                # a restore CHANGES live content (that's its point): any
+                # row-preserving marker copied from the target version
+                # would wrongly tell changes_cdc to skip this commit
+                entry.pop("rewrite_kind", None)
+                entry.pop("compacted_from", None)
+                cur_tables[n] = entry
 
         txn = uuid.uuid4().hex[:12]
         # no staging (metadata-only), but the commit protocol is shared
@@ -1345,6 +1733,7 @@ def merge_with_retry(
     key_cols: list[str],
     mode: str = "upsert",
     max_attempts: int = 5,
+    strategy: str = "cow",
 ) -> int:
     """``store.merge`` with rebuild-on-lost-race: merge re-reads the
     manifest at every attempt (candidate pruning, touched-file probe and
@@ -1355,7 +1744,7 @@ def merge_with_retry(
     last: ConcurrentWriteError | None = None
     for _ in range(max_attempts):
         try:
-            return store.merge(name, source, key_cols, mode=mode)
+            return store.merge(name, source, key_cols, mode=mode, strategy=strategy)
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]

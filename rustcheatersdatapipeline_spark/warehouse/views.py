@@ -106,14 +106,52 @@ class IncrementalAggregateView:
                 int(entry["watermark"]) if "watermark" in entry else None
             )
             delta: DataFrame | None
+            cdc: DataFrame | None = None
             if watermark is None:
                 delta = None  # first build: full aggregation
             else:
                 try:
                     delta = self.store.changes_since(self.source_table, watermark)
                 except ValueError:
-                    delta = None  # unprovable delta → full rebuild
-            if delta is None:
+                    delta = None
+                    # an update merge broke append-only-ness; SUM/COUNT
+                    # retract exactly, so fold the row-level CDC instead
+                    # of rebuilding (VERDICT r8 #2). MAX cannot retract —
+                    # those views still rebuild.
+                    if not self.maxes:
+                        try:
+                            cdc = self.store.changes_cdc(
+                                self.source_table, watermark
+                            )
+                        except (ValueError, KeyError):
+                            cdc = None  # unprovable → full rebuild
+            if delta is None and cdc is not None:
+                cdc = cdc.cache()
+                try:
+                    n_delta = cdc.count()
+                    if n_delta == 0:
+                        return 0
+                    ins = cdc.filter(F.col("_change_type") == "insert").drop(
+                        "_change_type"
+                    )
+                    dels = cdc.filter(F.col("_change_type") == "delete").drop(
+                        "_change_type"
+                    )
+                    neg = self._aggregate(dels).select(
+                        *self.keys,
+                        (-F.col("n_rows")).cast("long").alias("n_rows"),
+                        *[(-F.col(out)).cast("long").alias(out) for out in self.sums],
+                    )
+                    new_view = self._merge(
+                        self._merge(
+                            self.store.read(self.view_table), self._aggregate(ins)
+                        ),
+                        neg,
+                    ).filter(F.col("n_rows") > 0)
+                    new_view = new_view.localCheckpoint()
+                finally:
+                    cdc.unpersist()
+            elif delta is None:
                 folded = self.store.read(self.source_table)
                 n_delta = folded.count()
                 new_view = self._aggregate(folded)

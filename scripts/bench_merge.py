@@ -8,6 +8,11 @@ double the wall; the contract says it stays ~flat (candidate pruning is
 metadata-only, the probe opens candidates only, the rewrite stages one
 file's rows).
 
+Also measures the strategy="mor" contract (VERDICT r8 #1): for a 1-row
+upsert, BYTES WRITTEN must track rows touched, not files touched — the
+copy-on-write rewrite of a whole 20k-row file vs a deletion vector plus
+one inserted row.
+
 Usage: python scripts/bench_merge.py [n_batches ...]   (default 8 32 128)
 Prints one JSON line per size plus a summary ratio.
 """
@@ -42,6 +47,34 @@ def build(spark, path: str, n_batches: int) -> GoldStore:
     return store
 
 
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def measure_write_amplification(spark, d: str, n: int) -> dict:
+    """1-row upsert: bytes written under cow vs mor."""
+    out = {}
+    for strategy in ("cow", "mor"):
+        path = os.path.join(d, f"wa_{strategy}")
+        store = build(spark, path, n)
+        before = dir_bytes(path)
+        src = spark.createDataFrame([(5, "X5")], "k bigint, v string").coalesce(1)
+        t0 = time.time()
+        store.merge("t", src, ["k"], strategy=strategy)
+        out[strategy] = {
+            "wall_s": round(time.time() - t0, 2),
+            "bytes_written": dir_bytes(path) - before,
+        }
+    out["bytes_ratio_cow_over_mor"] = round(
+        out["cow"]["bytes_written"] / max(out["mor"]["bytes_written"], 1), 1
+    )
+    return out
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [8, 32, 128]
     spark = get_spark(app_name="merge-bench")
@@ -69,6 +102,14 @@ def main() -> None:
             print(json.dumps({"n_batches": n, **results[n]}), flush=True)
         finally:
             shutil.rmtree(d, ignore_errors=True)
+    # write-amplification contract at the largest size
+    d = tempfile.mkdtemp(prefix="mergewa_")
+    try:
+        wa = measure_write_amplification(spark, d, max(sizes))
+        print(json.dumps({"metric": "merge_write_amplification_1row", **wa}),
+              flush=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     ns = sorted(results)
     ratio = results[ns[-1]]["wall_s"] / max(results[ns[0]]["wall_s"], 0.01)
     size_ratio = ns[-1] / ns[0]

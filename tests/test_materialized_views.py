@@ -85,12 +85,14 @@ def test_unprovable_delta_falls_back_to_rebuild(spark, tmp_path):
     def boom(name, v):
         raise ValueError("history pruned")
 
-    orig = store.changes_since
-    store.changes_since = boom
+    # a pruned history breaks BOTH incremental paths (changes_cdc walks
+    # the same retained manifests) — only then does the view rebuild
+    orig, orig_cdc = store.changes_since, store.changes_cdc
+    store.changes_since = store.changes_cdc = boom
     try:
         assert view.refresh() == 3  # full rebuild folds everything
     finally:
-        store.changes_since = orig
+        store.changes_since, store.changes_cdc = orig, orig_cdc
     assert _view_dict(view) == _expected(b1 + b2)
     # and the watermark recovered: the next refresh is incremental again
     b3 = [(4, "c", 1)]
@@ -171,11 +173,13 @@ def test_refresh_retries_past_racing_writer(spark, tmp_path):
     assert _view_dict(view) == _expected(b1 + b2 + b3)
 
 
-def test_update_merge_on_source_forces_rebuild_and_stays_correct(spark, tmp_path):
-    """A MERGE that rewrote source rows makes the dir diff unprovable:
-    the view must fall back to a full rebuild (not raise, not
-    double-count) and land on the recomputed truth; an INSERT-ONLY
-    merge keeps the incremental path."""
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_update_merge_stays_o_delta_via_cdc(spark, tmp_path, strategy):
+    """VERDICT r8 #2: an update MERGE (either strategy) must NOT force
+    the view into an O(table) rebuild — refresh folds the row-level CDC
+    (old-rows-minus / new-rows-plus over the touched set) and lands on
+    the recomputed truth. Interception proves the source table is never
+    fully read; an INSERT-ONLY merge keeps the cheaper append path."""
     store = GoldStore(spark, str(tmp_path / "gold"))
     view = IncrementalAggregateView(
         store, "docs", "stats", keys=["source"], sums={"total_chars": "n_chars"}
@@ -185,9 +189,37 @@ def test_update_merge_on_source_forces_rebuild_and_stays_correct(spark, tmp_path
     view.refresh()
 
     # update merge: doc 2 shrinks from 20 to 2 chars
-    store.merge("docs", _batch(spark, [(2, "a", 2)]), ["doc_id"])
-    view.refresh()
+    store.merge("docs", _batch(spark, [(2, "a", 2)]), ["doc_id"], strategy=strategy)
+    cdc_calls, read_calls = [], []
+    orig_cdc, orig_read = store.changes_cdc, store.read
+
+    def spy_cdc(name, v):
+        cdc_calls.append((name, v))
+        return orig_cdc(name, v)
+
+    def spy_read(name):
+        read_calls.append(name)
+        return orig_read(name)
+
+    store.changes_cdc, store.read = spy_cdc, spy_read
+    try:
+        view.refresh()
+    finally:
+        store.changes_cdc, store.read = orig_cdc, orig_read
+    assert cdc_calls  # the O(delta) path ran...
+    assert "docs" not in read_calls  # ...and the source was never full-read
     assert _view_dict(view) == _expected([(1, "a", 10), (2, "a", 2), (3, "b", 5)])
+
+    # a delete that empties a group: retraction must drop the group row
+    store.merge(
+        "docs",
+        _batch(spark, [(3, "b", 0)]).select("doc_id"),
+        ["doc_id"],
+        mode="delete",
+        strategy=strategy,
+    )
+    view.refresh()
+    assert _view_dict(view) == _expected([(1, "a", 10), (2, "a", 2)])
 
     # insert-only merge: exact file-level CDC keeps the delta path
     store.merge(
@@ -198,7 +230,30 @@ def test_update_merge_on_source_forces_rebuild_and_stays_correct(spark, tmp_path
     store.changes_since = lambda name, v: calls.append(v) or orig(name, v)
     view.refresh()
     store.changes_since = orig
-    assert calls  # delta path consulted and did not raise
+    assert calls  # append path consulted and did not raise
     assert _view_dict(view) == _expected(
-        [(1, "a", 10), (2, "a", 2), (3, "b", 5), (9, "c", 50)]
+        [(1, "a", 10), (2, "a", 2), (9, "c", 50)]
     )
+
+
+def test_max_view_still_rebuilds_on_update_merge(spark, tmp_path):
+    """MAX cannot retract: a view with a max measure must take the full
+    rebuild on an update merge — and stay correct."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    view = IncrementalAggregateView(
+        store, "docs", "stats", keys=["source"],
+        sums={"total_chars": "n_chars"}, maxes={"max_chars": "n_chars"},
+    )
+    store.publish_append(
+        {"docs": _batch(spark, [(1, "a", 10), (2, "a", 20)])},
+        store.current_version(),
+    )
+    view.refresh()
+    # the current max row shrinks: only a rebuild can lower a max
+    store.merge("docs", _batch(spark, [(2, "a", 2)]), ["doc_id"], strategy="mor")
+    view.refresh()
+    got = {
+        r["source"]: (r["n_rows"], r["total_chars"], r["max_chars"])
+        for r in store.read("stats").collect()
+    }
+    assert got == {"a": (2, 12, 10)}

@@ -39,7 +39,9 @@ def _apply(spark, store, model, snapshots, op, rng):
     elif op == "upsert":
         ks = rng.sample(range(KEY_SPACE), rng.randint(1, 5))
         rows = [(k, f"u{k}.{rng.randint(0, 9)}") for k in ks]
-        store.merge("t", _df(spark, rows), ["k"])
+        # both merge strategies must be model-indistinguishable
+        store.merge("t", _df(spark, rows), ["k"],
+                    strategy=rng.choice(["cow", "mor"]))
         model.update({k: v for k, v in rows})
     elif op == "insert_if_absent":
         ks = rng.sample(range(KEY_SPACE), rng.randint(1, 5))
@@ -51,7 +53,7 @@ def _apply(spark, store, model, snapshots, op, rng):
         ks = rng.sample(range(KEY_SPACE), rng.randint(1, 5))
         store.merge(
             "t", spark.createDataFrame([(k,) for k in ks], "k bigint"),
-            ["k"], mode="delete",
+            ["k"], mode="delete", strategy=rng.choice(["cow", "mor"]),
         )
         for k in ks:
             model.pop(k, None)
@@ -83,7 +85,7 @@ def test_store_equals_model_under_random_op_sequences(spark, tmp_path, seed):
     ops = ["append", "upsert", "insert_if_absent", "delete", "upsert",
            "append", "compact", "upsert", "optimize", "delete",
            "insert_if_absent", "restore", "upsert", "append", "delete",
-           "compact", "upsert"]
+           "compact", "upsert", "upsert", "delete", "optimize"]
     rng.shuffle(ops)
     for i, op in enumerate(ops):
         _apply(spark, store, model, snapshots, op, rng)
