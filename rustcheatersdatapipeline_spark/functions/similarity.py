@@ -44,8 +44,11 @@ def minhash_signature(hashed_shingles, id_col: str = "doc_id", h_col: str = "h")
     map-side combine keeps the exchange tiny regardless of shingle
     fan-out, which is what makes this the scale path at 100 TB.
     """
+    # one F.expr per permutation (a single parse JVM-side) instead of
+    # ~6 py4j Column calls each: identical expression tree after parse,
+    # ~10x cheaper plan build — this builder runs on every bench rep
     aggs = [
-        F.min((F.lit(a) * F.col(h_col) + F.lit(b)) % PRIME).alias(f"m{k}")
+        F.expr(f"min(({a} * {h_col} + {b}) % {PRIME})").alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return hashed_shingles.groupBy(id_col).agg(*aggs)
@@ -83,8 +86,9 @@ def simhash_column(h_col: str = "h", bits: int = SIMHASH_BITS) -> list[Column]:
     partial-aggregate map-side in one pass.
     """
     return [
-        F.sum(
-            F.when((F.shiftright(F.col(h_col), j).bitwiseAND(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h_col}, {j}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"v{j}")
         for j in range(bits)
     ]
@@ -92,10 +96,12 @@ def simhash_column(h_col: str = "h", bits: int = SIMHASH_BITS) -> list[Column]:
 
 def simhash_from_votes(bits: int = SIMHASH_BITS) -> Column:
     """Fold the 32 vote columns into the final simhash int64."""
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        out = out + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
-    return out
+    terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return F.expr(f"(CAST(0 AS BIGINT) + {terms})")
 
 
 def cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:

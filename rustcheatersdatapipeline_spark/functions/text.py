@@ -40,8 +40,16 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def char_shingles(df, text_col: str, id_col: str, k: int = 3, hash64: bool = False):
+def char_shingles(
+    df, text_col: str, id_col: str, k: int = 3, hash64: bool = False,
+    distinct: bool = True,
+):
     """Distinct character k-grams per document: (id_col, g).
+
+    ``distinct=False`` skips the per-document dedup — correct (and one
+    full shingle shuffle cheaper) for consumers that are multiset-
+    insensitive, e.g. MinHash signatures (min over a multiset equals
+    min over its set).
 
     ``hash64=True`` replaces each k-gram with its ``xxhash64`` BEFORE the
     distinct — engine-internal only (xxhash64 is not portable to the SQL
@@ -67,7 +75,7 @@ def char_shingles(df, text_col: str, id_col: str, k: int = 3, hash64: bool = Fal
     gram = F.expr(f"substring({text_col}, i, {k})")
     if hash64:
         gram = F.xxhash64(gram)
-    return (
+    out = (
         df.filter(F.length(text_col) >= k)
         .repartition(parallelism, id_col)
         .select(
@@ -76,8 +84,8 @@ def char_shingles(df, text_col: str, id_col: str, k: int = 3, hash64: bool = Fal
             text_col,
         )
         .select(id_col, gram.alias("g"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ws_tokens(text_col: str) -> Column:

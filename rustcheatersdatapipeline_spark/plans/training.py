@@ -486,8 +486,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     while j ≥ 0.85 planted dups collide with P ≥ 0.9.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "text", "doc_id", k=choose_shingle_k(spark, sf_dir)).cache()
-    hashed = sh.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
+    k = choose_shingle_k(spark, sf_dir)
+    # signature from NON-distinct shingles: min() over a multiset equals
+    # min() over its set, so the per-doc distinct (a full shuffle of
+    # every shingle string) is pure waste here — shingles stay
+    # co-located with their document and the signature groupBy partial-
+    # aggregates map-side to ONE exchange row per doc.
+    raw = char_shingles(docs, "text", "doc_id", k=k, distinct=False)
+    hashed = raw.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
     sig = minhash_signature(hashed)
     bands = minhash_bands(sig)
     ba = bands.alias("ba")
@@ -501,8 +507,20 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
+        .cache()
     )
-    return _jaccard_verify(cand, sh)
+    # exact-Jaccard verification reads shingle SETS only for documents
+    # that are actually in a candidate pair — O(candidates), not
+    # O(corpus): at 100 TB the verify cost tracks the near-dup rate
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = char_shingles(
+        docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", k=k
+    )
+    return _jaccard_verify(cand, sh_cand)
 
 
 def simhash_docs(spark, sf_dir):
@@ -801,15 +819,26 @@ def _lsh_bucket_col(e_col: str, nplanes: int, tbl: int = 0):
     sequential zip_with+aggregate fold — the exact summation order of
     DuckDB's ``list_dot_product``, so the sign (and therefore every
     bucket id) is bit-identical across engines. Pure codegen: no
-    Python in the hot path."""
-    bucket = F.lit(0).cast("bigint")
+    Python in the hot path.
+
+    Emitted as ONE ``F.expr`` string (single JVM parse): the literal
+    form (64 doubles × nplanes × tables as individual ``F.lit`` calls)
+    cost ~0.3 s of py4j round trips PER TABLE at plan-build time —
+    billed on every bench rep. ``repr`` round-trips float64 exactly in
+    both Python and the SQL parser, so the parsed literals (and every
+    bucket id) are bit-identical to the Column-API form."""
+    terms = []
     for j, plane in _table_planes(nplanes, tbl):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        d = dot_product(F.col(e_col), lit_plane)
-        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+        arr = "array(" + ", ".join(f"{v!r}D" for v in plane) + ")"
+        d = (
+            f"aggregate(zip_with({e_col}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-    return bucket
+        terms.append(
+            f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")")
 
 
 def _lsh_nplanes_sql() -> str:
