@@ -347,8 +347,8 @@ def parse_webp_header(buf: bytes) -> tuple[int, int, int] | None:
     bitstream (3-byte start code 0x9D012A then 14-bit dims), ``VP8L``
     lossless (signature 0x2F then packed 14-bit dims-1), or ``VP8X``
     extended (24-bit dims-1; animations carry one ``ANMF`` chunk per
-    frame). Only the headers are read — VP8 entropy decode needs a
-    codec library."""
+    frame). Only the headers are read here; full pixel decode lives
+    in ``vp8l.decode_webp_pixels`` (lossless + lossy keyframes)."""
     if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         return None
     pos = 12

@@ -14,7 +14,7 @@ mutation-totality fuzz):
   metadata + keyframe byte ranges incl. fragmented (mp4.py);
 - documents: PDF (pdftext.py), DOCX/XLSX/PPTX/ODT/RTF (officetext.py).
 
-Only genuinely codec-library formats (H.264/H.265, lossy VP8,
+Only genuinely codec-library formats (H.264/H.265, VP8 interframes,
 arithmetic JPEG, MP3/AAC payload decode) remain behind named
 ``NotImplementedError`` boundaries, quarantined via the shared
 ``DECODE_QUARANTINE`` contract below. Details of the formats coded
@@ -921,7 +921,7 @@ def decode_media(buf: bytes) -> dict:
     if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         from .vp8l import decode_webp_pixels
 
-        px = decode_webp_pixels(buf)  # lossy VP8 raises the named boundary
+        px = decode_webp_pixels(buf)  # VP8L + lossy keyframes; interframe raises
         flat = px.astype(np.float64)
         return {
             "mime": "image/webp",

@@ -475,13 +475,13 @@ def decode_webp_pixels(buf: bytes) -> np.ndarray:
     """Decode a WebP container payload → uint8 (h, w, 4) RGBA.
 
     Lossless (VP8L) decodes fully, including inside an extended (VP8X)
-    layout; a lossy VP8 bitstream raises the named
-    ``NotImplementedError`` (codec-library boundary, quarantined
-    upstream like H.264)."""
+    layout; a lossy ``VP8 `` chunk decodes through the keyframe
+    decoder in :mod:`.vp8` (WebP stills are always keyframes — an
+    interframe bitstream raises its named ``NotImplementedError``
+    boundary, quarantined upstream like H.264)."""
     if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
-    saw_lossy = False
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
@@ -489,11 +489,8 @@ def decode_webp_pixels(buf: bytes) -> np.ndarray:
         if cid == b"VP8L":
             return decode_vp8l_stream(body)
         if cid == b"VP8 ":
-            saw_lossy = True
+            from .vp8 import decode_vp8_rgba
+
+            return decode_vp8_rgba(body)
         pos += 8 + sz + (sz & 1)
-    if saw_lossy:
-        raise NotImplementedError(
-            "WebP: lossy VP8 bitstream needs a codec library (boolean "
-            "arithmetic coder); container metadata via parse_webp_header"
-        )
-    raise ValueError("WebP: no VP8L bitstream chunk")
+    raise ValueError("WebP: no VP8/VP8L bitstream chunk")

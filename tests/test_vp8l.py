@@ -489,12 +489,20 @@ def test_container_and_lossy_boundary():
     px = _rand_rgba(5, 5, 60)
     buf = wrap_webp(encode_vp8l(px))
     assert np.array_equal(decode_webp_pixels(buf)[..., :4], px)
-    lossy = (
+    # lossy keyframes now decode (tests/test_vp8.py); the remaining
+    # named boundary is an interframe bitstream (tag bit 0 = 1)
+    inter = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10) + b"\x01" + b"\x00" * 9
+    )
+    with pytest.raises(NotImplementedError, match="interframe"):
+        decode_webp_pixels(inter)
+    truncated = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with pytest.raises(NotImplementedError, match="VP8"):
-        decode_webp_pixels(lossy)
+    with pytest.raises(ValueError):
+        decode_webp_pixels(truncated)
     with pytest.raises(ValueError):
         decode_webp_pixels(b"RIFF\x00\x00\x00\x00WAVE")
 
