@@ -113,6 +113,16 @@ class ExpectationError(RuntimeError):
     audit. The message names the predicate and the violation count."""
 
 
+class ConstraintError(RuntimeError):
+    """Raised when staged data violates a table's DECLARED constraints
+    (``declare_constraints``): primary-key duplicates, foreign-key
+    orphans, or not-null/check violations. Like ``ExpectationError``
+    this fires at audit time — nothing commits, the store is untouched.
+    Reference parity: the warehouse DDL's NOT NULL / PRIMARY KEY /
+    FOREIGN KEY clauses (/root/reference/database_build/
+    data_warehouse.sql:180-209) enforced by Postgres at load time."""
+
+
 class TablePropertiesError(RuntimeError):
     """Raised when a publish's table properties conflict with the
     properties already recorded in the manifest — e.g. appending MinHash
@@ -683,6 +693,162 @@ class GoldStore:
         entry = self.current_manifest()["tables"].get(name)
         return dict(entry.get("properties") or {}) if entry else {}
 
+    # -- declarative constraints ------------------------------------------
+
+    def constraints(self, name: str) -> dict:
+        """The table's DECLARED constraints (empty dict if none):
+        ``{"not_null": [col], "check": [sql_expr], "primary_key": [col],
+        "foreign_keys": [{"columns": [...], "ref_table": t,
+        "ref_columns": [...]}]}`` — the warehouse DDL's constraint
+        surface (/root/reference/database_build/data_warehouse.sql)
+        persisted as a stored table property and enforced at every
+        subsequent publish/append/merge."""
+        entry = self.current_manifest()["tables"].get(name)
+        return dict(entry.get("constraints") or {}) if entry else {}
+
+    @staticmethod
+    def _constraint_row_exprs(cons: dict) -> list[str]:
+        """not_null/check constraints as row-expectation predicates (they
+        ride the existing single-pass audit aggregation)."""
+        exprs = [f"{c} IS NOT NULL" for c in cons.get("not_null") or []]
+        exprs.extend(cons.get("check") or [])
+        return exprs
+
+    def _enforce_relational(self, name, df, cons, ref_resolver,
+                            existing_keys=None) -> None:
+        """PK-uniqueness and FK-orphan audits for one staged/source
+        frame. ``ref_resolver(table)`` returns the referenced table's
+        frame (staged sibling first, so a dims+facts batch published
+        together validates against the dims being published — the
+        reference's load ordering). ``existing_keys``: prior key rows for
+        append-mode PK checks (column-pruned scan of the live table).
+
+        Cost: PK is one groupBy over the batch's key columns; each FK is
+        a distinct of the batch's FK values (bounded by batch size)
+        anti-joined against the referenced key set. Nothing here scans
+        the target table except the optional append-PK key projection."""
+        from pyspark.sql import functions as F
+
+        pk = cons.get("primary_key") or []
+        if pk:
+            dup = (
+                df.groupBy(*pk).agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1).limit(1).collect()
+            )
+            if dup:
+                key = {c: dup[0][c] for c in pk}
+                raise ConstraintError(
+                    f"table {name!r}: duplicate primary key {key} in "
+                    "staged rows — publish rejected, store untouched"
+                )
+            if existing_keys is not None:
+                clash = (
+                    df.select(*pk).join(existing_keys, on=pk, how="left_semi")
+                    .limit(1).collect()
+                )
+                if clash:
+                    key = {c: clash[0][c] for c in pk}
+                    raise ConstraintError(
+                        f"table {name!r}: appended primary key {key} "
+                        "already exists — publish rejected, store untouched"
+                    )
+        for fk in cons.get("foreign_keys") or []:
+            cols, ref_t = list(fk["columns"]), fk["ref_table"]
+            ref_cols = list(fk.get("ref_columns") or cols)
+            ref = ref_resolver(ref_t)
+            if ref is None:
+                raise ConstraintError(
+                    f"table {name!r}: foreign key references unknown "
+                    f"table {ref_t!r}"
+                )
+            ref_keys = ref.select(
+                *[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]
+            ).distinct()
+            orphan = (
+                df.select(*cols).na.drop()  # SQL MATCH SIMPLE: NULLs pass
+                .distinct()
+                .join(ref_keys, on=cols, how="left_anti")
+                .limit(1).collect()
+            )
+            if orphan:
+                key = {c: orphan[0][c] for c in cols}
+                raise ConstraintError(
+                    f"table {name!r}: foreign key {key} has no match in "
+                    f"{ref_t!r}({', '.join(ref_cols)}) — publish "
+                    "rejected, store untouched"
+                )
+
+    def _check_row_constraints(self, name, df, cons) -> None:
+        """One-pass not_null/check audit for frames that do not go
+        through ``_stage_tables`` (merge sources)."""
+        from pyspark.sql import functions as F
+
+        exprs = self._constraint_row_exprs(cons)
+        if not exprs:
+            return
+        viol = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.expr(e), F.lit(1)).otherwise(F.lit(0))
+                    + F.when(F.expr(e).isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"v{i}")
+                for i, e in enumerate(exprs)
+            ]
+        ).collect()[0]
+        for i, e in enumerate(exprs):
+            if int(viol[f"v{i}"] or 0):
+                raise ConstraintError(
+                    f"table {name!r}: {int(viol[f'v{i}'])} source row(s) "
+                    f"violate declared constraint {e!r} — merge rejected, "
+                    "store untouched"
+                )
+
+    def declare_constraints(
+        self, decls: dict[str, dict], base_version: int,
+        lock_timeout: float = 30.0,
+    ) -> int:
+        """Declare (or replace) per-table constraints as stored table
+        properties — the ALTER TABLE ADD CONSTRAINT shape: EXISTING rows
+        are validated first (full-table audit), so a declaration can
+        never be published over violating data; every later
+        publish/append/merge then enforces the declaration on its own
+        batch. Tables must already exist (publish first, then declare).
+        Returns the committed (metadata-only) version."""
+        current = self.current_manifest()["tables"]
+        for name, cons in decls.items():
+            if name not in current:
+                raise ConstraintError(
+                    f"cannot declare constraints on unknown table {name!r}"
+                    " — publish it first"
+                )
+            df = self.read(name)
+            self._check_row_constraints(name, df, cons)
+            self._enforce_relational(
+                name, df, cons,
+                lambda t: self.read(t) if t in current else None,
+            )
+
+        def set_constraints(tables: dict) -> None:
+            for name, cons in decls.items():
+                tables[name] = {**tables[name], "constraints": cons}
+
+        txn = uuid.uuid4().hex[:12]
+        return self._commit(set_constraints, base_version, txn, lock_timeout)
+
+    def validate_constraints(self, name: str) -> None:
+        """Full-table constraint audit on demand (raises
+        ``ConstraintError`` on the first violation) — the recheck tool
+        after restores or external tampering."""
+        cons = self.constraints(name)
+        if not cons:
+            return
+        current = self.current_manifest()["tables"]
+        df = self.read(name)
+        self._check_row_constraints(name, df, cons)
+        self._enforce_relational(
+            name, df, cons, lambda t: self.read(t) if t in current else None
+        )
+
     @staticmethod
     def _rel_data_path(uri: str) -> str:
         """Manifest-relative ``_data/<txn>/...`` path of a Spark-reported
@@ -1037,6 +1203,51 @@ class GoldStore:
                 )
         return {**prior, **new}
 
+    def _fold_constraint_expectations(
+        self, cons_map: dict[str, dict], expectations
+    ) -> dict[str, list[str]] | None:
+        """Declared not_null/check constraints ride the caller's
+        expectations through the single-pass staging audit."""
+        eff = {n: list(v) for n, v in (expectations or {}).items()}
+        for n, cons in cons_map.items():
+            exprs = self._constraint_row_exprs(cons)
+            if exprs:
+                eff[n] = list(eff.get(n) or []) + exprs
+        return eff or None
+
+    def _enforce_staged_constraints(
+        self, cons_map: dict[str, dict], staged: dict[str, dict],
+        append_to_existing: bool = False,
+    ) -> None:
+        """PK/FK audits over the staged read-back, resolving FK targets
+        against staged siblings first (a dims+facts batch validates
+        facts against the dims in the SAME publish, like the reference's
+        ordered warehouse load) and the live store otherwise."""
+        if not any(cons_map.values()):
+            return
+        current = self.current_manifest()["tables"]
+
+        def staged_df(n):
+            return self.spark.read.parquet(
+                os.path.join(self.path, staged[n]["dir"])
+            )
+
+        def resolver(t):
+            if t in staged:
+                return staged_df(t)
+            return self.read(t) if t in current else None
+
+        for name, cons in cons_map.items():
+            if not cons:
+                continue
+            existing_keys = None
+            pk = cons.get("primary_key") or []
+            if append_to_existing and pk and name in current:
+                existing_keys = self.read(name).select(*pk)
+            self._enforce_relational(
+                name, staged_df(name), cons, resolver, existing_keys
+            )
+
     def publish(
         self,
         gold: dict[str, DataFrame],
@@ -1057,7 +1268,10 @@ class GoldStore:
         this way so ``changes_since`` can prove the rewrite was
         row-preserving). Returns the committed version."""
         txn = uuid.uuid4().hex[:12]
-        staged = self._stage_tables(gold, txn, partitioned=True, expectations=expectations)
+        cons_map = {n: self.constraints(n) for n in gold}
+        eff_expect = self._fold_constraint_expectations(cons_map, expectations)
+        staged = self._stage_tables(gold, txn, partitioned=True, expectations=eff_expect)
+        self._enforce_staged_constraints(cons_map, staged)
 
         def replace_tables(tables: dict) -> None:
             for name, entry in staged.items():
@@ -1066,6 +1280,8 @@ class GoldStore:
                     name, prior.get("properties"), (properties or {}).get(name)
                 )
                 merged = {**entry, **(entry_extra or {}).get(name, {})}
+                if prior.get("constraints"):
+                    merged["constraints"] = prior["constraints"]
                 tables[name] = merged if props is None else {**merged, "properties": props}
 
         try:
@@ -1097,7 +1313,10 @@ class GoldStore:
         at audit/commit time, leaving the store untouched.
         """
         txn = uuid.uuid4().hex[:12]
-        staged = self._stage_tables(deltas, txn, partitioned=False, expectations=expectations)
+        cons_map = {n: self.constraints(n) for n in deltas}
+        eff_expect = self._fold_constraint_expectations(cons_map, expectations)
+        staged = self._stage_tables(deltas, txn, partitioned=False, expectations=eff_expect)
+        self._enforce_staged_constraints(cons_map, staged, append_to_existing=True)
 
         def append_tables(tables: dict) -> None:
             for name, delta in staged.items():
@@ -1130,6 +1349,8 @@ class GoldStore:
                         entry["file_level"] = True
                 if props is not None:
                     entry["properties"] = props
+                if prior is not None and prior.get("constraints"):
+                    entry["constraints"] = prior["constraints"]
                 tables[name] = entry
 
         try:
@@ -1221,6 +1442,18 @@ class GoldStore:
         entry = self.current_manifest()["tables"].get(name)
         if entry is None:
             raise KeyError(name)
+        cons = dict(entry.get("constraints") or {})
+        if cons and mode in ("upsert", "insert_if_absent"):
+            # declared constraints apply to the incoming rows (O(delta)):
+            # not_null/check in one agg, FK orphans vs the live store;
+            # PK uniqueness rides the source-dup check below
+            self._check_row_constraints(name, source, cons)
+            current_tables = self.current_manifest()["tables"]
+            self._enforce_relational(
+                name, source, {k: v for k, v in cons.items()
+                               if k == "foreign_keys"},
+                lambda t: self.read(t) if t in current_tables else None,
+            )
         if mode in ("upsert", "insert_if_absent"):
             dup = (
                 source.groupBy(*key_cols)
@@ -1365,6 +1598,8 @@ class GoldStore:
             props = prior.get("properties")
             if props is not None:
                 new_entry["properties"] = props
+            if prior.get("constraints"):
+                new_entry["constraints"] = prior["constraints"]
             tables[name] = new_entry
 
         try:
@@ -1445,6 +1680,8 @@ class GoldStore:
                 props = prior.get("properties")
                 if props is not None:
                     new_entry["properties"] = props
+                if prior.get("constraints"):
+                    new_entry["constraints"] = prior["constraints"]
                 tables[name] = new_entry
 
             return self._commit(merge_tables, base_version, txn, lock_timeout)
@@ -1523,6 +1760,8 @@ class GoldStore:
             props = prior.get("properties")
             if props is not None:
                 new_entry["properties"] = props
+            if prior.get("constraints"):
+                new_entry["constraints"] = prior["constraints"]
             tables[name] = new_entry
 
         try:

@@ -1,0 +1,172 @@
+"""Declarative table constraints stored in the GoldStore manifest.
+
+Reference parity: the warehouse DDL declares NOT NULL / PRIMARY KEY /
+FOREIGN KEY on its dims and facts
+(/root/reference/database_build/data_warehouse.sql) and Postgres
+enforces them at load time. Here the declaration is a stored table
+property (``declare_constraints``) enforced at every later
+publish/append/merge — ALTER TABLE semantics: existing rows are
+validated when the constraint is declared, each batch is validated
+before its commit, and a violation leaves the store untouched."""
+
+import pytest
+
+from rustcheatersdatapipeline_spark.warehouse.persist import (
+    ConstraintError,
+    ExpectationError,
+    GoldStore,
+)
+
+DIM = "nation_dim"
+FACT = "ban_fact"
+
+
+def _dim(spark, keys):
+    return spark.createDataFrame([(k, f"n{k}") for k in keys], "nation_sk int, name string")
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, "ban_sk int, nation_sk int, days int")
+
+
+FACT_CONS = {
+    "not_null": ["ban_sk"],
+    "check": ["days >= 0"],
+    "primary_key": ["ban_sk"],
+    "foreign_keys": [
+        {"columns": ["nation_sk"], "ref_table": DIM, "ref_columns": ["nation_sk"]}
+    ],
+}
+
+
+def _store(spark, tmp_path):
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish(
+        {DIM: _dim(spark, [1, 2]), FACT: _fact(spark, [(10, 1, 5), (11, 2, 0)])},
+        base_version=0,
+    )
+    return store
+
+
+def test_declare_and_getter_metadata_only(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    v = store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    assert v == 2
+    assert store.constraints(FACT) == FACT_CONS
+    assert store.constraints(DIM) == {}
+    # data untouched by the metadata commit
+    assert store.read(FACT).count() == 2
+    store.validate_constraints(FACT)  # clean
+
+
+def test_declare_validates_existing_rows(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    # existing fact rows have days 5/0, neither a nation_sk: declaring
+    # days as a foreign key must fail the existing-rows validation
+    bad = dict(FACT_CONS, foreign_keys=[
+        {"columns": ["days"], "ref_table": DIM, "ref_columns": ["nation_sk"]}
+    ])
+    with pytest.raises(ConstraintError, match="foreign key"):
+        store.declare_constraints({FACT: bad}, base_version=1)
+    assert store.current_version() == 1  # nothing committed
+    with pytest.raises(ConstraintError, match="check|violate"):
+        store.declare_constraints(
+            {FACT: {"check": ["days > 3"]}}, base_version=1
+        )
+    with pytest.raises(ConstraintError, match="unknown table"):
+        store.declare_constraints({"nope": {"not_null": ["x"]}}, base_version=1)
+
+
+def test_publish_enforces_each_constraint_kind(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    base = store.current_version()
+    # not_null (rides the expectation audit)
+    with pytest.raises(ExpectationError, match="ban_sk IS NOT NULL"):
+        store.publish(
+            {FACT: spark.sql("SELECT CAST(NULL AS INT) ban_sk, 1 nation_sk, 1 days")},
+            base_version=base,
+        )
+    # check
+    with pytest.raises(ExpectationError, match="days >= 0"):
+        store.publish({FACT: _fact(spark, [(12, 1, -4)])}, base_version=base)
+    # primary key duplicate
+    with pytest.raises(ConstraintError, match="duplicate primary key"):
+        store.publish(
+            {FACT: _fact(spark, [(12, 1, 3), (12, 2, 4)])}, base_version=base
+        )
+    # foreign key orphan
+    with pytest.raises(ConstraintError, match="no match in 'nation_dim'"):
+        store.publish({FACT: _fact(spark, [(12, 99, 3)])}, base_version=base)
+    # store untouched by all four rejections
+    assert store.current_version() == base
+    assert store.read(FACT).count() == 2
+    # a valid batch commits, and the declaration survives the replace
+    store.publish({FACT: _fact(spark, [(20, 1, 7)])}, base_version=base)
+    assert store.constraints(FACT) == FACT_CONS
+
+
+def test_fk_resolves_against_staged_sibling_dim(spark, tmp_path):
+    """Dims + facts published in ONE batch: the fact's FK must validate
+    against the dim being published, not the stale stored dim — the
+    reference's ordered dims-then-facts load in a single transaction."""
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    base = store.current_version()
+    store.publish(
+        {DIM: _dim(spark, [1, 2, 3]), FACT: _fact(spark, [(30, 3, 1)])},
+        base_version=base,
+    )
+    assert store.read(FACT).count() == 1
+    # but without the new dim in the batch, key 4 is an orphan
+    with pytest.raises(ConstraintError, match="no match"):
+        store.publish(
+            {FACT: _fact(spark, [(31, 4, 1)])},
+            base_version=store.current_version(),
+        )
+
+
+def test_append_enforces_pk_against_existing_rows(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    base = store.current_version()
+    with pytest.raises(ConstraintError, match="already exists"):
+        store.publish_append({FACT: _fact(spark, [(10, 1, 9)])}, base_version=base)
+    with pytest.raises(ConstraintError, match="no match"):
+        store.publish_append({FACT: _fact(spark, [(40, 77, 9)])}, base_version=base)
+    assert store.current_version() == base
+    v = store.publish_append({FACT: _fact(spark, [(40, 2, 9)])}, base_version=base)
+    assert store.read(FACT).count() == 3
+    assert store.constraints(FACT) == FACT_CONS  # carried through append
+    assert v == store.current_version()
+
+
+def test_merge_enforces_on_source_delta(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    with pytest.raises(ConstraintError, match="days >= 0"):
+        store.merge(FACT, _fact(spark, [(10, 1, -1)]), ["ban_sk"], mode="upsert")
+    with pytest.raises(ConstraintError, match="no match"):
+        store.merge(FACT, _fact(spark, [(10, 55, 1)]), ["ban_sk"], mode="upsert")
+    # updating an existing key is legal for merge (unlike append)
+    store.merge(FACT, _fact(spark, [(10, 2, 8)]), ["ban_sk"], mode="upsert")
+    got = {tuple(r) for r in store.read(FACT).collect()}
+    assert (10, 2, 8) in got and len(got) == 2
+    assert store.constraints(FACT) == FACT_CONS  # carried through merge
+
+
+def test_constraints_survive_optimize_and_validate_detects_tamper(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    base = store.current_version()
+    for i in range(3):
+        base = store.publish_append(
+            {FACT: _fact(spark, [(100 + i, 1, i)])}, base_version=base
+        )
+    store.optimize(FACT)
+    assert store.constraints(FACT) == FACT_CONS
+    store.validate_constraints(FACT)
+    # shrink the dim under the fact's feet: validate must now fail
+    store.publish({DIM: _dim(spark, [1])}, base_version=store.current_version())
+    with pytest.raises(ConstraintError, match="no match"):
+        store.validate_constraints(FACT)
