@@ -1234,7 +1234,13 @@ class GoldStore:
 
         def resolver(t):
             if t in staged:
-                return staged_df(t)
+                df = staged_df(t)
+                if append_to_existing and t in current:
+                    # an appended sibling contributes its delta ON TOP of
+                    # the prior rows (a replace-published sibling IS the
+                    # full table already)
+                    df = self.read(t).unionByName(df, allowMissingColumns=True)
+                return df
             return self.read(t) if t in current else None
 
         for name, cons in cons_map.items():

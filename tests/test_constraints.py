@@ -170,3 +170,26 @@ def test_constraints_survive_optimize_and_validate_detects_tamper(spark, tmp_pat
     store.publish({DIM: _dim(spark, [1])}, base_version=store.current_version())
     with pytest.raises(ConstraintError, match="no match"):
         store.validate_constraints(FACT)
+
+
+def test_append_fk_sees_prior_plus_appended_dim_rows(spark, tmp_path):
+    """Appending dim delta + fact delta in one batch: the fact's FK must
+    resolve against prior dim rows UNION the appended delta — a fact
+    referencing an old dim key must not become a false orphan."""
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    base = store.current_version()
+    store.publish_append(
+        {
+            DIM: _dim(spark, [5]),  # delta only carries the NEW key
+            FACT: _fact(spark, [(50, 5, 1), (51, 1, 2)]),  # new + OLD key
+        },
+        base_version=base,
+    )
+    assert store.read(FACT).count() == 4
+    # a key in neither prior nor delta still rejects
+    with pytest.raises(ConstraintError, match="no match"):
+        store.publish_append(
+            {DIM: _dim(spark, [6]), FACT: _fact(spark, [(60, 7, 1)])},
+            base_version=store.current_version(),
+        )
