@@ -218,6 +218,65 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RRF constant (Cormack/Clarke/Buettcher's k=60, the public standard)
+HYBRID_RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion —
+    the standard RAG-stack ranker (public: Cormack et al., RRF).
+
+    Arms: ``bm25_search`` (sparse, top-BM25_TOPK) and
+    ``embed_knn_bruteforce`` (dense cosine, top-KNN_K; the declared
+    exact baseline — at scale the same fusion runs over the ANN arms
+    unchanged, since RRF consumes only ranks). Each arm keeps its OWN
+    ranking (standard RRF); self-hits (query doc retrieving itself)
+    are dropped post-rank from both arms. Contribution of a rank r is
+    the integer ``1000000 div (HYBRID_RRF_K + r)`` so the fused sum is
+    order-independent int64 arithmetic — DuckDB-bit-exact like every
+    scaled score in this module. Docs found by both arms sum both
+    contributions; ties rank by doc_id.
+
+    Plan shape: both arms are the already-audited linear plans; fusion
+    adds one union + one (query_id, doc_id) hash aggregate over ≤
+    (BM25_TOPK + KNN_K) rows per query — negligible at any scale.
+    """
+    from .training import embed_knn_bruteforce
+
+    rrf = F.expr(f"1000000 div ({HYBRID_RRF_K} + rnk)").alias("c")
+    lex = (
+        bm25_search(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", rrf)
+    )
+    vec = (
+        embed_knn_bruteforce(spark, sf_dir)
+        .filter(
+            (F.col("query_id") < BM25_QUERY_MAX_ID)
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), rrf)
+    )
+    fused = (
+        lex.unionByName(vec)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("rrf_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_scaled").desc(), "doc_id")
+    return (
+        fused.select(
+            "query_id",
+            "doc_id",
+            "rrf_scaled",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= HYBRID_TOPK)
+        .select("query_id", "rnk", "doc_id", "rrf_scaled")
+        .orderBy("query_id", "rnk")
+    )
+
+
 _TOK_CTE = (
     "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
     "post AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), "
@@ -229,29 +288,60 @@ _TOK_CTE = (
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": bm25_search,
     "tfidf_topterms": tfidf_topterms,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
+
+#: shared DuckDB CTE chain ending in ranked BM25 results ``r``
+_BM25_CTES = (
+    "qt AS (SELECT DISTINCT query_id, term FROM "
+    f"(SELECT doc_id AS query_id, unnest(list_slice(string_split(text, ' '), 1, {BM25_QUERY_PREFIX})) AS term "
+    f"FROM documents WHERE doc_id < {BM25_QUERY_MAX_ID})), "
+    "terms AS (SELECT DISTINCT term FROM qt), "
+    "postq AS (SELECT p.doc_id, p.term, p.tf FROM post p JOIN terms USING (term)), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM postq GROUP BY term), "
+    "stats AS (SELECT SUM(dl) AS sum_dl, COUNT(*) AS n_docs, "
+    "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlen), "
+    "contrib AS (SELECT qt.query_id, p.doc_id, "
+    "CAST(FLOOR(((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.2)) / "
+    "(p.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))) * 1000000.0) AS BIGINT) AS c_scaled "
+    "FROM postq p JOIN dfreq d USING (term) JOIN qt USING (term) "
+    "JOIN dlen l ON p.doc_id = l.doc_id, stats s), "
+    "sc AS (SELECT query_id, doc_id, CAST(SUM(c_scaled) AS BIGINT) AS score_scaled "
+    "FROM contrib GROUP BY query_id, doc_id), "
+    "r AS (SELECT query_id, doc_id, score_scaled, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk "
+    "FROM sc)"
+)
+
+
+def _hybrid_oracle_sql() -> str:
+    from .training import _COS, _EMB_CTE, KNN_K
+
+    return (
+        f"WITH {_TOK_CTE}, {_BM25_CTES}, {_EMB_CTE}, "
+        f"vp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos "
+        f"FROM v a JOIN v b ON a.vec_id < {BM25_QUERY_MAX_ID} AND b.vec_id <> a.vec_id), "
+        "vr AS (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM vp), "
+        "contribs AS ("
+        f"SELECT query_id, doc_id, (1000000 // ({HYBRID_RRF_K} + rnk)) AS c "
+        f"FROM r WHERE rnk <= {BM25_TOPK} AND doc_id <> query_id "
+        "UNION ALL "
+        f"SELECT query_id, neighbor_id AS doc_id, (1000000 // ({HYBRID_RRF_K} + rnk)) AS c "
+        f"FROM vr WHERE rnk <= {KNN_K}), "
+        "fused AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled "
+        "FROM contribs GROUP BY query_id, doc_id), "
+        "fr AS (SELECT query_id, doc_id, rrf_scaled, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rnk "
+        "FROM fused) "
+        f"SELECT query_id, rnk, doc_id, rrf_scaled FROM fr WHERE rnk <= {HYBRID_TOPK} "
+        "ORDER BY query_id, rnk"
+    )
+
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
     "bm25_search": (
-        f"WITH {_TOK_CTE}, "
-        "qt AS (SELECT DISTINCT query_id, term FROM "
-        f"(SELECT doc_id AS query_id, unnest(list_slice(string_split(text, ' '), 1, {BM25_QUERY_PREFIX})) AS term "
-        f"FROM documents WHERE doc_id < {BM25_QUERY_MAX_ID})), "
-        "terms AS (SELECT DISTINCT term FROM qt), "
-        "postq AS (SELECT p.doc_id, p.term, p.tf FROM post p JOIN terms USING (term)), "
-        "dfreq AS (SELECT term, COUNT(*) AS df FROM postq GROUP BY term), "
-        "stats AS (SELECT SUM(dl) AS sum_dl, COUNT(*) AS n_docs, "
-        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlen), "
-        "contrib AS (SELECT qt.query_id, p.doc_id, "
-        "CAST(FLOOR(((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.2)) / "
-        "(p.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))) * 1000000.0) AS BIGINT) AS c_scaled "
-        "FROM postq p JOIN dfreq d USING (term) JOIN qt USING (term) "
-        "JOIN dlen l ON p.doc_id = l.doc_id, stats s), "
-        "sc AS (SELECT query_id, doc_id, CAST(SUM(c_scaled) AS BIGINT) AS score_scaled "
-        "FROM contrib GROUP BY query_id, doc_id), "
-        "r AS (SELECT query_id, doc_id, score_scaled, "
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk "
-        "FROM sc) "
+        f"WITH {_TOK_CTE}, {_BM25_CTES} "
         f"SELECT query_id, rnk, doc_id, score_scaled FROM r WHERE rnk <= {BM25_TOPK} "
         "ORDER BY query_id, rnk"
     ),
@@ -268,4 +358,5 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"SELECT doc_id, rnk, term, tfidf_scaled FROM r WHERE rnk <= {TFIDF_TOPK} "
         "ORDER BY doc_id, rnk"
     ),
+    "hybrid_search_rrf": _hybrid_oracle_sql(),
 }

@@ -42,3 +42,46 @@ def test_tfidf_topterms_shape(spark, sf_dir):
     assert len(per_doc) == n_docs  # every document gets keywords
     assert all(len(t) <= R.TFIDF_TOPK for t in per_doc.values())
     assert all(len(set(t)) == len(t) for t in per_doc.values())  # distinct terms
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    """RRF semantics: every fused score decomposes into the two arms'
+    rank contributions, docs surfaced by BOTH arms carry both terms,
+    and no self-hit survives fusion."""
+    from rustcheatersdatapipeline_spark.plans.retrieval import (
+        HYBRID_RRF_K,
+        bm25_search,
+        hybrid_search_rrf,
+    )
+    from rustcheatersdatapipeline_spark.plans.training import embed_knn_bruteforce
+
+    fused = hybrid_search_rrf(spark, sf_dir).collect()
+    assert fused, "hybrid search returned no rows"
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rnk"]
+        for r in bm25_search(spark, sf_dir).collect()
+        if r["doc_id"] != r["query_id"]
+    }
+    vec = {
+        (r["query_id"], r["neighbor_id"]): r["rnk"]
+        for r in embed_knn_bruteforce(spark, sf_dir).collect()
+        if r["query_id"] < 8 and r["neighbor_id"] != r["query_id"]
+    }
+    both = 0
+    for r in fused:
+        key = (r["query_id"], r["doc_id"])
+        assert r["doc_id"] != r["query_id"]
+        expect = 0
+        if key in lex:
+            expect += 1000000 // (HYBRID_RRF_K + lex[key])
+        if key in vec:
+            expect += 1000000 // (HYBRID_RRF_K + vec[key])
+        assert expect > 0, f"fused doc {key} in neither arm"
+        assert r["rrf_scaled"] == expect
+        both += key in lex and key in vec
+    # per-query fused ranks are 1..k dense
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
