@@ -2300,6 +2300,89 @@ def text_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: target training-mixture weights (parts-per-million) per language —
+#: the domain-mixing contract of a pretraining data recipe (public
+#: practice: The Pile / DoReMi-style fixed mixture weights)
+MIXTURE_WEIGHTS_PPM = {
+    "en": 400000,
+    "zh": 200000,
+    "es": 150000,
+    "de": 150000,
+    "fr": 100000,
+}
+#: total token budget the mixture fills
+MIXTURE_TOKEN_BUDGET = 8000
+
+
+def _mixture_budgets() -> dict[str, int]:
+    return {
+        lang: (ppm * MIXTURE_TOKEN_BUDGET) // 1000000
+        for lang, ppm in MIXTURE_WEIGHTS_PPM.items()
+    }
+
+
+def mixture_token_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling: each language receives
+    ``floor(weight_ppm · BUDGET / 1e6)`` tokens, filled best-quality-
+    first (the text_metrics quality score, scaled to int64; ties by
+    doc_id) under the PREFIX rule — a document is admitted iff the
+    running token total through it stays within the language's budget,
+    and the first overflowing document closes the language (window-
+    expressible and deterministic, unlike knapsack backfilling).
+
+    This is the assembly step of a training-data recipe: fixed mixture
+    weights over domains (public practice: Pile/DoReMi-style recipes),
+    quality-ranked within each domain, token- (not document-) budgeted.
+
+    Scale shape: ONE corpus scan computes (n_tokens, quality); the only
+    exchange is the per-language window — partition count = number of
+    domains, each sorted once. At 100 TB the sort per domain is the
+    cost; domains far above their budget should pre-filter with a
+    quality threshold from a quantile sketch (sketch_bounds) before
+    the full sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tok = F.size(toks)
+    stop_cnt = marker_count("text", STOPWORDS)
+    q_scaled = F.floor(
+        (
+            (F.least(n_tok, F.lit(200)) / F.lit(200.0))
+            * (F.lit(1.0) - stop_cnt / n_tok)
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    budgets = _mixture_budgets()
+    budget_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {b}" for lang, b in budgets.items()
+    ) + " ELSE 0 END"
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        q_scaled.alias("q_scaled"),
+        F.expr(budget_case).cast("bigint").alias("budget"),
+    ).filter(F.col("budget") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q_scaled").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            "q_scaled",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            "budget",
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("lang", "doc_id", "n_tokens", "q_scaled", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    )
+
+
 def bpe_train(spark, sf_dir, n_merges: int = 20):
     """Distributed BPE tokenizer training: the top-``n_merges`` merge
     rules learned from the corpus (classic byte-pair encoding over the
@@ -2906,6 +2989,7 @@ def graph_triangles(spark, sf_dir):
 
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mixture_token_budget_sample": mixture_token_budget_sample,
     "graph_triangles": graph_triangles,
     "hll_register_rows": hll_register_rows,
     "ddsketch_buckets": ddsketch_buckets,
@@ -3185,6 +3269,22 @@ _PQ_CTE = (
 )
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "mixture_token_budget_sample": (
+        "WITH base AS (SELECT doc_id, lang, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens, "
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt, "
+        "CASE WHEN lang = 'en' THEN 3200 WHEN lang = 'zh' THEN 1600 WHEN lang = 'es' THEN 1200 WHEN lang = 'de' THEN 1200 WHEN lang = 'fr' THEN 800 ELSE 0 END AS budget "
+        "FROM documents), "
+        "q AS (SELECT doc_id, lang, n_tokens, CAST(budget AS BIGINT) AS budget, "
+        "CAST(FLOOR(((LEAST(n_tokens, 200) / CAST(200.0 AS DOUBLE)) * "
+        "(CAST(1.0 AS DOUBLE) - stop_cnt / n_tokens)) * 1000000.0) AS BIGINT) AS q_scaled "
+        "FROM base WHERE budget > 0), "
+        "c AS (SELECT lang, doc_id, n_tokens, q_scaled, budget, "
+        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q_scaled DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM q) "
+        "SELECT lang, doc_id, n_tokens, q_scaled, CAST(cum_tokens AS BIGINT) AS cum_tokens "
+        "FROM c WHERE cum_tokens <= budget ORDER BY lang, cum_tokens"
+    ),
     "graph_triangles": (
         "WITH raw AS (SELECT ((('0x'||substr(md5('ga:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sa, ((('0x'||substr(md5('gb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sb FROM documents), "
         "e AS (SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b "

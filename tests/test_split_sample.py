@@ -71,3 +71,27 @@ def test_uniform_sample_k_plan_is_bounded_topk(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_token_budget_sample_contract(spark, sf_dir):
+    """Budgets respected per language, prefix rule (the cut happens at
+    the first overflow in quality order), and quality-first ordering."""
+    from rustcheatersdatapipeline_spark.plans.training import (
+        _mixture_budgets,
+        mixture_token_budget_sample,
+    )
+
+    rows = mixture_token_budget_sample(spark, sf_dir).collect()
+    assert rows
+    budgets = _mixture_budgets()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= set(budgets)
+    for lang, lr in by_lang.items():
+        total = sum(r["n_tokens"] for r in lr)
+        assert total <= budgets[lang]
+        assert total == lr[-1]["cum_tokens"]
+        # admitted docs are a quality-ordered prefix: scores non-increasing
+        qs = [r["q_scaled"] for r in sorted(lr, key=lambda r: r["cum_tokens"])]
+        assert qs == sorted(qs, reverse=True)
