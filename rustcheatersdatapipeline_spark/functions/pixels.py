@@ -825,6 +825,10 @@ def decode_image_frames(buf: bytes) -> np.ndarray | None:
         from .avi import decode_avi_frames
 
         return decode_avi_frames(buf)
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .vp8l import decode_webp_frames
+
+        return decode_webp_frames(buf)
     if buf[:8] == _PNG_SIGNATURE:
         return decode_apng_frames(buf)
     px = decode_image_payload(buf)

@@ -492,5 +492,107 @@ def decode_webp_pixels(buf: bytes) -> np.ndarray:
             from .vp8 import decode_vp8_rgba
 
             return decode_vp8_rgba(body)
+        if cid == b"ANMF" and len(body) >= 16:
+            # animation: the still view is the first composited frame
+            # (same >=16 well-formedness guard as decode_webp_frames,
+            # or the two dispatchers would recurse on truncated input)
+            return decode_webp_frames(buf)[0]
         pos += 8 + sz + (sz & 1)
     raise ValueError("WebP: no VP8/VP8L bitstream chunk")
+
+
+_WEBP_MAX_DECODE_BYTES = 1 << 28  # 256 MiB, same bomb bound as GIF/APNG
+
+
+def _decode_webp_subframe(body: bytes) -> np.ndarray:
+    """Decode the VP8/VP8L subchunk inside an ANMF frame body."""
+    pos = 0
+    while pos + 8 <= len(body):
+        cid = body[pos : pos + 4]
+        sz = int.from_bytes(body[pos + 4 : pos + 8], "little")
+        data = body[pos + 8 : pos + 8 + sz]
+        if cid == b"VP8L":
+            return decode_vp8l_stream(data)
+        if cid == b"VP8 ":
+            from .vp8 import decode_vp8_rgba
+
+            return decode_vp8_rgba(data)
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("WebP: ANMF frame without VP8/VP8L subchunk")
+
+
+def decode_webp_frames(buf: bytes) -> np.ndarray:
+    """Animated WebP (VP8X + ANIM/ANMF, public container spec) → uint8
+    (n_frames, h, w, 4): frames COMPOSITED onto the canvas per each
+    frame's blend/dispose flags — the same discipline as
+    ``decode_apng_frames``. Still WebPs yield their single frame.
+
+    ANMF layout: 3-byte x/2, y/2, w-1, h-1, duration, then a flags
+    byte (bit 1: 1 = overwrite instead of alpha-blend; bit 0: 1 =
+    dispose frame rect to transparent), then the frame's bitstream
+    subchunks. The canvas starts transparent (the ANIM background
+    color is a hint for players; compositing uses the APNG/GIF
+    transparent-canvas discipline)."""
+    if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    canvas_wh = None
+    anim: list[tuple[dict, bytes]] = []
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            canvas_wh = (w, h)
+        elif cid == b"ANMF" and len(body) >= 16:
+            anim.append(
+                (
+                    {
+                        "x": int.from_bytes(body[0:3], "little") * 2,
+                        "y": int.from_bytes(body[3:6], "little") * 2,
+                        "w": int.from_bytes(body[6:9], "little") + 1,
+                        "h": int.from_bytes(body[9:12], "little") + 1,
+                        "no_blend": (body[15] >> 1) & 1,
+                        "dispose": body[15] & 1,
+                    },
+                    body[16:],
+                )
+            )
+        pos += 8 + sz + (sz & 1)
+    if not anim:
+        return decode_webp_pixels(buf)[None, ...]
+    if canvas_wh is None:
+        raise ValueError("WebP: ANMF frames without a VP8X canvas")
+    w, h = canvas_wh
+    if len(anim) * h * w * 4 > _WEBP_MAX_DECODE_BYTES:
+        raise ValueError("WebP: decoded frames exceed decode bound")
+    canvas = np.zeros((h, w, 4), np.uint8)
+    out = []
+    for meta, body in anim:
+        fw, fh, fx, fy = meta["w"], meta["h"], meta["x"], meta["y"]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("WebP: frame region outside the canvas")
+        region = _decode_webp_subframe(body)
+        if region.shape[:2] != (fh, fw):
+            raise ValueError("WebP: frame bitstream dims disagree with ANMF")
+        target = canvas[fy : fy + fh, fx : fx + fw]
+        if meta["no_blend"]:
+            target[...] = region
+        else:  # src-over alpha composite (non-premultiplied, APNG math)
+            sa = region[..., 3:].astype(np.uint32)
+            da = target[..., 3:].astype(np.uint32)
+            oa = sa * 255 + da * (255 - sa)
+            num = (
+                region[..., :3].astype(np.uint32) * sa * 255
+                + target[..., :3].astype(np.uint32) * da * (255 - sa)
+            )
+            target[..., :3] = np.where(oa > 0, num // np.maximum(oa, 1), 0).astype(
+                np.uint8
+            )
+            target[..., 3:] = (oa // 255).astype(np.uint8)
+        out.append(canvas.copy())
+        if meta["dispose"]:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+    return np.stack(out)
