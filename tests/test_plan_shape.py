@@ -251,3 +251,38 @@ def test_temporal_joins_never_plan_cartesian(spark):
     idf = spark.createDataFrame([(0, 1.0, 2.0, "x")], "g int, s double, e double, tag string")
     q = _plan(interval_join(ldf, idf, ["g"], "t", "s", "e"))
     assert "CartesianProduct" not in q and "BroadcastNestedLoopJoin" not in q
+
+
+def test_mixture_sample_is_single_scan_one_window(spark, sf_dir):
+    """mixture_token_budget_sample: ONE parquet scan of documents and
+    ONE per-language window sort — no join, no cartesian, and the
+    running-total window partial-aggregates nothing extra."""
+    from rustcheatersdatapipeline_spark.plans.training import (
+        mixture_token_budget_sample,
+    )
+
+    import re
+
+    p = _plan(mixture_token_budget_sample(spark, sf_dir))
+    # count node HEADERS — explain("formatted") repeats names in details
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "CartesianProduct" not in p
+    assert not re.findall(r"\(\d+\) \w*Join", p)
+    assert re.findall(r"\(\d+\) Window", p)
+
+
+def test_hybrid_rrf_fuses_without_extra_corpus_scans(spark, sf_dir):
+    """hybrid_search_rrf adds only a union + per-query aggregate over
+    the two arms — no cartesian product, and the vector arm keeps its
+    broadcast-query nested loop (bounded side) instead of a blowup."""
+    from rustcheatersdatapipeline_spark.plans.retrieval import hybrid_search_rrf
+
+    import re
+
+    p = _plan(hybrid_search_rrf(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert re.findall(r"\(\d+\) Union", p)
+    # exactly two broadcast nested loops, both with a BOUNDED broadcast
+    # side: the kNN arm's query set and bm25's 1-row stats crossJoin —
+    # never corpus x corpus
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
