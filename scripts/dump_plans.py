@@ -49,6 +49,15 @@ ANNOTATED = {
         "joins are the two single-row totals grids; selection is "
         "TakeOrderedAndProject over integer Gumbel keys"
     ),
+    "mixture_token_budget_sample": (
+        "ONE documents scan; the only exchange is the per-language window "
+        "(running token total) — no joins anywhere"
+    ),
+    "hybrid_search_rrf": (
+        "union of the two arms' top-k + one per-(query,doc) hash aggregate; "
+        "both BroadcastNestedLoopJoins have bounded broadcast sides (kNN "
+        "query set; 1-row bm25 stats) — never corpus x corpus"
+    ),
 }
 
 
@@ -59,6 +68,9 @@ def main() -> None:
     from rustcheatersdatapipeline_spark.plans import training as _T
 
     qs.update(_T.TESTS_ONLY_QUERIES)
+    from rustcheatersdatapipeline_spark.plans import retrieval as _R
+
+    qs.update(_R.TESTS_ONLY_QUERIES)
     out = [
         "# PLANS — physical plans of the headline queries\n",
         "Regenerate with `python scripts/dump_plans.py` (sf0.01 inputs; the",
