@@ -166,6 +166,7 @@ def write_upsert_script(
     table: str,
     key_cols: list[str],
     update_cols: list[str] | None = None,
+    constraints: dict | None = None,
 ) -> tuple[str, str]:
     """Reference-parity relational load: CSV staging + ON CONFLICT SQL.
 
@@ -182,6 +183,13 @@ def write_upsert_script(
        sql_queries.py:95-101's latest-wins arm. ``DO NOTHING`` when no
        update columns remain (pure insert-if-absent dims).
 
+    ``constraints`` (the ``GoldStore.declare_constraints`` shape)
+    emits the declared NOT NULL columns, table CHECK clauses, and
+    FOREIGN KEY references into the CREATE TABLE — the reference's
+    warehouse DDL (data_warehouse.sql) regenerated from the manifest.
+    Scripts referencing other tables must run after their referents,
+    the reference's dims-then-facts order.
+
     Returns ``(csv_path, sql_path)``. The script is ANSI enough to run
     unmodified on Postgres and DuckDB; the round-trip test executes it
     on DuckDB twice and checks convergence."""
@@ -192,11 +200,22 @@ def write_upsert_script(
         raise ValueError(f"key columns {bad} not in frame columns {cols}")
     if update_cols is None:
         update_cols = [c for c in cols if c not in key_cols]
+    cons = constraints or {}
+    not_null = set(cons.get("not_null") or [])
     # validate the relational mapping BEFORE any write: a nested column
     # must fail here with a clear message, not inside the CSV writer
     col_defs = ",\n  ".join(
-        f"{f['name']} {_spark_to_sql_type(f['type'])}" for f in fields
+        f"{f['name']} {_spark_to_sql_type(f['type'])}"
+        + (" NOT NULL" if f["name"] in not_null else "")
+        for f in fields
     )
+    table_cons = [f"CHECK ({c})" for c in cons.get("check") or []]
+    for fk in cons.get("foreign_keys") or []:
+        fcols = ", ".join(fk["columns"])
+        rcols = ", ".join(fk.get("ref_columns") or fk["columns"])
+        table_cons.append(
+            f"FOREIGN KEY ({fcols}) REFERENCES {fk['ref_table']} ({rcols})"
+        )
     os.makedirs(dest, exist_ok=True)
     csv_dir = os.path.join(dest, f"_{table}_csv")
     (
@@ -215,6 +234,7 @@ def write_upsert_script(
     os.replace(part[0], csv_path)
     collist = ", ".join(cols)
     keylist = ", ".join(key_cols)
+    extra_cons = "".join(f",\n  {c}" for c in table_cons)
     if update_cols:
         conflict = "DO UPDATE SET " + ", ".join(
             f"{c} = excluded.{c}" for c in update_cols
@@ -226,7 +246,7 @@ def write_upsert_script(
 -- LoadDimsOperator.py:16-28, sql_queries.py:95-101)
 CREATE TABLE IF NOT EXISTS {table} (
   {col_defs},
-  PRIMARY KEY ({keylist})
+  PRIMARY KEY ({keylist}){extra_cons}
 );
 CREATE TEMPORARY TABLE {table}_staging (
   {col_defs}
@@ -241,3 +261,29 @@ DROP TABLE {table}_staging;
     with open(sql_path, "w", encoding="utf-8") as f:
         f.write(sql)
     return csv_path, sql_path
+
+
+def export_upsert_script_from_store(
+    store,
+    name: str,
+    dest: str,
+    key_cols: list[str] | None = None,
+    update_cols: list[str] | None = None,
+) -> tuple[str, str]:
+    """Store-aware export: the table's rows, its declared PRIMARY KEY
+    as the conflict arbiter, and its declared constraints regenerated
+    as DDL — the manifest is the single source of truth for the
+    relational contract (reference: data_warehouse.sql + the
+    LoadDimsOperator staging load, produced from one call here)."""
+    cons = store.constraints(name)
+    if key_cols is None:
+        key_cols = list(cons.get("primary_key") or [])
+        if not key_cols:
+            raise ValueError(
+                f"table {name!r} declares no primary_key constraint — "
+                "pass key_cols explicitly"
+            )
+    return write_upsert_script(
+        store.read(name), dest, name, list(key_cols), update_cols,
+        constraints=cons,
+    )
