@@ -99,3 +99,72 @@ def test_shared_dispatchers_total_on_arbitrary_bytes(junk):
             assert r is None or r.dtype == np.uint8
         except (NotImplementedError, ValueError, zlib.error, IndexError):
             pass
+
+
+def _webp_payloads():
+    """Module-cached lossy + animated WebP payloads for fuzzing."""
+    global _WEBP_CACHE
+    try:
+        return _WEBP_CACHE
+    except NameError:
+        pass
+    from tests.vp8enc import encode_vp8, wrap_webp
+    from tests.test_webp_anim import make_webp_anim
+    from tests.test_vp8l import encode_vp8l
+
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    half = np.full((8, 8), 128, np.uint8)
+    lossy = wrap_webp(encode_vp8(y, half, half, q_index=20, filter_level=10)[0])
+    px = rng.randint(0, 256, (8, 8, 4)).astype(np.uint8)
+    anim = make_webp_anim(
+        (8, 8),
+        [
+            (b"VP8L", encode_vp8l(px), 0, 0, 8, 8, 0, 1),
+            (b"VP8 ", encode_vp8(
+                np.full((8, 8), 90, np.uint8),
+                np.full((4, 4), 128, np.uint8),
+                np.full((4, 4), 128, np.uint8),
+                q_index=0,
+            )[0], 0, 0, 8, 8, 0, 0),
+        ],
+    )
+    _WEBP_CACHE = (lossy, anim)
+    return _WEBP_CACHE
+
+
+@given(
+    cut=st.integers(0, 600),
+    xor_at=st.integers(0, 599),
+    xor_val=st.integers(1, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_mutated_lossy_webp_never_escapes(cut, xor_at, xor_val):
+    buf = bytearray(_webp_payloads()[0])
+    if xor_at < len(buf):
+        buf[xor_at] ^= xor_val
+    _decode_total(bytes(buf[: cut if cut < len(buf) else len(buf)]))
+
+
+@given(
+    cut=st.integers(0, 600),
+    xor_at=st.integers(0, 599),
+    xor_val=st.integers(1, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_mutated_animated_webp_never_escapes(cut, xor_at, xor_val):
+    from rustcheatersdatapipeline_spark.functions.pixels import (
+        decode_image_frames,
+    )
+
+    buf = bytearray(_webp_payloads()[1])
+    if xor_at < len(buf):
+        buf[xor_at] ^= xor_val
+    payload = bytes(buf[: cut if cut < len(buf) else len(buf)])
+    _decode_total(payload)
+    import zlib
+
+    try:
+        decode_image_frames(payload)
+    except (NotImplementedError, ValueError, zlib.error, IndexError):
+        pass
