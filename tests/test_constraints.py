@@ -193,3 +193,41 @@ def test_append_fk_sees_prior_plus_appended_dim_rows(spark, tmp_path):
             {DIM: _dim(spark, [6]), FACT: _fact(spark, [(60, 7, 1)])},
             base_version=store.current_version(),
         )
+
+
+def test_streaming_merge_sink_fails_batch_on_violation(spark, tmp_path):
+    """A MergeUpsertSink trigger whose batch violates a declared
+    constraint fails that micro-batch (stream surfaces the error) and
+    the store keeps its pre-batch state — a poison batch can never
+    commit through the streaming path either."""
+    import json
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from rustcheatersdatapipeline_spark.streaming.ingest import MergeUpsertSink
+
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    v_before = store.current_version()
+    rows_before = {tuple(r) for r in store.read(FACT).collect()}
+
+    drop = tmp_path / "cdc"
+    drop.mkdir()
+    (drop / "bad.jsonl").write_text(
+        json.dumps({"ban_sk": 50, "nation_sk": 999, "days": 1})  # FK orphan
+    )
+    sink = MergeUpsertSink(store, FACT, ["ban_sk"])
+    q = (
+        spark.readStream.schema("ban_sk int, nation_sk int, days int")
+        .json(str(drop))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as e:
+        q.awaitTermination(300)
+    assert "no match" in str(e.value) or "ConstraintError" in str(e.value)
+    assert store.current_version() == v_before
+    assert {tuple(r) for r in store.read(FACT).collect()} == rows_before
