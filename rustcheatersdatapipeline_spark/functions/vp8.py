@@ -32,7 +32,10 @@ Streams produced by ``tests/vp8enc.py`` round-trip bit-exactly against
 this decoder regardless of those two tables (both sides share them).
 Real-world VP8 streams decode structurally, but entropy-coded values
 will be wrong wherever a stream relies on the RFC's default constants
-— swap in the RFC §13.5/§11.3 tables to claim bit parity with libvpx.
+— pass the RFC §13.5/§11.3 tables via ``decode_vp8_frame``'s
+``default_coeff_probs``/``kf_bmode_probs`` parameters to claim bit
+parity with libvpx (no module edit needed; round-trip proof of the
+injection point: ``tests/test_vp8.py::test_probability_table_injection``).
 """
 
 from __future__ import annotations
@@ -392,9 +395,10 @@ def _parse_quant_header(bd: BoolDecoder, hdr: dict) -> None:
     }
 
 
-def _parse_coeff_prob_updates(bd: BoolDecoder) -> list:
+def _parse_coeff_prob_updates(bd: BoolDecoder, defaults=None) -> list:
     probs = [
-        [[list(ctx) for ctx in band] for band in bt] for bt in DEFAULT_COEFF_PROBS
+        [[list(ctx) for ctx in band] for band in bt]
+        for bt in (defaults or DEFAULT_COEFF_PROBS)
     ]
     for bt in range(4):
         for band in range(8):
@@ -408,8 +412,10 @@ def _parse_coeff_prob_updates(bd: BoolDecoder) -> list:
 # ------------------------------------------------------------- mode decode
 
 
-def _decode_mb_modes(bd: BoolDecoder, hdr: dict, mb_w: int, mb_h: int) -> list:
+def _decode_mb_modes(bd: BoolDecoder, hdr: dict, mb_w: int, mb_h: int,
+                     bmode_probs=None) -> list:
     """Per-MB (segment, skip, ymode, bmodes, uvmode) for the keyframe."""
+    bmode_probs = bmode_probs or KF_BMODE_PROBS
     seg = hdr["segmentation"]
     mbs = []
     # above b-mode context row: 4 submodes per MB column
@@ -429,9 +435,7 @@ def _decode_mb_modes(bd: BoolDecoder, hdr: dict, mb_w: int, mb_h: int) -> list:
                     r, c = sb >> 2, sb & 3
                     am = above[mx][c] if r == 0 else bmodes[sb - 4]
                     lm = left[r] if c == 0 else bmodes[sb - 1]
-                    bmodes[sb] = bd.read_tree(
-                        BMODE_TREE, KF_BMODE_PROBS[am][lm]
-                    )
+                    bmodes[sb] = bd.read_tree(BMODE_TREE, bmode_probs[am][lm])
                 above[mx] = bmodes[12:16]
                 left = [bmodes[3], bmodes[7], bmodes[11], bmodes[15]]
             else:
@@ -943,9 +947,20 @@ def _make_canvas(h16: int, w16: int) -> np.ndarray:
     return can
 
 
-def decode_vp8_frame(buf: bytes, apply_filter: bool = True) -> dict:
+def decode_vp8_frame(
+    buf: bytes,
+    apply_filter: bool = True,
+    default_coeff_probs=None,
+    kf_bmode_probs=None,
+) -> dict:
     """Decode a VP8 keyframe payload → dict with uint8 planes ``y``
-    (h, w), ``u``/``v`` ((h+1)//2, (w+1)//2) plus the parsed header."""
+    (h, w), ``u``/``v`` ((h+1)//2, (w+1)//2) plus the parsed header.
+
+    ``default_coeff_probs`` (4x8x3x11) and ``kf_bmode_probs``
+    (10x10x9) override the module's engine-default probability tables
+    — the injection point for the RFC 6386 §13.5/§11.3 constants when
+    bit parity with libvpx-encoded streams is required (see the module
+    docstring's table-provenance note)."""
     tag = parse_frame_tag(buf)
     part0 = buf[10 : 10 + tag["part0_size"]]
     if len(part0) < tag["part0_size"]:
@@ -959,13 +974,13 @@ def decode_vp8_frame(buf: bytes, apply_filter: bool = True) -> dict:
     n_parts = 1 << bd.read_literal(2)
     _parse_quant_header(bd, hdr)
     hdr["refresh_entropy"] = bd.read_bool(128)
-    probs = _parse_coeff_prob_updates(bd)
+    probs = _parse_coeff_prob_updates(bd, default_coeff_probs)
     hdr["mb_no_skip"] = bd.read_bool(128)
     hdr["prob_skip_false"] = bd.read_literal(8) if hdr["mb_no_skip"] else 0
 
     w, h = hdr["width"], hdr["height"]
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
-    mbs = _decode_mb_modes(bd, hdr, mb_w, mb_h)
+    mbs = _decode_mb_modes(bd, hdr, mb_w, mb_h, kf_bmode_probs)
     if bd.overrun:
         raise ValueError("VP8: first partition truncated")
 

@@ -363,3 +363,51 @@ def test_mutation_and_truncation_totality():
             assert isinstance(out, np.ndarray)
         except DECODE_QUARANTINE:
             pass
+
+
+def test_probability_table_injection():
+    """The two engine-default probability tables are injectable on both
+    sides — the documented path to real-world (RFC-constant) parity:
+    an encoder/decoder pair sharing ALTERNATIVE tables round-trips
+    exactly, and a decoder with mismatched tables diverges."""
+    rng = np.random.default_rng(97)
+    y, u, v = _rand_planes(rng, 48, 48)
+    ym = np.full((3, 3), V.B_PRED)
+    bm = {
+        (my, mx): [int(x) for x in rng.integers(0, 10, 16)]
+        for my in range(3)
+        for mx in range(3)
+    }
+    alt_bmode = tuple(
+        tuple(
+            tuple(int(rng.integers(40, 220)) for _ in range(9))
+            for _left in range(10)
+        )
+        for _above in range(10)
+    )
+    alt_coeff = tuple(
+        tuple(
+            tuple(tuple(int(rng.integers(30, 230)) for _ in range(11))
+                  for _ctx in range(3))
+            for _band in range(8)
+        )
+        for _bt in range(4)
+    )
+    payload, exp = encode_vp8(
+        y, u, v, q_index=20, ymodes=ym, bmodes=bm,
+        kf_bmode_probs=alt_bmode, explicit_probs=None,
+    )
+    # bmode table must match on both sides (it is not transmitted)
+    f = decode_vp8_frame(payload, kf_bmode_probs=alt_bmode)
+    for pl in ("y", "u", "v"):
+        assert np.array_equal(f[pl], exp[pl])
+    # coeff defaults injected as well (no in-stream updates transmitted)
+    import tests.vp8enc as enc
+
+    payload2, exp2 = encode_vp8(y, u, v, q_index=20, explicit_probs=alt_coeff)
+    # explicit_probs transmits the table in-stream: default decoder works
+    f2 = decode_vp8_frame(payload2)
+    assert np.array_equal(f2["y"], exp2["y"])
+    # a decoder given WRONG bmode tables diverges (tables matter)
+    wrong = decode_vp8_frame(payload)  # module defaults, not alt_bmode
+    assert not np.array_equal(wrong["y"], exp["y"])

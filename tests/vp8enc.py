@@ -485,6 +485,7 @@ def encode_vp8(
     prob_skip_false: int = 200,
     explicit_probs=None,
     segmentation: dict | None = None,
+    kf_bmode_probs=None,
 ):
     """Encode planes (uint8; u/v are half-size) as a VP8 keyframe.
 
@@ -677,6 +678,7 @@ def encode_vp8(
     if mb_no_skip:
         e.write_literal(8, prob_skip_false)
 
+    bmp = kf_bmode_probs or V.KF_BMODE_PROBS
     above_b = [[V.B_DC_PRED] * 4 for _ in range(mb_w)]
     for my in range(mb_h):
         left_b = [V.B_DC_PRED] * 4
@@ -695,7 +697,7 @@ def encode_vp8(
                     r, c = sb >> 2, sb & 3
                     am = above_b[mx][c] if r == 0 else sub[sb - 4]
                     lm = left_b[r] if c == 0 else sub[sb - 1]
-                    e.write_tree(V.BMODE_TREE, V.KF_BMODE_PROBS[am][lm], sub[sb])
+                    e.write_tree(V.BMODE_TREE, bmp[am][lm], sub[sb])
                 above_b[mx] = sub[12:16]
                 left_b = [sub[3], sub[7], sub[11], sub[15]]
             else:
