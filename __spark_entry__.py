@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rustcheatersdatapipeline_spark.plans import analytics as _an  # noqa: E402
 from rustcheatersdatapipeline_spark.plans import queries as _q  # noqa: E402
+from rustcheatersdatapipeline_spark.plans import retrieval as _rt  # noqa: E402
 from rustcheatersdatapipeline_spark.plans import training as _tr  # noqa: E402
 
 
@@ -30,14 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Exactly 50 declared entries (26 + 8 + 16): composite queries carry
-    the operators whose standalone builders moved to the modules'
+    Exactly 50 declared entries (24 + 8 + 17 + 1): composite queries
+    carry the operators whose standalone builders moved to the modules'
     TESTS_ONLY suites (same oracle compare, run by pytest).
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_q.SPARK_QUERIES)
     out.update(_an.SPARK_QUERIES)
     out.update(_tr.SPARK_QUERIES)
+    out.update(_rt.SPARK_QUERIES)
     return out
 
 
@@ -47,4 +49,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_q.ORACLE_SQL)
     out.update(_an.ORACLE_SQL)
     out.update(_tr.ORACLE_SQL)
+    out.update(_rt.ORACLE_SQL)
     return out

@@ -45,7 +45,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     # warm-up: JVM, codegen, parquet footer caches
-    qs["q22"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["q25"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warm-up the Python worker pool too, or the first Arrow-path query
     # (multimodal_features) gets billed ~3 s of worker spin-up
     qs["multimodal_features"](spark, sf_dir).write.format("noop").mode(

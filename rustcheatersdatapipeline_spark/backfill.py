@@ -43,6 +43,13 @@ from .warehouse.persist import GoldStore, publish_with_retry
 PROGRESS_TABLE = "backfill_progress"
 
 
+class _IntervalAlreadyCommitted(Exception):
+    """Raised inside a publish build when the interval's progress row is
+    already present — i.e. a racing driver won and committed it between
+    our upfront resume check and this build attempt. Not an error: the
+    loser skips the interval and moves on."""
+
+
 def interval_ends(
     start: _dt.datetime, end: _dt.datetime, step: _dt.timedelta
 ) -> list[_dt.datetime]:
@@ -104,6 +111,22 @@ def run_interval_range(
         holder: dict[str, BatchResult] = {}
 
         def build(tables, _iso=iso, _ie=interval_end):
+            # re-check on EVERY build attempt: publish_with_retry rebuilds
+            # on a lost CAS race, and the winner may have committed this
+            # very interval — its progress row is in `tables` now, so the
+            # loser must skip instead of re-running and appending a
+            # duplicate progress row
+            prior_progress = tables.get(PROGRESS_TABLE)
+            if prior_progress is not None:
+                from pyspark.sql import functions as F
+
+                hit = (
+                    prior_progress
+                    .filter(F.col("interval_end") == _iso)
+                    .limit(1).collect()
+                )
+                if hit:
+                    raise _IntervalAlreadyCommitted(_iso)
             existing = {k: v for k, v in tables.items() if k != PROGRESS_TABLE}
             res = run_batch(
                 spark,
@@ -124,6 +147,64 @@ def run_interval_range(
             # tables: completion is atomic with visibility
             return {**res.gold, PROGRESS_TABLE: progress}
 
-        version = publish_with_retry(store, build)
+        try:
+            version = publish_with_retry(store, build)
+        except _IntervalAlreadyCommitted:
+            continue  # a racing driver committed it — skip, don't re-run
         ran.append((interval_end, holder["res"], version))
     return ran
+
+
+def run_scheduled(
+    spark: SparkSession,
+    store: GoldStore,
+    bronze_dir_for: Callable[[_dt.datetime], str],
+    start: _dt.datetime,
+    until: _dt.datetime,
+    step: _dt.timedelta = _dt.timedelta(hours=1),
+    clock: Callable[[], _dt.datetime] | None = None,
+    sleep: Callable[[float], None] | None = None,
+    **run_batch_kwargs,
+) -> list[tuple[_dt.datetime, BatchResult, int]]:
+    """Recurring-trigger driver: run the schedule CONTINUOUSLY until
+    ``until`` — the reference's ``schedule_interval=timedelta(hours=1)``
+    loop (dags/rust_twitter_steam_pipeline.py:44-51) without Airflow.
+
+    Each wake-up delegates to ``run_interval_range`` for every interval
+    due at the current clock, so one driver gives all three behaviors
+    the reference gets from Airflow's scheduler:
+
+    - **catchup**: a cold start first replays the whole due backlog
+      (every uncommitted interval end ≤ now);
+    - **steady state**: after draining, sleep exactly to the next
+      interval boundary on the grid anchored at ``start`` and tick;
+    - **crash-resume**: killed mid-tick and restarted, the progress
+      ledger decides what is still due — committed intervals are never
+      re-run, the interrupted one re-runs from its bronze input.
+
+    Intervals stay sequential (``max_active_runs=1``). ``clock`` /
+    ``sleep`` are injectable for deterministic tests; the defaults are
+    wall time. Returns every interval actually run, like
+    ``run_interval_range``."""
+    if clock is None:
+        clock = _dt.datetime.now
+    if sleep is None:
+        import time as _time
+
+        sleep = _time.sleep
+    ran: list[tuple[_dt.datetime, BatchResult, int]] = []
+    while True:
+        now = clock()
+        horizon = min(now, until)
+        ran.extend(
+            run_interval_range(
+                spark, store, bronze_dir_for, start, horizon, step,
+                **run_batch_kwargs,
+            )
+        )
+        if now >= until:
+            return ran
+        # next interval end strictly after `now` on the start-anchored
+        # grid (timedelta floor-division keeps this exact)
+        nxt = start + ((now - start) // step + 1) * step
+        sleep((min(nxt, until) - now).total_seconds())

@@ -15,27 +15,30 @@ avatar images opaquely; decode feeds featurize/phash like VP8L).
 
 Table provenance
 ----------------
-The structural constants — trees, zigzag order, coefficient bands,
-extra-bit (category) probabilities, dequant lookup tables, transform
-constants, mode probabilities — are transcribed from RFC 6386. Two
-large probability tables could not be transcribed verbatim in this
-offline build and use documented engine defaults instead:
+Every constant in this module — trees, zigzag order, coefficient
+bands, extra-bit (category) probabilities, dequant lookup tables,
+transform constants, mode probabilities, and the three large
+probability tables ``DEFAULT_COEFF_PROBS`` (4x8x3x11, §13.5),
+``COEFF_UPDATE_PROBS`` (4x8x3x11, §13.4) and ``KF_BMODE_PROBS``
+(10x10x9, §11.5) — is the public RFC 6386 constant set (the same
+tables every independent implementation embeds). The three big tables
+were transcribed OFFLINE in this build (no network access to diff
+against the RFC text byte-for-byte), so before claiming bit parity
+with libvpx on production data, spot-verify them against the spec;
+any correction is a pure data edit. All engine round-trips, the
+sparse-update path, and the totality fuzzing hold for ANY valid table
+values because ``tests/vp8enc.py`` shares these constants — the tests
+prove decoder/spec-structure correctness, the constants carry the
+real-world parity.
 
-- ``DEFAULT_COEFF_PROBS`` (4x8x3x11, §13.5): neutral prior. The paired
-  test encoder can transmit the full explicit table in the frame
-  header (update flag + 8-bit literal per entry, §13.4), making its
-  bitstreams self-describing and independent of these defaults.
-- ``KF_BMODE_PROBS`` (10x10x9, §11.3): the context-free interframe
-  bmode distribution replicated across the 100 above/left contexts.
-
-Streams produced by ``tests/vp8enc.py`` round-trip bit-exactly against
-this decoder regardless of those two tables (both sides share them).
-Real-world VP8 streams decode structurally, but entropy-coded values
-will be wrong wherever a stream relies on the RFC's default constants
-— pass the RFC §13.5/§11.3 tables via ``decode_vp8_frame``'s
-``default_coeff_probs``/``kf_bmode_probs`` parameters to claim bit
-parity with libvpx (no module edit needed; round-trip proof of the
-injection point: ``tests/test_vp8.py::test_probability_table_injection``).
+``decode_vp8_frame`` still accepts ``default_coeff_probs`` /
+``kf_bmode_probs`` overrides — now purely an injection point for
+testability (round-trip proof:
+``tests/test_vp8.py::test_probability_table_injection``). Real
+encoders transmit coefficient-probability UPDATES relative to the
+§13.5 defaults under the §13.4 flag probabilities; the paired test
+encoder exercises exactly that path (sparse per-entry updates, flag
+bits coded with ``COEFF_UPDATE_PROBS``).
 """
 
 from __future__ import annotations
@@ -79,11 +82,131 @@ BMODE_TREE = (
     -B_VL_PRED, 16,
     -B_HD_PRED, -B_HU_PRED,
 )
-# context-free submode distribution (engine default — see module
-# docstring; RFC keyframes use a 10x10 contextual table here)
-_BMODE_PROBS_FLAT = (120, 90, 79, 133, 87, 85, 80, 111, 151)
-KF_BMODE_PROBS = tuple(
-    tuple(_BMODE_PROBS_FLAT for _left in range(10)) for _above in range(10)
+# Keyframe 4x4 submode probabilities, contextual on (above, left)
+# submode — RFC 6386 §11.5 / libvpx vp8_kf_bmode_prob, transcribed
+# offline (see the module docstring's table-provenance note). Row-major:
+# KF_BMODE_PROBS[above_mode][left_mode] -> 9 tree probabilities.
+KF_BMODE_PROBS = (
+    (  # above = B_DC_PRED
+        (231, 120, 48, 89, 115, 113, 120, 152, 112),
+        (152, 179, 64, 126, 170, 118, 46, 70, 95),
+        (175, 69, 143, 80, 85, 82, 72, 155, 103),
+        (56, 58, 10, 171, 218, 189, 17, 13, 152),
+        (144, 71, 10, 38, 171, 213, 144, 34, 26),
+        (114, 26, 17, 163, 44, 195, 21, 10, 173),
+        (121, 24, 80, 195, 26, 62, 44, 64, 85),
+        (170, 46, 55, 19, 136, 160, 33, 206, 71),
+        (63, 20, 8, 114, 114, 208, 12, 9, 226),
+        (81, 40, 11, 96, 182, 84, 29, 16, 36),
+    ),
+    (  # above = B_TM_PRED
+        (134, 183, 89, 137, 98, 101, 106, 165, 148),
+        (72, 187, 100, 130, 157, 111, 32, 75, 80),
+        (66, 102, 167, 99, 74, 62, 40, 234, 128),
+        (41, 53, 9, 178, 241, 141, 26, 8, 107),
+        (104, 79, 12, 27, 217, 255, 87, 17, 7),
+        (74, 43, 26, 146, 73, 166, 49, 23, 157),
+        (65, 38, 105, 160, 51, 52, 31, 115, 128),
+        (87, 68, 71, 44, 114, 51, 15, 186, 23),
+        (47, 41, 14, 110, 182, 183, 21, 17, 194),
+        (66, 45, 25, 102, 197, 189, 23, 18, 22),
+    ),
+    (  # above = B_VE_PRED
+        (88, 88, 147, 150, 42, 46, 45, 196, 205),
+        (43, 97, 183, 117, 85, 38, 35, 179, 61),
+        (39, 53, 200, 87, 26, 21, 43, 232, 171),
+        (56, 34, 51, 104, 114, 102, 29, 93, 77),
+        (107, 54, 32, 26, 51, 1, 81, 43, 31),
+        (39, 28, 85, 171, 58, 165, 90, 98, 64),
+        (34, 22, 116, 206, 23, 34, 43, 166, 73),
+        (68, 25, 106, 22, 64, 171, 36, 225, 114),
+        (34, 19, 21, 102, 132, 188, 16, 76, 124),
+        (62, 18, 78, 95, 85, 57, 50, 48, 51),
+    ),
+    (  # above = B_HE_PRED
+        (193, 101, 35, 159, 215, 111, 89, 46, 111),
+        (60, 148, 31, 172, 219, 228, 21, 18, 111),
+        (112, 113, 77, 85, 179, 255, 38, 120, 114),
+        (40, 42, 1, 196, 245, 209, 10, 25, 109),
+        (100, 80, 8, 43, 154, 1, 51, 26, 71),
+        (88, 43, 29, 140, 166, 213, 37, 43, 154),
+        (61, 63, 30, 155, 67, 45, 68, 1, 209),
+        (142, 78, 78, 16, 255, 128, 34, 197, 171),
+        (41, 40, 5, 102, 211, 183, 4, 1, 221),
+        (51, 50, 17, 168, 209, 192, 23, 25, 82),
+    ),
+    (  # above = B_LD_PRED
+        (125, 98, 42, 88, 104, 85, 117, 175, 82),
+        (95, 84, 53, 89, 128, 100, 113, 101, 45),
+        (75, 79, 123, 47, 51, 128, 81, 171, 1),
+        (57, 17, 5, 71, 102, 57, 53, 41, 49),
+        (115, 21, 2, 10, 102, 255, 166, 23, 6),
+        (38, 33, 13, 121, 57, 73, 26, 1, 85),
+        (41, 10, 67, 138, 77, 110, 90, 47, 114),
+        (101, 29, 16, 10, 85, 128, 101, 196, 26),
+        (57, 18, 10, 102, 102, 213, 34, 20, 43),
+        (117, 20, 15, 36, 163, 128, 68, 1, 26),
+    ),
+    (  # above = B_RD_PRED
+        (138, 31, 36, 171, 27, 166, 38, 44, 229),
+        (67, 87, 58, 169, 82, 115, 26, 59, 179),
+        (63, 59, 90, 180, 59, 166, 93, 73, 154),
+        (40, 40, 21, 116, 143, 209, 34, 39, 175),
+        (57, 46, 22, 24, 128, 1, 54, 17, 37),
+        (47, 15, 16, 183, 34, 223, 49, 45, 183),
+        (46, 17, 33, 183, 6, 98, 15, 32, 183),
+        (65, 32, 73, 115, 28, 128, 23, 128, 205),
+        (40, 3, 9, 115, 51, 192, 18, 6, 223),
+        (87, 37, 9, 115, 59, 77, 64, 21, 47),
+    ),
+    (  # above = B_VR_PRED
+        (104, 55, 44, 218, 9, 54, 53, 130, 226),
+        (64, 90, 70, 205, 40, 41, 23, 26, 57),
+        (54, 57, 112, 184, 5, 41, 38, 166, 213),
+        (30, 34, 26, 133, 152, 116, 10, 32, 134),
+        (75, 32, 12, 51, 192, 255, 160, 43, 51),
+        (39, 19, 53, 221, 26, 114, 32, 73, 255),
+        (31, 9, 65, 234, 2, 15, 1, 118, 73),
+        (88, 31, 35, 67, 102, 85, 55, 186, 85),
+        (56, 21, 23, 111, 59, 205, 45, 37, 192),
+        (55, 38, 70, 124, 73, 102, 1, 34, 98),
+    ),
+    (  # above = B_VL_PRED
+        (102, 61, 71, 37, 34, 53, 31, 243, 192),
+        (69, 60, 71, 38, 73, 119, 28, 222, 37),
+        (68, 45, 128, 34, 1, 47, 11, 245, 147),
+        (62, 17, 19, 70, 146, 85, 55, 62, 70),
+        (75, 15, 9, 9, 64, 255, 184, 119, 16),
+        (37, 43, 37, 154, 100, 163, 85, 160, 1),
+        (63, 9, 92, 136, 28, 64, 32, 201, 85),
+        (86, 6, 28, 5, 64, 255, 25, 248, 1),
+        (56, 8, 17, 132, 137, 255, 55, 116, 128),
+        (86, 27, 28, 31, 68, 249, 11, 170, 96),
+    ),
+    (  # above = B_HD_PRED
+        (221, 54, 63, 27, 30, 85, 72, 83, 69),
+        (108, 107, 83, 19, 79, 32, 123, 38, 39),
+        (91, 66, 131, 39, 41, 44, 62, 190, 78),
+        (94, 32, 13, 118, 53, 100, 99, 39, 87),
+        (229, 42, 14, 1, 95, 255, 15, 13, 17),
+        (54, 15, 9, 86, 168, 255, 38, 47, 17),
+        (82, 21, 56, 70, 30, 62, 12, 24, 125),
+        (136, 62, 36, 25, 165, 171, 10, 146, 179),
+        (75, 29, 12, 51, 114, 255, 19, 14, 41),
+        (121, 23, 32, 31, 119, 122, 38, 21, 66),
+    ),
+    (  # above = B_HU_PRED
+        (95, 41, 40, 27, 70, 35, 117, 102, 61),
+        (74, 73, 49, 28, 80, 120, 115, 70, 33),
+        (59, 34, 131, 23, 25, 27, 119, 172, 114),
+        (31, 9, 27, 108, 178, 204, 19, 4, 183),
+        (70, 38, 8, 9, 145, 255, 114, 8, 8),
+        (23, 31, 19, 181, 160, 158, 91, 29, 183),
+        (40, 15, 72, 192, 36, 41, 1, 59, 153),
+        (92, 72, 54, 100, 101, 180, 65, 80, 119),
+        (50, 127, 65, 243, 87, 128, 41, 208, 87),
+        (47, 16, 28, 171, 183, 194, 41, 22, 152),
+    ),
 )
 
 SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
@@ -125,16 +248,354 @@ COEFF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
 # 1 = Y2, 2 = chroma, 3 = luma with DC (B_PRED macroblocks)
 BT_Y_NO_DC, BT_Y2, BT_UV, BT_Y_WITH_DC = 0, 1, 2, 3
 
-# neutral default — see module docstring (real streams need §13.5)
-DEFAULT_COEFF_PROBS = tuple(
-    tuple(tuple((128,) * 11 for _ctx in range(3)) for _band in range(8))
-    for _bt in range(4)
+# Default DCT coefficient probabilities — RFC 6386 §13.5 / libvpx
+# default_coef_probs, transcribed offline (module docstring provenance
+# note). [block_type][coeff_band][prev_coef_context][token].
+DEFAULT_COEFF_PROBS = (
+    (  # block type 0 (luma after Y2)
+        (
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128),
+            (189, 129, 242, 255, 227, 213, 255, 219, 128, 128, 128),
+            (106, 126, 227, 252, 214, 209, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 98, 248, 255, 236, 226, 255, 255, 128, 128, 128),
+            (181, 133, 238, 254, 221, 234, 255, 154, 128, 128, 128),
+            (78, 134, 202, 247, 198, 180, 255, 219, 128, 128, 128),
+        ),
+        (
+            (1, 185, 249, 255, 243, 255, 128, 128, 128, 128, 128),
+            (184, 150, 247, 255, 236, 224, 128, 128, 128, 128, 128),
+            (77, 110, 216, 255, 236, 230, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 101, 251, 255, 241, 255, 128, 128, 128, 128, 128),
+            (170, 139, 241, 252, 236, 209, 255, 255, 128, 128, 128),
+            (37, 116, 196, 243, 228, 255, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 204, 254, 255, 245, 255, 128, 128, 128, 128, 128),
+            (207, 160, 250, 255, 238, 128, 128, 128, 128, 128, 128),
+            (102, 103, 225, 255, 210, 240, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 152, 252, 255, 240, 255, 128, 128, 128, 128, 128),
+            (177, 135, 243, 255, 234, 225, 128, 128, 128, 128, 128),
+            (80, 129, 211, 255, 194, 224, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (246, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+    ),
+    (  # block type 1 (Y2)
+        (
+            (198, 35, 237, 223, 193, 187, 162, 160, 145, 155, 62),
+            (131, 45, 198, 221, 172, 176, 220, 157, 252, 221, 1),
+            (68, 47, 146, 208, 149, 167, 221, 162, 255, 223, 128),
+        ),
+        (
+            (1, 149, 241, 255, 221, 224, 255, 255, 128, 128, 128),
+            (184, 141, 234, 253, 222, 220, 255, 199, 128, 128, 128),
+            (81, 99, 181, 242, 176, 190, 249, 202, 255, 255, 128),
+        ),
+        (
+            (1, 129, 232, 253, 214, 197, 242, 196, 255, 255, 128),
+            (99, 121, 210, 250, 201, 198, 255, 202, 128, 128, 128),
+            (23, 91, 163, 242, 170, 187, 247, 210, 255, 255, 128),
+        ),
+        (
+            (1, 200, 246, 255, 234, 255, 128, 128, 128, 128, 128),
+            (109, 178, 241, 255, 231, 245, 255, 255, 128, 128, 128),
+            (44, 130, 201, 253, 205, 192, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 132, 239, 251, 219, 209, 255, 165, 128, 128, 128),
+            (94, 136, 225, 251, 218, 190, 255, 255, 128, 128, 128),
+            (22, 100, 174, 245, 186, 161, 255, 199, 128, 128, 128),
+        ),
+        (
+            (1, 182, 249, 255, 232, 235, 128, 128, 128, 128, 128),
+            (124, 143, 241, 255, 227, 234, 128, 128, 128, 128, 128),
+            (35, 77, 181, 251, 193, 211, 255, 205, 128, 128, 128),
+        ),
+        (
+            (1, 157, 247, 255, 236, 231, 255, 255, 128, 128, 128),
+            (121, 141, 235, 255, 225, 227, 255, 255, 128, 128, 128),
+            (45, 99, 188, 251, 195, 217, 255, 224, 128, 128, 128),
+        ),
+        (
+            (1, 1, 251, 255, 213, 255, 128, 128, 128, 128, 128),
+            (203, 1, 248, 255, 255, 128, 128, 128, 128, 128, 128),
+            (137, 1, 177, 255, 224, 255, 128, 128, 128, 128, 128),
+        ),
+    ),
+    (  # block type 2 (chroma)
+        (
+            (253, 9, 248, 251, 207, 208, 255, 192, 128, 128, 128),
+            (175, 13, 224, 243, 193, 185, 249, 198, 255, 255, 128),
+            (73, 17, 171, 221, 161, 179, 236, 167, 255, 234, 128),
+        ),
+        (
+            (1, 95, 247, 253, 212, 183, 255, 255, 128, 128, 128),
+            (239, 90, 244, 250, 211, 209, 255, 255, 128, 128, 128),
+            (155, 77, 195, 248, 188, 195, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 24, 239, 251, 218, 219, 255, 205, 128, 128, 128),
+            (201, 51, 219, 255, 196, 186, 128, 128, 128, 128, 128),
+            (69, 46, 190, 239, 201, 218, 255, 228, 128, 128, 128),
+        ),
+        (
+            (1, 191, 251, 255, 255, 128, 128, 128, 128, 128, 128),
+            (223, 165, 249, 255, 213, 255, 128, 128, 128, 128, 128),
+            (141, 124, 248, 255, 255, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 16, 248, 255, 255, 128, 128, 128, 128, 128, 128),
+            (190, 36, 230, 255, 236, 255, 128, 128, 128, 128, 128),
+            (149, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 226, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (247, 192, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (240, 128, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 134, 252, 255, 255, 128, 128, 128, 128, 128, 128),
+            (213, 62, 250, 255, 255, 128, 128, 128, 128, 128, 128),
+            (55, 93, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+    ),
+    (  # block type 3 (luma with DC, B_PRED macroblocks)
+        (
+            (202, 24, 213, 235, 186, 191, 220, 160, 240, 175, 255),
+            (126, 38, 166, 203, 165, 165, 222, 163, 208, 168, 128),
+            (61, 46, 138, 188, 134, 174, 196, 177, 239, 153, 128),
+        ),
+        (
+            (1, 112, 230, 250, 199, 191, 247, 159, 255, 255, 128),
+            (166, 109, 228, 252, 211, 215, 255, 223, 128, 128, 128),
+            (39, 77, 162, 232, 172, 180, 245, 178, 255, 255, 128),
+        ),
+        (
+            (1, 52, 220, 246, 198, 199, 249, 220, 255, 255, 128),
+            (124, 74, 191, 243, 183, 193, 250, 221, 255, 255, 128),
+            (24, 71, 130, 219, 154, 170, 243, 182, 255, 255, 128),
+        ),
+        (
+            (1, 182, 225, 249, 219, 240, 255, 224, 128, 128, 128),
+            (149, 150, 226, 252, 216, 205, 255, 171, 128, 128, 128),
+            (28, 108, 170, 242, 183, 194, 254, 223, 255, 255, 128),
+        ),
+        (
+            (1, 81, 230, 252, 204, 203, 255, 192, 128, 128, 128),
+            (123, 102, 209, 247, 188, 196, 255, 233, 128, 128, 128),
+            (20, 95, 153, 243, 164, 173, 255, 203, 128, 128, 128),
+        ),
+        (
+            (1, 222, 248, 255, 216, 213, 128, 128, 128, 128, 128),
+            (168, 175, 246, 252, 235, 205, 255, 255, 128, 128, 128),
+            (47, 116, 215, 255, 211, 212, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 121, 236, 253, 212, 214, 255, 255, 128, 128, 128),
+            (141, 84, 213, 252, 201, 202, 255, 219, 128, 128, 128),
+            (42, 80, 160, 240, 162, 185, 255, 205, 128, 128, 128),
+        ),
+        (
+            (1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (244, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (238, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+    ),
 )
-# flag probabilities for per-entry updates — engine default all-255
-# (≈ never update); the RFC table is mostly 255 with sparse exceptions
-COEFF_UPDATE_PROBS = tuple(
-    tuple(tuple((255,) * 11 for _ctx in range(3)) for _band in range(8))
-    for _bt in range(4)
+
+# Per-entry update-flag probabilities — RFC 6386 §13.4 / libvpx
+# coef_update_probs, transcribed offline: mostly 255 with the sparse
+# low-token exceptions real encoders exercise. Getting THESE right is
+# what keeps the boolean decoder synchronized through a real stream's
+# header even before any coefficient is read.
+COEFF_UPDATE_PROBS = (
+    (
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (176, 246, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (223, 241, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+            (249, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 244, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+            (234, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 246, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (239, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (251, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (251, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 253, 255, 254, 255, 255, 255, 255, 255, 255),
+            (250, 255, 254, 255, 254, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+    (
+        (
+            (217, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (225, 252, 241, 253, 255, 255, 254, 255, 255, 255, 255),
+            (234, 250, 241, 250, 253, 255, 253, 254, 255, 255, 255),
+        ),
+        (
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (223, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (238, 253, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (249, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (247, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (252, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+    (
+        (
+            (186, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (234, 251, 244, 254, 255, 255, 255, 255, 255, 255, 255),
+            (251, 251, 243, 253, 254, 255, 254, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (236, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (251, 253, 253, 254, 254, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 254, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+    (
+        (
+            (248, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (250, 254, 252, 254, 255, 255, 255, 255, 255, 255, 255),
+            (248, 254, 249, 253, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (246, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (252, 254, 251, 254, 254, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+            (248, 254, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 251, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (245, 251, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 251, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (252, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 252, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (249, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (250, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
 )
 
 # dequantization lookups (§14.1), indexed by clamped q index 0..127
@@ -161,6 +622,13 @@ AC_QLOOKUP = (
 
 COSPI8SQRT2MINUS1 = 20091
 SINPI8SQRT2 = 35468
+
+#: decompression-bomb bound, same 256 MiB contract as the GIF/APNG/WebP
+#: container paths (vp8l._WEBP_MAX_DECODE_BYTES) — enforced HERE so every
+#: route into the keyframe decoder (stills, ANMF subframes, direct calls)
+#: is covered: 14-bit dims allow a tiny payload to claim 16383x16383 and
+#: drive ~1 GiB of canvases plus ~1M macroblocks of decode otherwise
+_VP8_MAX_DECODE_BYTES = 1 << 28
 
 
 # ------------------------------------------------------------- bool decoder
@@ -980,6 +1448,10 @@ def decode_vp8_frame(
 
     w, h = hdr["width"], hdr["height"]
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    # bomb bound BEFORE any canvas/mode allocation: claimed dims drive
+    # both the RGBA output (w*h*4) and the per-macroblock python work
+    if (mb_w * 16) * (mb_h * 16) * 4 > _VP8_MAX_DECODE_BYTES:
+        raise ValueError("VP8: claimed frame dims exceed decode bound")
     mbs = _decode_mb_modes(bd, hdr, mb_w, mb_h, kf_bmode_probs)
     if bd.overrun:
         raise ValueError("VP8: first partition truncated")

@@ -494,10 +494,16 @@ def q30(spark, sf_dir):
 #: Query numbers folded into composite declared queries (their operators
 #: stay driver-verified there; the standalone builders stay in the
 #: tests-only suite below): q6→q5 (P10), q8→q1 (P12), q10→q17 (P14),
-#: q30→q9 (P19/J10). The driver's correctness gate records at most 50
-#: entries, so the declared surface is kept at exactly 50 — coverage is
-#: preserved by compositing, not dropping.
-_TESTS_ONLY = (6, 8, 10, 30)
+#: q30→q9 (P19/J10), q22→q25 (A1/A8: plain groupBy-count is a strict
+#: sub-shape of q25's join+groupBy+count and q27's multi-agg), q24→q27
+#: (A5: the bucketed histogram is the same agg shape). The two declared
+#: slots freed in r10 went to the flagship LLM-pipeline operators
+#: ``hybrid_search_rrf`` (plans/retrieval.py) and
+#: ``mixture_token_budget_sample`` (plans/training.py). The driver's
+#: correctness gate records at most 50 entries, so the declared surface
+#: is kept at exactly 50 — coverage is preserved by compositing, not
+#: dropping.
+_TESTS_ONLY = (6, 8, 10, 22, 24, 30)
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f"q{i}": globals()[f"q{i}"] for i in range(1, 31) if i not in _TESTS_ONLY
@@ -571,14 +577,9 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS year, dayname(d) AS week_day "
         "FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) ORDER BY full_date"
     ),
-    "q22": "SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "q23": (
         "SELECT c_mktsegment, cnt FROM (SELECT c_mktsegment, COUNT(*) cnt FROM customer "
         "GROUP BY c_mktsegment) ORDER BY cnt DESC, c_mktsegment LIMIT 3"
-    ),
-    "q24": (
-        "SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket, COUNT(*) AS cnt "
-        "FROM customer GROUP BY 1 ORDER BY bucket"
     ),
     "q25": (
         "SELECT n_name, COUNT(*) AS cnt FROM customer JOIN nation ON c_nationkey = n_nationkey "
@@ -608,6 +609,11 @@ ORACLE_SQL: dict[str, str] = {
 #: (tests/test_queries_oracle.py) instead of the driver.
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
     "q6": "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS bal FROM customer ORDER BY c_custkey",
+    "q22": "SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+    "q24": (
+        "SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket, COUNT(*) AS cnt "
+        "FROM customer GROUP BY 1 ORDER BY bucket"
+    ),
     "q8": (
         "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q "
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"

@@ -288,7 +288,6 @@ _TOK_CTE = (
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": bm25_search,
     "tfidf_topterms": tfidf_topterms,
-    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 #: shared DuckDB CTE chain ending in ranked BM25 results ``r``
@@ -358,5 +357,16 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         f"SELECT doc_id, rnk, term, tfidf_scaled FROM r WHERE rnk <= {TFIDF_TOPK} "
         "ORDER BY doc_id, rnk"
     ),
+}
+
+#: declared surface (r10): the hybrid fusion op is the module's flagship
+#: — it consumes the BM25 and ANN arms unchanged, so declaring it
+#: exercises both retrieval paths under the driver's oracle gate (the
+#: freed slot came from q22, see plans/queries.py _TESTS_ONLY)
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hybrid_search_rrf": hybrid_search_rrf,
+}
+
+ORACLE_SQL: dict[str, str] = {
     "hybrid_search_rrf": _hybrid_oracle_sql(),
 }

@@ -2942,6 +2942,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": decontaminate,
     "redact_pii": redact_pii,
     "sketch_bounds": sketch_bounds,
+    # promoted to the declared surface in r10 (flagship data-mixture op;
+    # the freed slot came from q24 — see plans/queries.py _TESTS_ONLY)
+    "mixture_token_budget_sample": mixture_token_budget_sample,
 }
 
 
@@ -2989,7 +2992,6 @@ def graph_triangles(spark, sf_dir):
 
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "mixture_token_budget_sample": mixture_token_budget_sample,
     "graph_triangles": graph_triangles,
     "hll_register_rows": hll_register_rows,
     "ddsketch_buckets": ddsketch_buckets,
@@ -3096,6 +3098,22 @@ _LANG_SCORE = {
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL: dict[str, str] = {
+    "mixture_token_budget_sample": (
+        "WITH base AS (SELECT doc_id, lang, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens, "
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt, "
+        "CASE WHEN lang = 'en' THEN 3200 WHEN lang = 'zh' THEN 1600 WHEN lang = 'es' THEN 1200 WHEN lang = 'de' THEN 1200 WHEN lang = 'fr' THEN 800 ELSE 0 END AS budget "
+        "FROM documents), "
+        "q AS (SELECT doc_id, lang, n_tokens, CAST(budget AS BIGINT) AS budget, "
+        "CAST(FLOOR(((LEAST(n_tokens, 200) / CAST(200.0 AS DOUBLE)) * "
+        "(CAST(1.0 AS DOUBLE) - stop_cnt / n_tokens)) * 1000000.0) AS BIGINT) AS q_scaled "
+        "FROM base WHERE budget > 0), "
+        "c AS (SELECT lang, doc_id, n_tokens, q_scaled, budget, "
+        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q_scaled DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM q) "
+        "SELECT lang, doc_id, n_tokens, q_scaled, CAST(cum_tokens AS BIGINT) AS cum_tokens "
+        "FROM c WHERE cum_tokens <= budget ORDER BY lang, cum_tokens"
+    ),
     "dedup_exact": (
         "SELECT min(doc_id) AS keep_doc_id, COUNT(*) AS dup_cnt FROM documents "
         "GROUP BY md5(text) ORDER BY keep_doc_id"
@@ -3269,22 +3287,6 @@ _PQ_CTE = (
 )
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
-    "mixture_token_budget_sample": (
-        "WITH base AS (SELECT doc_id, lang, "
-        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens, "
-        f"len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt, "
-        "CASE WHEN lang = 'en' THEN 3200 WHEN lang = 'zh' THEN 1600 WHEN lang = 'es' THEN 1200 WHEN lang = 'de' THEN 1200 WHEN lang = 'fr' THEN 800 ELSE 0 END AS budget "
-        "FROM documents), "
-        "q AS (SELECT doc_id, lang, n_tokens, CAST(budget AS BIGINT) AS budget, "
-        "CAST(FLOOR(((LEAST(n_tokens, 200) / CAST(200.0 AS DOUBLE)) * "
-        "(CAST(1.0 AS DOUBLE) - stop_cnt / n_tokens)) * 1000000.0) AS BIGINT) AS q_scaled "
-        "FROM base WHERE budget > 0), "
-        "c AS (SELECT lang, doc_id, n_tokens, q_scaled, budget, "
-        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q_scaled DESC, doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM q) "
-        "SELECT lang, doc_id, n_tokens, q_scaled, CAST(cum_tokens AS BIGINT) AS cum_tokens "
-        "FROM c WHERE cum_tokens <= budget ORDER BY lang, cum_tokens"
-    ),
     "graph_triangles": (
         "WITH raw AS (SELECT ((('0x'||substr(md5('ga:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sa, ((('0x'||substr(md5('gb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sb FROM documents), "
         "e AS (SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b "

@@ -486,6 +486,8 @@ class MergeUpsertSink:
         order_col: str | None = None,
         expectations: list[str] | None = None,
         strategy: str = "mor",
+        auto_optimize: bool = True,
+        optimize_min_live_fraction: float = 0.5,
     ):
         from ..warehouse.persist import GoldStore  # noqa: F401 (typing only)
 
@@ -503,6 +505,15 @@ class MergeUpsertSink:
         if strategy not in ("cow", "mor"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
         self.strategy = strategy
+        # DV maintenance policy (VERDICT r9 #4): sustained MOR upserts
+        # accumulate deletion vectors every read pays an anti-join for;
+        # after each trigger a MANIFEST-ONLY pre-check (no disk I/O)
+        # computes the per-dir DV-masked row fraction and calls
+        # store.optimize() only once a dir's live fraction crosses the
+        # threshold — so read-side DV debt stays bounded under an
+        # infinite stream while healthy triggers pay O(metadata).
+        self.auto_optimize = auto_optimize and strategy == "mor"
+        self.optimize_min_live_fraction = optimize_min_live_fraction
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> int:
         from pyspark.sql import functions as F
@@ -541,6 +552,7 @@ class MergeUpsertSink:
                         self.store, self.table, batch_df, self.key_cols,
                         strategy=self.strategy,
                     )
+                    self._maybe_fold_dv_debt()
                     return n
                 try:
                     # first batch bootstraps the table (plain append) —
@@ -557,3 +569,39 @@ class MergeUpsertSink:
             raise last
         finally:
             batch_df.unpersist()
+
+    def _maybe_fold_dv_debt(self) -> int | None:
+        """Manifest-only DV-debt check, then fold if due. The pre-check
+        reads per-file dv row counts already in the manifest entry —
+        zero data I/O on the healthy path — and only when some dir's
+        live-row fraction is below the threshold does it run the real
+        ``optimize`` (which re-derives victims with its own file-level
+        view and rewrites ONLY those dirs). A lost optimize race is
+        fine: the debt is still there and the next trigger re-checks."""
+        import os as _os
+
+        if not self.auto_optimize:
+            return None
+        entry = self.store.current_manifest()["tables"].get(self.table)
+        if not entry or not entry.get("file_level"):
+            return None
+        per_dir: dict[str, list[int]] = {}
+        for f in entry.get("files") or []:
+            d = _os.sep.join(f["path"].split(_os.sep)[:3])
+            tot, dv = per_dir.setdefault(d, [0, 0])
+            per_dir[d][0] = tot + int(f.get("rows", 0))
+            per_dir[d][1] = dv + sum(int(x["rows"]) for x in f.get("dv") or [])
+        due = any(
+            tot and (1.0 - dv / tot) < self.optimize_min_live_fraction
+            for tot, dv in per_dir.values()
+        )
+        if not due:
+            return None
+        from ..warehouse.persist import ConcurrentWriteError
+
+        try:
+            return self.store.optimize(
+                self.table, min_live_fraction=self.optimize_min_live_fraction
+            )
+        except ConcurrentWriteError:
+            return None  # another writer won — debt re-checked next trigger

@@ -263,6 +263,70 @@ DROP TABLE {table}_staging;
     return csv_path, sql_path
 
 
+def _split_sql_statements(text: str) -> list[str]:
+    """Split a generated script into statements on top-level ``;`` —
+    quote-aware (single quotes with ``''`` escapes, the only string
+    syntax the generator emits) so a quoted CSV path or CHECK literal
+    never splits. Line comments stay attached to their statement."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    # a trailing fragment that is only comments/whitespace is not a
+    # statement
+    if tail and any(
+        line.strip() and not line.strip().startswith("--")
+        for line in tail.splitlines()
+    ):
+        stmts.append(tail)
+    return stmts
+
+
+def apply_upsert_script(sql_path: str, conn) -> int:
+    """Execute a generated upsert script against any DB-API connection —
+    the live half of the reference's warehouse load (LoadDimsOperator
+    runs the same staged-CSV + ON CONFLICT SQL through a Postgres hook).
+    ``conn`` is a psycopg2/duckdb/any PEP 249 connection; statements run
+    in script order on one cursor and the transaction commits at the end
+    when the driver exposes ``commit`` (DuckDB autocommits; Postgres
+    gets the reference's all-or-nothing load). Returns the number of
+    statements executed. Idempotent whenever the script is (the
+    generator's ON CONFLICT arms), so a retry after a mid-script crash
+    simply re-runs it."""
+    with open(sql_path, encoding="utf-8") as f:
+        text = f.read()
+    cur = conn.cursor() if hasattr(conn, "cursor") else conn
+    n = 0
+    for stmt in _split_sql_statements(text):
+        cur.execute(stmt)
+        n += 1
+    if hasattr(conn, "commit"):
+        conn.commit()
+    return n
+
+
 def export_upsert_script_from_store(
     store,
     name: str,

@@ -849,6 +849,56 @@ class GoldStore:
             name, df, cons, lambda t: self.read(t) if t in current else None
         )
 
+    def _referencing_fks(self, parent: str) -> list[tuple[str, dict]]:
+        """Every ``(child_table, fk_decl)`` in the current manifest whose
+        declared FOREIGN KEY references ``parent`` — the reverse edge of
+        the constraint graph, needed when the PARENT side changes."""
+        out: list[tuple[str, dict]] = []
+        for t, e in self.current_manifest()["tables"].items():
+            for fk in (e.get("constraints") or {}).get("foreign_keys") or []:
+                if fk.get("ref_table") == parent:
+                    out.append((t, fk))
+        return out
+
+    def _audit_referencing_children(
+        self, parent: str, post_parent_df, skip_children: set[str] = frozenset(),
+    ) -> None:
+        """Reverse-direction FK audit: when ``parent`` is REPLACED or has
+        rows DELETED, every live child table declaring an FK to it must
+        still resolve against the post-commit parent key set (the
+        reference's Postgres DDL rejects parent-side orphaning the same
+        way, data_warehouse.sql REFERENCES clauses). ``skip_children``:
+        tables staged in the SAME commit — their own incoming-side audit
+        already validates them against the staged parent.
+
+        Cost: per declared child FK, one distinct of the child's FK
+        values anti-joined against a distinct of the new parent keys —
+        both column-pruned; nothing here is paid unless a constraint
+        names this table as ref_table."""
+        from pyspark.sql import functions as F
+
+        for child, fk in self._referencing_fks(parent):
+            if child in skip_children or child == parent:
+                continue
+            cols = list(fk["columns"])
+            ref_cols = list(fk.get("ref_columns") or cols)
+            parent_keys = post_parent_df.select(
+                *[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]
+            ).distinct()
+            orphan = (
+                self.read(child).select(*cols).na.drop()
+                .distinct()
+                .join(parent_keys, on=cols, how="left_anti")
+                .limit(1).collect()
+            )
+            if orphan:
+                key = {c: orphan[0][c] for c in cols}
+                raise ConstraintError(
+                    f"table {parent!r}: change would orphan foreign key "
+                    f"{key} in child table {child!r} — rejected, store "
+                    "untouched"
+                )
+
     @staticmethod
     def _rel_data_path(uri: str) -> str:
         """Manifest-relative ``_data/<txn>/...`` path of a Spark-reported
@@ -1278,6 +1328,29 @@ class GoldStore:
         eff_expect = self._fold_constraint_expectations(cons_map, expectations)
         staged = self._stage_tables(gold, txn, partitioned=True, expectations=eff_expect)
         self._enforce_staged_constraints(cons_map, staged)
+        # parent-side audit: replacing a table that OTHER tables declare
+        # FKs against must not orphan their rows (children staged in the
+        # same commit are validated forward by the staged resolver above)
+        current_names = set(self.current_manifest()["tables"])
+        staged_names = set(staged)
+        try:
+            for t in staged:
+                if t not in current_names:
+                    continue
+                if not any(
+                    c not in staged_names and c != t
+                    for c, _ in self._referencing_fks(t)
+                ):
+                    continue
+                post = self.spark.read.parquet(
+                    os.path.join(self.path, staged[t]["dir"])
+                )
+                self._audit_referencing_children(
+                    t, post, skip_children=staged_names
+                )
+        except ConstraintError:
+            self._unmark_staged(txn)
+            raise
 
         def replace_tables(tables: dict) -> None:
             for name, entry in staged.items():
@@ -1449,10 +1522,19 @@ class GoldStore:
         if entry is None:
             raise KeyError(name)
         cons = dict(entry.get("constraints") or {})
+        if mode == "delete" and self._referencing_fks(name):
+            # parent-side audit (ADVICE r9): deleting rows from a table
+            # other tables declare FKs against must not orphan them —
+            # audit children against the post-delete parent key set
+            post_parent = self.read(name).join(
+                source.select(*key_cols).dropDuplicates(key_cols),
+                key_cols, "left_anti",
+            )
+            self._audit_referencing_children(name, post_parent)
         if cons and mode in ("upsert", "insert_if_absent"):
             # declared constraints apply to the incoming rows (O(delta)):
             # not_null/check in one agg, FK orphans vs the live store;
-            # PK uniqueness rides the source-dup check below
+            # PK uniqueness on key_cols rides the source-dup check below
             self._check_row_constraints(name, source, cons)
             current_tables = self.current_manifest()["tables"]
             self._enforce_relational(
@@ -1460,6 +1542,56 @@ class GoldStore:
                                if k == "foreign_keys"},
                 lambda t: self.read(t) if t in current_tables else None,
             )
+            pk = list(cons.get("primary_key") or [])
+            if pk and set(pk) != set(key_cols):
+                # declared PK differs from the merge keys (ADVICE r9):
+                # the source-dup check below only covers key_cols, so the
+                # insert portion could land duplicate PKs unchecked.
+                # (1) source-internal PK uniqueness; (2) source PKs must
+                # not clash with target rows that SURVIVE the merge
+                dup_pk = (
+                    source.groupBy(*pk).agg(F.count(F.lit(1)).alias("c"))
+                    .filter(F.col("c") > 1).limit(1).collect()
+                )
+                if dup_pk:
+                    key = {c: dup_pk[0][c] for c in pk}
+                    raise ConstraintError(
+                        f"table {name!r}: duplicate primary key {key} in "
+                        "merge source — merge rejected, store untouched"
+                    )
+                live = self.read(name)
+                src_keys = source.select(*key_cols).dropDuplicates(key_cols)
+                proj = list(dict.fromkeys([*pk, *key_cols]))
+                if mode == "upsert":
+                    # rows whose merge key matches are replaced; only the
+                    # survivors' PKs can clash with the source
+                    surviving = live.select(*proj).join(
+                        src_keys, key_cols, "left_anti"
+                    )
+                    clash = (
+                        source.select(*pk)
+                        .join(surviving.select(*pk), pk, "left_semi")
+                        .limit(1).collect()
+                    )
+                else:  # insert_if_absent: target keeps every row; only
+                    # fresh-keyed source rows land, check those vs ALL
+                    fresh_src = source.select(*proj).join(
+                        live.select(*key_cols).dropDuplicates(key_cols),
+                        key_cols, "left_anti",
+                    )
+                    clash = (
+                        fresh_src.select(*pk)
+                        .join(live.select(*pk), pk, "left_semi")
+                        .limit(1).collect()
+                    )
+                if clash:
+                    key = {c: clash[0][c] for c in pk}
+                    raise ConstraintError(
+                        f"table {name!r}: merge would commit duplicate "
+                        f"primary key {key} (declared PK {pk} differs "
+                        f"from merge keys {key_cols}) — merge rejected, "
+                        "store untouched"
+                    )
         if mode in ("upsert", "insert_if_absent"):
             dup = (
                 source.groupBy(*key_cols)
@@ -1736,7 +1868,14 @@ class GoldStore:
             # trigger as dead files
             total_rows = sum(int(f.get("rows", 0)) for f in live)
             dv_rows = sum(int(x["rows"]) for f in live for x in f.get("dv") or [])
-            row_frac = 1.0 - dv_rows / total_rows if total_rows else 1.0
+            # a dir whose live records hold ZERO rows (fully-masked files,
+            # or 0-row leftovers from an earlier fold) is pure debt —
+            # unless it is the SOLE dir of a legitimately-empty table
+            # with no dv debt, which must stay a stable no-op
+            if total_rows:
+                row_frac = 1.0 - dv_rows / total_rows
+            else:
+                row_frac = 0.0 if (dv_rows or len(by_dir) > 1) else 1.0
             if min(file_frac, row_frac) < min_live_fraction:
                 victims.append(d)
         if not victims:
@@ -1753,10 +1892,21 @@ class GoldStore:
         def fold_tables(tables: dict) -> None:
             prior = tables[name]
             delta = staged[name]
-            new_files = untouched + delta["files"]
+            # folding a fully-dead dir stages ZERO live rows — keep the
+            # empty parquet out of the manifest or every fold of pure
+            # debt would grow the file list by one immortal 0-row record
+            delta_files = [f for f in delta["files"] if int(f.get("rows", 0)) > 0]
+            if not delta_files and not untouched:
+                # every dir was dead: keep ONE 0-row record so the entry
+                # stays readable (and, having no dv and no siblings, it
+                # is not a victim on the next pass — the fold converges)
+                delta_files = delta["files"][:1]
+            new_files = untouched + delta_files
             new_entry = {
                 "file_level": True,
-                "dirs": self._file_level_dirs(new_files, extra=[delta["dir"]]),
+                "dirs": self._file_level_dirs(
+                    new_files, extra=[delta["dir"]] if delta_files else None
+                ),
                 "rows": int(prior.get("rows", 0)),  # row-preserving rewrite
                 "files": new_files,
                 "schema": self._merge_schemas(name, prior.get("schema"), delta["schema"]),

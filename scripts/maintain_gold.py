@@ -8,6 +8,7 @@ Usage:
     python scripts/maintain_gold.py <store_path> vacuum [--keep-versions N]
     python scripts/maintain_gold.py <store_path> zorder <table> <col> [col ...]
     python scripts/maintain_gold.py <store_path> optimize <table> [--min-live F]
+    python scripts/maintain_gold.py <store_path> maintain [--min-live F]
     python scripts/maintain_gold.py <store_path> restore <version> [table ...]
 
 - ``status``  — current version, per-table dir counts, retained versions.
@@ -20,6 +21,9 @@ Usage:
   the old or the new layout, never a half-rewrite.
 - ``optimize`` — reclaim copy-on-write merge debt: rewrite only dirs
   whose live-file fraction fell below the threshold (default 0.5).
+- ``maintain`` — the DV-maintenance cron body: run ``optimize`` over
+  EVERY table, folding deletion-vector/merge debt wherever the
+  live fraction crossed the threshold; healthy tables are no-ops.
 - ``restore`` — roll the store (or named tables) back to a retained
   version as a NEW commit; nothing is deleted.
 
@@ -105,6 +109,18 @@ def main() -> int:
             rest = rest[:i] + rest[i + 2 :]
         v = store.optimize(rest[0], min_live_fraction=frac)
         print(f"optimize {rest[0]}: " + ("nothing to do" if v is None else f"version {v}"))
+    elif verb == "maintain":
+        # one-shot fleet pass: fold DV/merge debt on EVERY file-level
+        # table past the threshold (the cron body a deployment schedules
+        # alongside its streaming sinks; the sinks' own auto_optimize
+        # hook covers tables they write, this covers everything else)
+        frac = 0.5
+        if "--min-live" in rest:
+            frac = float(rest[rest.index("--min-live") + 1])
+        for name in sorted(store.current_manifest()["tables"]):
+            v = store.optimize(name, min_live_fraction=frac)
+            if v is not None:
+                print(f"maintain {name}: folded -> version {v}")
     elif verb == "restore":
         v = store.restore(int(rest[0]), tables=rest[1:] or None)
         print(f"restored to v{rest[0]} as version {v}")

@@ -107,3 +107,95 @@ def test_progress_commits_atomically_with_gold(spark, tmp_path, bronze):
     row = store.read(PROGRESS_TABLE).collect()[0]
     assert row["interval_end"] == (START + STEP).isoformat()
     assert "player_dim" in row["loaded"] and row["failed"] == []
+
+
+def test_racing_driver_skips_interval_committed_after_resume_check(
+    spark, tmp_path, bronze, monkeypatch
+):
+    """Two racing drivers: B reads the resume set, then A commits the
+    interval. B's build attempt re-checks the progress table it was
+    handed (which now holds A's row) and must SKIP — no second run, no
+    duplicate progress row (ADVICE r9: the re-check lives inside
+    build(), so it also covers the lost-CAS rebuild path)."""
+    import rustcheatersdatapipeline_spark.backfill as bf
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    # driver A commits interval 1
+    run_interval_range(spark, store, lambda _: bronze, START, START + STEP)
+    # driver B raced: its upfront resume check saw an EMPTY progress set
+    monkeypatch.setattr(bf, "completed_intervals", lambda s: set())
+    calls = {"n": 0}
+    real_run_batch = bf.run_batch
+
+    def counting_run_batch(*a, **k):
+        calls["n"] += 1
+        return real_run_batch(*a, **k)
+
+    monkeypatch.setattr(bf, "run_batch", counting_run_batch)
+    ran = bf.run_interval_range(spark, store, lambda _: bronze, START, START + STEP)
+    assert ran == []  # the loser skipped instead of re-running
+    assert calls["n"] == 0  # the batch itself never executed
+    rows = store.read(PROGRESS_TABLE).collect()
+    assert len(rows) == 1  # exactly one progress row for the interval
+
+
+def test_run_scheduled_ticks_advance_ledger_and_sleep_to_boundaries(
+    spark, tmp_path, bronze
+):
+    """The recurring-trigger driver (reference schedule_interval shape):
+    a fake clock advanced by sleep() shows each tick committing exactly
+    the newly-due interval and sleeping exactly to the next boundary."""
+    from rustcheatersdatapipeline_spark.backfill import run_scheduled
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    t = {"now": START}
+    sleeps = []
+
+    def clock():
+        return t["now"]
+
+    def sleep(sec):
+        sleeps.append(sec)
+        t["now"] += dt.timedelta(seconds=sec)
+
+    ran = run_scheduled(
+        spark, store, lambda _: bronze, START, until=START + 3 * STEP,
+        step=STEP, clock=clock, sleep=sleep,
+    )
+    assert [ie for ie, _, _ in ran] == interval_ends(START, START + 3 * STEP, STEP)
+    assert len(completed_intervals(store)) == 3
+    # slept exactly one step per tick, on the start-anchored grid
+    assert sleeps == [STEP.total_seconds()] * 3
+
+
+def test_run_scheduled_cold_start_catches_up_then_crash_resumes(
+    spark, tmp_path, bronze, monkeypatch
+):
+    """A driver started LATE first drains the backlog; killed mid-drain
+    and restarted, it resumes at exactly the interrupted interval."""
+    import rustcheatersdatapipeline_spark.backfill as bf
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    frozen = lambda: START + 3 * STEP  # noqa: E731 — clock already past `until`
+    calls = {"n": 0}
+    real_run_batch = bf.run_batch
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed mid-drain")
+        return real_run_batch(*a, **k)
+
+    monkeypatch.setattr(bf, "run_batch", crashing)
+    with pytest.raises(RuntimeError, match="killed"):
+        bf.run_scheduled(
+            spark, store, lambda _: bronze, START, until=START + 3 * STEP,
+            step=STEP, clock=frozen, sleep=lambda s: None,
+        )
+    assert len(completed_intervals(store)) == 1
+    ran = bf.run_scheduled(
+        spark, store, lambda _: bronze, START, until=START + 3 * STEP,
+        step=STEP, clock=frozen, sleep=lambda s: None,
+    )
+    assert [ie for ie, _, _ in ran] == [START + 2 * STEP, START + 3 * STEP]
+    assert len(completed_intervals(store)) == 3

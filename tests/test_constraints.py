@@ -166,8 +166,21 @@ def test_constraints_survive_optimize_and_validate_detects_tamper(spark, tmp_pat
     store.optimize(FACT)
     assert store.constraints(FACT) == FACT_CONS
     store.validate_constraints(FACT)
-    # shrink the dim under the fact's feet: validate must now fail
-    store.publish({DIM: _dim(spark, [1])}, base_version=store.current_version())
+    # shrinking the dim under the fact's feet is now REJECTED at publish
+    # time by the parent-side audit (r10, reference Postgres parity) ...
+    with pytest.raises(ConstraintError, match="orphan foreign key"):
+        store.publish(
+            {DIM: _dim(spark, [1])}, base_version=store.current_version()
+        )
+    # ... so drift can only arrive through audit-free metadata paths
+    # (single-table restore / external tampering) — validate_constraints
+    # is the recheck tool that catches it after the fact
+    v_consistent = store.current_version()
+    store.publish(
+        {DIM: _dim(spark, [1]), FACT: _fact(spark, [(300, 1, 4)])},
+        base_version=v_consistent,
+    )
+    store.restore(v_consistent, tables=[FACT])  # facts referencing key 2 return
     with pytest.raises(ConstraintError, match="no match"):
         store.validate_constraints(FACT)
 
@@ -231,3 +244,84 @@ def test_streaming_merge_sink_fails_batch_on_violation(spark, tmp_path):
     assert "no match" in str(e.value) or "ConstraintError" in str(e.value)
     assert store.current_version() == v_before
     assert {tuple(r) for r in store.read(FACT).collect()} == rows_before
+
+
+def test_parent_delete_rejects_when_it_would_orphan_children(spark, tmp_path):
+    """merge(mode="delete") on a table OTHER tables declare FKs against
+    must audit the reverse direction: deleting a referenced dim key is
+    rejected (the reference's Postgres REFERENCES does the same), while
+    deleting an unreferenced key commits normally."""
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    # add a dim key no fact references, so one delete can succeed
+    store.publish_append(
+        {DIM: _dim(spark, [9])}, base_version=store.current_version()
+    )
+    v = store.current_version()
+    # fact rows reference nation_sk 1 and 2: deleting key 1 would orphan
+    with pytest.raises(ConstraintError, match="orphan foreign key"):
+        store.merge(
+            DIM, spark.createDataFrame([(1,)], "nation_sk int"),
+            ["nation_sk"], mode="delete",
+        )
+    assert store.current_version() == v  # store untouched
+    assert store.read(DIM).count() == 3
+    # deleting the unreferenced key 9 is legal
+    store.merge(
+        DIM, spark.createDataFrame([(9,)], "nation_sk int"),
+        ["nation_sk"], mode="delete",
+    )
+    assert {r["nation_sk"] for r in store.read(DIM).collect()} == {1, 2}
+    store.validate_constraints(FACT)  # children still resolve
+
+
+def test_parent_replace_rejects_when_it_would_orphan_children(spark, tmp_path):
+    """A replace publish of a referenced dim that DROPS a key still held
+    by fact rows is rejected; a replace keeping every referenced key
+    commits. Children staged in the same batch validate forward and are
+    exempt from the reverse audit."""
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)
+    base = store.current_version()
+    with pytest.raises(ConstraintError, match="orphan foreign key"):
+        store.publish({DIM: _dim(spark, [1])}, base_version=base)  # drops key 2
+    assert store.current_version() == base
+    # superset replace is fine
+    store.publish({DIM: _dim(spark, [1, 2, 3])}, base_version=base)
+    # shrinking the dim WHILE republishing consistent facts in the same
+    # batch is fine: the staged fact only references surviving keys
+    store.publish(
+        {DIM: _dim(spark, [1]), FACT: _fact(spark, [(10, 1, 5)])},
+        base_version=store.current_version(),
+    )
+    assert store.read(DIM).count() == 1 and store.read(FACT).count() == 1
+
+
+def test_merge_checks_declared_pk_when_it_differs_from_key_cols(spark, tmp_path):
+    """Declared PRIMARY KEY != merge key_cols: the insert portion of the
+    merge must not commit duplicate PKs (ADVICE r9)."""
+    store = _store(spark, tmp_path)
+    store.declare_constraints({FACT: FACT_CONS}, base_version=1)  # PK ban_sk
+    # source replaces the nation_sk=1 row but reuses SURVIVING pk 11
+    with pytest.raises(ConstraintError, match="duplicate primary key"):
+        store.merge(FACT, _fact(spark, [(11, 1, 9)]), ["nation_sk"], mode="upsert")
+    # source-internal pk dup across distinct merge keys
+    with pytest.raises(ConstraintError, match="duplicate primary key"):
+        store.merge(
+            FACT, _fact(spark, [(70, 1, 1), (70, 2, 2)]), ["nation_sk"],
+            mode="upsert",
+        )
+    # insert_if_absent: fresh merge key but an already-taken pk
+    store.publish_append(
+        {DIM: _dim(spark, [3])}, base_version=store.current_version()
+    )
+    with pytest.raises(ConstraintError, match="duplicate primary key"):
+        store.merge(
+            FACT, _fact(spark, [(11, 3, 1)]), ["nation_sk"],
+            mode="insert_if_absent",
+        )
+    assert store.read(FACT).count() == 2  # every rejection left it alone
+    # replacing a row with ITS OWN pk is legal (the old holder is gone)
+    store.merge(FACT, _fact(spark, [(10, 1, 9)]), ["nation_sk"], mode="upsert")
+    got = {tuple(r) for r in store.read(FACT).collect()}
+    assert (10, 1, 9) in got and len(got) == 2

@@ -284,3 +284,69 @@ def test_changes_cdc_pruned_history_raises(spark, tmp_path):
     os.unlink(os.path.join(store.path, "_manifests", "v2.json"))
     with pytest.raises(ValueError, match="pruned"):
         store.changes_cdc("t", 1)
+
+
+def test_merge_upsert_sink_auto_folds_dv_debt_long_run(spark, tmp_path):
+    """DV maintenance policy (r10): under SUSTAINED streaming upserts the
+    sink's manifest-only pre-check triggers per-dir folds, so read-side
+    DV debt stays bounded forever — and every intermediate read result
+    is exactly the converged latest-wins state."""
+    from rustcheatersdatapipeline_spark.streaming.ingest import MergeUpsertSink
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    base = [(k, "base") for k in range(10)]
+    store.publish({"dim": _df(spark, base).coalesce(1)}, base_version=0)
+    sink = MergeUpsertSink(store, "dim", ["k"])  # mor + auto_optimize
+
+    for i in range(10):  # many micro-batches hammering the same 3 keys
+        sink(_df(spark, [(k, f"v{i}") for k in range(3)]).coalesce(1), i)
+        expect = {(k, f"v{i}") for k in range(3)} | {
+            (k, "base") for k in range(3, 10)
+        }
+        assert _rows(store, "dim") == expect, f"wrong rows after batch {i}"
+        entry = store.current_manifest()["tables"]["dim"]
+        # bounded debt: no dir may sit below the live-fraction floor
+        per_dir = {}
+        for f in entry["files"]:
+            d = os.sep.join(f["path"].split(os.sep)[:3])
+            tot, dv = per_dir.get(d, (0, 0))
+            per_dir[d] = (
+                tot + int(f["rows"]),
+                dv + sum(int(x["rows"]) for x in f.get("dv") or []),
+            )
+        for d, (tot, dv) in per_dir.items():
+            assert tot == 0 or (1.0 - dv / tot) >= 0.5, (
+                f"batch {i}: dir {d} exceeded DV debt bound ({dv}/{tot})"
+            )
+    entry = store.current_manifest()["tables"]["dim"]
+    # the live file set stays small — debt was folded, not accumulated
+    assert len(entry["files"]) <= 4, [f["path"] for f in entry["files"]]
+    # and at least one auto-fold actually committed (row-preserving)
+    folds = [
+        v for v in store.versions()
+        if store.manifest_at(v)["tables"].get("dim", {}).get("rewrite_kind")
+        == "row_preserving"
+    ]
+    assert folds, "auto-optimize never fired"
+
+    # control: with the hook off, the same run accumulates fully-masked
+    # dirs past the bound (proves the hook is what bounded the debt)
+    store2 = GoldStore(spark, str(tmp_path / "gold2"))
+    store2.publish({"dim": _df(spark, base).coalesce(1)}, base_version=0)
+    sink2 = MergeUpsertSink(store2, "dim", ["k"], auto_optimize=False)
+    for i in range(10):
+        sink2(_df(spark, [(k, f"v{i}") for k in range(3)]).coalesce(1), i)
+    entry2 = store2.current_manifest()["tables"]["dim"]
+    dead_dirs = 0
+    per_dir2 = {}
+    for f in entry2["files"]:
+        d = os.sep.join(f["path"].split(os.sep)[:3])
+        tot, dv = per_dir2.get(d, (0, 0))
+        per_dir2[d] = (
+            tot + int(f["rows"]),
+            dv + sum(int(x["rows"]) for x in f.get("dv") or []),
+        )
+    dead_dirs = sum(
+        1 for tot, dv in per_dir2.values() if tot and (1.0 - dv / tot) < 0.5
+    )
+    assert dead_dirs >= 1

@@ -1,0 +1,364 @@
+"""Real-encoder / spec-worked-example golden vectors (VERDICT r9 #2).
+
+Every fixture here is produced by something OTHER than the repo's own
+test-side encoders, so a shared spec misreading between an engine
+decoder and its paired encoder cannot pass by construction:
+
+- PNG bodies are compressed by **stdlib zlib** (an independent DEFLATE
+  implementation) around hand-written filtered scanlines whose
+  unfiltered pixels are stated as literals from the PNG spec's filter
+  definitions;
+- the GIF fixture's LZW code sequence is derived BY HAND from the
+  GIF87a spec's LZW walk-through and packed by a 6-line bit packer;
+- the JPEG fixtures carry hand-written Huffman tables and a
+  hand-assembled entropy bitstream, with expected pixels from the
+  T.81 DC-only IDCT identity (flat block = DC*Q/8 + 128);
+- WAV/BMP/TIFF bytes are written field-by-field from the public
+  format layouts;
+- the FLAC frame is hand-assembled bit-by-bit from the FLAC format
+  spec (constant + verbatim subframes).
+
+Each test asserts EXACT pixel/sample output — no round-trip through
+engine encoders anywhere in this file.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+
+from rustcheatersdatapipeline_spark.functions.flac import decode_flac_samples
+from rustcheatersdatapipeline_spark.functions.jpeg import decode_jpeg_pixels
+from rustcheatersdatapipeline_spark.functions.pixels import (
+    decode_bmp_pixels,
+    decode_gif_pixels,
+    decode_png_pixels,
+    decode_wav_samples,
+)
+from rustcheatersdatapipeline_spark.functions.tiff import decode_tiff_pixels
+
+# --------------------------------------------------------------------- PNG
+
+
+def _png(chunks):
+    out = b"\x89PNG\r\n\x1a\n"
+    for typ, body in chunks:
+        out += struct.pack(">I", len(body)) + typ + body
+        out += struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    return out
+
+
+def test_png_all_filter_types_zlib_compressed():
+    """3x5 RGBA exercising filter types 0/2/1/4/3 — one per scanline.
+    The IDAT is stdlib-zlib output; expected pixels follow from the
+    PNG spec filter definitions applied to the literal filtered bytes."""
+    w, h = 3, 5
+    row0_px = [(1, 2, 3, 255), (5, 6, 7, 255), (9, 10, 11, 255)]
+    raw = b"\x00" + bytes(b for px in row0_px for b in px)  # None
+    raw += b"\x02" + bytes(12)  # Up, all-zero deltas -> row1 == row0
+    # Sub: first pixel raw, then +1 per byte
+    raw += b"\x01" + bytes((100, 110, 120, 130)) + bytes((1, 1, 1, 1)) * 2
+    raw += b"\x04" + bytes(12)  # Paeth, zero deltas -> row3 == row2
+    raw += b"\x03" + bytes(12)  # Average, zero deltas
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    buf = _png([
+        (b"IHDR", ihdr),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    px = decode_png_pixels(buf)
+    assert px.shape == (5, 3, 4)
+    row2 = [(100, 110, 120, 130), (101, 111, 121, 131), (102, 112, 122, 132)]
+    # Average row: x0 = floor(row3[0]/2); then floor((left+up)/2)
+    row4 = [(50, 55, 60, 65), (75, 83, 90, 98), (88, 97, 106, 115)]
+    expect = np.array([row0_px, row0_px, row2, row2, row4], np.uint8)
+    assert np.array_equal(px, expect)
+
+
+def test_png_adam7_interlaced_zlib_compressed():
+    """8x8 grayscale Adam7: pass images built from the spec's pass grid
+    (origins/strides per PNG 1.2 §8.2), zlib-compressed — the decoder
+    must reassemble pixel[y][x] == 10*y + x exactly."""
+    full = np.add.outer(np.arange(8) * 10, np.arange(8)).astype(np.uint8)
+    passes = [  # (x0, y0, dx, dy) per Adam7 pass
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        for y in range(y0, 8, dy):
+            raw.append(0)  # filter None
+            raw.extend(int(full[y, x]) for x in range(x0, 8, dx))
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)  # interlace=1
+    buf = _png([
+        (b"IHDR", ihdr),
+        (b"IDAT", zlib.compress(bytes(raw))),
+        (b"IEND", b""),
+    ])
+    px = decode_png_pixels(buf)
+    assert px.shape == (8, 8, 1)  # grayscale contract: one channel
+    assert np.array_equal(px[..., 0], full)
+
+
+# --------------------------------------------------------------------- GIF
+
+
+def _pack_lsb(codes, width):
+    acc = n = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif87a_hand_assembled_lzw():
+    """3x1 two-color GIF whose LZW code sequence [clear, 1, 0, 1, eob]
+    was derived by hand from the GIF87a appendix algorithm (pixels
+    1,0,1; dictionary adds 6='10' and 7='01'; all codes 3-bit)."""
+    gct = bytes((0, 0, 0, 255, 255, 255)) + bytes(0)
+    codes = _pack_lsb([4, 1, 0, 1, 5], 3)
+    buf = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 3, 1, 0x80, 0, 0)  # GCT flag, 2 colors
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + bytes((2,))  # LZW min code size
+        + bytes((len(codes),)) + codes + b"\x00"
+        + b"\x3b"
+    )
+    px = decode_gif_pixels(buf)
+    assert px.shape == (1, 1, 3, 3)  # (frames, h, w, rgb)
+    expect = np.array(
+        [[[(255, 255, 255), (0, 0, 0), (255, 255, 255)]]], np.uint8
+    )
+    assert np.array_equal(px, expect)
+
+
+# -------------------------------------------------------------------- JPEG
+
+
+def _jpeg_gray(blocks_dc_diff_bits, width_blocks):
+    """Baseline grayscale JFIF: flat quant table (all 16), hand Huffman
+    tables (DC: cat0->'0', cat2->'10'; AC: EOB->'0'), hand bitstream."""
+    # DQT: Lq=67, Pq/Tq=0, 64 bytes of 16
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    h, w = 8, 8 * width_blocks
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + bytes((1, 0x11, 0))
+    )
+    # DHT DC table 0: one code of len1 (cat 0), one of len2 (cat 2)
+    dc_bits = bytes((1, 1)) + bytes(14)
+    dht_dc = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2) + b"\x00"
+        + dc_bits + bytes((0, 2))
+    )
+    # DHT AC table 0: '0'->EOB(0x00), '10'->(run0,size1)=0x01
+    ac_bits = bytes((1, 1)) + bytes(14)
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2) + b"\x10"
+        + ac_bits + bytes((0x00, 0x01))
+    )
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes((1, 0x00))
+        + bytes((0, 63, 0))
+    )
+    bits = "".join(blocks_dc_diff_bits)
+    bits += "1" * ((8 - len(bits) % 8) % 8)  # pad with 1s (spec)
+    ecs = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    ecs = ecs.replace(b"\xff", b"\xff\x00")  # byte stuffing
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + ecs + b"\xff\xd9"
+
+
+def test_jpeg_dc_only_flat_block():
+    """One 8x8 block, DC diff=+3 (category 2, bits '11'), all AC zero:
+    T.81 DC-only IDCT gives every pixel DC*Q/8 + 128 = 48/8+128 = 134."""
+    # DC: huff '10' + value bits '11' (diff=3); AC: EOB '0'
+    buf = _jpeg_gray(["10" + "11" + "0"], 1)
+    px = decode_jpeg_pixels(buf)
+    assert px.shape == (8, 8, 1)
+    assert (px == 134).all()
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Two blocks: diffs +3 then -3 — the second block's DC must come
+    back to 0 through the predictor, giving flat 134 then flat 128."""
+    # diff=-3: category 2, value bits are one's-complement -> '00'
+    buf = _jpeg_gray(["10" + "11" + "0", "10" + "00" + "0"], 2)
+    px = decode_jpeg_pixels(buf)
+    assert px.shape == (8, 16, 1)
+    assert (px[:, :8] == 134).all()
+    assert (px[:, 8:] == 128).all()
+
+
+# ---------------------------------------------------------------- WAV/BMP
+
+
+def test_wav_pcm16_field_by_field():
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    data = struct.pack("<6h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    buf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out, rate = decode_wav_samples(buf)
+    assert rate == 8000
+    assert out.shape == (6, 1)
+    assert out[:, 0].tolist() == samples
+
+
+def test_bmp_24bit_bottom_up_with_row_padding():
+    """3x2 BMP: rows stored bottom-up, BGR order, rows padded to 4
+    bytes — all three layout rules must land exactly."""
+    # bottom row first in file: red, green, blue / white, black, gray
+    row_bottom = bytes((0, 0, 255, 0, 255, 0, 255, 0, 0)) + bytes(3)
+    row_top = bytes((255, 255, 255, 0, 0, 0, 128, 128, 128)) + bytes(3)
+    pixel_data = row_bottom + row_top
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixel_data), 0, 0, 54)
+    px = decode_bmp_pixels(hdr + dib + pixel_data)
+    assert px.shape == (2, 3, 3)  # RGB contract
+    expect = np.array(
+        [
+            [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+            [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        ],
+        np.uint8,
+    )
+    assert np.array_equal(px, expect)
+
+
+# ------------------------------------------------------------------- TIFF
+
+
+def test_tiff_uncompressed_rgb_hand_ifd():
+    """2x2 RGB little-endian TIFF with a hand-written IFD (one strip,
+    no compression)."""
+    pixels = bytes(
+        (255, 0, 0, 0, 255, 0,
+         0, 0, 255, 64, 128, 192)
+    )
+    # layout: header(8) + pixel strip + bits-per-sample array + IFD
+    strip_off = 8
+    bps_off = strip_off + len(pixels)
+    ifd_off = bps_off + 6
+    hdr = b"II*\x00" + struct.pack("<I", ifd_off)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, 2),  # width
+        entry(257, 3, 1, 2),  # height
+        entry(258, 3, 3, bps_off),  # bits per sample -> offset
+        entry(259, 3, 1, 1),  # no compression
+        entry(262, 3, 1, 2),  # RGB
+        entry(273, 4, 1, strip_off),  # strip offset
+        entry(277, 3, 1, 3),  # samples per pixel
+        entry(278, 3, 1, 2),  # rows per strip
+        entry(279, 4, 1, len(pixels)),  # strip byte count
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    buf = hdr + pixels + struct.pack("<HHH", 8, 8, 8) + ifd
+    px = decode_tiff_pixels(buf)
+    assert px.shape == (2, 2, 3)  # RGB contract
+    expect = np.array(
+        [
+            [(255, 0, 0), (0, 255, 0)],
+            [(0, 0, 255), (64, 128, 192)],
+        ],
+        np.uint8,
+    )
+    assert np.array_equal(px, expect)
+
+
+# ------------------------------------------------------------------- FLAC
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(
+            int("".join(map(str, self.bits[i : i + 8])), 2)
+            for i in range(0, len(self.bits), 8)
+        )
+
+
+def _flac_streaminfo(rate, channels, bps, total):
+    body = struct.pack(">HH", 16, 16) + b"\x00" * 6  # block sizes, frame sizes
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    body += packed.to_bytes(8, "big") + b"\x00" * 16  # md5 zeros
+    return b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body
+
+
+def test_flac_constant_and_verbatim_subframes_hand_assembled():
+    """Mono 16-bit FLAC, one frame of 16 samples, channel written as a
+    CONSTANT subframe (value -513); then a second fixture with a
+    VERBATIM subframe carrying literal samples. Frame assembled bit by
+    bit from the FLAC format spec."""
+    # --- constant subframe
+    bw = _BitWriter()
+    bw.w(0b11111111111110, 14)  # sync
+    bw.w(0, 1)  # reserved
+    bw.w(0, 1)  # fixed blocksize stream
+    bw.w(6, 4)  # blocksize code 6: 8-bit value follows
+    bw.w(0, 4)  # sample rate: from STREAMINFO
+    bw.w(0, 4)  # 1 channel
+    bw.w(0, 3)  # bps from STREAMINFO
+    bw.w(0, 1)  # reserved
+    bw.w(0, 8)  # UTF8 frame number 0
+    bw.w(15, 8)  # blocksize-1 = 15
+    bw.w(0, 8)  # header CRC-8 (engine consumes, does not verify)
+    bw.w(0, 1)  # subframe padding bit
+    bw.w(0, 6)  # type: CONSTANT
+    bw.w(0, 1)  # no wasted bits
+    bw.w(-513 & 0xFFFF, 16)  # constant value, two's complement
+    frame = bw.bytes() + b"\x00\x00"  # frame CRC-16 (consumed)
+    buf = _flac_streaminfo(8000, 1, 16, 16) + frame
+    samples, rate = decode_flac_samples(buf)
+    assert rate == 8000
+    assert samples.shape == (16, 1)
+    assert (samples[:, 0] == -513).all()
+
+    # --- verbatim subframe, 4 samples
+    lits = [7, -8, 300, -300]
+    bw = _BitWriter()
+    bw.w(0b11111111111110, 14)
+    bw.w(0, 1)
+    bw.w(0, 1)
+    bw.w(6, 4)
+    bw.w(0, 4)
+    bw.w(0, 4)
+    bw.w(0, 3)
+    bw.w(0, 1)
+    bw.w(0, 8)
+    bw.w(3, 8)  # blocksize-1 = 3
+    bw.w(0, 8)
+    bw.w(0, 1)
+    bw.w(1, 6)  # type: VERBATIM
+    bw.w(0, 1)
+    for v in lits:
+        bw.w(v & 0xFFFF, 16)
+    frame = bw.bytes() + b"\x00\x00"
+    buf = _flac_streaminfo(44100, 1, 16, 4) + frame
+    samples, rate = decode_flac_samples(buf)
+    assert rate == 44100
+    assert samples[:, 0].tolist() == lits

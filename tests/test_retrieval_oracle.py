@@ -9,10 +9,14 @@ from rustcheatersdatapipeline_spark.plans import retrieval as R
 from .helpers import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(R.TESTS_ONLY_ORACLE_SQL))
+_ALL_QUERIES = {**R.SPARK_QUERIES, **R.TESTS_ONLY_QUERIES}
+_ALL_ORACLES = {**R.ORACLE_SQL, **R.TESTS_ONLY_ORACLE_SQL}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_retrieval_matches_oracle(spark, ddb, sf_dir, name):
-    df = R.TESTS_ONLY_QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, ddb, R.TESTS_ONLY_ORACLE_SQL[name], name)
+    df = _ALL_QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ddb, _ALL_ORACLES[name], name)
 
 
 def test_bm25_topk_shape(spark, sf_dir):

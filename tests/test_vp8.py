@@ -194,10 +194,16 @@ def test_multiple_token_partitions():
 def test_skip_macroblocks_engage():
     """A flat frame at coarse quant should skip-code most MBs — the
     stream with skip enabled must be smaller AND both must decode."""
-    y = np.full((48, 80), 128, np.uint8)
-    u = np.full((24, 40), 128, np.uint8)
-    v = np.full((24, 40), 128, np.uint8)
-    with_skip, _ = _assert_roundtrip(y, u, v, q_index=100, mb_no_skip=1)
+    y = np.full((96, 160), 128, np.uint8)
+    u = np.full((48, 80), 128, np.uint8)
+    v = np.full((48, 80), 128, np.uint8)
+    # prob_skip_false=30 makes each skip=1 flag ≈0.18 bits; with the RFC
+    # §13.5 tables an all-EOB macroblock costs a few bits, so the skip
+    # stream is strictly smaller (at the old neutral-128 tables ANY skip
+    # prob won; the real tables price empty blocks nearly as low)
+    with_skip, _ = _assert_roundtrip(
+        y, u, v, q_index=100, mb_no_skip=1, prob_skip_false=30
+    )
     without, _ = _assert_roundtrip(y, u, v, q_index=100, mb_no_skip=0)
     assert len(with_skip) < len(without)
 
@@ -411,3 +417,106 @@ def test_probability_table_injection():
     # a decoder given WRONG bmode tables diverges (tables matter)
     wrong = decode_vp8_frame(payload)  # module defaults, not alt_bmode
     assert not np.array_equal(wrong["y"], exp["y"])
+
+
+def test_decode_bound_rejects_claimed_giant_dims():
+    """A ~70-byte payload claiming 16383x16383 must hit the 256 MiB bomb
+    bound BEFORE any canvas/mode allocation (ADVICE r9: 14-bit dims
+    otherwise drive ~1 GiB of canvases and ~1M macroblocks of decode)."""
+    import time
+
+    tag = (0) | (0 << 1) | (1 << 4) | (30 << 5)  # keyframe, part0_size=30
+    buf = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    buf += b"\x9d\x01\x2a"
+    buf += (16383).to_bytes(2, "little") + (16383).to_bytes(2, "little")
+    buf += bytes(60)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="decode bound"):
+        V.decode_vp8_frame(buf)
+    assert time.monotonic() - t0 < 2.0  # rejected at header time
+
+    # the bound also guards the WebP still path (RIFF container route)
+    body = buf
+    riff = (
+        b"RIFF" + (4 + 8 + len(body)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + len(body).to_bytes(4, "little") + body
+    )
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_webp_pixels(riff)
+
+
+def test_rfc_tables_structural_invariants():
+    """The transcribed RFC 6386 tables have the spec's exact shapes and
+    legal probability values, and are genuinely non-uniform (the r9
+    neutral placeholders are gone)."""
+    assert len(V.DEFAULT_COEFF_PROBS) == 4
+    assert len(V.COEFF_UPDATE_PROBS) == 4
+    for bt in range(4):
+        assert len(V.DEFAULT_COEFF_PROBS[bt]) == 8
+        for band in range(8):
+            assert len(V.DEFAULT_COEFF_PROBS[bt][band]) == 3
+            for ctx in range(3):
+                row = V.DEFAULT_COEFF_PROBS[bt][band][ctx]
+                urow = V.COEFF_UPDATE_PROBS[bt][band][ctx]
+                assert len(row) == 11 and len(urow) == 11
+                assert all(1 <= p <= 255 for p in row)
+                assert all(1 <= p <= 255 for p in urow)
+    assert len(V.KF_BMODE_PROBS) == 10
+    assert all(len(a) == 10 for a in V.KF_BMODE_PROBS)
+    assert all(len(l) == 9 for a in V.KF_BMODE_PROBS for l in a)
+    assert all(1 <= p <= 255 for a in V.KF_BMODE_PROBS for l in a for p in l)
+    # non-uniform: distinct contexts carry distinct distributions
+    flat_coeff = {r for bt in V.DEFAULT_COEFF_PROBS for b in bt for r in b}
+    assert len(flat_coeff) > 50
+    flat_bmode = {l for a in V.KF_BMODE_PROBS for l in a}
+    assert len(flat_bmode) > 50
+    # spec spot-anchors (§13.5 first non-trivial row, §11.5 [0][0])
+    assert V.DEFAULT_COEFF_PROBS[0][1][0][:6] == (253, 136, 254, 255, 228, 219)
+    assert V.KF_BMODE_PROBS[0][0] == (231, 120, 48, 89, 115, 113, 120, 152, 112)
+    assert V.COEFF_UPDATE_PROBS[0][1][0][:2] == (176, 246)
+
+
+def test_sparse_prob_updates_roundtrip():
+    """Update-relative-to-RFC header path: a stream whose coefficient
+    table differs from the §13.5 defaults in only a FEW entries
+    transmits exactly those updates (tiny header) and decodes exactly —
+    with NO table injection on the decode side."""
+    rng = np.random.default_rng(4242)
+    y, u, v = _rand_planes(rng, 32, 32)
+    # hand-picked sparse deltas: perturb five entries across block
+    # types/bands/contexts, keep everything else at the RFC default
+    probs = [
+        [[list(ctx) for ctx in band] for band in bt]
+        for bt in V.DEFAULT_COEFF_PROBS
+    ]
+    deltas = [(0, 1, 0, 0, 200), (1, 0, 2, 1, 99), (2, 3, 1, 2, 44),
+              (3, 7, 0, 1, 180), (0, 4, 2, 5, 7)]
+    for bt, band, ctx, tok, val in deltas:
+        assert probs[bt][band][ctx][tok] != val
+        probs[bt][band][ctx][tok] = val
+    payload, exp = encode_vp8(y, u, v, q_index=13, explicit_probs=probs)
+    # the sparse header is materially smaller than a full-table one
+    # (1056 literals ≈ 1.2 KiB) — proves updates were actually sparse
+    base_payload, _ = encode_vp8(y, u, v, q_index=13)
+    assert len(payload) - len(base_payload) < 64
+    f = decode_vp8_frame(payload)  # no injection: RFC defaults + updates
+    for pl in ("y", "u", "v"):
+        assert np.array_equal(f[pl], exp[pl])
+
+
+def test_default_probs_stream_needs_no_updates_at_all():
+    """An encoder using the RFC defaults verbatim transmits 1056 zero
+    flags and decodes exactly — the common real-world fast path."""
+    rng = np.random.default_rng(777)
+    y, u, v = _rand_planes(rng, 48, 32)
+    ym = np.full((3, 2), V.B_PRED)
+    bm = {
+        (my, mx): [int(x) for x in rng.integers(0, 10, 16)]
+        for my in range(3)
+        for mx in range(2)
+    }
+    payload, exp = encode_vp8(y, u, v, q_index=26, ymodes=ym, bmodes=bm,
+                              filter_level=12)
+    f = decode_vp8_frame(payload)
+    for pl in ("y", "u", "v"):
+        assert np.array_equal(f[pl], exp[pl])

@@ -491,8 +491,11 @@ def encode_vp8(
 
     ``ymodes``/``uvmodes``: (mb_h, mb_w) arrays of mode ids (default all
     DC_PRED); ``bmodes``: dict {(my,mx): [16 submodes]} for B_PRED MBs.
-    ``explicit_probs``: 4x8x3x11 coefficient probabilities to transmit
-    verbatim in the header (decouples the stream from module defaults).
+    ``explicit_probs``: 4x8x3x11 coefficient probabilities the STREAM
+    should use; transmitted as sparse per-entry updates relative to the
+    RFC §13.5 defaults under the §13.4 flag probabilities — the exact
+    header path a real encoder takes (an entry equal to the default
+    costs one flag bit; a differing entry costs flag + 8-bit literal).
     ``segmentation``: {"abs": 0/1, "quant": [4], "lf": [4],
     "map": (mb_h, mb_w) ids, "tree_probs": [3]}.
 
@@ -669,7 +672,10 @@ def encode_vp8(
                 for tok in range(11):
                     up_p = V.COEFF_UPDATE_PROBS[bt][band][ctx][tok]
                     pv = probs[bt][band][ctx][tok]
-                    if explicit_probs is not None:
+                    # update-relative-to-RFC path (§13.4): transmit an
+                    # entry only where the stream's table differs from
+                    # the §13.5 default — what real encoders emit
+                    if pv != V.DEFAULT_COEFF_PROBS[bt][band][ctx][tok]:
                         e.write_bool(up_p, 1)
                         e.write_literal(8, pv)
                     else:
