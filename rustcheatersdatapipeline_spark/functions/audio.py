@@ -98,6 +98,16 @@ def decode_audio_samples(buf: bytes) -> tuple[np.ndarray, int, int]:
 
         samples, rate = decode_flac_samples(buf)
         return samples, rate, parse_flac_header(buf)[2]
+    if buf[:3] == b"ID3" or (
+        len(buf) >= 4 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        from .multimodal import parse_mp3_header
+
+        if parse_mp3_header(buf) is not None:
+            from .mp3 import decode_mp3_samples
+
+            samples, rate = decode_mp3_samples(buf)
+            return samples, rate, 16
     samples, rate = decode_wav_samples(buf)
     bits = {np.dtype("u1"): 8, np.dtype("<i2"): 16}.get(samples.dtype, 32)
     return samples, rate, bits

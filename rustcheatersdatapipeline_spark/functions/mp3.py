@@ -1,0 +1,583 @@
+"""MPEG-1 Audio Layer III payload decoder — pure stdlib + numpy.
+
+Implements the ISO/IEC 11172-3 Layer III decode path end-to-end for
+mono and (MS/plain) stereo streams: frame/side-info parse, the bit
+reservoir (``main_data_begin`` back-pointer), scalefactor decode
+(slen pairs + scfsi), Huffman decode of big_values/count1 regions,
+requantization (4/3 power law, global gain, scalefac_scale, preflag,
+subblock gain), short-block reorder, MS stereo, alias reduction,
+long/short/start/stop IMDCT with overlap-add, frequency inversion,
+and the 32-band polyphase synthesis filterbank. The engine's audio
+contract matches FLAC/WAV (``decode_audio_samples``): int16 samples
+feeding the shared feature/fingerprint stack (reference parity: the
+reference stores media opaquely, SteamToS3Operator.py; payload decode
+feeds featurize like every other codec here).
+
+Named boundaries (quarantined upstream via DECODE_QUARANTINE, same
+contract as H.264/arithmetic-JPEG): MPEG-2/2.5 (LSF) frames, Layer
+I/II payloads, intensity stereo, mixed blocks, and the Huffman tables
+not transcribed in this offline build (see below).
+
+Table provenance
+----------------
+Closed-form constants (IMDCT windows, alias cs/ca from the spec ci
+list, the synthesis cosine modulation N[i][k], the 4/3 power law) are
+computed, not tabulated. Pure-data tables were transcribed OFFLINE
+from the public ISO 11172-3 constants (no network access to diff
+byte-for-byte — spot-verify before claiming bit parity with reference
+decoders on production data; corrections are pure data edits):
+
+- ``HUFFMAN_TABLES``: pair tables 1,2,3,5,6,7,8,9 (+ the trivial 0)
+  and the count1 tables A/B. Each shipped table is verified
+  prefix-free AND Kraft-complete by ``tests/test_mp3.py`` — a strong
+  structural check a mis-transcribed table essentially cannot pass.
+  Tables 10-13, 15-31 (incl. all linbits/ESC tables) are NOT
+  transcribed: a frame selecting one raises the named
+  ``NotImplementedError`` boundary.
+- ``SYNTH_WINDOW_D``: the 512-coefficient synthesis window (Table
+  B.3), stored as exact n/65536 rationals, symmetric around index
+  256.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ------------------------------------------------------------------ tables
+
+#: scalefactor band boundaries (MPEG-1), long blocks: 22 bands + end
+SFB_LONG = {
+    44100: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576),
+    48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576),
+    32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576),
+}
+#: short blocks: 13 bands + end (per window; whole band spans 3x)
+SFB_SHORT = {
+    44100: (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+}
+
+#: scalefac_compress -> (slen1, slen2)
+SLEN = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+#: preflag emphasis per long scalefactor band
+PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+#: alias-reduction ci constants (§2.4.3.4.7.1)
+_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+ALIAS_CS = tuple(1.0 / (1.0 + c * c) ** 0.5 for c in _CI)
+ALIAS_CA = tuple(c / (1.0 + c * c) ** 0.5 for c in _CI)
+
+#: Huffman pair tables actually transcribed: id -> (nx, hlen, hcod),
+#: row-major over (x, y). All have linbits = 0; the linbits/ESC tables
+#: (15..31 with their linbits column) and 10-13, 15 are the named
+#: untranscribed boundary.
+HUFFMAN_TABLES: dict[int, tuple[int, tuple, tuple]] = {
+    1: (2, (1, 3, 2, 3), (1, 1, 1, 0)),
+    2: (3, (1, 3, 6, 3, 3, 5, 5, 5, 6), (1, 2, 1, 3, 1, 1, 3, 2, 0)),
+    3: (3, (2, 2, 6, 3, 2, 5, 5, 5, 6), (3, 2, 1, 1, 1, 1, 3, 2, 0)),
+    5: (4, (1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8),
+        (1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0)),
+    6: (4, (3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7),
+        (7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0)),
+    7: (6, (1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+            7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10),
+        (1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+         12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0)),
+    8: (6, (2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+            8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11),
+        (3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+         19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0)),
+    9: (6, (3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+            6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9),
+        (7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+         15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0)),
+}
+
+#: count1 table A: 16 quad entries (v,w,x,y bits of the index)
+COUNT1_A = ((1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6),
+            (1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1))
+
+#: synthesis window D (Table B.3) as n/65536 rationals; indices
+#: 257..511 mirror 255..1 (window symmetric around 256)
+_D_HALF = (
+    0, -1, -1, -1, -1, -1, -1, -2, -2, -2, -2, -3, -3, -4, -4, -5,
+    -5, -6, -7, -7, -8, -9, -10, -11, -13, -14, -16, -17, -19, -21, -24, -26,
+    -29, -31, -35, -38, -41, -45, -49, -53, -58, -63, -68, -73, -79, -85,
+    -91, -97, -104, -111, -117, -125, -132, -139, -147, -154, -161, -169,
+    -176, -183, -190, -196, -202, -208, -213, -218, -222, -225, -227, -228,
+    -228, -227, -224, -221, -215, -208, -200, -189, -177, -163, -146, -127,
+    -106, -83, -57, -29, 2, 36, 72, 111, 153, 197, 244, 294, 347, 401,
+    459, 519, 581, 645, 711, 779, 848, 919, 991, 1064, 1137, 1210, 1283,
+    1356, 1428, 1498, 1567, 1634, 1698, 1759, 1817, 1870, 1919, 1962, 2001,
+    2032, 2057, 2075, 2085, 2087, 2080, 2063, 2037, 2000, 1952, 1893, 1822,
+    1739, 1644, 1535, 1414, 1280, 1131, 970, 794, 605, 402, 185, -45, -288,
+    -545, -814, -1095, -1388, -1692, -2006, -2330, -2663, -3004, -3351,
+    -3705, -4063, -4425, -4788, -5153, -5517, -5879, -6237, -6589, -6935,
+    -7271, -7597, -7910, -8209, -8491, -8755, -8998, -9219, -9416, -9585,
+    -9727, -9838, -9916, -9959, -9966, -9935, -9863, -9750, -9592, -9389,
+    -9139, -8840, -8492, -8092, -7640, -7134, -6574, -5959, -5288, -4561,
+    -3776, -2935, -2037, -1082, -70, 998, 2122, 3300, 4533, 5818, 7154,
+    8540, 9975, 11455, 12980, 14548, 16155, 17799, 19478, 21189, 22929,
+    24694, 26482, 28289, 30112, 31947, 33791, 35640, 37489, 39336, 41176,
+    43006, 44821, 46617, 48390, 50137, 51853, 53534, 55178, 56778, 58333,
+    59838, 61289, 62684, 64019, 65290, 66494, 67629, 68692, 69679, 70590,
+    71420, 72169, 72835, 73415, 73908, 74313, 74630, 74856, 74992, 75038,
+)
+assert len(_D_HALF) == 257
+SYNTH_WINDOW_D = np.array(
+    list(_D_HALF) + [_D_HALF[512 - i] for i in range(257, 512)], np.float64
+) / 65536.0
+
+#: decode bound: same spirit as the FLAC/image bomb bounds
+_MP3_MAX_SAMPLES = 1 << 26
+
+
+# ------------------------------------------------------- derived constants
+
+
+def _imdct_matrix(n: int) -> np.ndarray:
+    """n-point IMDCT basis: out[t] = sum_k X[k] M[t, k] (spec §2.4.3.4.12),
+    t in 0..n-1, k in 0..n/2-1."""
+    half = n // 2
+    t = np.arange(n)[:, None]
+    k = np.arange(half)[None, :]
+    return np.cos(np.pi / (2 * n) * (2 * t + 1 + half) * (2 * k + 1))
+
+
+_IMDCT36 = _imdct_matrix(36)
+_IMDCT12 = _imdct_matrix(12)
+
+_WIN_SINE36 = np.sin(np.pi / 36 * (np.arange(36) + 0.5))
+_WIN_SINE12 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+_WIN_START = np.concatenate([
+    _WIN_SINE36[:18], np.ones(6), np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5)),
+    np.zeros(6),
+])
+_WIN_STOP = np.concatenate([
+    np.zeros(6), np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5)), np.ones(6),
+    _WIN_SINE36[18:],
+])
+_BLOCK_WINDOWS = {0: _WIN_SINE36, 1: _WIN_START, 3: _WIN_STOP}
+
+#: polyphase modulation N[i][k] = cos((16+i)(2k+1)pi/64)
+_SYNTH_N = np.cos(
+    (16 + np.arange(64))[:, None] * (2 * np.arange(32) + 1)[None, :] * np.pi / 64
+)
+
+
+def _build_huff_decoder(hlen, hcod):
+    """(code_string -> index) map for bit-serial decode."""
+    return {format(c, f"0{l}b"): i for i, (l, c) in enumerate(zip(hlen, hcod))}
+
+
+_PAIR_DECODERS = {
+    tid: (_build_huff_decoder(hlen, hcod), nx)
+    for tid, (nx, hlen, hcod) in HUFFMAN_TABLES.items()
+}
+_COUNT1A_DECODER = _build_huff_decoder(*COUNT1_A)
+
+
+# -------------------------------------------------------------- bit reader
+
+
+class _BitReader:
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.d = data
+        self.pos = pos_bits
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.d):
+                raise ValueError("MP3: truncated bitstream")
+            v = (v << 1) | ((self.d[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def huff(self, decoder: dict) -> int:
+        code = ""
+        for _ in range(20):
+            code += "1" if self.bits(1) else "0"
+            hit = decoder.get(code)
+            if hit is not None:
+                return hit
+        raise ValueError("MP3: invalid Huffman code")
+
+
+# ---------------------------------------------------------------- side info
+
+
+def _parse_side_info(data: bytes, channels: int) -> dict:
+    rd = _BitReader(data)
+    si = {"main_data_begin": rd.bits(9)}
+    rd.bits(5 if channels == 1 else 3)  # private bits
+    si["scfsi"] = [[rd.bits(1) for _ in range(4)] for _ in range(channels)]
+    grs = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(channels):
+            g = {
+                "part2_3_length": rd.bits(12),
+                "big_values": rd.bits(9),
+                "global_gain": rd.bits(8),
+                "scalefac_compress": rd.bits(4),
+                "window_switching": rd.bits(1),
+            }
+            if g["window_switching"]:
+                g["block_type"] = rd.bits(2)
+                g["mixed_block_flag"] = rd.bits(1)
+                g["table_select"] = [rd.bits(5), rd.bits(5)]
+                g["subblock_gain"] = [rd.bits(3) for _ in range(3)]
+                if g["block_type"] == 0:
+                    raise ValueError("MP3: window switching with block_type 0")
+                if g["mixed_block_flag"]:
+                    raise NotImplementedError("MP3: mixed blocks")
+                # under window switching the region split is spec-fixed
+                # (_read_huffman hardcodes region1_start=36, region2=576)
+            else:
+                g["block_type"] = 0
+                g["mixed_block_flag"] = 0
+                g["table_select"] = [rd.bits(5), rd.bits(5), rd.bits(5)]
+                g["region0_count"] = rd.bits(4)
+                g["region1_count"] = rd.bits(3)
+                g["subblock_gain"] = [0, 0, 0]
+            g["preflag"] = rd.bits(1)
+            g["scalefac_scale"] = rd.bits(1)
+            g["count1table_select"] = rd.bits(1)
+            if g["big_values"] > 288:
+                raise ValueError("MP3: big_values exceeds 288")
+            chs.append(g)
+        grs.append(chs)
+    si["granules"] = grs
+    return si
+
+
+# ------------------------------------------------------------ scalefactors
+
+
+def _read_scalefacs(rd: _BitReader, g: dict, gr: int, scfsi, prev) -> dict:
+    slen1, slen2 = SLEN[g["scalefac_compress"]]
+    if g["block_type"] == 2 and g["window_switching"]:
+        sf = [[0] * 13 for _ in range(3)]
+        for band in range(6):
+            for w in range(3):
+                sf[w][band] = rd.bits(slen1)
+        for band in range(6, 12):
+            for w in range(3):
+                sf[w][band] = rd.bits(slen2)
+        return {"short": sf, "long": None}
+    sf = [0] * 22
+    groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+    for gi, (lo, hi, sl) in enumerate(groups):
+        if gr == 1 and scfsi[gi]:
+            if prev is None or prev.get("long") is None:
+                raise ValueError("MP3: scfsi set with no granule-0 long scalefacs")
+            for band in range(lo, hi):
+                sf[band] = prev["long"][band]
+        else:
+            for band in range(lo, hi):
+                sf[band] = rd.bits(sl)
+    return {"long": sf, "short": None}
+
+
+# ----------------------------------------------------------------- huffman
+
+
+def _read_huffman(rd: _BitReader, g: dict, rate: int, part2_3_end: int):
+    xs = np.zeros(576, np.float64)
+    signs = np.ones(576, np.float64)
+    long_b = SFB_LONG[rate]
+    if g["window_switching"]:
+        region1_start = 36
+        region2_start = 576
+    else:
+        r0 = min(g["region0_count"] + 1, 22)
+        r1 = min(r0 + g["region1_count"] + 1, 22)
+        region1_start = long_b[r0]
+        region2_start = long_b[r1]
+    n_big = 2 * g["big_values"]
+
+    def table_for(i):
+        if i < region1_start:
+            sel = g["table_select"][0]
+        elif i < region2_start:
+            sel = g["table_select"][1]
+        else:
+            sel = g["table_select"][2]
+        return sel
+
+    i = 0
+    while i < n_big:
+        sel = table_for(i)
+        if sel == 0:
+            xs[i] = xs[i + 1] = 0.0
+            i += 2
+            continue
+        if sel not in _PAIR_DECODERS:
+            raise NotImplementedError(
+                f"MP3: Huffman table {sel} not transcribed in this build"
+            )
+        dec, nx = _PAIR_DECODERS[sel]
+        idx = rd.huff(dec)
+        x, y = divmod(idx, nx)
+        if x:
+            xs[i] = x
+            signs[i] = -1.0 if rd.bits(1) else 1.0
+        if y:
+            xs[i + 1] = y
+            signs[i + 1] = -1.0 if rd.bits(1) else 1.0
+        i += 2
+    # count1: quads until the part2_3 bit budget is exhausted; a quad
+    # whose code or sign bits overrun the budget is discarded (spec rule)
+    while rd.pos < part2_3_end and i <= 572:
+        if g["count1table_select"]:
+            quad = rd.bits(4) ^ 0xF  # table B: 4-bit raw, inverted
+        else:
+            quad = rd.huff(_COUNT1A_DECODER)
+        vals = ((quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1)
+        for j, v in enumerate(vals):
+            if v:
+                xs[i + j] = 1.0
+                signs[i + j] = -1.0 if rd.bits(1) else 1.0
+        if rd.pos > part2_3_end:
+            xs[i : i + 4] = 0.0  # overran: the partial quad is void
+            break
+        i += 4
+    return xs, signs, i
+
+
+# ------------------------------------------------------------- requantize
+
+
+def _requantize(xs, signs, g, sf, rate):
+    mag = np.abs(xs) ** (4.0 / 3.0)
+    exp = np.zeros(576, np.float64)
+    gain = 0.25 * (g["global_gain"] - 210)
+    scale = 0.5 * (1 + g["scalefac_scale"])
+    if g["block_type"] == 2 and g["window_switching"]:
+        short_b = SFB_SHORT[rate]
+        for sfb in range(13):
+            lo, hi = short_b[sfb], short_b[sfb + 1]
+            w_width = hi - lo
+            for w in range(3):
+                start = 3 * lo + w * w_width
+                exp[start : start + w_width] = (
+                    gain
+                    - 2.0 * g["subblock_gain"][w]
+                    - scale * sf["short"][w][sfb]
+                )
+    else:
+        long_b = SFB_LONG[rate]
+        for sfb in range(22):
+            lo, hi = long_b[sfb], long_b[sfb + 1]
+            s = sf["long"][sfb] + (PRETAB[sfb] if g["preflag"] else 0)
+            exp[lo:hi] = gain - scale * s
+    return signs * mag * np.exp2(exp)
+
+
+# ------------------------------------------------------- reorder & stereo
+
+
+def _reorder_short(xr, rate):
+    short_b = SFB_SHORT[rate]
+    out = np.empty_like(xr)
+    for sfb in range(13):
+        lo, hi = short_b[sfb], short_b[sfb + 1]
+        w_width = hi - lo
+        base = 3 * lo
+        block = xr[base : base + 3 * w_width].reshape(3, w_width)
+        out[base : base + 3 * w_width] = block.T.reshape(-1)
+    return out
+
+
+def _alias_reduce(xr):
+    for sb in range(1, 32):
+        p = 18 * sb
+        for i in range(8):
+            a = xr[p - 1 - i]
+            b = xr[p + i]
+            xr[p - 1 - i] = a * ALIAS_CS[i] - b * ALIAS_CA[i]
+            xr[p + i] = b * ALIAS_CS[i] + a * ALIAS_CA[i]
+    return xr
+
+
+# --------------------------------------------------------- IMDCT/synthesis
+
+
+def _imdct_granule(xr, block_type, window_switching, overlap):
+    """(32, 18) time samples after IMDCT + window + overlap-add +
+    frequency inversion; mutates ``overlap`` (32, 18)."""
+    out = np.empty((32, 18))
+    for sb in range(32):
+        X = xr[18 * sb : 18 * sb + 18]
+        if block_type == 2 and window_switching:
+            z = np.zeros(36)
+            for w in range(3):
+                y = _IMDCT12 @ X[w::3]
+                z[6 + 6 * w : 18 + 6 * w] += y * _WIN_SINE12
+            block = z
+        else:
+            block = (_IMDCT36 @ X) * _BLOCK_WINDOWS[block_type]
+        out[sb] = block[:18] + overlap[sb]
+        overlap[sb] = block[18:]
+    # frequency inversion: odd subbands negate odd time samples
+    out[1::2, 1::2] *= -1.0
+    return out
+
+
+class _Synthesizer:
+    """32-band polyphase synthesis (one per channel, carries the V fifo)."""
+
+    def __init__(self) -> None:
+        self.v = np.zeros(1024)
+
+    def run(self, bands: np.ndarray) -> np.ndarray:
+        """(32, 18) subband samples -> 576 PCM floats."""
+        out = np.empty(576)
+        for ss in range(18):
+            self.v = np.roll(self.v, 64)
+            self.v[:64] = _SYNTH_N @ bands[:, ss]
+            u = np.empty(512)
+            for i in range(8):
+                u[64 * i : 64 * i + 32] = self.v[128 * i : 128 * i + 32]
+                u[64 * i + 32 : 64 * i + 64] = self.v[128 * i + 96 : 128 * i + 128]
+            w = u * SYNTH_WINDOW_D
+            out[32 * ss : 32 * ss + 32] = w.reshape(16, 32).sum(axis=0)
+        return out
+
+
+# ------------------------------------------------------------------ decode
+
+
+def _parse_header(b: bytes, pos: int) -> dict | None:
+    from .multimodal import _mp3_frame
+
+    f = _mp3_frame(b, pos)
+    if f is None:
+        return None
+    b1, b2, b3, b4 = b[pos : pos + 4]
+    version = (b2 >> 3) & 0x3
+    layer = 4 - ((b2 >> 1) & 0x3)
+    mode = (b4 >> 6) & 0x3
+    return {
+        "size": f[0],
+        "rate": f[2],
+        "channels": f[3],
+        "mpeg1": version == 3,
+        "layer": layer,
+        "protected": (b2 & 1) == 0,
+        "mode": mode,
+        "ms_stereo": mode == 1 and bool((b4 >> 5) & 1),
+        "intensity": mode == 1 and bool((b4 >> 4) & 1),
+    }
+
+
+def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
+    """Full MPEG-1 Layer III decode → ((n, channels) int16 samples,
+    rate) — ``decode_wav_samples``'s contract, so the whole audio
+    feature/fingerprint stack applies unchanged. Corruption raises
+    ValueError; untranscribed-table / LSF / intensity / mixed-block
+    frames raise the named ``NotImplementedError`` boundary (both
+    quarantined upstream via DECODE_QUARANTINE)."""
+    pos = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = 0
+        for b in buf[6:10]:
+            if b & 0x80:
+                raise ValueError("MP3: bad ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+    reservoir = bytearray()
+    pcm: list[np.ndarray] = []
+    rate0 = channels0 = None
+    overlap = None
+    synths = None
+    n_out = 0
+    while pos < len(buf):
+        if buf[pos : pos + 3] == b"TAG" and len(buf) - pos == 128:
+            break
+        hdr = _parse_header(buf, pos)
+        if hdr is None:
+            if len(buf) - pos < 4 and pcm:
+                break
+            raise ValueError("MP3: lost frame sync")
+        if hdr["layer"] != 3:
+            raise NotImplementedError(f"MP3: Layer {hdr['layer']} payload decode")
+        if not hdr["mpeg1"]:
+            raise NotImplementedError("MP3: MPEG-2/2.5 (LSF) decode")
+        if hdr["intensity"]:
+            raise NotImplementedError("MP3: intensity stereo")
+        rate, channels = hdr["rate"], hdr["channels"]
+        if rate0 is None:
+            rate0, channels0 = rate, channels
+            overlap = [np.zeros((32, 18)) for _ in range(channels)]
+            synths = [_Synthesizer() for _ in range(channels)]
+        elif rate != rate0 or channels != channels0:
+            raise ValueError("MP3: stream parameters changed mid-payload")
+        frame = buf[pos : pos + hdr["size"]]
+        if len(frame) < hdr["size"]:
+            raise ValueError("MP3: truncated frame")
+        body = 4 + (2 if hdr["protected"] else 0)
+        si_len = 17 if channels == 1 else 32
+        if len(frame) < body + si_len:
+            raise ValueError("MP3: frame too small for side info")
+        si = _parse_side_info(frame[body : body + si_len], channels)
+        main_chunk = frame[body + si_len :]
+        start = len(reservoir) - si["main_data_begin"]
+        if start < 0:
+            raise ValueError("MP3: bit-reservoir underflow")
+        reservoir.extend(main_chunk)
+        rd = _BitReader(bytes(reservoir), 8 * start)
+        prev_sf = [None] * channels
+        for gr in range(2):
+            chans = []
+            for ch in range(channels):
+                g = si["granules"][gr][ch]
+                p23_end = rd.pos + g["part2_3_length"]
+                sf = _read_scalefacs(rd, g, gr, si["scfsi"][ch], prev_sf[ch])
+                if sf["long"] is not None:
+                    prev_sf[ch] = sf
+                xs, signs, _ = _read_huffman(rd, g, rate, p23_end)
+                if rd.pos > p23_end:
+                    raise ValueError("MP3: part2_3_length overrun")
+                rd.pos = p23_end  # skip stuffing bits
+                chans.append(_requantize(xs, signs, g, sf, rate))
+            if channels == 2 and hdr["ms_stereo"]:
+                m, s = chans
+                inv = 1.0 / np.sqrt(2.0)
+                chans = [(m + s) * inv, (m - s) * inv]
+            for ch in range(channels):
+                g = si["granules"][gr][ch]
+                xr = chans[ch]
+                if g["block_type"] == 2 and g["window_switching"]:
+                    xr = _reorder_short(xr, rate)
+                else:
+                    xr = _alias_reduce(xr.copy())
+                bands = _imdct_granule(
+                    xr, g["block_type"], g["window_switching"], overlap[ch]
+                )
+                chans[ch] = synths[ch].run(bands)
+            pcm.append(np.stack(chans, axis=1))
+            n_out += 576 * channels
+            if n_out > _MP3_MAX_SAMPLES:
+                raise ValueError("MP3: stream exceeds decode bound")
+        # bound the reservoir: back-pointer is 9 bits (max 511 bytes)
+        if len(reservoir) > 511:
+            del reservoir[: len(reservoir) - 511]
+        pos += hdr["size"]
+    if not pcm:
+        raise ValueError("MP3: no decodable frames")
+    x = np.concatenate(pcm, axis=0)
+    return (
+        np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16),
+        rate0,
+    )

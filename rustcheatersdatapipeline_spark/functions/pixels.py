@@ -922,6 +922,26 @@ def decode_media(buf: bytes) -> dict:
             "mean": float(flat.mean()) if samples.size else 0.0,
             "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
         }
+    if buf[:3] == b"ID3" or (
+        len(buf) >= 4 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        from .multimodal import parse_mp3_header
+
+        if parse_mp3_header(buf) is not None:
+            from .mp3 import decode_mp3_samples
+
+            samples, _rate = decode_mp3_samples(buf)
+            flat = samples.astype(np.float64)
+            return {
+                "mime": "audio/mpeg",
+                "kind": "audio",
+                "width": None,
+                "height": None,
+                "channels": int(samples.shape[1]) if samples.size else 0,
+                "n_samples": int(samples.shape[0]),
+                "mean": float(flat.mean()) if samples.size else 0.0,
+                "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
+            }
     if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         from .vp8l import decode_webp_pixels
 

@@ -1,0 +1,283 @@
+"""MPEG-1 Layer III decoder — differential tests against the
+independent test encoder/model in ``tests/mp3enc.py`` (same discipline
+as vp8enc: shared DATA tables, independently written math), plus
+structural validation of the transcribed Huffman tables and totality
+fuzzing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rustcheatersdatapipeline_spark.functions import mp3 as M
+from rustcheatersdatapipeline_spark.functions.mp3 import decode_mp3_samples
+from tests.mp3enc import encode_mp3, expected_pcm
+
+
+def _gr(**kw):
+    g = {"is": [0] * 576}
+    g.update(kw)
+    return g
+
+
+def _frames_mono(*granules):
+    """Pack granule dicts (2 per frame) into the frames structure."""
+    assert len(granules) % 2 == 0
+    return [
+        [[granules[i]], [granules[i + 1]]] for i in range(0, len(granules), 2)
+    ]
+
+
+def _assert_matches(buf, frames, rate=48000, channels=1, ms=False):
+    got, got_rate = decode_mp3_samples(buf)
+    assert got_rate == rate
+    want = expected_pcm(frames, rate=rate, channels=channels, ms_stereo=ms)
+    want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
+    assert got.shape == want16.shape
+    assert np.max(np.abs(got.astype(np.int64) - want16.astype(np.int64))) <= 1
+    return got
+
+
+# ---------------------------------------------------------------- tables
+
+
+def test_huffman_tables_are_prefix_free_and_kraft_complete():
+    """A genuine spec Huffman table is a COMPLETE prefix code — a
+    transcription error essentially cannot preserve both properties.
+    Every shipped table must pass."""
+    def codes_of(hlen, hcod):
+        return [format(c, f"0{l}b") for l, c in zip(hlen, hcod)]
+
+    tables = {f"pair{tid}": codes_of(h, c) for tid, (_n, h, c) in M.HUFFMAN_TABLES.items()}
+    tables["count1A"] = codes_of(*M.COUNT1_A)
+    for name, codes in tables.items():
+        assert len(set(codes)) == len(codes), name
+        for i, a in enumerate(codes):
+            for j, b in enumerate(codes):
+                assert i == j or not b.startswith(a), (name, a, b)
+        kraft = sum(2.0 ** -len(c) for c in codes)
+        assert abs(kraft - 1.0) < 1e-12, (name, kraft)
+
+
+def test_synth_window_shape():
+    d = np.asarray(M.SYNTH_WINDOW_D)
+    assert d.shape == (512,)
+    assert d[0] == 0.0
+    assert abs(d[256] - 75038 / 65536) < 1e-12  # documented peak
+    # symmetric around 256
+    assert np.array_equal(d[257:], d[1:256][::-1])
+
+
+# ------------------------------------------------------------ round trips
+
+
+def test_silence_decodes_to_silence():
+    frames = _frames_mono(_gr(), _gr())
+    buf = encode_mp3(frames, rate=48000, bitrate=64000)
+    got = _assert_matches(buf, frames)
+    assert got.shape == (1152, 1)
+    assert np.max(np.abs(got)) <= 1
+
+
+def test_long_block_spectra_all_shipped_tables():
+    """Sparse long-block spectra routed through every shipped pair
+    table (region boundaries chosen so each table decodes real
+    values)."""
+    rng = np.random.default_rng(11)
+    for table in sorted(M.HUFFMAN_TABLES):
+        nx = M.HUFFMAN_TABLES[table][0]
+        vals = [0] * 576
+        for i in range(0, 80, 2):
+            vals[i] = int(rng.integers(-(nx - 1), nx))
+            vals[i + 1] = int(rng.integers(-(nx - 1), nx))
+        # count1 tail of +-1 quads
+        for i in range(80, 96):
+            vals[i] = int(rng.integers(-1, 2))
+        g0 = _gr(is_=None)
+        g0 = _gr(**{"is": vals, "table_select": [table, table, table],
+                    "global_gain": 140, "big_end": 80})
+        g1 = _gr(**{"is": [0] * 576})
+        frames = _frames_mono(g0, g1)
+        buf = encode_mp3(frames, rate=44100, bitrate=160000)
+        _assert_matches(buf, frames, rate=44100)
+
+
+def test_requantization_parameters():
+    """global_gain / scalefac_scale / preflag / scalefactors all change
+    the output exactly as the independent model predicts."""
+    vals = [0] * 576
+    for i in range(0, 60, 2):
+        vals[i] = (i // 2) % 3 - 1
+        vals[i + 1] = 2 if i % 6 == 0 else 0
+    sfl = [i % 8 for i in range(22)]
+    g0 = _gr(**{"is": vals, "global_gain": 190, "scalefac_scale": 1,
+                "preflag": 1, "scalefac_long": sfl,
+                "scalefac_compress": 13,  # slen 3/3: sfl values fit
+                "table_select": [2, 2, 2]})
+    g1 = _gr(**{"is": vals, "global_gain": 150, "table_select": [2, 2, 2]})
+    frames = _frames_mono(g0, g1)
+    buf = encode_mp3(frames, rate=32000, bitrate=160000)
+    _assert_matches(buf, frames, rate=32000)
+
+
+def test_scfsi_reuses_granule0_scalefactors():
+    vals = [0] * 576
+    for i in range(0, 40, 2):
+        vals[i] = 1
+    sfl = [1] * 22
+    g0 = _gr(**{"is": vals, "scalefac_long": sfl, "scalefac_compress": 5,
+                "table_select": [1, 1, 1], "global_gain": 170})
+    g1 = _gr(**{"is": vals, "scalefac_long": sfl, "scalefac_compress": 5,
+                "table_select": [1, 1, 1], "global_gain": 170})
+    frames = _frames_mono(g0, g1)
+    scfsi = [[1, 1, 0, 0]]
+    buf = encode_mp3(frames, rate=48000, bitrate=96000, scfsi=scfsi)
+    _assert_matches(buf, frames)
+
+
+def test_short_blocks_with_subblock_gain():
+    vals = [0] * 576
+    for i in range(0, 48, 2):
+        vals[i] = 1 - (i % 4)
+        vals[i + 1] = 1
+    sfs = [[(b + w) % 4 for b in range(13)] for w in range(3)]
+    g0 = _gr(**{"is": vals, "block_type": 2, "scalefac_short": sfs,
+                "scalefac_compress": 10,  # slen 2/3
+                "subblock_gain": [0, 1, 2], "table_select": [3, 3],
+                "global_gain": 160})
+    g1 = _gr(**{"is": [0] * 576, "block_type": 2, "table_select": [1, 1]})
+    frames = _frames_mono(g0, g1)
+    buf = encode_mp3(frames, rate=44100, bitrate=160000)
+    _assert_matches(buf, frames, rate=44100)
+
+
+def test_start_stop_block_transition():
+    vals = [0] * 576
+    for i in range(0, 36, 2):
+        vals[i] = 1
+    g0 = _gr(**{"is": vals, "block_type": 1, "table_select": [1, 1],
+                "global_gain": 170})
+    g1 = _gr(**{"is": vals, "block_type": 3, "table_select": [1, 1],
+                "global_gain": 170})
+    frames = _frames_mono(g0, g1)
+    buf = encode_mp3(frames, rate=48000, bitrate=96000)
+    _assert_matches(buf, frames)
+
+
+def test_stereo_plain_and_ms():
+    vals_l = [0] * 576
+    vals_r = [0] * 576
+    for i in range(0, 40, 2):
+        vals_l[i] = 2
+        vals_r[i] = -1
+    mk = lambda v: _gr(**{"is": v, "table_select": [2, 2, 2],  # noqa: E731
+                          "global_gain": 160})
+    frames = [[[mk(vals_l), mk(vals_r)], [mk(vals_r), mk(vals_l)]]]
+    buf = encode_mp3(frames, rate=48000, bitrate=224000, channels=2)
+    got = _assert_matches(buf, frames, channels=2)
+    assert got.shape == (1152, 2)
+    buf_ms = encode_mp3(frames, rate=48000, bitrate=224000, channels=2,
+                        ms_stereo=True)
+    _assert_matches(buf_ms, frames, channels=2, ms=True)
+
+
+def test_bit_reservoir_across_frames():
+    """Low bitrate + multiple frames: later frames carry nonzero
+    main_data_begin back-pointers and decode exactly."""
+    vals = [0] * 576
+    for i in range(0, 32, 2):
+        vals[i] = 1
+    g = lambda: _gr(**{"is": vals, "table_select": [1, 1, 1],  # noqa: E731
+                       "global_gain": 165})
+    frames = [[ [g()], [g()] ] for _ in range(4)]
+    buf = encode_mp3(frames, rate=48000, bitrate=32000)
+    # prove the stream really used the reservoir: frame 2+ back-pointer
+    from rustcheatersdatapipeline_spark.functions.mp3 import _parse_side_info
+    frame_size = 144 * 32000 // 48000
+    si2 = _parse_side_info(buf[frame_size + 4 : frame_size + 4 + 17], 1)
+    assert si2["main_data_begin"] > 0
+    got = _assert_matches(buf, frames)
+    assert got.shape == (4 * 1152, 1)
+
+
+# ------------------------------------------------------------- boundaries
+
+
+def test_untranscribed_table_is_named_boundary():
+    vals = [0] * 576
+    vals[0] = 1
+    g0 = _gr(**{"is": vals, "table_select": [1, 1, 1], "big_end": 2})
+    frames = _frames_mono(g0, _gr())
+    buf = bytearray(encode_mp3(frames, rate=48000, bitrate=96000))
+    # rewrite granule 0's table_select[0] (5 bits) from 1 to 16 in the
+    # side info: offset = 4 (header) + 9+5+4 (mdb/priv/scfsi) + 12+9+8+4+1
+    # bits into side info = 52 bits in
+    bit_off = 8 * 4 + 9 + 5 + 4 + 12 + 9 + 8 + 4 + 1
+    for i, bit in enumerate(f"{16:05b}"):
+        byte, off = divmod(bit_off + i, 8)
+        if bit == "1":
+            buf[byte] |= 0x80 >> off
+        else:
+            buf[byte] &= ~(0x80 >> off) & 0xFF
+    with pytest.raises(NotImplementedError, match="table 16"):
+        decode_mp3_samples(bytes(buf))
+
+
+def test_totality_under_mutation_and_truncation():
+    vals = [0] * 576
+    for i in range(0, 24, 2):
+        vals[i] = 1
+    g = _gr(**{"is": vals, "table_select": [1, 1, 1], "global_gain": 170})
+    frames = _frames_mono(g, _gr())
+    buf = bytearray(encode_mp3(frames, rate=44100, bitrate=96000))
+    rng = np.random.default_rng(5)
+    for _ in range(120):
+        mutated = bytearray(buf)
+        for _ in range(int(rng.integers(1, 4))):
+            mutated[int(rng.integers(0, len(mutated)))] = int(rng.integers(0, 256))
+        try:
+            out, _rate = decode_mp3_samples(bytes(mutated))
+            assert out.dtype == np.int16
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(0, len(buf), 7):
+        try:
+            decode_mp3_samples(bytes(buf[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_wired_into_shared_audio_dispatch():
+    from rustcheatersdatapipeline_spark.functions.audio import (
+        decode_audio_samples,
+    )
+
+    vals = [0] * 576
+    for i in range(0, 24, 2):
+        vals[i] = 2
+    g = _gr(**{"is": vals, "table_select": [2, 2, 2], "global_gain": 175})
+    # two frames: the shared sniffer requires two agreeing headers
+    frames = _frames_mono(g, _gr(), g, _gr())
+    buf = encode_mp3(frames, rate=44100, bitrate=96000)
+    samples, rate, bits = decode_audio_samples(buf)
+    assert rate == 44100 and bits == 16
+    assert samples.shape == (2304, 1)
+    # ID3v2-tagged payloads route the same way
+    tagged = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + buf
+    s2, r2, _ = decode_audio_samples(tagged)
+    assert np.array_equal(s2, samples) and r2 == 44100
+
+
+def test_decode_media_routes_mp3():
+    from rustcheatersdatapipeline_spark.functions.pixels import decode_media
+
+    vals = [0] * 576
+    for i in range(0, 24, 2):
+        vals[i] = 1
+    g = _gr(**{"is": vals, "table_select": [1, 1, 1], "global_gain": 172})
+    frames = _frames_mono(g, _gr(), g, _gr())
+    buf = encode_mp3(frames, rate=48000, bitrate=96000)
+    feats = decode_media(buf)
+    assert feats["mime"] == "audio/mpeg" and feats["kind"] == "audio"
+    assert feats["n_samples"] == 2304 and feats["channels"] == 1
+    assert feats["rms"] > 0.0
