@@ -172,3 +172,53 @@ def test_bounds_and_mutation_totality():
             assert isinstance(out, np.ndarray)
         except DECODE_QUARANTINE:
             pass
+
+
+def test_interframe_anmf_quarantine_rate_gate(spark):
+    """Scoped inter-coded-ANMF gate (r10): a synthetic animated-lossy
+    corpus — 30 all-keyframe animations plus 10 whose second ANMF frame
+    is inter-coded (frame-tag LSB=1) — driven through the SPARK
+    featurize path. Keyframe animations all decode; the inter-coded
+    ones quarantine (never fail the task), and the measured quarantine
+    rate is exactly the planted interframe fraction. The decoder-level
+    boundary stays named so the rate is attributable."""
+    import pytest as _pytest
+
+    from rustcheatersdatapipeline_spark.functions.pixels import featurize_pixels
+    from rustcheatersdatapipeline_spark.functions.vp8 import parse_frame_tag
+
+    half = np.full((8, 8), 128, np.uint8)
+
+    def keyframe(seed):
+        y = np.full((16, 16), 40 + 5 * seed, np.uint8)
+        p, _ = encode_vp8(y, half, half, q_index=4)
+        return p
+
+    def interframe_payload(seed):
+        p = bytearray(keyframe(seed))
+        p[0] |= 0x01  # frame-tag LSB: interframe
+        return bytes(p)
+
+    # the decoder-level boundary is NAMED (attribution for the rate)
+    with _pytest.raises(NotImplementedError, match="interframe"):
+        parse_frame_tag(interframe_payload(0))
+
+    rows = []
+    for i in range(40):
+        frames = [(b"VP8 ", keyframe(i), 0, 0, 16, 16, 0, 1)]
+        if i % 4 == 0:  # 10 of 40 get an inter-coded second frame
+            frames.append((b"VP8 ", interframe_payload(i), 0, 0, 16, 16, 0, 0))
+        else:
+            frames.append((b"VP8 ", keyframe(i + 1), 0, 0, 16, 16, 0, 0))
+        rows.append((i, bytearray(make_webp_anim((16, 16), frames))))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    feats = featurize_pixels(media).collect()
+    assert len(feats) == 40
+    quarantined = {r["item_id"] for r in feats if r["kind"] == "unknown"}
+    decoded = {r["item_id"] for r in feats if r["kind"] == "image"}
+    assert quarantined == set(range(0, 40, 4))
+    assert len(decoded) == 30
+    assert len(quarantined) / len(feats) == 0.25  # exactly the planted rate
+    for r in feats:
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (16, 16)
