@@ -119,21 +119,35 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot change the result and the DuckDB oracle is bit-exact.
     Ties rank by lower doc_id.
 
-    Plan: postings ⋈ broadcast(query terms) prunes the corpus to
-    postings on query terms; df for those terms is a tiny aggregate
-    (broadcast back); document lengths join by doc_id.  No quadratic
-    step anywhere — candidate rows are |postings on query terms|.
+    Plan: the token stream is pruned to query terms by a broadcast
+    join BEFORE the posting aggregation, so the corpus shuffle carries
+    only query-term occurrences (not the full vocabulary word-count —
+    the r10 fix that makes the arm's shuffle ∝ query-term hits); df
+    for those terms is a tiny aggregate (broadcast back); document
+    lengths join by doc_id.  No quadratic step anywhere — candidate
+    rows are |postings on query terms|.
     """
-    post = _postings(spark, sf_dir)
     qt = _query_terms(spark, sf_dir)
     terms = qt.select("term").distinct()
-    # corpus postings restricted to query terms (broadcast semi-join)
-    postq = post.join(F.broadcast(terms), "term")
+    # corpus token stream restricted to query terms, THEN aggregated:
+    # same postings as _postings(...)⋈terms, minus the full-vocabulary
+    # shuffle (the broadcast join cannot be pushed below a groupBy by
+    # Catalyst, so the pruning must be written on the token side)
+    postq = (
+        _toks(spark, sf_dir)
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     # document frequency of each query term over the FULL corpus
     # (postq already spans the full corpus for those terms)
     dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document lengths are consumed TWICE (global stats + per-doc
+    # join); cached, the text is split once for both instead of two
+    # full re-scans of the corpus text (tiny: 2 ints per doc)
+    dlen = _doc_len(spark, sf_dir).cache()
     stats = (
-        _doc_len(spark, sf_dir)
+        dlen
         .agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs"))
         .select("sum_dl", "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
     )
@@ -148,7 +162,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         postq.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qt), "term")
-        .join(_doc_len(spark, sf_dir), "doc_id")
+        .join(dlen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -242,7 +256,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds one union + one (query_id, doc_id) hash aggregate over ≤
     (BM25_TOPK + KNN_K) rows per query — negligible at any scale.
     """
-    from .training import embed_knn_bruteforce
+    from .training import KNN_K, _vectors, cosine, dot_product
 
     rrf = F.expr(f"1000000 div ({HYBRID_RRF_K} + rnk)").alias("c")
     lex = (
@@ -250,13 +264,28 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id", rrf)
     )
+    # dense arm: embed_knn_bruteforce's exact plan shape (broadcast
+    # bounded query side x one corpus scan), but with the query set
+    # restricted UP FRONT to the fused probes — per-query ranks are
+    # unchanged (the rank window partitions by query), and the corpus
+    # side stops paying dot products for queries the fusion drops
+    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < BM25_QUERY_MAX_ID).alias("a")
+    x = _vectors(spark, sf_dir, partitions=64).alias("b")
+    cos = cosine(
+        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
+    ).alias("cos")
+    knn_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
     vec = (
-        embed_knn_bruteforce(spark, sf_dir)
-        .filter(
-            (F.col("query_id") < BM25_QUERY_MAX_ID)
-            & (F.col("neighbor_id") != F.col("query_id"))
+        F.broadcast(q)
+        .join(x, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("doc_id"),
+            cos,
         )
-        .select("query_id", F.col("neighbor_id").alias("doc_id"), rrf)
+        .select("query_id", "doc_id", F.row_number().over(knn_w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "doc_id", rrf)
     )
     fused = (
         lex.unionByName(vec)
