@@ -15,8 +15,9 @@ feeds featurize like every other codec here).
 
 Named boundaries (quarantined upstream via DECODE_QUARANTINE, same
 contract as H.264/arithmetic-JPEG): MPEG-2/2.5 (LSF) frames, Layer
-I/II payloads, intensity stereo, mixed blocks, and the Huffman tables
-not transcribed in this offline build (see below).
+I/II payloads, intensity stereo on SHORT blocks (long-block intensity
+incl. the MS combination decodes), mixed blocks, and the Huffman
+tables not transcribed in this offline build (see below).
 
 Table provenance
 ----------------
@@ -410,6 +411,52 @@ def _alias_reduce(xr):
     return xr
 
 
+def _stereo_process(chans, gs, sfs, extents, hdr, rate):
+    """Joint-stereo processing (§2.4.3.4.9): MS over the whole spectrum
+    when only the MS flag is set; with the INTENSITY flag, scalefactor
+    bands at or above the right channel's decoded extent are
+    intensity-coded — the left channel carries the summed signal and
+    the right channel's scalefactor is the position code is_pos
+    (tan(is_pos·π/12) panning; 6 = hard left; 7 = illegal → band falls
+    back to MS when enabled, else stays as-is). Long blocks only:
+    per-window intensity on short blocks is a named boundary."""
+    if not (hdr["ms_stereo"] or hdr["intensity"]):
+        return chans
+    L, R = chans
+    inv = 1.0 / np.sqrt(2.0)
+    if not hdr["intensity"]:
+        return [(L + R) * inv, (L - R) * inv]
+    g_r = gs[1]
+    if g_r["block_type"] == 2 and g_r["window_switching"]:
+        raise NotImplementedError("MP3: intensity stereo on short blocks")
+    zero_bound = extents[1]
+    long_b = SFB_LONG[rate]
+    out_l = L.copy()
+    out_r = R.copy()
+    for sfb in range(22):
+        lo, hi = long_b[sfb], long_b[sfb + 1]
+        if lo >= zero_bound:
+            is_pos = sfs[1]["long"][sfb]
+            if is_pos == 7:  # illegal position: not intensity-coded
+                if hdr["ms_stereo"]:
+                    m, s = L[lo:hi], R[lo:hi]
+                    out_l[lo:hi] = (m + s) * inv
+                    out_r[lo:hi] = (m - s) * inv
+                continue
+            if is_pos == 6:
+                out_l[lo:hi] = L[lo:hi]
+                out_r[lo:hi] = 0.0
+            else:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = L[lo:hi] * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = L[lo:hi] * (1.0 / (1.0 + ratio))
+        elif hdr["ms_stereo"]:
+            m, s = L[lo:hi], R[lo:hi]
+            out_l[lo:hi] = (m + s) * inv
+            out_r[lo:hi] = (m - s) * inv
+    return [out_l, out_r]
+
+
 # --------------------------------------------------------- IMDCT/synthesis
 
 
@@ -514,8 +561,6 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"MP3: Layer {hdr['layer']} payload decode")
         if not hdr["mpeg1"]:
             raise NotImplementedError("MP3: MPEG-2/2.5 (LSF) decode")
-        if hdr["intensity"]:
-            raise NotImplementedError("MP3: intensity stereo")
         rate, channels = hdr["rate"], hdr["channels"]
         if rate0 is None:
             rate0, channels0 = rate, channels
@@ -540,21 +585,25 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
         prev_sf = [None] * channels
         for gr in range(2):
             chans = []
+            sfs = []
+            extents = []
             for ch in range(channels):
                 g = si["granules"][gr][ch]
                 p23_end = rd.pos + g["part2_3_length"]
                 sf = _read_scalefacs(rd, g, gr, si["scfsi"][ch], prev_sf[ch])
                 if sf["long"] is not None:
                     prev_sf[ch] = sf
-                xs, signs, _ = _read_huffman(rd, g, rate, p23_end)
+                xs, signs, extent = _read_huffman(rd, g, rate, p23_end)
                 if rd.pos > p23_end:
                     raise ValueError("MP3: part2_3_length overrun")
                 rd.pos = p23_end  # skip stuffing bits
                 chans.append(_requantize(xs, signs, g, sf, rate))
-            if channels == 2 and hdr["ms_stereo"]:
-                m, s = chans
-                inv = 1.0 / np.sqrt(2.0)
-                chans = [(m + s) * inv, (m - s) * inv]
+                sfs.append(sf)
+                extents.append(extent)
+            if channels == 2:
+                chans = _stereo_process(
+                    chans, si["granules"][gr], sfs, extents, hdr, rate
+                )
             for ch in range(channels):
                 g = si["granules"][gr][ch]
                 xr = chans[ch]

@@ -168,9 +168,28 @@ def encode_granule_channel(bw: BitWriter, g: dict, rate: int,
     return si
 
 
+def decoded_extent(g: dict) -> int:
+    """Index just past the last Huffman-decoded value the stream
+    carries for this granule (big_values pairs + count1 quads) — the
+    decoder's intensity zero-bound. Mirrors encode_granule_channel's
+    region math exactly."""
+    vals = list(g["is"])
+    last_big = last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+        if abs(v) > 1:
+            last_big = i
+    big_end = g.get("big_end")
+    if big_end is None:
+        big_end = ((last_big + 2) // 2) * 2 if last_big >= 0 else 0
+    count1_end = ((max(last_nz + 1, big_end) - big_end + 3) // 4) * 4 + big_end
+    return min(count1_end, 576)
+
+
 def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
                channels: int = 1, ms_stereo: bool = False,
-               scfsi=None) -> bytes:
+               intensity: bool = False, scfsi=None) -> bytes:
     """``frames``: list of [gr0, gr1], each granule a list of per-channel
     dicts (keys: is, global_gain, scalefac_long/short, block_type,
     table_select, ...). Returns the packed MPEG-1 Layer III payload."""
@@ -222,9 +241,9 @@ def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
         if channels == 1:
             hdr.w(3, 2)
             hdr.w(0, 2)
-        elif ms_stereo:
+        elif ms_stereo or intensity:
             hdr.w(1, 2)  # joint stereo
-            hdr.w(2, 2)  # mode_extension: MS on, intensity off
+            hdr.w((int(ms_stereo) << 1) | int(intensity), 2)
         else:
             hdr.w(0, 2)
             hdr.w(0, 2)
@@ -386,8 +405,46 @@ class ModelSynth:
         return out
 
 
+def _model_stereo(xrs, grs_gr, rate, ms_stereo, intensity):
+    """Model joint-stereo processing — independent mirror of the spec
+    rules (MS full-spectrum; intensity on long-block bands at/above
+    the right channel's decoded extent, is_pos panning, 7 = illegal)."""
+    L, R = xrs
+    inv = 1.0 / np.sqrt(2.0)
+    if not intensity:
+        if ms_stereo:
+            return [(L + R) * inv, (L - R) * inv]
+        return xrs
+    g_r = grs_gr[1]
+    zero_bound = decoded_extent(g_r)
+    lb = M.SFB_LONG[rate]
+    sfl_r = g_r.get("scalefac_long") or [0] * 22
+    out_l, out_r = L.copy(), R.copy()
+    for sfb in range(22):
+        lo, hi = lb[sfb], lb[sfb + 1]
+        if lo >= zero_bound:
+            is_pos = sfl_r[sfb]
+            if is_pos == 7:
+                if ms_stereo:
+                    out_l[lo:hi] = (L[lo:hi] + R[lo:hi]) * inv
+                    out_r[lo:hi] = (L[lo:hi] - R[lo:hi]) * inv
+                continue
+            if is_pos == 6:
+                out_l[lo:hi] = L[lo:hi]
+                out_r[lo:hi] = 0.0
+            else:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = L[lo:hi] * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = L[lo:hi] * (1.0 / (1.0 + ratio))
+        elif ms_stereo:
+            out_l[lo:hi] = (L[lo:hi] + R[lo:hi]) * inv
+            out_r[lo:hi] = (L[lo:hi] - R[lo:hi]) * inv
+    return [out_l, out_r]
+
+
 def expected_pcm(frames: list, rate: int = 48000, channels: int = 1,
-                 ms_stereo: bool = False) -> np.ndarray:
+                 ms_stereo: bool = False,
+                 intensity: bool = False) -> np.ndarray:
     """Expected float PCM (n, channels) for the exact stream
     ``encode_mp3(frames, ...)`` produces."""
     overlap = [np.zeros((32, 18)) for _ in range(channels)]
@@ -398,10 +455,8 @@ def expected_pcm(frames: list, rate: int = 48000, channels: int = 1,
             xrs = [
                 _model_requantize(grs[gr][ch], rate) for ch in range(channels)
             ]
-            if channels == 2 and ms_stereo:
-                m, s = xrs
-                inv = 1.0 / np.sqrt(2.0)
-                xrs = [(m + s) * inv, (m - s) * inv]
+            if channels == 2:
+                xrs = _model_stereo(xrs, grs[gr], rate, ms_stereo, intensity)
             outs = []
             for ch in range(channels):
                 g = grs[gr][ch]

@@ -28,10 +28,12 @@ def _frames_mono(*granules):
     ]
 
 
-def _assert_matches(buf, frames, rate=48000, channels=1, ms=False):
+def _assert_matches(buf, frames, rate=48000, channels=1, ms=False,
+                    intensity=False):
     got, got_rate = decode_mp3_samples(buf)
     assert got_rate == rate
-    want = expected_pcm(frames, rate=rate, channels=channels, ms_stereo=ms)
+    want = expected_pcm(frames, rate=rate, channels=channels, ms_stereo=ms,
+                        intensity=intensity)
     want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
     assert got.shape == want16.shape
     assert np.max(np.abs(got.astype(np.int64) - want16.astype(np.int64))) <= 1
@@ -281,3 +283,42 @@ def test_decode_media_routes_mp3():
     assert feats["mime"] == "audio/mpeg" and feats["kind"] == "audio"
     assert feats["n_samples"] == 2304 and feats["channels"] == 1
     assert feats["rms"] > 0.0
+
+
+def test_intensity_stereo_long_blocks():
+    """Long-block intensity stereo: the left channel carries the summed
+    signal beyond the right channel's decoded extent; the right
+    channel's scalefactors are is_pos panning codes (0..6 pan,
+    6 = hard left, 7 = illegal -> falls back to MS when enabled)."""
+    vals_l = [0] * 576
+    for i in range(0, 200, 2):
+        vals_l[i] = 1 if (i // 2) % 3 else 2
+    vals_r = [0] * 576
+    for i in range(0, 20, 2):
+        vals_r[i] = 1
+    # right extent = 20 -> bands with lo >= 20 are intensity candidates
+    sfl_r = [0] * 22
+    for sfb, pos in zip(range(5, 22), [0, 1, 2, 3, 4, 5, 6, 7] * 3):
+        sfl_r[sfb] = pos
+    gl = _gr(**{"is": vals_l, "table_select": [2, 2, 2], "global_gain": 165})
+    gr_ = _gr(**{"is": vals_r, "table_select": [1, 1, 1], "global_gain": 165,
+                 "scalefac_long": sfl_r, "scalefac_compress": 13})
+    frames = [[[gl, gr_], [gl, gr_]]]
+    for ms in (False, True):
+        buf = encode_mp3(frames, rate=48000, bitrate=224000, channels=2,
+                         ms_stereo=ms, intensity=True)
+        got = _assert_matches(buf, frames, channels=2, ms=ms, intensity=True)
+        assert got.shape == (1152, 2)
+        assert np.abs(got).max() > 0
+
+
+def test_intensity_on_short_blocks_is_named_boundary():
+    vals = [0] * 576
+    vals[0] = 1
+    gl = _gr(**{"is": vals, "table_select": [1, 1], "block_type": 2})
+    gr_ = _gr(**{"is": [0] * 576, "table_select": [1, 1], "block_type": 2})
+    frames = [[[gl, gr_], [gl, gr_]]]
+    buf = encode_mp3(frames, rate=48000, bitrate=224000, channels=2,
+                     intensity=True)
+    with pytest.raises(NotImplementedError, match="intensity stereo on short"):
+        decode_mp3_samples(buf)
