@@ -1,23 +1,27 @@
-"""MPEG-1 Audio Layer III payload decoder — pure stdlib + numpy.
+"""MPEG-1/MPEG-2 Audio Layer III payload decoder — pure stdlib + numpy.
 
 Implements the ISO/IEC 11172-3 Layer III decode path end-to-end for
-mono and (MS/plain) stereo streams: frame/side-info parse, the bit
-reservoir (``main_data_begin`` back-pointer), scalefactor decode
-(slen pairs + scfsi), Huffman decode of big_values/count1 regions,
-requantization (4/3 power law, global gain, scalefac_scale, preflag,
-subblock gain), short-block reorder, MS stereo, alias reduction,
-long/short/start/stop IMDCT with overlap-add, frequency inversion,
-and the 32-band polyphase synthesis filterbank. The engine's audio
-contract matches FLAC/WAV (``decode_audio_samples``): int16 samples
-feeding the shared feature/fingerprint stack (reference parity: the
-reference stores media opaquely, SteamToS3Operator.py; payload decode
-feeds featurize like every other codec here).
+mono and (MS/plain/long-block-intensity) stereo streams: frame and
+side-info parse, the bit reservoir (``main_data_begin`` back-pointer),
+scalefactor decode (slen pairs + scfsi), Huffman decode of
+big_values/count1 regions, requantization (4/3 power law, global
+gain, scalefac_scale, preflag, subblock gain), short-block reorder,
+joint-stereo processing, alias reduction, long/short/start/stop IMDCT
+with overlap-add, frequency inversion, and the 32-band polyphase
+synthesis filterbank. MPEG-2 LSF frames (ISO 13818-3: one granule,
+8-bit reservoir pointer, 9-bit scalefac_compress with the four-group
+slen layout and implied preflag, the 22.05/24/16 kHz band tables)
+decode through the same pipeline. The engine's audio contract matches
+FLAC/WAV (``decode_audio_samples``): int16 samples feeding the shared
+feature/fingerprint stack (reference parity: the reference stores
+media opaquely, SteamToS3Operator.py; payload decode feeds featurize
+like every other codec here).
 
 Named boundaries (quarantined upstream via DECODE_QUARANTINE, same
-contract as H.264/arithmetic-JPEG): MPEG-2/2.5 (LSF) frames, Layer
-I/II payloads, intensity stereo on SHORT blocks (long-block intensity
-incl. the MS combination decodes), mixed blocks, and the Huffman
-tables not transcribed in this offline build (see below).
+contract as H.264/arithmetic-JPEG): MPEG-2.5 frames, Layer I/II
+payloads, intensity stereo on SHORT blocks and under LSF (long-block
+MPEG-1 intensity incl. the MS combination decodes), mixed blocks, and
+the Huffman tables not transcribed in this offline build (see below).
 
 Table provenance
 ----------------
@@ -46,7 +50,8 @@ import numpy as np
 
 # ------------------------------------------------------------------ tables
 
-#: scalefactor band boundaries (MPEG-1), long blocks: 22 bands + end
+#: scalefactor band boundaries, long blocks: 22 bands + end (MPEG-1
+#: rates plus the MPEG-2 LSF rates, same offline-transcription caveat)
 SFB_LONG = {
     44100: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
             134, 162, 196, 238, 288, 342, 418, 576),
@@ -54,13 +59,39 @@ SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576),
     32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576),
+    22050: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576),
+    24000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162,
+            194, 232, 278, 332, 394, 464, 540, 576),
+    16000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576),
 }
 #: short blocks: 13 bands + end (per window; whole band spans 3x)
 SFB_SHORT = {
     44100: (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
     48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
     32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+    22050: (0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192),
+    24000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192),
+    16000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192),
 }
+
+#: LSF scalefactor partitioning (ISO 13818-3 §2.4.3.2): the 9-bit
+#: scalefac_compress selects four slen widths over four band groups
+#: (non-intensity channels; long/short group sizes per branch)
+def _lsf_scalefac_layout(sc: int) -> tuple[list[int], list[int], list[int], int]:
+    """(slen[4], nsfb_long[4], nsfb_short[4], preflag) for a 9-bit LSF
+    scalefac_compress value."""
+    if sc < 400:
+        slen = [(sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3]
+        return slen, [6, 5, 5, 5], [9, 9, 9, 9], 0
+    if sc < 500:
+        s = sc - 400
+        slen = [(s >> 2) // 5, (s >> 2) % 5, s & 3, 0]
+        return slen, [6, 5, 7, 3], [9, 9, 12, 6], 0
+    s = sc - 500
+    slen = [s // 3, s % 3, 0, 0]
+    return slen, [11, 10, 0, 0], [18, 18, 0, 0], 1
 
 #: scalefac_compress -> (slen1, slen2)
 SLEN = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
@@ -260,6 +291,73 @@ def _parse_side_info(data: bytes, channels: int) -> dict:
         grs.append(chs)
     si["granules"] = grs
     return si
+
+
+def _parse_side_info_lsf(data: bytes, channels: int) -> dict:
+    """MPEG-2 LSF side info (ISO 13818-3): 8-bit main_data_begin, no
+    scfsi, ONE granule per frame, 9-bit scalefac_compress."""
+    rd = _BitReader(data)
+    si = {"main_data_begin": rd.bits(8)}
+    rd.bits(1 if channels == 1 else 2)  # private bits
+    si["scfsi"] = [[0] * 4 for _ in range(channels)]
+    chs = []
+    for _ch in range(channels):
+        g = {
+            "part2_3_length": rd.bits(12),
+            "big_values": rd.bits(9),
+            "global_gain": rd.bits(8),
+            "scalefac_compress": rd.bits(9),
+            "window_switching": rd.bits(1),
+        }
+        if g["window_switching"]:
+            g["block_type"] = rd.bits(2)
+            g["mixed_block_flag"] = rd.bits(1)
+            g["table_select"] = [rd.bits(5), rd.bits(5)]
+            g["subblock_gain"] = [rd.bits(3) for _ in range(3)]
+            if g["block_type"] == 0:
+                raise ValueError("MP3: window switching with block_type 0")
+            if g["mixed_block_flag"]:
+                raise NotImplementedError("MP3: mixed blocks")
+        else:
+            g["block_type"] = 0
+            g["mixed_block_flag"] = 0
+            g["table_select"] = [rd.bits(5), rd.bits(5), rd.bits(5)]
+            g["region0_count"] = rd.bits(4)
+            g["region1_count"] = rd.bits(3)
+            g["subblock_gain"] = [0, 0, 0]
+        # no preflag bit in LSF: implied by the scalefac_compress branch
+        g["preflag"] = _lsf_scalefac_layout(g["scalefac_compress"])[3]
+        g["scalefac_scale"] = rd.bits(1)
+        g["count1table_select"] = rd.bits(1)
+        if g["big_values"] > 288:
+            raise ValueError("MP3: big_values exceeds 288")
+        chs.append(g)
+    si["granules"] = [chs]
+    return si
+
+
+def _read_scalefacs_lsf(rd: _BitReader, g: dict) -> dict:
+    """LSF scalefactors: four slen groups over the band partition from
+    the 9-bit scalefac_compress (non-intensity channels)."""
+    slen, nl, ns, _pre = _lsf_scalefac_layout(g["scalefac_compress"])
+    if g["block_type"] == 2 and g["window_switching"]:
+        flat: list[int] = []
+        for gi in range(4):
+            flat.extend(rd.bits(slen[gi]) for _ in range(ns[gi]))
+        if len(flat) != 36:
+            raise ValueError("MP3: LSF short scalefactor layout")
+        sf = [[0] * 13 for _ in range(3)]
+        for band in range(12):
+            for w in range(3):
+                sf[w][band] = flat[band * 3 + w]
+        return {"short": sf, "long": None}
+    sf = [0] * 22
+    band = 0
+    for gi in range(4):
+        for _ in range(nl[gi]):
+            sf[band] = rd.bits(slen[gi])
+            band += 1
+    return {"long": sf, "short": None}
 
 
 # ------------------------------------------------------------ scalefactors
@@ -519,6 +617,7 @@ def _parse_header(b: bytes, pos: int) -> dict | None:
         "size": f[0],
         "rate": f[2],
         "channels": f[3],
+        "version": version,
         "mpeg1": version == 3,
         "layer": layer,
         "protected": (b2 & 1) == 0,
@@ -559,8 +658,10 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("MP3: lost frame sync")
         if hdr["layer"] != 3:
             raise NotImplementedError(f"MP3: Layer {hdr['layer']} payload decode")
-        if not hdr["mpeg1"]:
-            raise NotImplementedError("MP3: MPEG-2/2.5 (LSF) decode")
+        if hdr["version"] == 0:
+            raise NotImplementedError("MP3: MPEG-2.5 decode")
+        if not hdr["mpeg1"] and hdr["intensity"]:
+            raise NotImplementedError("MP3: LSF intensity stereo")
         rate, channels = hdr["rate"], hdr["channels"]
         if rate0 is None:
             rate0, channels0 = rate, channels
@@ -572,10 +673,16 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
         if len(frame) < hdr["size"]:
             raise ValueError("MP3: truncated frame")
         body = 4 + (2 if hdr["protected"] else 0)
-        si_len = 17 if channels == 1 else 32
+        if hdr["mpeg1"]:
+            si_len = 17 if channels == 1 else 32
+        else:
+            si_len = 9 if channels == 1 else 17
         if len(frame) < body + si_len:
             raise ValueError("MP3: frame too small for side info")
-        si = _parse_side_info(frame[body : body + si_len], channels)
+        if hdr["mpeg1"]:
+            si = _parse_side_info(frame[body : body + si_len], channels)
+        else:
+            si = _parse_side_info_lsf(frame[body : body + si_len], channels)
         main_chunk = frame[body + si_len :]
         start = len(reservoir) - si["main_data_begin"]
         if start < 0:
@@ -583,14 +690,17 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
         reservoir.extend(main_chunk)
         rd = _BitReader(bytes(reservoir), 8 * start)
         prev_sf = [None] * channels
-        for gr in range(2):
+        for gr in range(len(si["granules"])):
             chans = []
             sfs = []
             extents = []
             for ch in range(channels):
                 g = si["granules"][gr][ch]
                 p23_end = rd.pos + g["part2_3_length"]
-                sf = _read_scalefacs(rd, g, gr, si["scfsi"][ch], prev_sf[ch])
+                if hdr["mpeg1"]:
+                    sf = _read_scalefacs(rd, g, gr, si["scfsi"][ch], prev_sf[ch])
+                else:
+                    sf = _read_scalefacs_lsf(rd, g)
                 if sf["long"] is not None:
                     prev_sf[ch] = sf
                 xs, signs, extent = _read_huffman(rd, g, rate, p23_end)

@@ -25,6 +25,11 @@ _BR_IDX = {32000: 1, 40000: 2, 48000: 3, 56000: 4, 64000: 5, 80000: 6,
            96000: 7, 112000: 8, 128000: 9, 160000: 10, 192000: 11,
            224000: 12, 256000: 13, 320000: 14}
 _SR_IDX = {44100: 0, 48000: 1, 32000: 2}
+#: MPEG-2 LSF layer III bitrates / rates
+_BR_IDX_LSF = {8000: 1, 16000: 2, 24000: 3, 32000: 4, 40000: 5, 48000: 6,
+               56000: 7, 64000: 8, 80000: 9, 96000: 10, 112000: 11,
+               128000: 12, 144000: 13, 160000: 14}
+_SR_IDX_LSF = {22050: 0, 24000: 1, 16000: 2}
 
 
 class BitWriter:
@@ -80,11 +85,33 @@ def encode_granule_channel(bw: BitWriter, g: dict, rate: int,
     start = len(bw.bits)
     vals = list(g["is"])
     assert len(vals) == 576
-    slen1, slen2 = M.SLEN[g.get("scalefac_compress", 0)]
     bt = g.get("block_type", 0)
     short = bt == 2
+    lsf = g.get("lsf", False)
     # scalefactors
-    if short:
+    if lsf:
+        slen, nl, ns, _pre = M._lsf_scalefac_layout(
+            g.get("scalefac_compress", 0)
+        )
+        if short:
+            sfs = g.get("scalefac_short") or [[0] * 13 for _ in range(3)]
+            flat = [sfs[w][band] for band in range(12) for w in range(3)]
+            i = 0
+            for gi in range(4):
+                for _ in range(ns[gi]):
+                    assert flat[i] < (1 << slen[gi]) or slen[gi] == 0
+                    bw.w(flat[i], slen[gi])
+                    i += 1
+        else:
+            sfl = g.get("scalefac_long") or [0] * 22
+            band = 0
+            for gi in range(4):
+                for _ in range(nl[gi]):
+                    assert sfl[band] < (1 << slen[gi]) or slen[gi] == 0
+                    bw.w(sfl[band], slen[gi])
+                    band += 1
+    elif short:
+        slen1, slen2 = M.SLEN[g.get("scalefac_compress", 0)]
         sfs = g.get("scalefac_short") or [[0] * 13 for _ in range(3)]
         for band in range(6):
             for w in range(3):
@@ -94,6 +121,7 @@ def encode_granule_channel(bw: BitWriter, g: dict, rate: int,
             for w in range(3):
                 bw.w(sfs[w][band], slen2)
     else:
+        slen1, slen2 = M.SLEN[g.get("scalefac_compress", 0)]
         sfl = g.get("scalefac_long") or [0] * 22
         groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
         for gi, (lo, hi, sl) in enumerate(groups):
@@ -190,26 +218,36 @@ def decoded_extent(g: dict) -> int:
 def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
                channels: int = 1, ms_stereo: bool = False,
                intensity: bool = False, scfsi=None) -> bytes:
-    """``frames``: list of [gr0, gr1], each granule a list of per-channel
-    dicts (keys: is, global_gain, scalefac_long/short, block_type,
-    table_select, ...). Returns the packed MPEG-1 Layer III payload."""
+    """``frames``: list of [gr0, gr1] (MPEG-1 rates) or [gr0] (LSF
+    rates 22050/24000/16000 — MPEG-2 one-granule frames), each granule
+    a list of per-channel dicts (keys: is, global_gain,
+    scalefac_long/short, block_type, table_select, ...). Returns the
+    packed Layer III payload."""
+    mpeg1 = rate in _SR_IDX
     scfsi = scfsi or [[0, 0, 0, 0] for _ in range(channels)]
-    frame_size = 144 * bitrate // rate
-    si_len = 17 if channels == 1 else 32
+    if mpeg1:
+        frame_size = 144 * bitrate // rate
+        si_len = 17 if channels == 1 else 32
+        n_gr = 2
+    else:
+        frame_size = 72 * bitrate // rate
+        si_len = 9 if channels == 1 else 17
+        n_gr = 1
+        assert not intensity, "LSF intensity not modeled"
     region = frame_size - 4 - si_len
     md_blocks: list[bytes] = []
     side_infos: list[tuple[int, list]] = []
     v_off = 0  # bytes of main data emitted so far
     emitted = 0  # region bytes emitted so far
     for fi, grs in enumerate(frames):
-        assert len(grs) == 2
+        assert len(grs) == n_gr
         bw = BitWriter()
         si_fields = []
         prev_long = [None] * channels
-        for gr in range(2):
+        for gr in range(n_gr):
             per_ch = []
             for ch in range(channels):
-                g = grs[gr][ch]
+                g = dict(grs[gr][ch], lsf=not mpeg1)
                 fs = encode_granule_channel(
                     bw, g, rate, gr, scfsi[ch], prev_long[ch]
                 )
@@ -231,11 +269,11 @@ def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
     for fi in range(len(frames)):
         hdr = BitWriter()
         hdr.w(0x7FF, 11)
-        hdr.w(3, 2)  # MPEG-1
+        hdr.w(3 if mpeg1 else 2, 2)  # MPEG-1 / MPEG-2 LSF
         hdr.w(1, 2)  # Layer III
         hdr.w(1, 1)  # no CRC
-        hdr.w(_BR_IDX[bitrate], 4)
-        hdr.w(_SR_IDX[rate], 2)
+        hdr.w((_BR_IDX if mpeg1 else _BR_IDX_LSF)[bitrate], 4)
+        hdr.w((_SR_IDX if mpeg1 else _SR_IDX_LSF)[rate], 2)
         hdr.w(0, 1)  # padding
         hdr.w(0, 1)  # private
         if channels == 1:
@@ -252,18 +290,22 @@ def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
         hdr.w(0, 2)  # emphasis
         si = BitWriter()
         mdb, fields = side_infos[fi]
-        si.w(mdb, 9)
-        si.w(0, 5 if channels == 1 else 3)
-        for ch in range(channels):
-            for b in scfsi[ch]:
-                si.w(b, 1)
-        for gr in range(2):
+        if mpeg1:
+            si.w(mdb, 9)
+            si.w(0, 5 if channels == 1 else 3)
+            for ch in range(channels):
+                for b in scfsi[ch]:
+                    si.w(b, 1)
+        else:
+            si.w(mdb, 8)
+            si.w(0, 1 if channels == 1 else 2)
+        for gr in range(n_gr):
             for ch in range(channels):
                 f = fields[gr][ch]
                 si.w(f["part2_3_length"], 12)
                 si.w(f["big_values"], 9)
                 si.w(f["global_gain"], 8)
-                si.w(f["scalefac_compress"], 4)
+                si.w(f["scalefac_compress"], 4 if mpeg1 else 9)
                 if f["block_type"] != 0:
                     si.w(1, 1)  # window switching
                     si.w(f["block_type"], 2)
@@ -278,7 +320,8 @@ def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
                         si.w(t, 5)
                     si.w(f["region0_count"], 4)
                     si.w(f["region1_count"], 3)
-                si.w(f["preflag"], 1)
+                if mpeg1:
+                    si.w(f["preflag"], 1)
                 si.w(f["scalefac_scale"], 1)
                 si.w(f["count1table_select"], 1)
         si.pad_to_byte()
@@ -451,7 +494,7 @@ def expected_pcm(frames: list, rate: int = 48000, channels: int = 1,
     synths = [ModelSynth() for _ in range(channels)]
     chunks = []
     for grs in frames:
-        for gr in range(2):
+        for gr in range(len(grs)):
             xrs = [
                 _model_requantize(grs[gr][ch], rate) for ch in range(channels)
             ]

@@ -322,3 +322,80 @@ def test_intensity_on_short_blocks_is_named_boundary():
                      intensity=True)
     with pytest.raises(NotImplementedError, match="intensity stereo on short"):
         decode_mp3_samples(buf)
+
+
+def test_lsf_mpeg2_long_and_short_blocks():
+    """MPEG-2 LSF frames (one granule, 8-bit reservoir pointer, 9-bit
+    scalefac_compress with the four-group slen layout) decode exactly
+    at all three LSF rates, long and short blocks."""
+    for rate in (22050, 24000, 16000):
+        vals = [0] * 576
+        for i in range(0, 60, 2):
+            vals[i] = (i // 2) % 3 - 1
+            vals[i + 1] = 1
+        # sc=77: slen=[(77>>4)//5, (77>>4)%5, (77&15)>>2, 77&3]=[0,4,3,1]
+        sfl = [0] * 22
+        for b in range(6, 11):
+            sfl[b] = b  # group 1, slen 4
+        for b in range(11, 16):
+            sfl[b] = b % 8  # group 2, slen 3
+        for b in range(16, 21):
+            sfl[b] = b % 2  # group 3, slen 1
+        g = _gr(**{"is": vals, "table_select": [2, 2, 2], "global_gain": 168,
+                   "scalefac_compress": 77, "scalefac_long": sfl})
+        frames = [[[g]], [[g]]]  # two one-granule frames
+        buf = encode_mp3(frames, rate=rate, bitrate=64000)
+        got = _assert_matches(buf, frames, rate=rate)
+        assert got.shape == (1152, 1)
+    # short blocks through the LSF short layout (sc=77: ns=[9,9,9,9])
+    vals = [0] * 576
+    for i in range(0, 48, 2):
+        vals[i] = 1
+    sfs = [[min(b, 7) % 8 if b < 6 else (b + w) % 8 for b in range(13)]
+           for w in range(3)]
+    gs = _gr(**{"is": vals, "block_type": 2, "scalefac_short": sfs,
+                "scalefac_compress": 68,  # slen [0,4,1,0]
+                "subblock_gain": [1, 0, 2], "table_select": [1, 1],
+                "global_gain": 162})
+    # slen widths cap the usable scalefactor values: rebuild fitting ones
+    sfs_fit = [[0] * 13 for _ in range(3)]
+    for band in range(3, 6):
+        for w in range(3):
+            sfs_fit[w][band] = (band + w) % 16  # group 1, slen 4
+    for band in range(6, 9):
+        for w in range(3):
+            sfs_fit[w][band] = (band + w) % 2  # group 2, slen 1
+    gs["scalefac_short"] = sfs_fit
+    frames = [[[gs]]]
+    buf = encode_mp3(frames, rate=24000, bitrate=64000)
+    got = _assert_matches(buf, frames, rate=24000)
+    assert got.shape == (576, 1)
+
+
+def test_lsf_implied_preflag_branch():
+    """scalefac_compress >= 500 implies preflag in LSF — the engine
+    derives it from the layout branch, the model is told explicitly."""
+    vals = [0] * 576
+    for i in range(0, 40, 2):
+        vals[i] = 1
+    # sc=511: s=11 -> slen=[3,2,0,0], nsfb=[11,10,0,0], preflag=1
+    sfl = [b % 8 for b in range(11)] + [b % 4 for b in range(10)] + [0]
+    g = _gr(**{"is": vals, "table_select": [1, 1, 1], "global_gain": 170,
+               "scalefac_compress": 511, "scalefac_long": sfl,
+               "preflag": 1})
+    frames = [[[g]]]
+    buf = encode_mp3(frames, rate=22050, bitrate=64000)
+    _assert_matches(buf, frames, rate=22050)
+
+
+def test_mpeg25_is_named_boundary():
+    vals = [0] * 576
+    vals[0] = 1
+    g = _gr(**{"is": vals, "table_select": [1, 1, 1]})
+    buf = bytearray(encode_mp3([[[g]]], rate=24000, bitrate=64000))
+    # rewrite the version bits (header bits 11-12) from 2 (MPEG-2) to
+    # 0 (MPEG-2.5) in both frame headers... single frame: byte 1
+    buf[1] &= ~0x18 & 0xFF  # version -> 0
+    with pytest.raises((NotImplementedError, ValueError)) as e:
+        decode_mp3_samples(bytes(buf))
+    assert "MPEG-2.5" in str(e.value) or "sync" in str(e.value)
