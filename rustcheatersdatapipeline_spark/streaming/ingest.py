@@ -160,7 +160,7 @@ class IncrementalIngestSink:
             return self._ingest_collapsed(collapsed)
         finally:
             if drop_cached is not None:
-                drop_cached.unpersist()
+                drop_cached.unpersist(blocking=True)
 
     def _ingest_collapsed(self, collapsed: DataFrame) -> int:
         last: ConcurrentWriteError | None = None
@@ -203,7 +203,7 @@ class IncrementalIngestSink:
             except ConcurrentWriteError as e:
                 last = e  # another writer advanced the index: recompute
             finally:
-                novel.unpersist()
+                novel.unpersist(blocking=True)
         raise last
 
     def _maintained_tables(self) -> tuple[str, ...]:
@@ -568,7 +568,7 @@ class MergeUpsertSink:
                     last = e
             raise last
         finally:
-            batch_df.unpersist()
+            batch_df.unpersist(blocking=True)
 
     def _maybe_fold_dv_debt(self) -> int | None:
         """Manifest-only DV-debt check, then fold if due. The pre-check

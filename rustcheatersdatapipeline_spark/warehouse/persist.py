@@ -1622,7 +1622,7 @@ class GoldStore:
                         return base_version
                     return self.publish_append({name: fresh}, base_version, lock_timeout)
                 finally:
-                    fresh.unpersist()
+                    fresh.unpersist(blocking=True)
             touched_rel = None
             untouched: list[dict] = []
             target = self._read_entry(entry)
@@ -1670,7 +1670,7 @@ class GoldStore:
                         return base_version  # pure replay — no new version
                     return self.publish_append({name: fresh}, base_version, lock_timeout)
                 finally:
-                    fresh.unpersist()
+                    fresh.unpersist(blocking=True)
             # exact touched set: which candidate files actually hold a
             # LIVE source-key row (bounded collect — file names, not
             # rows). The manifest-relative row identity from _metadata

@@ -399,3 +399,37 @@ def test_mpeg25_is_named_boundary():
     with pytest.raises((NotImplementedError, ValueError)) as e:
         decode_mp3_samples(bytes(buf))
     assert "MPEG-2.5" in str(e.value) or "sync" in str(e.value)
+
+
+def test_spark_featurize_audio_mixes_mp3_with_wav_and_flac(spark):
+    """One media DataFrame carrying WAV, FLAC-shaped and MP3 payloads
+    through the SHARED featurize_audio path: MP3 rows land real
+    features beside the other codecs; junk quarantines to NULLs."""
+    import struct
+
+    from rustcheatersdatapipeline_spark.functions.audio import featurize_audio
+
+    t = np.arange(2048)
+    wav_samples = (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = wav_samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    vals = [0] * 576
+    for i in range(0, 60, 2):
+        vals[i] = 2 - (i % 6) // 2
+    g = _gr(**{"is": vals, "table_select": [2, 2, 2], "global_gain": 185})
+    mp3 = encode_mp3(_frames_mono(g, _gr(), g, _gr()), rate=44100,
+                     bitrate=96000)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp3)), (3, bytearray(b"junk"))],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in featurize_audio(media).collect()}
+    assert rows[1]["rate"] == 8000
+    assert rows[2]["rate"] == 44100
+    assert rows[2]["rms_mean"] is not None and rows[2]["rms_mean"] > 0
+    assert rows[3]["rate"] is None  # quarantined, not a failure
