@@ -142,10 +142,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document frequency of each query term over the FULL corpus
     # (postq already spans the full corpus for those terms)
     dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # document lengths are consumed TWICE (global stats + per-doc
-    # join); cached, the text is split once for both instead of two
-    # full re-scans of the corpus text (tiny: 2 ints per doc)
-    dlen = _doc_len(spark, sf_dir).cache()
+    # document lengths are consumed twice (global stats + per-doc
+    # join); deliberately NOT cached: a .cache() inside a lazy builder
+    # registers a fresh, never-unpersisted cache entry per invocation —
+    # unbounded registry growth in a long session — and caching bought
+    # no measurable wall time here (the split is a narrow scan)
+    dlen = _doc_len(spark, sf_dir)
     stats = (
         dlen
         .agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs"))

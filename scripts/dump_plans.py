@@ -65,11 +65,12 @@ def main() -> None:
     spark = get_spark(cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry.queries())
+    from rustcheatersdatapipeline_spark.plans import queries as _Q
+    from rustcheatersdatapipeline_spark.plans import retrieval as _R
     from rustcheatersdatapipeline_spark.plans import training as _T
 
+    qs.update(_Q.TESTS_ONLY_QUERIES)
     qs.update(_T.TESTS_ONLY_QUERIES)
-    from rustcheatersdatapipeline_spark.plans import retrieval as _R
-
     qs.update(_R.TESTS_ONLY_QUERIES)
     out = [
         "# PLANS — physical plans of the headline queries\n",
