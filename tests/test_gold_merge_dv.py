@@ -350,3 +350,35 @@ def test_merge_upsert_sink_auto_folds_dv_debt_long_run(spark, tmp_path):
         1 for tot, dv in per_dir2.values() if tot and (1.0 - dv / tot) < 0.5
     )
     assert dead_dirs >= 1
+
+
+def test_optimize_fully_masked_table_folds_once_then_stabilizes(spark, tmp_path):
+    """MOR-deleting EVERY row leaves a fully-masked table: optimize
+    folds it to a single 0-row record (readable, empty) and then
+    becomes a stable no-op — never an infinite fold loop, never an
+    unreadable entry."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish({"t": _df(spark, [(1, "a"), (2, "b")]).coalesce(1)}, 0)
+    store.merge("t", _df(spark, [(1, "x"), (2, "x")]).select("k"),
+                ["k"], mode="delete", strategy="mor")
+    assert _rows(store, "t") == set()
+    v = store.optimize("t")
+    assert v is not None  # the dead dir was folded
+    assert _rows(store, "t") == set()  # still readable, still empty
+    entry = store.current_manifest()["tables"]["t"]
+    assert not any(f.get("dv") for f in entry["files"])  # DV debt gone
+    assert store.optimize("t") is None  # converged: stable no-op
+    assert _rows(store, "t") == set()
+
+
+def test_optimize_cow_emptied_table_is_stable_noop(spark, tmp_path):
+    """A CoW delete of every row stages one 0-row file: a sole empty
+    dir with no dv debt is NOT pure-debt (it IS the table) — optimize
+    must leave it alone."""
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    store.publish({"t": _df(spark, [(1, "a")]).coalesce(1)}, 0)
+    store.merge("t", _df(spark, [(1, "x")]).select("k"), ["k"],
+                mode="delete", strategy="cow")
+    assert _rows(store, "t") == set()
+    assert store.optimize("t") is None
+    assert _rows(store, "t") == set()
