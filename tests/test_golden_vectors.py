@@ -16,7 +16,10 @@ decoder and its paired encoder cannot pass by construction:
 - WAV/BMP/TIFF bytes are written field-by-field from the public
   format layouts;
 - the FLAC frame is hand-assembled bit-by-bit from the FLAC format
-  spec (constant + verbatim subframes).
+  spec (constant + verbatim subframes);
+- the VP8L (lossless WebP) stream is hand-assembled bit-by-bit from
+  the public spec's simple-code layout, so the expected pixels follow
+  from the written symbol values alone.
 
 Each test asserts EXACT pixel/sample output — no round-trip through
 engine encoders anywhere in this file.
@@ -362,3 +365,78 @@ def test_flac_constant_and_verbatim_subframes_hand_assembled():
     samples, rate = decode_flac_samples(buf)
     assert rate == 44100
     assert samples[:, 0].tolist() == lits
+
+
+# ------------------------------------------------------------------- VP8L
+
+
+class _LsbWriter:
+    """LSB-first bit packer (the WebP-lossless stream convention)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, n):
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def test_vp8l_hand_assembled_simple_codes():
+    """2x1 lossless WebP assembled bit-by-bit from the public VP8L
+    spec: no transforms, no color cache, one huffman group whose five
+    alphabets use SIMPLE codes (two green symbols selected by one bit;
+    single-symbol red/blue/alpha/distance read with zero bits). The
+    expected pixels follow from the symbol values alone — no encoder
+    anywhere."""
+    from rustcheatersdatapipeline_spark.functions.vp8l import (
+        decode_vp8l_stream,
+    )
+
+    w = _LsbWriter()
+    w.w(1, 14)  # width - 1
+    w.w(0, 14)  # height - 1
+    w.w(0, 1)  # alpha hint
+    w.w(0, 3)  # version
+    w.w(0, 1)  # no transforms
+    w.w(0, 1)  # no color cache
+    w.w(0, 1)  # no meta-huffman tiling
+    # green: simple, 2 symbols, 8-bit first: 10 then 200
+    w.w(1, 1); w.w(1, 1); w.w(1, 1); w.w(10, 8); w.w(200, 8)
+    # red: simple, 1 symbol, 8-bit: 20
+    w.w(1, 1); w.w(0, 1); w.w(1, 1); w.w(20, 8)
+    # blue: simple, 1 symbol, 8-bit: 30
+    w.w(1, 1); w.w(0, 1); w.w(1, 1); w.w(30, 8)
+    # alpha: simple, 1 symbol, 8-bit: 255
+    w.w(1, 1); w.w(0, 1); w.w(1, 1); w.w(255, 8)
+    # distance: simple, 1 symbol, 1-bit symbol 0 (never consumed)
+    w.w(1, 1); w.w(0, 1); w.w(0, 1); w.w(0, 1)
+    # pixel data: green-code selector bits only (0 -> 10, 1 -> 200);
+    # red/blue/alpha are single-symbol codes costing zero bits
+    w.w(0, 1)
+    w.w(1, 1)
+    buf = b"\x2f" + w.bytes()
+    px = decode_vp8l_stream(buf)
+    assert px.shape == (1, 2, 4)
+    expect = np.array([[(20, 10, 30, 255), (20, 200, 30, 255)]], np.uint8)
+    assert np.array_equal(px, expect)
+
+    # the same stream inside a RIFF/WebP container routes identically
+    from rustcheatersdatapipeline_spark.functions.vp8l import (
+        decode_webp_pixels,
+    )
+
+    body = buf + (b"\x00" if len(buf) % 2 else b"")
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(buf)) + body
+    )
+    assert np.array_equal(decode_webp_pixels(riff), expect)
