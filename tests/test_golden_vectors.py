@@ -440,3 +440,61 @@ def test_vp8l_hand_assembled_simple_codes():
         + b"VP8L" + struct.pack("<I", len(buf)) + body
     )
     assert np.array_equal(decode_webp_pixels(riff), expect)
+
+
+def test_flac_fixed_order1_rice_residuals_hand_assembled():
+    """FIXED order-1 subframe with Rice-coded residuals (k=2), written
+    bit-by-bit from the FLAC spec: warm-up 100, residuals
+    [+3, -2, 0, +5] -> samples are the running sums."""
+    bw = _BitWriter()
+    bw.w(0b11111111111110, 14)  # sync
+    bw.w(0, 1)
+    bw.w(0, 1)
+    bw.w(6, 4)  # blocksize: 8-bit value follows
+    bw.w(0, 4)  # rate from STREAMINFO
+    bw.w(0, 4)  # mono
+    bw.w(0, 3)  # bps from STREAMINFO
+    bw.w(0, 1)
+    bw.w(0, 8)  # frame number 0
+    bw.w(4, 8)  # blocksize-1 = 4
+    bw.w(0, 8)  # header CRC (consumed, not verified)
+    bw.w(0, 1)  # subframe padding
+    bw.w(9, 6)  # FIXED, order 1
+    bw.w(0, 1)  # no wasted bits
+    bw.w(100, 16)  # warm-up sample
+    bw.w(0, 2)  # residual method: 4-bit rice
+    bw.w(0, 4)  # partition order 0
+    bw.w(2, 4)  # rice parameter k=2
+    for r in (3, -2, 0, 5):
+        u = 2 * r if r >= 0 else -2 * r - 1  # zigzag fold
+        q, rem = u >> 2, u & 3
+        for _ in range(q):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(rem, 2)
+    frame = bw.bytes() + b"\x00\x00"
+    buf = _flac_streaminfo(16000, 1, 16, 5) + frame
+    samples, rate = decode_flac_samples(buf)
+    assert rate == 16000
+    assert samples[:, 0].tolist() == [100, 103, 101, 101, 106]
+
+
+def test_jpeg_single_ac_coefficient_cosine_profile():
+    """One block with DC=0 and AC(0,1)=+1 (zigzag index 1): the output
+    must be the T.81 horizontal half-cosine profile, constant down
+    each column — checked against the closed-form IDCT to within the
+    spec's ±1 integer-IDCT tolerance."""
+    # DC: cat0 '0'; AC: (run0,size1) '10' + sign bit '1' (+1); EOB '0'
+    buf = _jpeg_gray(["0" + "10" + "1" + "0"], 1)
+    px = decode_jpeg_pixels(buf)
+    assert px.shape == (8, 8, 1)
+    x = np.arange(8)
+    # T.81 IDCT of a lone F(1,0)=16: f(x,y) = 1/4 * C(1)C(0) * 16 *
+    # cos((2x+1)pi/16) with C(0)=1/sqrt(2), C(1)=1, plus level shift
+    expect = 128.0 + 0.25 * (1.0 / np.sqrt(2.0)) * 16.0 * np.cos(
+        (2 * x + 1) * np.pi / 16.0
+    )
+    got = px[..., 0].astype(np.float64)
+    assert (got == got[0]).all()  # constant down each column
+    assert np.max(np.abs(got[0] - expect)) <= 1.0
+    assert got[0, 0] > 128 and got[0, 7] < 128  # half-cosine shape
