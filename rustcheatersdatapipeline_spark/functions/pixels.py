@@ -14,10 +14,11 @@ mutation-totality fuzz):
   metadata + keyframe byte ranges incl. fragmented (mp4.py);
 - documents: PDF (pdftext.py), DOCX/XLSX/PPTX/ODT/RTF (officetext.py).
 
-Only genuinely codec-library formats (H.264/H.265, VP8 interframes,
-arithmetic JPEG, MP3/AAC payload decode) remain behind named
-``NotImplementedError`` boundaries, quarantined via the shared
-``DECODE_QUARANTINE`` contract below. Details of the formats coded
+Only genuinely codec-library formats (H.264/H.265, arithmetic JPEG,
+AAC payload decode) remain behind named ``NotImplementedError``
+boundaries, quarantined via the shared ``DECODE_QUARANTINE`` contract
+below (MP3 decodes via mp3.py; VP8 inter-frame video decodes via
+vp8.py — IVF streams and inter-coded animated-WebP frames included). Details of the formats coded
 directly in this module:
 
 - **PNG** (RFC 2083): chunk walk → concatenated IDAT → ``zlib``
@@ -803,6 +804,10 @@ def decode_image_payload(buf: bytes) -> np.ndarray | None:
         from .vp8l import decode_webp_pixels
 
         return decode_webp_pixels(buf)
+    if buf[:4] == b"DKIF":
+        from .vp8 import decode_ivf_frames
+
+        return decode_ivf_frames(buf)[0]
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff_pixels
 
@@ -829,6 +834,10 @@ def decode_image_frames(buf: bytes) -> np.ndarray | None:
         from .vp8l import decode_webp_frames
 
         return decode_webp_frames(buf)
+    if buf[:4] == b"DKIF":
+        from .vp8 import decode_ivf_frames
+
+        return decode_ivf_frames(buf)
     if buf[:8] == _PNG_SIGNATURE:
         return decode_apng_frames(buf)
     px = decode_image_payload(buf)
@@ -945,7 +954,7 @@ def decode_media(buf: bytes) -> dict:
     if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         from .vp8l import decode_webp_pixels
 
-        px = decode_webp_pixels(buf)  # VP8L + lossy keyframes; interframe raises
+        px = decode_webp_pixels(buf)  # VP8L + lossy (keyframe) stills
         flat = px.astype(np.float64)
         return {
             "mime": "image/webp",
@@ -953,6 +962,21 @@ def decode_media(buf: bytes) -> dict:
             "width": int(px.shape[1]),
             "height": int(px.shape[0]),
             "channels": int(px.shape[2]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
+    if buf[:4] == b"DKIF":
+        from .vp8 import decode_ivf_frames
+
+        px = decode_ivf_frames(buf)  # (n_frames, h, w, 4), full VP8 inter
+        flat = px.astype(np.float64)
+        return {
+            "mime": "video/x-ivf",
+            "kind": "video",
+            "width": int(px.shape[2]),
+            "height": int(px.shape[1]),
+            "channels": int(px.shape[3]),
             "n_samples": int(px.size),
             "mean": float(flat.mean()),
             "rms": float(np.sqrt((flat**2).mean())),

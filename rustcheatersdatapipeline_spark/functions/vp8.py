@@ -1,17 +1,23 @@
-"""Lossy VP8 intra-frame (keyframe) decoder — pure stdlib + numpy.
+"""Lossy VP8 decoder (keyframes AND interframes) — pure stdlib + numpy.
 
-Implements the RFC 6386 keyframe decode path end-to-end: boolean
-arithmetic decoder (§7), frame/segmentation/filter/quant header parse
-(§9), intra mode decode (§11), DCT/WHT token decode with the
-band/context probability model (§13), dequantization (§14.1), exact
-integer inverse WHT/DCT (§14.2-14.3), all 4x4/8x8/16x16 intra
-predictors (§12), and the normal + simple in-loop deblocking filters
-(§15). Interframes (golden/altref/motion) are out of scope and raise
-the named ``NotImplementedError`` boundary, same contract as H.264 in
-``mp4.py``; WebP stills are always keyframes, so this covers the
-``VP8 `` chunk of the WebP container (reference parity:
-/root/reference/dags/custom_operators/SteamToS3Operator.py stores
-avatar images opaquely; decode feeds featurize/phash like VP8L).
+Implements the RFC 6386 decode path end-to-end: boolean arithmetic
+decoder (§7), frame/segmentation/filter/quant header parse (§9), intra
+mode decode (§11), DCT/WHT token decode with the band/context
+probability model (§13), dequantization (§14.1), exact integer inverse
+WHT/DCT (§14.2-14.3), all 4x4/8x8/16x16 intra predictors (§12), the
+normal + simple in-loop deblocking filters (§15), and — via
+:class:`Vp8Decoder` — the full interframe path (§16-§18): near-MV
+survey with sign bias, MV entropy decode, all inter MB modes incl.
+SPLITMV partitionings and sub-MV references, 8-phase sixtap/bilinear
+subpixel motion compensation with replicated borders, last/golden/
+altref buffer refresh + copy semantics, and cross-frame entropy /
+segmentation / loop-filter-delta persistence.  Carriers: WebP ``VP8 ``
+stills (keyframes), animated-WebP ANMF tracks (shared per-animation
+decoder state, so inter-coded frames decode), and IVF elementary
+streams (``decode_ivf_frames``) feeding sample_frames/video-phash like
+AVI.  (Reference parity: /root/reference/dags/custom_operators/
+SteamToS3Operator.py stores avatar images opaquely; decode feeds
+featurize/phash like VP8L.)
 
 Table provenance
 ----------------
@@ -210,6 +216,112 @@ KF_BMODE_PROBS = (
 )
 
 SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
+
+# ---------------------------------------------------------- inter tables
+# Interframe (P-frame) constants — RFC 6386 §16-§18 / libvpx, transcribed
+# offline like the keyframe tables (module-docstring provenance note
+# applies; the paired test encoder shares every table, so round trips
+# verify decoder structure for ANY values while the constants carry the
+# real-world parity claim).
+
+# inter MB prediction modes (continuing the intra ids 0..4)
+NEARESTMV, NEARMV, ZEROMV, NEWMV, SPLITMV = 5, 6, 7, 8, 9
+
+# reference frame ids (0 = intra i.e. current frame)
+REF_INTRA, REF_LAST, REF_GOLDEN, REF_ALTREF = 0, 1, 2, 3
+
+# luma mode tree + default probs for intra MBs inside interframes (§16.1)
+YMODE_TREE = (-DC_PRED, 2, 4, 6, -V_PRED, -H_PRED, -TM_PRED, -B_PRED)
+YMODE_PROBS = (112, 86, 140, 37)
+UV_MODE_PROBS_INTER = (162, 101, 204)
+# 4x4 submodes in interframes use one fixed (context-free) prob array
+B_MODE_PROBS_INTER = (120, 90, 79, 133, 87, 85, 80, 111, 151)
+
+# MB-level MV reference tree (§16.2); probabilities looked up per
+# component from MODE_CONTEXTS by the near-MV survey counts (§16.3)
+MV_REF_TREE = (-ZEROMV, 2, -NEARESTMV, 4, -NEARMV, 6, -NEWMV, -SPLITMV)
+#: vp8_mode_contexts (6 rows, indexed by the clamped survey count for
+#: each tree position).  NOTE: the last row's first two entries exceed
+#: 255 in the public reference source (int table narrowed to an 8-bit
+#: probability on use) — conforming decoders reproduce the mod-256
+#: narrowing, so it is applied explicitly at lookup time.
+MODE_CONTEXTS = (
+    (7, 1, 1, 143),
+    (14, 18, 14, 107),
+    (135, 64, 57, 68),
+    (60, 56, 128, 65),
+    (234, 160, 1, 1),
+    (257, 336, 1, 2),
+)
+
+# SPLITMV partitionings (§16.2): 0=16x8, 1=8x16, 2=8x8, 3=4x4
+MBSPLIT_TREE = (-3, 2, -2, 4, -0, -1)
+MBSPLIT_PROBS = (110, 111, 150)
+MBSPLIT_COUNTS = (2, 2, 4, 16)
+#: per-partitioning label of each of the 16 4x4 luma blocks
+MBSPLITS = (
+    (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1),  # 16x8 (top/bottom)
+    (0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1),  # 8x16 (left/right)
+    (0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3),  # 8x8 quadrants
+    tuple(range(16)),                                   # 4x4
+)
+
+# sub-MV reference tree (§16.2): per-partition MV source
+LEFT4X4, ABOVE4X4, ZERO4X4, NEW4X4 = 0, 1, 2, 3
+SUB_MV_REF_TREE = (-LEFT4X4, 2, -ABOVE4X4, 4, -ZERO4X4, -NEW4X4)
+#: indexed (above_is_zero << 2) | (left_is_zero << 1) | (left == above);
+#: rows for impossible index combinations mirror the reference source
+SUB_MV_REF_PROBS = (
+    (147, 136, 18),   # normal
+    (223, 1, 34),     # left == above, both nonzero
+    (106, 145, 1),    # left zero
+    (208, 1, 1),      # (unreachable)
+    (179, 121, 1),    # above zero
+    (223, 1, 34),     # (unreachable)
+    (179, 121, 1),    # (unreachable)
+    (208, 1, 1),      # left and above zero
+)
+
+# MV component entropy (§17.2): 19 probs per component (row, col):
+# [0]=is_short, [1]=sign, [2:9]=short tree, [9:19]=long bits 0..9
+MV_PIS_SHORT, MV_SIGN, MV_SHORT, MV_BITS = 0, 1, 2, 9
+MV_LONG_WIDTH = 10
+SMALL_MV_TREE = (2, 8, 4, 6, -0, -1, -2, -3, 10, 12, -4, -5, -6, -7)
+DEFAULT_MV_PROBS = (
+    (162, 128, 225, 146, 172, 147, 214, 39, 156,
+     128, 129, 132, 75, 145, 178, 206, 239, 254, 254),
+    (164, 128, 204, 170, 119, 235, 140, 230, 228,
+     128, 130, 130, 74, 148, 180, 203, 236, 254, 254),
+)
+MV_UPDATE_PROBS = (
+    (237, 246, 253, 253, 254, 254, 254, 254, 254,
+     254, 254, 254, 254, 254, 250, 250, 252, 254, 254),
+    (231, 243, 245, 253, 254, 254, 254, 254, 254,
+     254, 254, 254, 254, 254, 251, 251, 254, 254, 254),
+)
+
+# subpixel interpolation (§18.3): 8-phase 6-tap and bilinear banks,
+# phase = (mv & 7) in 1/8-pel units; taps sum to 128, (acc+64)>>7
+SIXTAP_FILTERS = (
+    (0, 0, 128, 0, 0, 0),
+    (0, -6, 123, 12, -1, 0),
+    (2, -11, 108, 36, -8, 1),
+    (0, -9, 93, 50, -6, 0),
+    (3, -16, 77, 77, -16, 3),
+    (0, -6, 50, 93, -9, 0),
+    (1, -8, 36, 108, -11, 2),
+    (0, -1, 12, 123, -6, 0),
+)
+BILINEAR_FILTERS = (
+    (128, 0), (112, 16), (96, 32), (80, 48),
+    (64, 64), (48, 80), (32, 96), (16, 112),
+)
+
+#: reference-plane replication margin for motion compensation: the
+#: mode-level MV clamp keeps reads within 16 px of the frame plus the
+#: 6-tap reach (±2/+3), and the MC-time UMV clamp guarantees the same
+#: bound for escaped NEWMV/SPLITMV residuals
+_MC_PAD = 24
 
 # DCT token alphabet (§13.2)
 DCT_0, DCT_1, DCT_2, DCT_3, DCT_4 = 0, 1, 2, 3, 4
@@ -787,18 +899,26 @@ def inverse_wht4x4(block: list) -> list:
 
 
 def parse_frame_tag(buf: bytes) -> dict:
-    if len(buf) < 10:
+    """3-byte frame tag (§9.1); keyframes carry 7 more bytes of start
+    code + dimensions, interframes go straight into the first
+    partition at offset 3."""
+    if len(buf) < 3:
         raise ValueError("VP8: truncated frame tag")
     tag = buf[0] | (buf[1] << 8) | (buf[2] << 16)
     frame_type = tag & 1
     version = (tag >> 1) & 7
     show_frame = (tag >> 4) & 1
     part0_size = tag >> 5
+    out = {
+        "frame_type": frame_type,
+        "version": version,
+        "show_frame": show_frame,
+        "part0_size": part0_size,
+    }
     if frame_type != 0:
-        raise NotImplementedError(
-            "VP8: interframe (motion-compensated) decode needs reference "
-            "buffers; only keyframes (WebP stills) are supported"
-        )
+        return out
+    if len(buf) < 10:
+        raise ValueError("VP8: truncated keyframe header")
     if buf[3:6] != b"\x9d\x01\x2a":
         raise ValueError("VP8: bad keyframe start code")
     w_code = buf[6] | (buf[7] << 8)
@@ -807,24 +927,23 @@ def parse_frame_tag(buf: bytes) -> dict:
     height, hscale = h_code & 0x3FFF, h_code >> 14
     if width == 0 or height == 0:
         raise ValueError("VP8: zero frame dimension")
-    return {
-        "version": version,
-        "show_frame": show_frame,
-        "part0_size": part0_size,
-        "width": width,
-        "height": height,
-        "wscale": wscale,
-        "hscale": hscale,
-    }
+    out.update(
+        {"width": width, "height": height, "wscale": wscale, "hscale": hscale}
+    )
+    return out
 
 
-def _parse_segmentation(bd: BoolDecoder, hdr: dict) -> None:
+def _parse_segmentation(bd: BoolDecoder, hdr: dict, prev: dict | None = None) -> None:
+    """Segment feature data PERSISTS across frames when the header
+    carries no update (§9.3); ``prev`` supplies the carried-over
+    values in a stateful (sequence) decode."""
+    prev = prev or {}
     seg = {
         "enabled": bd.read_bool(128),
         "update_map": 0,
-        "abs_values": 0,
-        "quant": [0, 0, 0, 0],
-        "lf": [0, 0, 0, 0],
+        "abs_values": prev.get("abs_values", 0),
+        "quant": list(prev.get("quant", (0, 0, 0, 0))),
+        "lf": list(prev.get("lf", (0, 0, 0, 0))),
         "tree_probs": [255, 255, 255],
     }
     if seg["enabled"]:
@@ -841,11 +960,17 @@ def _parse_segmentation(bd: BoolDecoder, hdr: dict) -> None:
     hdr["segmentation"] = seg
 
 
-def _parse_filter_header(bd: BoolDecoder, hdr: dict) -> None:
+def _parse_filter_header(bd: BoolDecoder, hdr: dict, prev: dict | None = None) -> None:
     hdr["filter_type"] = bd.read_bool(128)  # 0 = normal, 1 = simple
     hdr["filter_level"] = bd.read_literal(6)
     hdr["sharpness"] = bd.read_literal(3)
-    lf_delta = {"enabled": bd.read_bool(128), "ref": [0] * 4, "mode": [0] * 4}
+    prev = prev or {}
+    # loop-filter deltas persist across frames when not updated (§9.4)
+    lf_delta = {
+        "enabled": bd.read_bool(128),
+        "ref": list(prev.get("ref", (0, 0, 0, 0))),
+        "mode": list(prev.get("mode", (0, 0, 0, 0))),
+    }
     if lf_delta["enabled"] and bd.read_bool(128):
         lf_delta["ref"] = [bd.read_flagged_signed(6) for _ in range(4)]
         lf_delta["mode"] = [bd.read_flagged_signed(6) for _ in range(4)]
@@ -881,7 +1006,7 @@ def _parse_coeff_prob_updates(bd: BoolDecoder, defaults=None) -> list:
 
 
 def _decode_mb_modes(bd: BoolDecoder, hdr: dict, mb_w: int, mb_h: int,
-                     bmode_probs=None) -> list:
+                     bmode_probs=None, prev_map=None) -> list:
     """Per-MB (segment, skip, ymode, bmodes, uvmode) for the keyframe."""
     bmode_probs = bmode_probs or KF_BMODE_PROBS
     seg = hdr["segmentation"]
@@ -895,6 +1020,8 @@ def _decode_mb_modes(bd: BoolDecoder, hdr: dict, mb_w: int, mb_h: int,
             segment = 0
             if seg["enabled"] and seg["update_map"]:
                 segment = bd.read_tree(SEGMENT_TREE, seg["tree_probs"])
+            elif seg["enabled"] and prev_map is not None:
+                segment = int(prev_map[_my][mx])  # persisted map (§9.3)
             skip = bd.read_bool(hdr["prob_skip_false"]) if hdr["mb_no_skip"] else 0
             ymode = bd.read_tree(KF_YMODE_TREE, KF_YMODE_PROBS)
             if ymode == B_PRED:
@@ -925,12 +1052,408 @@ def _decode_mb_modes(bd: BoolDecoder, hdr: dict, mb_w: int, mb_h: int,
                     "ymode": ymode,
                     "bmodes": bmodes,
                     "uvmode": uvmode,
+                    "ref": REF_INTRA,
+                    "mode": ymode,
+                    "has_y2": ymode != B_PRED,
                 }
             )
         if bd.overrun:  # fail fast on truncated/corrupt input
             raise ValueError("VP8: first partition truncated (modes)")
         mbs.append(row)
     return mbs
+
+
+# ----------------------------------------------------- inter mode decode
+
+
+def _read_mv_component(bd: BoolDecoder, p) -> int:
+    """One MV component (§17.2), in quarter-pel units. ``p`` is the
+    19-entry probability vector for this component."""
+    if bd.read_bool(p[MV_PIS_SHORT]):
+        x = 0
+        for i in range(3):
+            x += bd.read_bool(p[MV_BITS + i]) << i
+        for i in range(MV_LONG_WIDTH - 1, 3, -1):
+            x += bd.read_bool(p[MV_BITS + i]) << i
+        # bit 3 is implicit (1) when no higher bit is set — a value
+        # below 8 would have been coded with the short tree
+        if (x & 0xFFF0) == 0 or bd.read_bool(p[MV_BITS + 3]):
+            x += 8
+    else:
+        x = bd.read_tree(SMALL_MV_TREE, p[MV_SHORT:])
+    if x and bd.read_bool(p[MV_SIGN]):
+        x = -x
+    return x
+
+
+def _read_mv(bd: BoolDecoder, mv_probs) -> tuple:
+    """(row, col) MV residual in 1/8-pel units (components are coded in
+    quarter-pel and doubled, §17.2)."""
+    r = _read_mv_component(bd, mv_probs[0]) * 2
+    c = _read_mv_component(bd, mv_probs[1]) * 2
+    return (r, c)
+
+
+_OOB_MB = {"ref": REF_INTRA, "mode": DC_PRED, "mv": (0, 0), "sub_mvs": None}
+
+
+def _clamp_mv(mv, my: int, mx: int, mb_w: int, mb_h: int) -> tuple:
+    """Mode-level MV clamp (§16.3): predictions stay within 16 px of
+    the frame (margins in 1/8-pel units)."""
+    lo_c, hi_c = -(mx * 128) - 128, (mb_w - 1 - mx) * 128 + 128
+    lo_r, hi_r = -(my * 128) - 128, (mb_h - 1 - my) * 128 + 128
+    r = lo_r if mv[0] < lo_r else (hi_r if mv[0] > hi_r else mv[0])
+    c = lo_c if mv[1] < lo_c else (hi_c if mv[1] > hi_c else mv[1])
+    return (r, c)
+
+
+def _umv_clamp(mv, my: int, mx: int, mb_w: int, mb_h: int) -> tuple:
+    """MC-time clamp to the replicated border (reference decoder's
+    clamp_mv_to_umv_border) — engages only for NEWMV/SPLITMV residuals
+    that escaped the mode-level clamp."""
+    r, c = mv
+    to_left, to_right = -(mx * 128), (mb_w - 1 - mx) * 128
+    to_top, to_bottom = -(my * 128), (mb_h - 1 - my) * 128
+    if c < to_left - (19 << 3):
+        c = to_left - (16 << 3)
+    elif c > to_right + (18 << 3):
+        c = to_right + (16 << 3)
+    if r < to_top - (19 << 3):
+        r = to_top - (16 << 3)
+    elif r > to_bottom + (18 << 3):
+        r = to_bottom + (16 << 3)
+    return (r, c)
+
+
+def find_near_mvs(grid, my, mx, mb_w, mb_h, refframe, sign_bias):
+    """§16.3 near-MV survey over the above / left / above-left MBs.
+
+    Returns (best, nearest, near, cnt) with the three MVs already
+    clamped.  ``grid`` holds decoded MB dicts (raster order, rows up to
+    and including the current one); out-of-frame neighbors behave like
+    the reference decoder's zeroed border (intra, non-split, zero MV).
+    """
+    above = grid[my - 1][mx] if my > 0 else _OOB_MB
+    left = grid[my][mx - 1] if mx > 0 else _OOB_MB
+    aleft = grid[my - 1][mx - 1] if (my > 0 and mx > 0) else _OOB_MB
+
+    def bias(nb):
+        mv = nb["mv"]
+        if sign_bias[nb["ref"]] != sign_bias[refframe]:
+            return (-mv[0], -mv[1])
+        return mv
+
+    mvs = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    cnt = [0, 0, 0, 0]
+    mv_i = 0   # current top slot in mvs
+    cnt_i = 0  # parallel count pointer
+    if above["ref"] != REF_INTRA:
+        if above["mv"] != (0, 0):
+            mv_i += 1
+            mvs[mv_i] = bias(above)
+            cnt_i += 1
+        cnt[cnt_i] += 2
+    if left["ref"] != REF_INTRA:
+        if left["mv"] != (0, 0):
+            tmv = bias(left)
+            if tmv != mvs[mv_i]:
+                mv_i += 1
+                mvs[mv_i] = tmv
+                cnt_i += 1
+            cnt[cnt_i] += 2
+        else:
+            cnt[0] += 2
+    if aleft["ref"] != REF_INTRA:
+        if aleft["mv"] != (0, 0):
+            tmv = bias(aleft)
+            if tmv != mvs[mv_i]:
+                mv_i += 1
+                mvs[mv_i] = tmv
+                cnt_i += 1
+            cnt[cnt_i] += 1
+        else:
+            cnt[0] += 1
+    # three distinct MVs where the third (above-left) matches the first
+    # (above): fold its weight into the nearest slot
+    if cnt[3] and mvs[mv_i] == mvs[1]:
+        cnt[1] += 1
+    cnt[3] = (
+        (above["mode"] == SPLITMV) * 2
+        + (left["mode"] == SPLITMV) * 2
+        + (aleft["mode"] == SPLITMV)
+    )
+    if cnt[2] > cnt[1]:
+        cnt[1], cnt[2] = cnt[2], cnt[1]
+        mvs[1], mvs[2] = mvs[2], mvs[1]
+    if cnt[1] >= cnt[0]:
+        mvs[0] = mvs[1]
+    best = _clamp_mv(mvs[0], my, mx, mb_w, mb_h)
+    nearest = _clamp_mv(mvs[1], my, mx, mb_w, mb_h)
+    near = _clamp_mv(mvs[2], my, mx, mb_w, mb_h)
+    return best, nearest, near, cnt
+
+
+def _left_block_mv(grid, my, mx, cur_sub, b):
+    """MV of the 4x4 block left of block ``b`` (reference decoder's
+    left_block_mv); used for sub-MV reference contexts."""
+    if b & 3:
+        return cur_sub[b - 1]
+    nb = grid[my][mx - 1] if mx > 0 else _OOB_MB
+    if nb["mode"] != SPLITMV:
+        return nb["mv"]
+    return nb["sub_mvs"][b + 3]
+
+
+def _above_block_mv(grid, my, mx, cur_sub, b):
+    if b >= 4:
+        return cur_sub[b - 4]
+    nb = grid[my - 1][mx] if my > 0 else _OOB_MB
+    if nb["mode"] != SPLITMV:
+        return nb["mv"]
+    return nb["sub_mvs"][b + 12]
+
+
+def _sub_mv_ref_probs(left_mv, above_mv):
+    lez = int(left_mv == (0, 0))
+    aez = int(above_mv == (0, 0))
+    lea = int(left_mv == above_mv)
+    return SUB_MV_REF_PROBS[(aez << 2) | (lez << 1) | lea]
+
+
+def _decode_mb_modes_inter(bd, hdr, mb_w, mb_h, ymode_probs, uv_probs,
+                           mv_probs, prev_map, sign_bias) -> list:
+    """Per-MB mode/MV decode for an interframe (§16)."""
+    seg = hdr["segmentation"]
+    mbs = []
+    for my in range(mb_h):
+        row = []
+        mbs.append(row)
+        for mx in range(mb_w):
+            segment = 0
+            if seg["enabled"] and seg["update_map"]:
+                segment = bd.read_tree(SEGMENT_TREE, seg["tree_probs"])
+            elif seg["enabled"] and prev_map is not None:
+                segment = int(prev_map[my][mx])
+            skip = bd.read_bool(hdr["prob_skip_false"]) if hdr["mb_no_skip"] else 0
+            mb = {"segment": segment, "skip": skip, "sub_mvs": None,
+                  "bmodes": None, "mv": (0, 0)}
+            if bd.read_bool(hdr["prob_intra"]):  # inter-coded MB
+                if bd.read_bool(hdr["prob_last"]):
+                    ref = REF_ALTREF if bd.read_bool(hdr["prob_golden"]) else REF_GOLDEN
+                else:
+                    ref = REF_LAST
+                best, nearest, near, cnt = find_near_mvs(
+                    mbs, my, mx, mb_w, mb_h, ref, sign_bias
+                )
+                probs = [
+                    MODE_CONTEXTS[cnt[0]][0] & 0xFF,
+                    MODE_CONTEXTS[cnt[1]][1] & 0xFF,
+                    MODE_CONTEXTS[cnt[2]][2] & 0xFF,
+                    MODE_CONTEXTS[cnt[3]][3] & 0xFF,
+                ]
+                mode = bd.read_tree(MV_REF_TREE, probs)
+                mb.update({"ref": ref, "mode": mode, "ymode": None,
+                           "uvmode": None, "has_y2": mode != SPLITMV})
+                if mode == ZEROMV:
+                    mb["mv"] = (0, 0)
+                elif mode == NEARESTMV:
+                    mb["mv"] = nearest
+                elif mode == NEARMV:
+                    mb["mv"] = near
+                elif mode == NEWMV:
+                    res = _read_mv(bd, mv_probs)
+                    mb["mv"] = (best[0] + res[0], best[1] + res[1])
+                else:  # SPLITMV
+                    part = bd.read_tree(MBSPLIT_TREE, MBSPLIT_PROBS)
+                    labels = MBSPLITS[part]
+                    sub = [None] * 16
+                    mb["partitioning"] = part
+                    mb["sub_mvs"] = sub
+                    for j in range(MBSPLIT_COUNTS[part]):
+                        k = labels.index(j)  # first block of subset j
+                        lmv = _left_block_mv(mbs, my, mx, sub, k)
+                        amv = _above_block_mv(mbs, my, mx, sub, k)
+                        sref = bd.read_tree(
+                            SUB_MV_REF_TREE, _sub_mv_ref_probs(lmv, amv)
+                        )
+                        if sref == NEW4X4:
+                            res = _read_mv(bd, mv_probs)
+                            smv = (best[0] + res[0], best[1] + res[1])
+                        elif sref == LEFT4X4:
+                            smv = lmv
+                        elif sref == ABOVE4X4:
+                            smv = amv
+                        else:
+                            smv = (0, 0)
+                        for b in range(16):
+                            if labels[b] == j:
+                                sub[b] = smv
+                    mb["mv"] = sub[15]
+            else:  # intra-coded MB inside an interframe
+                ymode = bd.read_tree(YMODE_TREE, ymode_probs)
+                if ymode == B_PRED:
+                    mb["bmodes"] = [
+                        bd.read_tree(BMODE_TREE, B_MODE_PROBS_INTER)
+                        for _ in range(16)
+                    ]
+                uvmode = bd.read_tree(UV_MODE_TREE, uv_probs)
+                mb.update({"ref": REF_INTRA, "mode": ymode, "ymode": ymode,
+                           "uvmode": uvmode, "has_y2": ymode != B_PRED})
+            row.append(mb)
+        if bd.overrun:
+            raise ValueError("VP8: first partition truncated (inter modes)")
+    return mbs
+
+
+# ------------------------------------------------------- motion compensation
+
+
+def _mc_hpass(win: np.ndarray, taps, out_w: int) -> np.ndarray:
+    """One horizontal filter pass: ``win`` is (h, out_w + len(taps) - 1)
+    int32; returns (h, out_w) clamped to 0..255 ((acc + 64) >> 7)."""
+    acc = np.zeros((win.shape[0], out_w), np.int32)
+    for i, t in enumerate(taps):
+        if t:
+            acc += t * win[:, i : i + out_w]
+    return np.clip((acc + 64) >> 7, 0, 255)
+
+
+def _mc_vpass(win: np.ndarray, taps, out_h: int) -> np.ndarray:
+    acc = np.zeros((out_h, win.shape[1]), np.int32)
+    for i, t in enumerate(taps):
+        if t:
+            acc += t * win[i : i + out_h, :]
+    return np.clip((acc + 64) >> 7, 0, 255)
+
+
+def _mc_block(ref_pad: np.ndarray, py: int, px: int, bh: int, bw: int,
+              mv, bilinear: bool) -> np.ndarray:
+    """Motion-compensated (bh, bw) prediction block from a replicated-
+    border reference plane (§18).  ``ref_pad`` carries an ``_MC_PAD``
+    margin on every side; (py, px) are plane coordinates of the
+    destination block; ``mv`` is (row, col) in 1/8-pel units.  Fractional
+    positions run the 8-phase 6-tap (or bilinear) bank, horizontal pass
+    first, each pass rounding ((acc+64)>>7) and clamping to 0..255 —
+    the reference decoder's two-pass order and intermediate precision.
+    """
+    mvr, mvc = mv
+    r0 = py + (mvr >> 3) + _MC_PAD
+    c0 = px + (mvc >> 3) + _MC_PAD
+    fr, fc = mvr & 7, mvc & 7
+    if fr == 0 and fc == 0:
+        return ref_pad[r0 : r0 + bh, c0 : c0 + bw].astype(np.int32)
+    bank = BILINEAR_FILTERS if bilinear else SIXTAP_FILTERS
+    lo = 0 if bilinear else 2   # taps reaching before the sample
+    hi = 1 if bilinear else 3   # taps reaching after it
+    if fc and fr:
+        win = ref_pad[r0 - lo : r0 + bh + hi, c0 - lo : c0 + bw + hi].astype(
+            np.int32
+        )
+        tmp = _mc_hpass(win, bank[fc], bw)
+        return _mc_vpass(tmp, bank[fr], bh)
+    if fc:
+        win = ref_pad[r0 : r0 + bh, c0 - lo : c0 + bw + hi].astype(np.int32)
+        return _mc_hpass(win, bank[fc], bw)
+    win = ref_pad[r0 - lo : r0 + bh + hi, c0 : c0 + bw].astype(np.int32)
+    return _mc_vpass(win, bank[fr], bh)
+
+
+def _div2_away(v: int) -> int:
+    """Halve an MV component rounding away from zero (chroma MV
+    derivation, reference decoder semantics)."""
+    return ((abs(v) + 1) >> 1) * (-1 if v < 0 else 1)
+
+
+def _avg4_away(a, b, c, d) -> int:
+    s = a + b + c + d
+    return ((abs(s) + 4) >> 3) * (-1 if s < 0 else 1)
+
+
+def _uv_mv(mv, fullpel: bool) -> tuple:
+    r, c = _div2_away(mv[0]), _div2_away(mv[1])
+    if fullpel:
+        r, c = r & ~7, c & ~7
+    return (r, c)
+
+
+def _pad_ref(frame: dict) -> dict:
+    return {
+        "y": np.pad(frame["y"], _MC_PAD, mode="edge"),
+        "u": np.pad(frame["u"], _MC_PAD, mode="edge"),
+        "v": np.pad(frame["v"], _MC_PAD, mode="edge"),
+    }
+
+
+def _inter_predict_mb(mb, ref_pad, my, mx, mb_w, mb_h, version):
+    """(pred_y 16x16, pred_u 8x8, pred_v 8x8) int32 prediction for one
+    inter-coded MB."""
+    bilinear = version >= 1
+    fullpel = version == 3
+    py, px = my * 16, mx * 16
+    cy, cx = my * 8, mx * 8
+    if mb["mode"] != SPLITMV:
+        mv = _umv_clamp(mb["mv"], my, mx, mb_w, mb_h)
+        if fullpel:
+            mv = (mv[0] & ~7, mv[1] & ~7)
+        pred_y = _mc_block(ref_pad["y"], py, px, 16, 16, mv, bilinear)
+        uvmv = _uv_mv(mv, fullpel)
+        pred_u = _mc_block(ref_pad["u"], cy, cx, 8, 8, uvmv, bilinear)
+        pred_v = _mc_block(ref_pad["v"], cy, cx, 8, 8, uvmv, bilinear)
+        return pred_y, pred_u, pred_v
+    sub = [
+        _umv_clamp(s, my, mx, mb_w, mb_h) for s in mb["sub_mvs"]
+    ]
+    if fullpel:
+        sub = [(r & ~7, c & ~7) for r, c in sub]
+    pred_y = np.empty((16, 16), np.int32)
+    for b in range(16):
+        r, c = b >> 2, b & 3
+        pred_y[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] = _mc_block(
+            ref_pad["y"], py + 4 * r, px + 4 * c, 4, 4, sub[b], bilinear
+        )
+    pred_u = np.empty((8, 8), np.int32)
+    pred_v = np.empty((8, 8), np.int32)
+    for r in range(2):
+        for c in range(2):
+            ks = (8 * r + 2 * c, 8 * r + 2 * c + 1,
+                  8 * r + 2 * c + 4, 8 * r + 2 * c + 5)
+            uvmv = (
+                _avg4_away(*(sub[k][0] for k in ks)),
+                _avg4_away(*(sub[k][1] for k in ks)),
+            )
+            if fullpel:
+                uvmv = (uvmv[0] & ~7, uvmv[1] & ~7)
+            pred_u[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] = _mc_block(
+                ref_pad["u"], cy + 4 * r, cx + 4 * c, 4, 4, uvmv, bilinear
+            )
+            pred_v[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] = _mc_block(
+                ref_pad["v"], cy + 4 * r, cx + 4 * c, 4, 4, uvmv, bilinear
+            )
+    return pred_y, pred_u, pred_v
+
+
+def _reconstruct_inter_mb(mb, y_can, u_can, v_can, my, mx, blocks, preds):
+    """Write MC prediction + residual into the bordered canvases."""
+    y_blocks, u_blocks, v_blocks = blocks
+    pred_y, pred_u, pred_v = preds
+    zeros = [0] * 16
+    by, bx = my * 16 + 1, mx * 16 + 1
+    for sb in range(16):
+        r, c = sb >> 2, sb & 3
+        _add_residual(
+            y_can, by + 4 * r, bx + 4 * c,
+            pred_y[4 * r : 4 * r + 4, 4 * c : 4 * c + 4],
+            y_blocks[sb] if y_blocks else zeros,
+        )
+    cy, cx = my * 8 + 1, mx * 8 + 1
+    for can, pred, blks in ((u_can, pred_u, u_blocks), (v_can, pred_v, v_blocks)):
+        for sb in range(4):
+            r, c = sb >> 1, sb & 1
+            _add_residual(
+                can, cy + 4 * r, cx + 4 * c,
+                pred[4 * r : 4 * r + 4, 4 * c : 4 * c + 4],
+                blks[sb] if blks else zeros,
+            )
 
 
 # ------------------------------------------------------------ token decode
@@ -1204,17 +1727,25 @@ def _filter_limits(level: int, sharpness: int, keyframe: bool = True):
             hev_t = 2
         elif level >= 15:
             hev_t = 1
+    else:  # interframe thresholds (§15.2)
+        if level >= 40:
+            hev_t = 3
+        elif level >= 20:
+            hev_t = 2
+        elif level >= 15:
+            hev_t = 1
     mb_edge = (level + 2) * 2 + interior
     sub_edge = level * 2 + interior
     return interior, hev_t, mb_edge, sub_edge
 
 
 def _loop_filter_plane(plane, mb_y, mb_x, bsize, level, sharpness, simple,
-                       filter_mb_edges_x, filter_mb_edges_y, filter_internal):
+                       filter_mb_edges_x, filter_mb_edges_y, filter_internal,
+                       keyframe=True):
     """Filter one MB's edges in one plane (operating in signed space).
     ``plane`` is a flat int32 numpy array (signed, value-128),
     ``bsize`` 16 for luma / 8 for chroma."""
-    interior, hev_t, mb_lim, sub_lim = _filter_limits(level, sharpness)
+    interior, hev_t, mb_lim, sub_lim = _filter_limits(level, sharpness, keyframe)
     h, w = plane.shape
     px = plane.reshape(-1)
     by, bx = mb_y * bsize, mb_x * bsize
@@ -1262,6 +1793,7 @@ def _apply_loop_filter(hdr, mbs, y_plane, u_plane, v_plane):
     ys = (y_plane.astype(np.int32) - 128)
     us = (u_plane.astype(np.int32) - 128)
     vs = (v_plane.astype(np.int32) - 128)
+    keyframe = hdr.get("frame_type", 0) == 0
     for my, row in enumerate(mbs):
         for mx, mb in enumerate(row):
             level = hdr["filter_level"]
@@ -1269,14 +1801,25 @@ def _apply_loop_filter(hdr, mbs, y_plane, u_plane, v_plane):
                 sv = seg["lf"][mb["segment"]]
                 level = sv if seg["abs_values"] else level + sv
             if lfd["enabled"]:
-                level += lfd["ref"][0]  # intra frame
-                if mb["ymode"] == B_PRED:
-                    level += lfd["mode"][0]
+                ref = mb.get("ref", REF_INTRA)
+                mode = mb.get("mode", mb["ymode"])
+                level += lfd["ref"][ref]
+                if ref == REF_INTRA:
+                    if mode == B_PRED:
+                        level += lfd["mode"][0]
+                elif mode == ZEROMV:
+                    level += lfd["mode"][1]
+                elif mode == SPLITMV:
+                    level += lfd["mode"][3]
+                else:
+                    level += lfd["mode"][2]
             level = 0 if level < 0 else (63 if level > 63 else level)
             if level == 0:
                 continue
-            internal = mb["ymode"] == B_PRED or mb["has_coeffs"]
-            args = (level, hdr["sharpness"], simple, mx > 0, my > 0, internal)
+            mode = mb.get("mode", mb["ymode"])
+            internal = mode in (B_PRED, SPLITMV) or mb["has_coeffs"]
+            args = (level, hdr["sharpness"], simple, mx > 0, my > 0, internal,
+                    keyframe)
             _loop_filter_plane(ys, my, mx, 16, *args)
             if not simple:  # simple filter is luma-only
                 _loop_filter_plane(us, my, mx, 8, *args)
@@ -1292,7 +1835,7 @@ def _decode_residuals_mb(bd, mb, probs, quant, above_ctx, left_ctx, mx):
     """Token-decode one MB; returns (y_blocks, u_blocks, v_blocks) of
     dequantized coefficient lists (natural order) and sets
     mb['has_coeffs']."""
-    has_y2 = mb["ymode"] != B_PRED
+    has_y2 = mb["has_y2"]
     a, l = above_ctx[mx], left_ctx
     if mb["skip"]:
         a["y"][:] = [0] * 4
@@ -1415,106 +1958,281 @@ def _make_canvas(h16: int, w16: int) -> np.ndarray:
     return can
 
 
+def _default_entropy() -> dict:
+    return {
+        "coeff": DEFAULT_COEFF_PROBS,
+        "ymode": list(YMODE_PROBS),
+        "uv": list(UV_MODE_PROBS_INTER),
+        "mv": [list(DEFAULT_MV_PROBS[0]), list(DEFAULT_MV_PROBS[1])],
+    }
+
+
+class Vp8Decoder:
+    """Stateful VP8 sequence decoder: keyframes AND interframes
+    (RFC 6386 §16-§18 — near-MV survey, MV entropy decode, sixtap /
+    bilinear motion compensation, last/golden/altref buffer management,
+    cross-frame entropy and segmentation persistence).
+
+    One instance per elementary stream (IVF file, animated-WebP track);
+    frames must be fed in bitstream order.  ``decode`` returns the same
+    dict shape as :func:`decode_vp8_frame`."""
+
+    def __init__(self) -> None:
+        self.width = self.height = None
+        self.mb_w = self.mb_h = 0
+        # reference buffers: uncropped mb-multiple uint8 planes
+        self.last = self.golden = self.altref = None
+        self.entropy = _default_entropy()
+        self.seg_feat: dict = {}   # persisted segmentation feature data
+        self.lf_deltas: dict = {}  # persisted loop-filter deltas
+        self.seg_map = None        # persisted per-MB segment ids
+
+    def decode(
+        self,
+        buf: bytes,
+        apply_filter: bool = True,
+        default_coeff_probs=None,
+        kf_bmode_probs=None,
+    ) -> dict:
+        tag = parse_frame_tag(buf)
+        keyframe = tag["frame_type"] == 0
+        if keyframe:
+            data_off = 10
+            w, h = tag["width"], tag["height"]
+        else:
+            if self.last is None:
+                raise ValueError(
+                    "VP8: interframe without a prior keyframe (no "
+                    "reference buffers in this stream)"
+                )
+            data_off = 3
+            w, h = self.width, self.height
+        part0 = buf[data_off : data_off + tag["part0_size"]]
+        if len(part0) < tag["part0_size"]:
+            raise ValueError("VP8: first partition extends past payload")
+        bd = BoolDecoder(part0)
+        hdr = dict(tag)
+        hdr["width"], hdr["height"] = w, h
+        if keyframe:
+            hdr["color_space"] = bd.read_bool(128)
+            hdr["clamping_type"] = bd.read_bool(128)
+        _parse_segmentation(bd, hdr, self.seg_feat)
+        _parse_filter_header(bd, hdr, self.lf_deltas)
+        n_parts = 1 << bd.read_literal(2)
+        _parse_quant_header(bd, hdr)
+        sign_bias = {REF_INTRA: 0, REF_LAST: 0, REF_GOLDEN: 0, REF_ALTREF: 0}
+        if keyframe:
+            hdr["refresh_golden"] = hdr["refresh_alt"] = 1
+            hdr["refresh_last"] = 1
+            hdr["copy_golden"] = hdr["copy_alt"] = 0
+            base = (
+                {"coeff": default_coeff_probs, "ymode": list(YMODE_PROBS),
+                 "uv": list(UV_MODE_PROBS_INTER),
+                 "mv": [list(DEFAULT_MV_PROBS[0]), list(DEFAULT_MV_PROBS[1])]}
+                if default_coeff_probs is not None
+                else _default_entropy()
+            )
+            hdr["refresh_entropy"] = bd.read_bool(128)
+        else:
+            hdr["refresh_golden"] = bd.read_bool(128)
+            hdr["refresh_alt"] = bd.read_bool(128)
+            hdr["copy_golden"] = 0 if hdr["refresh_golden"] else bd.read_literal(2)
+            hdr["copy_alt"] = 0 if hdr["refresh_alt"] else bd.read_literal(2)
+            sign_bias[REF_GOLDEN] = bd.read_bool(128)
+            sign_bias[REF_ALTREF] = bd.read_bool(128)
+            hdr["refresh_entropy"] = bd.read_bool(128)
+            hdr["refresh_last"] = bd.read_bool(128)
+            base = self.entropy
+        hdr["sign_bias"] = sign_bias
+        probs = _parse_coeff_prob_updates(bd, base["coeff"])
+        hdr["mb_no_skip"] = bd.read_bool(128)
+        hdr["prob_skip_false"] = bd.read_literal(8) if hdr["mb_no_skip"] else 0
+
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        # bomb bound BEFORE any canvas/mode allocation: claimed dims
+        # drive both the RGBA output (w*h*4) and the per-macroblock
+        # python work
+        if (mb_w * 16) * (mb_h * 16) * 4 > _VP8_MAX_DECODE_BYTES:
+            raise ValueError("VP8: claimed frame dims exceed decode bound")
+        ymode_probs, uv_probs = base["ymode"], base["uv"]
+        mv_probs = [list(base["mv"][0]), list(base["mv"][1])]
+        if keyframe:
+            mbs = _decode_mb_modes(bd, hdr, mb_w, mb_h, kf_bmode_probs,
+                                   self.seg_map)
+        else:
+            hdr["prob_intra"] = bd.read_literal(8)
+            hdr["prob_last"] = bd.read_literal(8)
+            hdr["prob_golden"] = bd.read_literal(8)
+            if bd.read_bool(128):
+                ymode_probs = [bd.read_literal(8) for _ in range(4)]
+            if bd.read_bool(128):
+                uv_probs = [bd.read_literal(8) for _ in range(3)]
+            for comp in range(2):
+                for i in range(19):
+                    if bd.read_bool(MV_UPDATE_PROBS[comp][i]):
+                        p = bd.read_literal(7) << 1
+                        mv_probs[comp][i] = p if p else 1
+            mbs = _decode_mb_modes_inter(
+                bd, hdr, mb_w, mb_h, ymode_probs, uv_probs, mv_probs,
+                self.seg_map, sign_bias
+            )
+        if bd.overrun:
+            raise ValueError("VP8: first partition truncated")
+
+        # token partitions: trailing 3-byte sizes for all but the last
+        tok_base = data_off + tag["part0_size"]
+        sizes_end = tok_base + 3 * (n_parts - 1)
+        if sizes_end > len(buf):
+            raise ValueError("VP8: truncated partition size table")
+        parts = []
+        pos = sizes_end
+        for i in range(n_parts):
+            if i < n_parts - 1:
+                off = tok_base + 3 * i
+                sz = buf[off] | (buf[off + 1] << 8) | (buf[off + 2] << 16)
+            else:
+                sz = len(buf) - pos
+            if sz < 0 or pos + sz > len(buf):
+                raise ValueError("VP8: token partition out of range")
+            parts.append(BoolDecoder(buf[pos : pos + sz]))
+            pos += sz
+
+        # per-segment dequant factors
+        seg = hdr["segmentation"]
+        quants = []
+        for s in range(4):
+            qi = hdr["q_index"]
+            if seg["enabled"]:
+                qi = seg["quant"][s] if seg["abs_values"] else qi + seg["quant"][s]
+            quants.append(dequant_factors(qi, hdr["q_deltas"]))
+
+        refs = None
+        if not keyframe:
+            refs = {
+                REF_LAST: _pad_ref(self.last),
+                REF_GOLDEN: _pad_ref(self.golden),
+                REF_ALTREF: _pad_ref(self.altref),
+            }
+        y_can = _make_canvas(mb_h * 16, mb_w * 16)
+        u_can = _make_canvas(mb_h * 8, mb_w * 8)
+        v_can = _make_canvas(mb_h * 8, mb_w * 8)
+        above_ctx = [
+            {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+            for _ in range(mb_w)
+        ]
+        version = hdr["version"]
+        for my in range(mb_h):
+            tok_bd = parts[my % n_parts]
+            left_ctx = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+            for mx in range(mb_w):
+                mb = mbs[my][mx]
+                blocks = _decode_residuals_mb(
+                    tok_bd, mb, probs, quants[mb["segment"]], above_ctx,
+                    left_ctx, mx
+                )
+                if mb["ref"] == REF_INTRA:
+                    _reconstruct_mb(mb, y_can, u_can, v_can, my, mx, blocks)
+                else:
+                    preds = _inter_predict_mb(
+                        mb, refs[mb["ref"]], my, mx, mb_w, mb_h, version
+                    )
+                    _reconstruct_inter_mb(
+                        mb, y_can, u_can, v_can, my, mx, blocks, preds
+                    )
+            if tok_bd.overrun:  # fail fast on truncated/corrupt input
+                raise ValueError("VP8: token partition truncated")
+
+        y_plane = y_can[1:, 1 : 1 + mb_w * 16]
+        u_plane = u_can[1:, 1 : 1 + mb_w * 8]
+        v_plane = v_can[1:, 1 : 1 + mb_w * 8]
+        if apply_filter and hdr["filter_level"] > 0:
+            y_plane, u_plane, v_plane = _apply_loop_filter(
+                hdr, mbs, y_plane, u_plane, v_plane
+            )
+
+        # ---- cross-frame state updates
+        self.width, self.height = w, h
+        self.mb_w, self.mb_h = mb_w, mb_h
+        new_frame = {
+            "y": np.ascontiguousarray(y_plane),
+            "u": np.ascontiguousarray(u_plane),
+            "v": np.ascontiguousarray(v_plane),
+        }
+        if keyframe:
+            self.last = self.golden = self.altref = new_frame
+        else:
+            # reference-decoder order: altref copy first (sources the
+            # pre-frame last/golden), then golden copy (sources the
+            # pre-frame last or the JUST-updated altref), then refreshes
+            # with last updated last of all
+            if hdr["copy_alt"] == 1:
+                self.altref = self.last
+            elif hdr["copy_alt"] == 2:
+                self.altref = self.golden
+            if hdr["copy_golden"] == 1:
+                self.golden = self.last
+            elif hdr["copy_golden"] == 2:
+                self.golden = self.altref
+            if hdr["refresh_golden"]:
+                self.golden = new_frame
+            if hdr["refresh_alt"]:
+                self.altref = new_frame
+            if hdr["refresh_last"]:
+                self.last = new_frame
+        if hdr["refresh_entropy"]:
+            self.entropy = {
+                "coeff": probs, "ymode": ymode_probs, "uv": uv_probs,
+                "mv": mv_probs,
+            }
+        elif keyframe:
+            self.entropy = base  # keyframe resets the persisted state
+        self.seg_feat = {
+            "abs_values": seg["abs_values"],
+            "quant": list(seg["quant"]),
+            "lf": list(seg["lf"]),
+        }
+        self.lf_deltas = {
+            "ref": list(hdr["lf_delta"]["ref"]),
+            "mode": list(hdr["lf_delta"]["mode"]),
+        }
+        if seg["enabled"] and seg["update_map"]:
+            self.seg_map = [
+                [mbs[my][mx]["segment"] for mx in range(mb_w)]
+                for my in range(mb_h)
+            ]
+
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        return {
+            "y": np.ascontiguousarray(y_plane[:h, :w]),
+            "u": np.ascontiguousarray(u_plane[:ch, :cw]),
+            "v": np.ascontiguousarray(v_plane[:ch, :cw]),
+            "header": hdr,
+        }
+
+
 def decode_vp8_frame(
     buf: bytes,
     apply_filter: bool = True,
     default_coeff_probs=None,
     kf_bmode_probs=None,
 ) -> dict:
-    """Decode a VP8 keyframe payload → dict with uint8 planes ``y``
-    (h, w), ``u``/``v`` ((h+1)//2, (w+1)//2) plus the parsed header.
+    """Decode a standalone VP8 keyframe payload → dict with uint8
+    planes ``y`` (h, w), ``u``/``v`` ((h+1)//2, (w+1)//2) plus the
+    parsed header.  An interframe payload is a data error here (no
+    reference buffers exist in a still-image context) — feed sequences
+    through :class:`Vp8Decoder` instead.
 
     ``default_coeff_probs`` (4x8x3x11) and ``kf_bmode_probs``
     (10x10x9) override the module's engine-default probability tables
-    — the injection point for the RFC 6386 §13.5/§11.3 constants when
-    bit parity with libvpx-encoded streams is required (see the module
-    docstring's table-provenance note)."""
-    tag = parse_frame_tag(buf)
-    part0 = buf[10 : 10 + tag["part0_size"]]
-    if len(part0) < tag["part0_size"]:
-        raise ValueError("VP8: first partition extends past payload")
-    bd = BoolDecoder(part0)
-    hdr = dict(tag)
-    hdr["color_space"] = bd.read_bool(128)
-    hdr["clamping_type"] = bd.read_bool(128)
-    _parse_segmentation(bd, hdr)
-    _parse_filter_header(bd, hdr)
-    n_parts = 1 << bd.read_literal(2)
-    _parse_quant_header(bd, hdr)
-    hdr["refresh_entropy"] = bd.read_bool(128)
-    probs = _parse_coeff_prob_updates(bd, default_coeff_probs)
-    hdr["mb_no_skip"] = bd.read_bool(128)
-    hdr["prob_skip_false"] = bd.read_literal(8) if hdr["mb_no_skip"] else 0
-
-    w, h = hdr["width"], hdr["height"]
-    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
-    # bomb bound BEFORE any canvas/mode allocation: claimed dims drive
-    # both the RGBA output (w*h*4) and the per-macroblock python work
-    if (mb_w * 16) * (mb_h * 16) * 4 > _VP8_MAX_DECODE_BYTES:
-        raise ValueError("VP8: claimed frame dims exceed decode bound")
-    mbs = _decode_mb_modes(bd, hdr, mb_w, mb_h, kf_bmode_probs)
-    if bd.overrun:
-        raise ValueError("VP8: first partition truncated")
-
-    # token partitions: trailing 3-byte sizes for all but the last
-    tok_base = 10 + tag["part0_size"]
-    sizes_end = tok_base + 3 * (n_parts - 1)
-    if sizes_end > len(buf):
-        raise ValueError("VP8: truncated partition size table")
-    parts = []
-    pos = sizes_end
-    for i in range(n_parts):
-        if i < n_parts - 1:
-            off = tok_base + 3 * i
-            sz = buf[off] | (buf[off + 1] << 8) | (buf[off + 2] << 16)
-        else:
-            sz = len(buf) - pos
-        if sz < 0 or pos + sz > len(buf):
-            raise ValueError("VP8: token partition out of range")
-        parts.append(BoolDecoder(buf[pos : pos + sz]))
-        pos += sz
-
-    # per-segment dequant factors
-    seg = hdr["segmentation"]
-    quants = []
-    for s in range(4):
-        qi = hdr["q_index"]
-        if seg["enabled"]:
-            qi = seg["quant"][s] if seg["abs_values"] else qi + seg["quant"][s]
-        quants.append(dequant_factors(qi, hdr["q_deltas"]))
-
-    y_can = _make_canvas(mb_h * 16, mb_w * 16)
-    u_can = _make_canvas(mb_h * 8, mb_w * 8)
-    v_can = _make_canvas(mb_h * 8, mb_w * 8)
-    above_ctx = [
-        {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0} for _ in range(mb_w)
-    ]
-    for my in range(mb_h):
-        tok_bd = parts[my % n_parts]
-        left_ctx = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
-        for mx in range(mb_w):
-            mb = mbs[my][mx]
-            blocks = _decode_residuals_mb(
-                tok_bd, mb, probs, quants[mb["segment"]], above_ctx, left_ctx, mx
-            )
-            _reconstruct_mb(mb, y_can, u_can, v_can, my, mx, blocks)
-        if tok_bd.overrun:  # fail fast on truncated/corrupt input
-            raise ValueError("VP8: token partition truncated")
-
-    y_plane = y_can[1:, 1 : 1 + mb_w * 16]
-    u_plane = u_can[1:, 1 : 1 + mb_w * 8]
-    v_plane = v_can[1:, 1 : 1 + mb_w * 8]
-    if apply_filter and hdr["filter_level"] > 0:
-        y_plane, u_plane, v_plane = _apply_loop_filter(
-            hdr, mbs, y_plane, u_plane, v_plane
-        )
-    cw, ch = (w + 1) // 2, (h + 1) // 2
-    return {
-        "y": np.ascontiguousarray(y_plane[:h, :w]),
-        "u": np.ascontiguousarray(u_plane[:ch, :cw]),
-        "v": np.ascontiguousarray(v_plane[:ch, :cw]),
-        "header": hdr,
-    }
+    — the injection point kept for testability of the RFC 6386
+    §13.5/§11.3 constants (see the module docstring's table-provenance
+    note)."""
+    return Vp8Decoder().decode(
+        buf,
+        apply_filter=apply_filter,
+        default_coeff_probs=default_coeff_probs,
+        kf_bmode_probs=kf_bmode_probs,
+    )
 
 
 def yuv420_to_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -1541,3 +2259,46 @@ def yuv420_to_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
 def decode_vp8_rgba(buf: bytes) -> np.ndarray:
     f = decode_vp8_frame(buf)
     return yuv420_to_rgba(f["y"], f["u"], f["v"])
+
+
+# --------------------------------------------------------------- IVF video
+
+
+def decode_ivf_frames(buf: bytes) -> np.ndarray:
+    """Decode an IVF-contained VP8 elementary stream → (n, h, w, 4)
+    RGBA of the SHOWN frames (hidden altref frames update reference
+    buffers but emit nothing).  IVF is the public raw-VP8 test-stream
+    container (32-byte ``DKIF`` header + per-frame 12-byte headers);
+    this is the carrier that makes interframe decode reachable from
+    ``decode_media``, the way AVI carries MJPEG."""
+    if len(buf) < 32 or buf[:4] != b"DKIF":
+        raise ValueError("IVF: bad signature")
+    hdr_len = int.from_bytes(buf[6:8], "little")
+    fourcc = buf[8:12]
+    if fourcc != b"VP80":
+        raise NotImplementedError(
+            f"IVF: codec {fourcc!r} not supported (VP80 only)"
+        )
+    if hdr_len < 32 or hdr_len > len(buf):
+        raise ValueError("IVF: bad header length")
+    dec = Vp8Decoder()
+    frames: list[np.ndarray] = []
+    pos = hdr_len
+    while pos + 12 <= len(buf):
+        size = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 12
+        if size > len(buf) - pos:
+            raise ValueError("IVF: frame extends past payload")
+        payload = buf[pos : pos + size]
+        pos += size
+        f = dec.decode(payload)
+        if f["header"]["show_frame"]:
+            h, w = f["y"].shape
+            if (len(frames) + 1) * h * w * 4 > _VP8_MAX_DECODE_BYTES:
+                raise ValueError("IVF: decoded size exceeds bound")
+            frames.append(yuv420_to_rgba(f["y"], f["u"], f["v"]))
+    if pos != len(buf):
+        raise ValueError("IVF: trailing garbage after last frame")
+    if not frames:
+        raise ValueError("IVF: no shown frames")
+    return np.stack(frames)

@@ -475,10 +475,11 @@ def decode_webp_pixels(buf: bytes) -> np.ndarray:
     """Decode a WebP container payload → uint8 (h, w, 4) RGBA.
 
     Lossless (VP8L) decodes fully, including inside an extended (VP8X)
-    layout; a lossy ``VP8 `` chunk decodes through the keyframe
-    decoder in :mod:`.vp8` (WebP stills are always keyframes — an
-    interframe bitstream raises its named ``NotImplementedError``
-    boundary, quarantined upstream like H.264)."""
+    layout; a lossy ``VP8 `` chunk decodes through :mod:`.vp8` (WebP
+    stills are keyframes; an interframe payload in a STILL has no
+    reference buffers and raises ``ValueError`` — inside an ANIMATION
+    the per-animation :class:`.vp8.Vp8Decoder` supplies them, see
+    ``decode_webp_frames``)."""
     if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
@@ -504,8 +505,14 @@ def decode_webp_pixels(buf: bytes) -> np.ndarray:
 _WEBP_MAX_DECODE_BYTES = 1 << 28  # 256 MiB, same bomb bound as GIF/APNG
 
 
-def _decode_webp_subframe(body: bytes) -> np.ndarray:
-    """Decode the VP8/VP8L subchunk inside an ANMF frame body."""
+def _decode_webp_subframe(body: bytes, vp8_state=None) -> np.ndarray:
+    """Decode the VP8/VP8L subchunk inside an ANMF frame body.
+
+    ``vp8_state`` is the animation's shared :class:`vp8.Vp8Decoder`:
+    lossy ANMF frames form one elementary stream, so an INTER-coded
+    frame decodes against the previous lossy frame's reference buffers
+    (keyframes reset them — the libwebp-emitted all-keyframe case is
+    unchanged)."""
     pos = 0
     while pos + 8 <= len(body):
         cid = body[pos : pos + 4]
@@ -514,9 +521,12 @@ def _decode_webp_subframe(body: bytes) -> np.ndarray:
         if cid == b"VP8L":
             return decode_vp8l_stream(data)
         if cid == b"VP8 ":
-            from .vp8 import decode_vp8_rgba
+            from .vp8 import decode_vp8_rgba, yuv420_to_rgba
 
-            return decode_vp8_rgba(data)
+            if vp8_state is None:
+                return decode_vp8_rgba(data)
+            f = vp8_state.decode(data)
+            return yuv420_to_rgba(f["y"], f["u"], f["v"])
         pos += 8 + sz + (sz & 1)
     raise ValueError("WebP: ANMF frame without VP8/VP8L subchunk")
 
@@ -568,13 +578,16 @@ def decode_webp_frames(buf: bytes) -> np.ndarray:
     w, h = canvas_wh
     if len(anim) * h * w * 4 > _WEBP_MAX_DECODE_BYTES:
         raise ValueError("WebP: decoded frames exceed decode bound")
+    from .vp8 import Vp8Decoder
+
     canvas = np.zeros((h, w, 4), np.uint8)
+    vp8_state = Vp8Decoder()  # shared across the animation's VP8 frames
     out = []
     for meta, body in anim:
         fw, fh, fx, fy = meta["w"], meta["h"], meta["x"], meta["y"]
         if fx + fw > w or fy + fh > h:
             raise ValueError("WebP: frame region outside the canvas")
-        region = _decode_webp_subframe(body)
+        region = _decode_webp_subframe(body, vp8_state)
         if region.shape[:2] != (fh, fw):
             raise ValueError("WebP: frame bitstream dims disagree with ANMF")
         target = canvas[fy : fy + fh, fx : fx + fw]

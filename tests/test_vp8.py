@@ -319,9 +319,12 @@ def test_webp_container_and_rgba():
     assert np.array_equal(rgba[..., 1], rgba[..., 2])
 
 
-def test_interframe_named_boundary():
+def test_interframe_without_reference_is_a_data_error():
+    # interframes decode through Vp8Decoder (tests/test_vp8_inter.py);
+    # in a STILL context there are no reference buffers, so a lone
+    # interframe payload is a data error, not a feature boundary
     inter = b"\x01" + b"\x00" * 12
-    with pytest.raises(NotImplementedError, match="interframe"):
+    with pytest.raises(ValueError, match="without a prior keyframe"):
         decode_vp8_frame(inter)
 
 

@@ -489,13 +489,14 @@ def test_container_and_lossy_boundary():
     px = _rand_rgba(5, 5, 60)
     buf = wrap_webp(encode_vp8l(px))
     assert np.array_equal(decode_webp_pixels(buf)[..., :4], px)
-    # lossy keyframes now decode (tests/test_vp8.py); the remaining
-    # named boundary is an interframe bitstream (tag bit 0 = 1)
+    # lossy keyframes decode (tests/test_vp8.py) and interframes decode
+    # inside sequences (tests/test_vp8_inter.py); a WebP STILL carrying
+    # an interframe has no reference buffers — a data error
     inter = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 10) + b"\x01" + b"\x00" * 9
     )
-    with pytest.raises(NotImplementedError, match="interframe"):
+    with pytest.raises(ValueError, match="without a prior keyframe"):
         decode_webp_pixels(inter)
     truncated = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"

@@ -174,51 +174,82 @@ def test_bounds_and_mutation_totality():
             pass
 
 
-def test_interframe_anmf_quarantine_rate_gate(spark):
-    """Scoped inter-coded-ANMF gate (r10): a synthetic animated-lossy
-    corpus — 30 all-keyframe animations plus 10 whose second ANMF frame
-    is inter-coded (frame-tag LSB=1) — driven through the SPARK
-    featurize path. Keyframe animations all decode; the inter-coded
-    ones quarantine (never fail the task), and the measured quarantine
-    rate is exactly the planted interframe fraction. The decoder-level
-    boundary stays named so the rate is attributable."""
-    import pytest as _pytest
+def test_interframe_anmf_decodes_against_prior_frame():
+    """Inter-coded ANMF frames decode for real (the r10 boundary is
+    CLOSED): a lossy animation whose second frame is a genuine VP8
+    interframe (ZEROMV + residual off the first frame's buffers)
+    reconstructs bit-exactly via the per-animation Vp8Decoder, and
+    matches the encoder model's expected planes through the container
+    path."""
+    from rustcheatersdatapipeline_spark.functions.vp8 import yuv420_to_rgba
+    from tests.vp8interenc import Vp8SeqEncoder
 
+    rng = np.random.RandomState(23)
+    y0 = rng.randint(0, 256, (16, 16), np.uint8)
+    u0 = rng.randint(0, 256, (8, 8), np.uint8)
+    v0 = rng.randint(0, 256, (8, 8), np.uint8)
+    enc = Vp8SeqEncoder()
+    kf, e0 = enc.keyframe(y0, u0, v0, q_index=6)
+    # second frame: shifted content predicted with NEWMV off frame 1
+    y1 = np.roll(y0, 4, axis=1)
+    u1 = np.roll(u0, 2, axis=1)
+    v1 = np.roll(v0, 2, axis=1)
+    import rustcheatersdatapipeline_spark.functions.vp8 as V
+
+    specs = [[{"ref": V.REF_LAST, "mode": "new", "mv": (0, 32)}]]
+    pf, e1 = enc.interframe(y1, u1, v1, specs, q_index=6)
+    assert pf[0] & 1 == 1  # genuinely inter-coded
+    anim = make_webp_anim(
+        (16, 16),
+        [(b"VP8 ", kf, 0, 0, 16, 16, 0, 1), (b"VP8 ", pf, 0, 0, 16, 16, 0, 1)],
+    )
+    frames = decode_webp_frames(anim)
+    assert frames.shape == (2, 16, 16, 4)
+    exp0 = yuv420_to_rgba(e0["y"], e0["u"], e0["v"])
+    exp1 = yuv420_to_rgba(e1["y"], e1["u"], e1["v"])
+    assert np.array_equal(frames[0], exp0)
+    assert np.array_equal(frames[1], exp1)
+
+
+def test_lossy_animation_spark_featurize_with_inter_frames(spark):
+    """The r10 quarantine-rate gate, inverted now the boundary is
+    closed: a synthetic animated-lossy corpus where 10 of 40
+    animations carry a REAL inter-coded second ANMF frame decodes
+    100% — no quarantine — through the Spark featurize path, keyframe
+    and interframe animations alike."""
     from rustcheatersdatapipeline_spark.functions.pixels import featurize_pixels
-    from rustcheatersdatapipeline_spark.functions.vp8 import parse_frame_tag
+    from tests.vp8interenc import Vp8SeqEncoder
+
+    import rustcheatersdatapipeline_spark.functions.vp8 as V
 
     half = np.full((8, 8), 128, np.uint8)
-
-    def keyframe(seed):
-        y = np.full((16, 16), 40 + 5 * seed, np.uint8)
-        p, _ = encode_vp8(y, half, half, q_index=4)
-        return p
-
-    def interframe_payload(seed):
-        p = bytearray(keyframe(seed))
-        p[0] |= 0x01  # frame-tag LSB: interframe
-        return bytes(p)
-
-    # the decoder-level boundary is NAMED (attribution for the rate)
-    with _pytest.raises(NotImplementedError, match="interframe"):
-        parse_frame_tag(interframe_payload(0))
-
     rows = []
     for i in range(40):
-        frames = [(b"VP8 ", keyframe(i), 0, 0, 16, 16, 0, 1)]
-        if i % 4 == 0:  # 10 of 40 get an inter-coded second frame
-            frames.append((b"VP8 ", interframe_payload(i), 0, 0, 16, 16, 0, 0))
+        y = np.full((16, 16), 40 + 5 * (i % 20), np.uint8)
+        enc = Vp8SeqEncoder()
+        kf, _ = enc.keyframe(y, half, half, q_index=4)
+        frames = [(b"VP8 ", kf, 0, 0, 16, 16, 0, 1)]
+        if i % 4 == 0:  # 10 of 40 get a true inter-coded second frame
+            pf, _ = enc.interframe(
+                np.roll(y, 2, axis=0), half, half,
+                [[{"ref": V.REF_LAST, "mode": "new", "mv": (16, 0)}]],
+                q_index=4,
+            )
+            assert pf[0] & 1 == 1
+            frames.append((b"VP8 ", pf, 0, 0, 16, 16, 0, 0))
         else:
-            frames.append((b"VP8 ", keyframe(i + 1), 0, 0, 16, 16, 0, 0))
+            kf2, _ = Vp8SeqEncoder().keyframe(
+                np.full((16, 16), 45 + 5 * (i % 20), np.uint8), half, half,
+                q_index=4,
+            )
+            frames.append((b"VP8 ", kf2, 0, 0, 16, 16, 0, 0))
         rows.append((i, bytearray(make_webp_anim((16, 16), frames))))
     media = spark.createDataFrame(rows, "item_id long, payload binary")
     feats = featurize_pixels(media).collect()
     assert len(feats) == 40
     quarantined = {r["item_id"] for r in feats if r["kind"] == "unknown"}
     decoded = {r["item_id"] for r in feats if r["kind"] == "image"}
-    assert quarantined == set(range(0, 40, 4))
-    assert len(decoded) == 30
-    assert len(quarantined) / len(feats) == 0.25  # exactly the planted rate
+    assert quarantined == set()
+    assert len(decoded) == 40
     for r in feats:
-        if r["kind"] == "image":
-            assert (r["width"], r["height"]) == (16, 16)
+        assert (r["width"], r["height"]) == (16, 16)

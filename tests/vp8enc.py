@@ -335,8 +335,10 @@ def _lf_apply_edge(cols, kind, hev_t, interior, edge_lim):
 
 
 def _lf_plane_mb(plane, my, mx, bsize, level, sharpness, simple,
-                 edge_x, edge_y, internal):
-    interior, hev_t, mb_lim, sub_lim = V._filter_limits(level, sharpness)
+                 edge_x, edge_y, internal, keyframe=True):
+    interior, hev_t, mb_lim, sub_lim = V._filter_limits(
+        level, sharpness, keyframe
+    )
     by, bx = my * bsize, mx * bsize
     mb_kind = "simple" if simple else "mb"
     sub_kind = "simple" if simple else "sub"
@@ -358,9 +360,10 @@ def _lf_plane_mb(plane, my, mx, bsize, level, sharpness, simple,
             plane[yy - 4 : yy + 4, bx : bx + bsize] = seg.T
 
 
-def model_loop_filter(y, u, v, mb_meta, hdr):
+def model_loop_filter(y, u, v, mb_meta, hdr, keyframe=True):
     """Expected-side deblock over full (padded) planes. ``mb_meta`` is a
-    2-D list of dicts with ymode/segment/has_coeffs."""
+    2-D list of dicts with ymode/segment/has_coeffs (plus ref/mode for
+    interframe MBs)."""
     seg = hdr["segmentation"]
     lfd = hdr.get("lf_delta", {"enabled": 0})
     simple = hdr["filter_type"] == 1
@@ -373,15 +376,25 @@ def model_loop_filter(y, u, v, mb_meta, hdr):
             if seg["enabled"]:
                 sv = seg["lf"][mb["segment"]]
                 level = sv if seg["abs_values"] else level + sv
+            mode = mb.get("mode", mb["ymode"])
             if lfd["enabled"]:
-                level += lfd["ref"][0]
-                if mb["ymode"] == V.B_PRED:
-                    level += lfd["mode"][0]
+                ref = mb.get("ref", V.REF_INTRA)
+                level += lfd["ref"][ref]
+                if ref == V.REF_INTRA:
+                    if mode == V.B_PRED:
+                        level += lfd["mode"][0]
+                elif mode == V.ZEROMV:
+                    level += lfd["mode"][1]
+                elif mode == V.SPLITMV:
+                    level += lfd["mode"][3]
+                else:
+                    level += lfd["mode"][2]
             level = min(63, max(0, level))
             if level == 0:
                 continue
-            internal = mb["ymode"] == V.B_PRED or mb["has_coeffs"]
-            args = (level, hdr["sharpness"], simple, mx > 0, my > 0, internal)
+            internal = mode in (V.B_PRED, V.SPLITMV) or mb["has_coeffs"]
+            args = (level, hdr["sharpness"], simple, mx > 0, my > 0, internal,
+                    keyframe)
             _lf_plane_mb(ys, my, mx, 16, *args)
             if not simple:
                 _lf_plane_mb(us, my, mx, 8, *args)
@@ -791,7 +804,13 @@ def encode_vp8(
         }
         ye, ue, ve = model_loop_filter(ye, ue, ve, mb_data, hdr)
     ch, cw = (h + 1) // 2, (w + 1) // 2
-    expected = {"y": ye[:h, :w], "u": ue[:ch, :cw], "v": ve[:ch, :cw]}
+    expected = {
+        "y": ye[:h, :w], "u": ue[:ch, :cw], "v": ve[:ch, :cw],
+        # uncropped mb-multiple planes: the reference-buffer state a
+        # sequence encoder (tests/vp8interenc.py) carries forward
+        "y_pad": ye, "u_pad": ue, "v_pad": ve,
+        "probs": probs,
+    }
     return payload, expected
 
 
