@@ -808,6 +808,10 @@ def decode_image_payload(buf: bytes) -> np.ndarray | None:
         from .vp8 import decode_ivf_frames
 
         return decode_ivf_frames(buf)[0]
+    if buf[:4] == b"\x1aE\xdf\xa3":
+        from .webm import decode_webm_frames
+
+        return decode_webm_frames(buf)[0]
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff_pixels
 
@@ -838,6 +842,10 @@ def decode_image_frames(buf: bytes) -> np.ndarray | None:
         from .vp8 import decode_ivf_frames
 
         return decode_ivf_frames(buf)
+    if buf[:4] == b"\x1aE\xdf\xa3":
+        from .webm import decode_webm_frames
+
+        return decode_webm_frames(buf)
     if buf[:8] == _PNG_SIGNATURE:
         return decode_apng_frames(buf)
     px = decode_image_payload(buf)
@@ -973,6 +981,21 @@ def decode_media(buf: bytes) -> dict:
         flat = px.astype(np.float64)
         return {
             "mime": "video/x-ivf",
+            "kind": "video",
+            "width": int(px.shape[2]),
+            "height": int(px.shape[1]),
+            "channels": int(px.shape[3]),
+            "n_samples": int(px.size),
+            "mean": float(flat.mean()),
+            "rms": float(np.sqrt((flat**2).mean())),
+        }
+    if buf[:4] == b"\x1aE\xdf\xa3":
+        from .webm import decode_webm_frames
+
+        px = decode_webm_frames(buf)  # VP8 track through Vp8Decoder
+        flat = px.astype(np.float64)
+        return {
+            "mime": "video/webm",
             "kind": "video",
             "width": int(px.shape[2]),
             "height": int(px.shape[1]),
