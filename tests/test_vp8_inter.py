@@ -514,3 +514,64 @@ def test_ivf_through_spark_featurize_and_frame_sampling(spark):
     assert sorted((r["item_id"], r["frame_idx"]) for r in sampled) == [
         (0, 0), (0, 2), (1, 0), (1, 2)
     ]
+
+
+# ------------------------------------------------- survey worked examples
+
+
+def test_near_mv_survey_hand_worked_examples():
+    """§16.3 semantics pinned by HAND-DERIVED fixtures (weights: above
+    2, left 2, above-left 1; top-slot-only dedup; fold-back of a third
+    distinct candidate equal to the first; zero/intra pool; swap;
+    best-vs-zero tie broken toward nearest).  Both the decoder's
+    pointer-walk and the encoder model's candidate-list implementation
+    must reproduce the same literal values."""
+    from tests.vp8interenc import survey_near_mvs
+
+    def mb(ref, mode, mv):
+        return {"ref": ref, "mode": mode, "mv": mv, "sub_mvs": None}
+
+    I, L, G = V.REF_INTRA, V.REF_LAST, V.REF_GOLDEN
+    nb = {I: 0, L: 0, G: 0, V.REF_ALTREF: 0}  # no sign bias
+    cases = [
+        # all three neighbors carry (8,8): 2+2+1 weights all fold into
+        # the nearest slot -> cnt [0,5,0,0]
+        ([[mb(L, V.NEWMV, (8, 8)), mb(L, V.NEWMV, (8, 8)), None],
+          [mb(L, V.NEWMV, (8, 8)), None, None]], nb,
+         ((8, 8), (8, 8), (0, 0), [0, 5, 0, 0])),
+        # above and above-left are zero-MV inter (pool 2+1=3), left has
+        # (8,0) w2: pool outweighs -> best stays (0,0)
+        ([[mb(L, V.ZEROMV, (0, 0)), mb(L, V.ZEROMV, (0, 0)), None],
+          [mb(L, V.NEWMV, (8, 0)), None, None]], nb,
+         ((0, 0), (8, 0), (0, 0), [3, 2, 0, 0])),
+        # three distinct slots where the third (above-left) equals the
+        # first (above): its weight folds back into nearest (+1)
+        ([[mb(L, V.NEWMV, (4, 4)), mb(L, V.NEWMV, (4, 4)), None],
+          [mb(L, V.NEWMV, (-4, 4)), None, None]], nb,
+         ((4, 4), (4, 4), (-4, 4), [0, 3, 2, 0])),
+        # out-of-frame above row (intra border): left (6,0) w2 becomes
+        # nearest, above-left (2,2) w1 near — no swap
+        ([[mb(L, V.NEWMV, (2, 2)), mb(I, V.DC_PRED, (0, 0)), None],
+          [mb(L, V.NEWMV, (6, 0)), None, None]], nb,
+         ((6, 0), (6, 0), (2, 2), [0, 2, 1, 0])),
+    ]
+    for grid, bias, want in cases:
+        assert V.find_near_mvs(grid, 1, 1, 3, 2, L, bias) == want
+        assert survey_near_mvs(grid, 1, 1, 3, 2, L, bias) == want
+    # golden-ref neighbors with opposite sign bias negate into a
+    # last-ref survey: (8,-8) becomes (-8,8)
+    bias = {I: 0, L: 0, G: 1, V.REF_ALTREF: 0}
+    grid = [[mb(G, V.NEWMV, (8, -8)), mb(G, V.NEWMV, (8, -8)), None],
+            [mb(I, V.DC_PRED, (0, 0)), None, None]]
+    want = ((-8, 8), (-8, 8), (0, 0), [0, 3, 0, 0])
+    assert V.find_near_mvs(grid, 1, 1, 3, 2, L, bias) == want
+    assert survey_near_mvs(grid, 1, 1, 3, 2, L, bias) == want
+
+
+def test_mode_context_table_narrows_mod_256():
+    """The public reference source stores two >255 entries in the
+    mode-context table (257, 336) in an int array narrowed to an 8-bit
+    probability on use; the decode path must apply the same mod-256
+    narrowing (257 -> 1, 336 -> 80)."""
+    assert V.MODE_CONTEXTS[5][0] & 0xFF == 1
+    assert V.MODE_CONTEXTS[5][1] & 0xFF == 80
