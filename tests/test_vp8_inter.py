@@ -575,3 +575,83 @@ def test_mode_context_table_narrows_mod_256():
     narrowing (257 -> 1, 336 -> 80)."""
     assert V.MODE_CONTEXTS[5][0] & 0xFF == 1
     assert V.MODE_CONTEXTS[5][1] & 0xFF == 80
+
+
+# ------------------------------------------------------ property fuzzing
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _mb_spec(draw):
+    kind = draw(st.sampled_from(
+        ["zero", "nearest", "near", "new", "split", "intra"]
+    ))
+    ref = draw(st.sampled_from([V.REF_LAST, V.REF_GOLDEN, V.REF_ALTREF]))
+    mv = st.tuples(
+        st.integers(-12, 12).map(lambda v: v * 2),
+        st.integers(-12, 12).map(lambda v: v * 2),
+    )
+    if kind == "intra":
+        ym = draw(st.sampled_from(
+            [V.DC_PRED, V.V_PRED, V.H_PRED, V.TM_PRED, V.B_PRED]
+        ))
+        spec = {"intra": ym,
+                "uvmode": draw(st.sampled_from(
+                    [V.DC_PRED, V.V_PRED, V.H_PRED, V.TM_PRED]))}
+        if ym == V.B_PRED:
+            spec["bmodes"] = draw(
+                st.lists(st.integers(0, 9), min_size=16, max_size=16)
+            )
+        return spec
+    if kind == "new":
+        return {"ref": ref, "mode": "new", "mv": draw(mv)}
+    if kind == "split":
+        part = draw(st.integers(0, 3))
+        n = V.MBSPLIT_COUNTS[part]
+        subs = draw(st.lists(
+            st.one_of(
+                st.tuples(st.just("new"), mv),
+                st.sampled_from([("left",), ("above",), ("zero",)]),
+            ),
+            min_size=n, max_size=n,
+        ))
+        return {"ref": ref, "mode": "split", "part": part, "sub": list(subs)}
+    return {"ref": ref, "mode": kind}
+
+
+@given(
+    data=st.data(),
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_random_sequences_roundtrip(data, seed, n_frames):
+    """Any encoder-expressible sequence round-trips bit-exactly: random
+    mode grids (all inter modes, refs, split layouts, intra-in-inter),
+    random refresh/show patterns, random quantizers and filter
+    levels."""
+    rng = np.random.RandomState(seed)
+    enc = Vp8SeqEncoder()
+    dec = Vp8Decoder()
+    p0, e0 = enc.keyframe(
+        _rnd(rng, 32, 32), _rnd(rng, 16, 16), _rnd(rng, 16, 16),
+        q_index=int(rng.randint(0, 40)),
+    )
+    _assert_frame(dec.decode(p0), e0)
+    for _ in range(n_frames):
+        specs = [[data.draw(_mb_spec()) for _ in range(2)] for _ in range(2)]
+        p, e = enc.interframe(
+            _rnd(rng, 32, 32), _rnd(rng, 16, 16), _rnd(rng, 16, 16), specs,
+            q_index=int(rng.randint(0, 60)),
+            filter_level=int(rng.randint(0, 34)),
+            filter_type=int(rng.randint(0, 2)),
+            refresh_golden=int(rng.randint(0, 2)),
+            refresh_alt=int(rng.randint(0, 2)),
+            refresh_last=int(rng.randint(0, 2)),
+            show_frame=int(rng.randint(0, 2)),
+            refresh_entropy=int(rng.randint(0, 2)),
+        )
+        _assert_frame(dec.decode(p), e)
