@@ -8,7 +8,10 @@ big_values/count1 regions, requantization (4/3 power law, global
 gain, scalefac_scale, preflag, subblock gain), short-block reorder,
 joint-stereo processing, alias reduction, long/short/start/stop IMDCT
 with overlap-add, frequency inversion, and the 32-band polyphase
-synthesis filterbank. MPEG-2 LSF frames (ISO 13818-3: one granule,
+synthesis filterbank.  MIXED blocks (§2.4.2.7) decode: 8 long
+scalefactor bands over the two lowest subbands (long window IMDCT,
+single alias-reduced boundary) with short bands 3..12 — reordered,
+subblock-gained, short-windowed — above them. MPEG-2 LSF frames (ISO 13818-3: one granule,
 8-bit reservoir pointer, 9-bit scalefac_compress with the four-group
 slen layout and implied preflag, the 22.05/24/16 kHz band tables)
 decode through the same pipeline. The engine's audio contract matches
@@ -20,8 +23,9 @@ like every other codec here).
 Named boundaries (quarantined upstream via DECODE_QUARANTINE, same
 contract as H.264/arithmetic-JPEG): MPEG-2.5 frames, Layer I/II
 payloads, intensity stereo on SHORT blocks and under LSF (long-block
-MPEG-1 intensity incl. the MS combination decodes), mixed blocks, and
-the Huffman tables not transcribed in this offline build (see below).
+MPEG-1 intensity incl. the MS combination decodes), LSF mixed blocks
+(MPEG-1 mixed blocks decode), and the Huffman tables not transcribed
+in this offline build (see below).
 
 Table provenance
 ----------------
@@ -271,10 +275,12 @@ def _parse_side_info(data: bytes, channels: int) -> dict:
                 g["subblock_gain"] = [rd.bits(3) for _ in range(3)]
                 if g["block_type"] == 0:
                     raise ValueError("MP3: window switching with block_type 0")
-                if g["mixed_block_flag"]:
-                    raise NotImplementedError("MP3: mixed blocks")
+                if g["mixed_block_flag"] and g["block_type"] != 2:
+                    raise ValueError("MP3: mixed_block_flag without short blocks")
                 # under window switching the region split is spec-fixed
-                # (_read_huffman hardcodes region1_start=36, region2=576)
+                # (_read_huffman hardcodes region1_start=36, region2=576;
+                # for MIXED blocks the boundary is the same 36 — 8 long
+                # bands end at line 36 at every MPEG-1 rate)
             else:
                 g["block_type"] = 0
                 g["mixed_block_flag"] = 0
@@ -317,7 +323,7 @@ def _parse_side_info_lsf(data: bytes, channels: int) -> dict:
             if g["block_type"] == 0:
                 raise ValueError("MP3: window switching with block_type 0")
             if g["mixed_block_flag"]:
-                raise NotImplementedError("MP3: mixed blocks")
+                raise NotImplementedError("MP3: LSF mixed blocks")
         else:
             g["block_type"] = 0
             g["mixed_block_flag"] = 0
@@ -366,6 +372,20 @@ def _read_scalefacs_lsf(rd: _BitReader, g: dict) -> dict:
 def _read_scalefacs(rd: _BitReader, g: dict, gr: int, scfsi, prev) -> dict:
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     if g["block_type"] == 2 and g["window_switching"]:
+        if g["mixed_block_flag"]:
+            # mixed blocks (§2.4.2.7): 8 long bands (slen1), then short
+            # bands 3..5 (slen1) and 6..11 (slen2), 3 windows each
+            sfl = [0] * 22
+            for band in range(8):
+                sfl[band] = rd.bits(slen1)
+            sf = [[0] * 13 for _ in range(3)]
+            for band in range(3, 6):
+                for w in range(3):
+                    sf[w][band] = rd.bits(slen1)
+            for band in range(6, 12):
+                for w in range(3):
+                    sf[w][band] = rd.bits(slen2)
+            return {"short": sf, "long": sfl, "mixed": True}
         sf = [[0] * 13 for _ in range(3)]
         for band in range(6):
             for w in range(3):
@@ -464,7 +484,17 @@ def _requantize(xs, signs, g, sf, rate):
     scale = 0.5 * (1 + g["scalefac_scale"])
     if g["block_type"] == 2 and g["window_switching"]:
         short_b = SFB_SHORT[rate]
-        for sfb in range(13):
+        first_short = 0
+        if g["mixed_block_flag"]:
+            # long treatment for lines 0..35 (8 long bands), short
+            # bands 3..12 cover the rest (3*short_b[3] == 36)
+            first_short = 3
+            long_b = SFB_LONG[rate]
+            for sfb in range(8):
+                lo, hi = long_b[sfb], long_b[sfb + 1]
+                s = sf["long"][sfb] + (PRETAB[sfb] if g["preflag"] else 0)
+                exp[lo:hi] = gain - scale * s
+        for sfb in range(first_short, 13):
             lo, hi = short_b[sfb], short_b[sfb + 1]
             w_width = hi - lo
             for w in range(3):
@@ -486,10 +516,12 @@ def _requantize(xs, signs, g, sf, rate):
 # ------------------------------------------------------- reorder & stereo
 
 
-def _reorder_short(xr, rate):
+def _reorder_short(xr, rate, first_sfb: int = 0):
+    """Window-interleave the short region; for mixed blocks the long
+    region (lines < 3*short_b[first_sfb]) keeps natural order."""
     short_b = SFB_SHORT[rate]
-    out = np.empty_like(xr)
-    for sfb in range(13):
+    out = xr.copy()
+    for sfb in range(first_sfb, 13):
         lo, hi = short_b[sfb], short_b[sfb + 1]
         w_width = hi - lo
         base = 3 * lo
@@ -498,8 +530,10 @@ def _reorder_short(xr, rate):
     return out
 
 
-def _alias_reduce(xr):
-    for sb in range(1, 32):
+def _alias_reduce(xr, n_bounds: int = 31):
+    """Alias-reduce subband boundaries 1..n_bounds (mixed blocks touch
+    only the long region's single boundary, §2.4.3.4.7.1)."""
+    for sb in range(1, 1 + n_bounds):
         p = 18 * sb
         for i in range(8):
             a = xr[p - 1 - i]
@@ -558,20 +592,22 @@ def _stereo_process(chans, gs, sfs, extents, hdr, rate):
 # --------------------------------------------------------- IMDCT/synthesis
 
 
-def _imdct_granule(xr, block_type, window_switching, overlap):
+def _imdct_granule(xr, block_type, window_switching, overlap, mixed=0):
     """(32, 18) time samples after IMDCT + window + overlap-add +
-    frequency inversion; mutates ``overlap`` (32, 18)."""
+    frequency inversion; mutates ``overlap`` (32, 18).  For mixed
+    blocks the two lowest subbands use the long (normal) window."""
     out = np.empty((32, 18))
     for sb in range(32):
         X = xr[18 * sb : 18 * sb + 18]
-        if block_type == 2 and window_switching:
+        if block_type == 2 and window_switching and not (mixed and sb < 2):
             z = np.zeros(36)
             for w in range(3):
                 y = _IMDCT12 @ X[w::3]
                 z[6 + 6 * w : 18 + 6 * w] += y * _WIN_SINE12
             block = z
         else:
-            block = (_IMDCT36 @ X) * _BLOCK_WINDOWS[block_type]
+            bt = 0 if (mixed and sb < 2) else block_type
+            block = (_IMDCT36 @ X) * _BLOCK_WINDOWS[bt]
         out[sb] = block[:18] + overlap[sb]
         overlap[sb] = block[18:]
     # frequency inversion: odd subbands negate odd time samples
@@ -628,12 +664,13 @@ def _parse_header(b: bytes, pos: int) -> dict | None:
 
 
 def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
-    """Full MPEG-1 Layer III decode → ((n, channels) int16 samples,
-    rate) — ``decode_wav_samples``'s contract, so the whole audio
-    feature/fingerprint stack applies unchanged. Corruption raises
-    ValueError; untranscribed-table / LSF / intensity / mixed-block
-    frames raise the named ``NotImplementedError`` boundary (both
-    quarantined upstream via DECODE_QUARANTINE)."""
+    """Full MPEG-1/MPEG-2 Layer III decode → ((n, channels) int16
+    samples, rate) — ``decode_wav_samples``'s contract, so the whole
+    audio feature/fingerprint stack applies unchanged. Corruption
+    raises ValueError; untranscribed-table / short-or-LSF-intensity /
+    LSF-mixed / Layer I-II / MPEG-2.5 frames raise the named
+    ``NotImplementedError`` boundary (both quarantined upstream via
+    DECODE_QUARANTINE)."""
     pos = 0
     if buf[:3] == b"ID3" and len(buf) >= 10:
         size = 0
@@ -701,7 +738,7 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
                     sf = _read_scalefacs(rd, g, gr, si["scfsi"][ch], prev_sf[ch])
                 else:
                     sf = _read_scalefacs_lsf(rd, g)
-                if sf["long"] is not None:
+                if sf["long"] is not None and not sf.get("mixed"):
                     prev_sf[ch] = sf
                 xs, signs, extent = _read_huffman(rd, g, rate, p23_end)
                 if rd.pos > p23_end:
@@ -718,11 +755,19 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
                 g = si["granules"][gr][ch]
                 xr = chans[ch]
                 if g["block_type"] == 2 and g["window_switching"]:
-                    xr = _reorder_short(xr, rate)
+                    if g["mixed_block_flag"]:
+                        # short region reorders (bands 3..12); the long
+                        # region alias-reduces its single boundary
+                        xr = _alias_reduce(
+                            _reorder_short(xr, rate, first_sfb=3), n_bounds=1
+                        )
+                    else:
+                        xr = _reorder_short(xr, rate)
                 else:
                     xr = _alias_reduce(xr.copy())
                 bands = _imdct_granule(
-                    xr, g["block_type"], g["window_switching"], overlap[ch]
+                    xr, g["block_type"], g["window_switching"], overlap[ch],
+                    g["mixed_block_flag"],
                 )
                 chans[ch] = synths[ch].run(bands)
             pcm.append(np.stack(chans, axis=1))

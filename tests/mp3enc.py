@@ -110,6 +110,22 @@ def encode_granule_channel(bw: BitWriter, g: dict, rate: int,
                     assert sfl[band] < (1 << slen[gi]) or slen[gi] == 0
                     bw.w(sfl[band], slen[gi])
                     band += 1
+    elif short and g.get("mixed"):
+        # mixed blocks: 8 long bands (slen1), short 3..5 (slen1),
+        # short 6..11 (slen2)
+        slen1, slen2 = M.SLEN[g.get("scalefac_compress", 0)]
+        sfl = g.get("scalefac_long") or [0] * 22
+        sfs = g.get("scalefac_short") or [[0] * 13 for _ in range(3)]
+        for band in range(8):
+            assert sfl[band] < (1 << slen1) or slen1 == 0
+            bw.w(sfl[band], slen1)
+        for band in range(3, 6):
+            for w in range(3):
+                assert sfs[w][band] < (1 << slen1) or slen1 == 0
+                bw.w(sfs[w][band], slen1)
+        for band in range(6, 12):
+            for w in range(3):
+                bw.w(sfs[w][band], slen2)
     elif short:
         slen1, slen2 = M.SLEN[g.get("scalefac_compress", 0)]
         sfs = g.get("scalefac_short") or [[0] * 13 for _ in range(3)]
@@ -185,6 +201,7 @@ def encode_granule_channel(bw: BitWriter, g: dict, rate: int,
         "global_gain": g.get("global_gain", 210),
         "scalefac_compress": g.get("scalefac_compress", 0),
         "block_type": bt,
+        "mixed": 1 if (bt == 2 and g.get("mixed")) else 0,
         "subblock_gain": g.get("subblock_gain", [0, 0, 0]),
         "table_select": tables3[:2] if switching else tables3,
         "region0_count": None if switching else g.get("region0_count", 8),
@@ -309,7 +326,7 @@ def encode_mp3(frames: list, rate: int = 48000, bitrate: int = 320000,
                 if f["block_type"] != 0:
                     si.w(1, 1)  # window switching
                     si.w(f["block_type"], 2)
-                    si.w(0, 1)  # not mixed
+                    si.w(f.get("mixed", 0), 1)
                     for t in f["table_select"][:2]:
                         si.w(t, 5)
                     for sb in f["subblock_gain"]:
@@ -345,7 +362,15 @@ def _model_requantize(g: dict, rate: int) -> np.ndarray:
     if g.get("block_type", 0) == 2:
         sb = M.SFB_SHORT[rate]
         sfs = g.get("scalefac_short") or [[0] * 13 for _ in range(3)]
-        for band in range(13):
+        first_short = 0
+        if g.get("mixed"):
+            first_short = 3
+            lb = M.SFB_LONG[rate]
+            sfl = g.get("scalefac_long") or [0] * 22
+            for band in range(8):
+                s_ = sfl[band] + (M.PRETAB[band] if g.get("preflag", 0) else 0)
+                exp[lb[band] : lb[band + 1]] = gain - scale * s_
+        for band in range(first_short, 13):
             lo, hi = sb[band], sb[band + 1]
             wlen = hi - lo
             for w in range(3):
@@ -363,10 +388,10 @@ def _model_requantize(g: dict, rate: int) -> np.ndarray:
     return sign * mag * np.exp2(exp)
 
 
-def _model_reorder(xr: np.ndarray, rate: int) -> np.ndarray:
+def _model_reorder(xr: np.ndarray, rate: int, first_band: int = 0) -> np.ndarray:
     sb = M.SFB_SHORT[rate]
     out = xr.copy()
-    for band in range(13):
+    for band in range(first_band, 13):
         lo, hi = sb[band], sb[band + 1]
         wlen = hi - lo
         base = 3 * lo
@@ -377,9 +402,9 @@ def _model_reorder(xr: np.ndarray, rate: int) -> np.ndarray:
     return out
 
 
-def _model_alias(xr: np.ndarray) -> np.ndarray:
+def _model_alias(xr: np.ndarray, n_bounds: int = 31) -> np.ndarray:
     out = xr.copy()
-    for sbnd in range(1, 32):
+    for sbnd in range(1, 1 + n_bounds):
         p = 18 * sbnd
         for i in range(8):
             a, b = out[p - 1 - i], out[p + i]
@@ -505,16 +530,22 @@ def expected_pcm(frames: list, rate: int = 48000, channels: int = 1,
                 g = grs[gr][ch]
                 xr = xrs[ch]
                 if g.get("block_type", 0) == 2:
-                    xr = _model_reorder(xr, rate)
+                    if g.get("mixed"):
+                        xr = _model_alias(_model_reorder(xr, rate, 3), 1)
+                    else:
+                        xr = _model_reorder(xr, rate)
                 else:
                     xr = _model_alias(xr)
                 bands = np.empty((32, 18))
                 for sbnd in range(32):
                     X = xr[18 * sbnd : 18 * sbnd + 18]
-                    if g.get("block_type", 0) == 2:
+                    if g.get("block_type", 0) == 2 and not (
+                        g.get("mixed") and sbnd < 2
+                    ):
                         block = _model_imdct_short(X)
                     else:
-                        block = _model_imdct36(X, g.get("block_type", 0))
+                        bt = 0 if (g.get("mixed") and sbnd < 2) else g.get("block_type", 0)
+                        block = _model_imdct36(X, bt)
                     bands[sbnd] = block[:18] + overlap[ch][sbnd]
                     overlap[ch][sbnd] = block[18:]
                 for sbnd in range(1, 32, 2):

@@ -433,3 +433,91 @@ def test_spark_featurize_audio_mixes_mp3_with_wav_and_flac(spark):
     assert rows[2]["rate"] == 44100
     assert rows[2]["rms_mean"] is not None and rows[2]["rms_mean"] > 0
     assert rows[3]["rate"] is None  # quarantined, not a failure
+
+
+def test_mixed_blocks_roundtrip():
+    """MPEG-1 mixed blocks (§2.4.2.7): long treatment (8 sfbs, long
+    window, one alias-reduced boundary) on lines 0..35, short bands
+    3..12 with subblock gain and window reorder above them."""
+    vals = [0] * 576
+    for i in range(0, 36, 2):  # long region content
+        vals[i] = 2 - (i % 3)
+    for i in range(36, 108, 3):  # short region content (bands 3+)
+        vals[i] = 1 if (i % 2) else -1
+    sfl = [(b % 3) for b in range(22)]
+    sfs = [[(b + w) % 4 for b in range(13)] for w in range(3)]
+    g0 = _gr(**{"is": vals, "block_type": 2, "mixed": True,
+                "scalefac_long": sfl, "scalefac_short": sfs,
+                "scalefac_compress": 10,  # slen 2/3
+                "subblock_gain": [1, 0, 2], "table_select": [3, 3],
+                "global_gain": 165})
+    g1 = _gr(**{"is": [0] * 576, "block_type": 2, "mixed": True,
+                "table_select": [1, 1]})
+    frames = _frames_mono(g0, g1)
+    buf = encode_mp3(frames, rate=44100, bitrate=160000)
+    _assert_matches(buf, frames, rate=44100)
+
+
+def test_mixed_blocks_long_region_is_long_coded():
+    """A mixed granule whose content sits ONLY in the long region must
+    equal the same spectrum decoded as a pure long granule with
+    matching scalefactors, for the first two subbands' time samples:
+    long window + pretab + single alias boundary apply identically.
+    (The polyphase tail differs only through other subbands, which are
+    zero here.)  Content stays in lines 0..27 so the pure-long path's
+    alias butterfly at the subband-1/2 boundary (which reads lines
+    28..35) is a no-op — making the two codings exactly comparable."""
+    vals = [0] * 576
+    for i in range(0, 28, 2):
+        vals[i] = 1
+    sfl = [1] * 22
+    mixed = _gr(**{"is": vals, "block_type": 2, "mixed": True,
+                   "scalefac_long": sfl,
+                   "scalefac_compress": 5,  # slen 1/1
+                   "table_select": [1, 1], "global_gain": 180,
+                   "preflag": 0})
+    longg = _gr(**{"is": vals, "block_type": 0, "scalefac_long": sfl,
+                   "scalefac_compress": 5, "table_select": [1, 1, 1],
+                   "global_gain": 180, "region0_count": 8,
+                   "region1_count": 7})
+    pad = _gr(**{"is": [0] * 576, "block_type": 2, "mixed": True,
+                 "table_select": [1, 1]})
+    pad_l = _gr(**{"is": [0] * 576, "table_select": [1, 1, 1]})
+    got_m, _ = decode_mp3_samples(
+        encode_mp3(_frames_mono(mixed, pad), rate=48000, bitrate=160000)
+    )
+    got_l, _ = decode_mp3_samples(
+        encode_mp3(_frames_mono(longg, pad_l), rate=48000, bitrate=160000)
+    )
+    assert np.max(np.abs(got_m.astype(np.int64) - got_l.astype(np.int64))) <= 1
+
+
+def test_mixed_blocks_ms_stereo():
+    vals_l = [0] * 576
+    vals_r = [0] * 576
+    for i in range(0, 72, 2):
+        vals_l[i] = 1
+        vals_r[i] = -1 if i % 4 else 1
+    def ch(v):
+        return _gr(**{"is": v, "block_type": 2, "mixed": True,
+                      "scalefac_long": [1] * 22,
+                      "scalefac_short": [[1] * 13 for _ in range(3)],
+                      "scalefac_compress": 5, "table_select": [1, 1],
+                      "global_gain": 170})
+    zl = _gr(**{"is": [0] * 576, "block_type": 2, "mixed": True,
+                "table_select": [1, 1]})
+    frames = [[[ch(vals_l), ch(vals_r)], [zl, zl]]]
+    buf = encode_mp3(frames, rate=32000, bitrate=192000, channels=2,
+                     ms_stereo=True)
+    _assert_matches(buf, frames, rate=32000, channels=2, ms=True)
+
+
+def test_lsf_mixed_blocks_stay_named_boundary():
+    g = _gr(**{"is": [0] * 576, "block_type": 2, "mixed": True,
+               "table_select": [1, 1], "lsf": True})
+    # hand-pack: reuse the encoder but force the LSF rate; the encoder
+    # writes the mixed bit, the decoder must refuse by name
+    frames = [[[g]]]
+    buf = encode_mp3(frames, rate=22050, bitrate=64000)
+    with pytest.raises(NotImplementedError, match="LSF mixed"):
+        decode_mp3_samples(buf)
