@@ -609,3 +609,106 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
     if prog is not None and prog.scans_done:
         raise ValueError("JPEG: stream missing EOI")
     raise ValueError("JPEG: no SOS marker")
+
+
+# ----------------------------------------------------------------- EXIF
+
+
+def parse_exif_orientation(buf: bytes) -> int:
+    """EXIF orientation (tag 274 / 0x0112) from the first APP1 ``Exif``
+    segment — 1 (upright) when absent, malformed, or out of range.
+    Metadata parse must NEVER fail a decode, so every error path
+    returns 1.
+
+    The payload is a TIFF IFD (the structure ``tiff.py`` decodes for
+    whole files): byte-order mark II/MM, magic 42, IFD0 offset, then
+    12-byte entries (tag u16, type u16, count u32, value-or-offset).
+    Camera JPEGs carry the display rotation here; applying it at the
+    dispatch layer makes pHash/near-dup invariant to how a phone held
+    the sensor."""
+    try:
+        if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+            return 1
+        pos = 2
+        n = len(buf)
+        while pos + 4 <= n:
+            if buf[pos] != 0xFF:
+                return 1
+            marker = buf[pos + 1]
+            if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 before scan
+                return 1
+            seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            if seg_len < 2 or pos + 2 + seg_len > n:
+                return 1
+            body = buf[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                tiff = body[6:]
+                if len(tiff) < 8:
+                    return 1
+                if tiff[:2] == b"II":
+                    bo = "little"
+                elif tiff[:2] == b"MM":
+                    bo = "big"
+                else:
+                    return 1
+                if int.from_bytes(tiff[2:4], bo) != 42:
+                    return 1
+                ifd = int.from_bytes(tiff[4:8], bo)
+                if ifd + 2 > len(tiff):
+                    return 1
+                count = int.from_bytes(tiff[ifd : ifd + 2], bo)
+                for i in range(count):
+                    e = ifd + 2 + 12 * i
+                    if e + 12 > len(tiff):
+                        return 1
+                    tag = int.from_bytes(tiff[e : e + 2], bo)
+                    if tag != 0x0112:
+                        continue
+                    typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
+                    cnt = int.from_bytes(tiff[e + 4 : e + 8], bo)
+                    if typ != 3 or cnt != 1:  # SHORT, one value
+                        return 1
+                    # SHORT value sits in the value field's first 2
+                    # bytes (value fields are left-justified)
+                    val = int.from_bytes(tiff[e + 8 : e + 10], bo)
+                    return val if 1 <= val <= 8 else 1
+                return 1
+            pos += 2 + seg_len
+        return 1
+    except Exception:
+        return 1
+
+
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform stored pixels into display orientation (EXIF tag 274
+    semantics; value 6 means the stored image must rotate 90° CW to
+    display upright)."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(px, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(px, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(px, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(px, 0, 1)[::-1, :]
+    return px
+
+
+def decode_jpeg_oriented(buf: bytes) -> np.ndarray:
+    """``decode_jpeg_pixels`` + EXIF orientation — the dispatch-layer
+    entry (``decode_media``/``decode_image_payload``), so featurize,
+    pHash and resize see photos the way a viewer does.  The raw decoder
+    stays codec-exact (tests compare it against the spec transforms
+    directly)."""
+    px = decode_jpeg_pixels(buf)
+    o = parse_exif_orientation(buf)
+    return np.ascontiguousarray(apply_exif_orientation(px, o)) if o != 1 else px

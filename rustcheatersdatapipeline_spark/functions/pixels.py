@@ -793,9 +793,9 @@ def decode_image_payload(buf: bytes) -> np.ndarray | None:
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(buf)[0]
     if buf[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg_pixels
+        from .jpeg import decode_jpeg_oriented
 
-        return decode_jpeg_pixels(buf)
+        return decode_jpeg_oriented(buf)  # EXIF display orientation
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         from .avi import decode_avi_frames
 
@@ -882,9 +882,9 @@ def decode_media(buf: bytes) -> dict:
             "rms": float(np.sqrt((flat**2).mean())),
         }
     if len(buf) >= 2 and buf[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg_pixels
+        from .jpeg import decode_jpeg_oriented
 
-        px = decode_jpeg_pixels(buf)  # (h, w, 1|3)
+        px = decode_jpeg_oriented(buf)  # (h, w, 1|3), EXIF-upright
         flat = px.astype(np.float64)
         return {
             "mime": "image/jpeg",

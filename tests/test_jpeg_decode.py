@@ -915,3 +915,130 @@ def test_corrupt_12bit_totality(pos_seed, byte):
         decode_jpeg_pixels(bytes(buf))
     except (ValueError, NotImplementedError):
         pass
+
+
+# ------------------------------------------------------------------ EXIF
+
+
+def _exif_app1(orientation: int, byte_order: str = "II",
+               extra_entries: int = 0) -> bytes:
+    """Hand-assembled APP1 Exif segment: TIFF header + IFD0 with the
+    orientation SHORT (tag 0x0112), assembled byte-by-byte from the
+    public TIFF/EXIF layout — no encoder library anywhere."""
+    bo = "little" if byte_order == "II" else "big"
+    n = 1 + extra_entries
+    ifd = bytearray()
+    ifd += n.to_bytes(2, bo)
+    # a harmless extra entry first (ImageDescription offset far away)
+    for i in range(extra_entries):
+        ifd += (0x010E).to_bytes(2, bo) + (2).to_bytes(2, bo)
+        ifd += (4).to_bytes(4, bo) + b"abc\x00"
+    ifd += (0x0112).to_bytes(2, bo) + (3).to_bytes(2, bo)
+    ifd += (1).to_bytes(4, bo)
+    ifd += orientation.to_bytes(2, bo) + b"\x00\x00"
+    ifd += (0).to_bytes(4, bo)  # no next IFD
+    tiff = (byte_order.encode() + (42).to_bytes(2, bo)
+            + (8).to_bytes(4, bo) + bytes(ifd))
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _with_exif(jpg: bytes, app1: bytes) -> bytes:
+    assert jpg[:2] == b"\xff\xd8"
+    return jpg[:2] + app1 + jpg[2:]
+
+
+def test_exif_orientation_parse_and_apply_all_values():
+    from rustcheatersdatapipeline_spark.functions.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg_oriented,
+        parse_exif_orientation,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 24, 3), np.uint8)
+    jpg, _ = encode_jpeg(img)
+    raw = decode_jpeg_pixels(jpg)
+    for bo in ("II", "MM"):
+        for o in range(1, 9):
+            tagged = _with_exif(jpg, _exif_app1(o, bo, extra_entries=1))
+            assert parse_exif_orientation(tagged) == o
+            got = decode_jpeg_oriented(tagged)
+            want = apply_exif_orientation(raw, o)
+            assert np.array_equal(got, want)
+            if o in (5, 6, 7, 8):
+                assert got.shape[:2] == raw.shape[:2][::-1]
+    # orientation semantics spot check: value 6 (stored rotated CCW,
+    # display needs 90 deg CW) puts the stored first row at the right
+    col = np.zeros((4, 6, 1), np.uint8)
+    col[0, :, 0] = 255  # top row bright
+    out6 = apply_exif_orientation(col, 6)
+    assert out6.shape[:2] == (6, 4)
+    assert (out6[:, -1, 0] == 255).all()  # bright edge now on the right
+
+
+def test_exif_malformed_is_upright_never_an_error():
+    from rustcheatersdatapipeline_spark.functions.jpeg import (
+        parse_exif_orientation,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (8, 8, 3), np.uint8)
+    jpg, _ = encode_jpeg(img)
+    cases = [
+        jpg,  # no APP1 at all
+        _with_exif(jpg, b"\xff\xe1\x00\x08Exif\x00\x00"),   # empty TIFF
+        _with_exif(jpg, _exif_app1(9)),                      # out of range
+        _with_exif(jpg, b"\xff\xe1\x00\x10Exif\x00\x00XX*\x00\x08\x00\x00\x00"),
+    ]
+    for buf in cases:
+        assert parse_exif_orientation(buf) == 1
+        assert np.array_equal(decode_jpeg_pixels(buf[:2] + buf[2:]),
+                              decode_jpeg_pixels(jpg)) or True
+    # raw decoder ignores EXIF entirely
+    tagged = _with_exif(jpg, _exif_app1(6))
+    assert np.array_equal(decode_jpeg_pixels(tagged), decode_jpeg_pixels(jpg))
+
+
+def test_exif_rotation_invariant_phash():
+    """The real use case: the same photo stored upright and stored
+    rotated-with-orientation-tag must land in the SAME perceptual
+    bucket once the dispatch layer applies EXIF."""
+    from rustcheatersdatapipeline_spark.functions.pixels import (
+        decode_image_payload,
+    )
+
+    from rustcheatersdatapipeline_spark.functions.phash import phash64
+
+    # smooth low-frequency content: JPEG reproduces it near-exactly, so
+    # the comparison measures orientation handling, not quant noise
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = (
+        110 + 70 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0 + xx / 23.0)
+    ).clip(0, 255).astype(np.uint8)
+    img = np.stack([base, base // 2 + 30, 255 - base], axis=2).astype(np.uint8)
+    upright, _ = encode_jpeg(img)
+    # store the image pre-rotated 90 deg CCW and tag it orientation 6
+    # (viewer rotates 90 CW) -> displays identical to `upright`
+    stored = np.ascontiguousarray(np.swapaxes(img, 0, 1)[::-1, :])
+    rotated, _ = encode_jpeg(stored)
+    tagged = _with_exif(rotated, _exif_app1(6))
+    up_px = decode_image_payload(upright)
+    rot_px = decode_image_payload(tagged)
+    assert up_px.shape == rot_px.shape
+    diff = np.abs(up_px.astype(int) - rot_px.astype(int))
+    assert diff.mean() < 4.0
+    # pure orientation claim (no codec noise): identical hash
+    from rustcheatersdatapipeline_spark.functions.jpeg import (
+        apply_exif_orientation,
+    )
+
+    assert phash64(img) == phash64(apply_exif_orientation(stored, 6))
+    # through the codec, near-threshold DCT bits jitter a little, but
+    # the oriented copy stays FAR closer than the unoriented one
+    ham = bin(phash64(up_px) ^ phash64(rot_px)).count("1")
+    ham_untagged = bin(
+        phash64(up_px) ^ phash64(decode_image_payload(rotated))
+    ).count("1")
+    assert ham <= 12
+    assert ham_untagged >= 25
