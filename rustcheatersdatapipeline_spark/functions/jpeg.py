@@ -645,38 +645,47 @@ def parse_exif_orientation(buf: bytes) -> int:
                 return 1
             body = buf[pos + 4 : pos + 2 + seg_len]
             if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
-                tiff = body[6:]
-                if len(tiff) < 8:
-                    return 1
-                if tiff[:2] == b"II":
-                    bo = "little"
-                elif tiff[:2] == b"MM":
-                    bo = "big"
-                else:
-                    return 1
-                if int.from_bytes(tiff[2:4], bo) != 42:
-                    return 1
-                ifd = int.from_bytes(tiff[4:8], bo)
-                if ifd + 2 > len(tiff):
-                    return 1
-                count = int.from_bytes(tiff[ifd : ifd + 2], bo)
-                for i in range(count):
-                    e = ifd + 2 + 12 * i
-                    if e + 12 > len(tiff):
-                        return 1
-                    tag = int.from_bytes(tiff[e : e + 2], bo)
-                    if tag != 0x0112:
-                        continue
-                    typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
-                    cnt = int.from_bytes(tiff[e + 4 : e + 8], bo)
-                    if typ != 3 or cnt != 1:  # SHORT, one value
-                        return 1
-                    # SHORT value sits in the value field's first 2
-                    # bytes (value fields are left-justified)
-                    val = int.from_bytes(tiff[e + 8 : e + 10], bo)
-                    return val if 1 <= val <= 8 else 1
-                return 1
+                return orientation_from_tiff(body[6:])
             pos += 2 + seg_len
+        return 1
+    except Exception:
+        return 1
+
+
+def orientation_from_tiff(tiff: bytes) -> int:
+    """Orientation tag (0x0112) from raw TIFF-IFD bytes — the shared
+    core for JPEG APP1, the WebP ``EXIF`` chunk and TIFF files; 1 on
+    any malformed path."""
+    try:
+        if len(tiff) < 8:
+            return 1
+        if tiff[:2] == b"II":
+            bo = "little"
+        elif tiff[:2] == b"MM":
+            bo = "big"
+        else:
+            return 1
+        if int.from_bytes(tiff[2:4], bo) != 42:
+            return 1
+        ifd = int.from_bytes(tiff[4:8], bo)
+        if ifd + 2 > len(tiff):
+            return 1
+        count = int.from_bytes(tiff[ifd : ifd + 2], bo)
+        for i in range(count):
+            e = ifd + 2 + 12 * i
+            if e + 12 > len(tiff):
+                return 1
+            tag = int.from_bytes(tiff[e : e + 2], bo)
+            if tag != 0x0112:
+                continue
+            typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
+            cnt = int.from_bytes(tiff[e + 4 : e + 8], bo)
+            if typ != 3 or cnt != 1:  # SHORT, one value
+                return 1
+            # SHORT value sits in the value field's first 2 bytes
+            # (value fields are left-justified)
+            val = int.from_bytes(tiff[e + 8 : e + 10], bo)
+            return val if 1 <= val <= 8 else 1
         return 1
     except Exception:
         return 1

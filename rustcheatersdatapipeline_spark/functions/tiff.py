@@ -213,9 +213,22 @@ def _decode_jpeg_strips(
 
 
 def decode_tiff_pixels(buf: bytes) -> np.ndarray:
-    """First-page decode → uint8 (h, w, 1|3|4). Corruption raises
-    ValueError; out-of-scope compressions raise NotImplementedError
-    (both inside the shared DECODE_QUARANTINE)."""
+    """First-page decode → uint8 (h, w, 1|3|4), display-oriented (the
+    TIFF Orientation tag 274 is applied — same semantics as EXIF in
+    JPEG, same dispatch-layer policy). Corruption raises ValueError;
+    out-of-scope compressions raise NotImplementedError (both inside
+    the shared DECODE_QUARANTINE)."""
+    px = _decode_tiff_raw(buf)
+    order = _byte_order(buf)
+    o = _read_ifd(buf, order).get(274, [1])[0]
+    if o != 1 and 1 <= o <= 8:
+        from .jpeg import apply_exif_orientation
+
+        px = np.ascontiguousarray(apply_exif_orientation(px, o))
+    return px
+
+
+def _decode_tiff_raw(buf: bytes) -> np.ndarray:
     order = _byte_order(buf)
     if order is None:
         raise ValueError("not a TIFF payload")

@@ -483,23 +483,54 @@ def decode_webp_pixels(buf: bytes) -> np.ndarray:
     if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
+    px = None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         body = buf[pos + 8 : pos + 8 + sz]
-        if cid == b"VP8L":
-            return decode_vp8l_stream(body)
-        if cid == b"VP8 ":
+        if cid == b"VP8L" and px is None:
+            px = decode_vp8l_stream(body)
+        elif cid == b"VP8 " and px is None:
             from .vp8 import decode_vp8_rgba
 
-            return decode_vp8_rgba(body)
-        if cid == b"ANMF" and len(body) >= 16:
+            px = decode_vp8_rgba(body)
+        elif cid == b"ANMF" and len(body) >= 16:
             # animation: the still view is the first composited frame
             # (same >=16 well-formedness guard as decode_webp_frames,
             # or the two dispatchers would recurse on truncated input)
             return decode_webp_frames(buf)[0]
         pos += 8 + sz + (sz & 1)
-    raise ValueError("WebP: no VP8/VP8L bitstream chunk")
+    if px is None:
+        raise ValueError("WebP: no VP8/VP8L bitstream chunk")
+    return _apply_webp_exif(buf, px)
+
+
+def _webp_exif_orientation(buf: bytes) -> int:
+    """Orientation from a VP8X container's ``EXIF`` chunk (raw TIFF
+    bytes per the container spec; some muxers keep the JPEG-style
+    ``Exif\\0\\0`` prefix — both accepted). 1 when absent/malformed."""
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"EXIF":
+            from .jpeg import orientation_from_tiff
+
+            if body[:6] == b"Exif\x00\x00":
+                body = body[6:]
+            return orientation_from_tiff(body)
+        pos += 8 + sz + (sz & 1)
+    return 1
+
+
+def _apply_webp_exif(buf: bytes, px):
+    o = _webp_exif_orientation(buf)
+    if o != 1:
+        from .jpeg import apply_exif_orientation
+
+        px = np.ascontiguousarray(apply_exif_orientation(px, o))
+    return px
 
 
 _WEBP_MAX_DECODE_BYTES = 1 << 28  # 256 MiB, same bomb bound as GIF/APNG
@@ -608,4 +639,9 @@ def decode_webp_frames(buf: bytes) -> np.ndarray:
         out.append(canvas.copy())
         if meta["dispose"]:
             canvas[fy : fy + fh, fx : fx + fw] = 0
+    o = _webp_exif_orientation(buf)
+    if o != 1:
+        from .jpeg import apply_exif_orientation
+
+        out = [np.ascontiguousarray(apply_exif_orientation(f, o)) for f in out]
     return np.stack(out)

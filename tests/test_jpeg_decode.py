@@ -1042,3 +1042,46 @@ def test_exif_rotation_invariant_phash():
     ).count("1")
     assert ham <= 12
     assert ham_untagged >= 25
+
+
+def test_orientation_applies_to_tiff_and_webp_containers():
+    """The same tag-274 policy covers TIFF files (native Orientation
+    tag) and WebP containers (EXIF chunk, with or without the JPEG-
+    style prefix)."""
+    import struct
+
+    from rustcheatersdatapipeline_spark.functions.jpeg import (
+        apply_exif_orientation,
+    )
+    from rustcheatersdatapipeline_spark.functions.tiff import decode_tiff_pixels
+    from rustcheatersdatapipeline_spark.functions.vp8l import decode_webp_pixels
+
+    from tests.test_tiff import make_tiff
+    from tests.test_vp8l import encode_vp8l
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (6, 10, 3), np.uint8)
+    plain = make_tiff(img)
+    raw = decode_tiff_pixels(plain)
+    tagged = make_tiff(img, extra_tags=[(274, 3, [6])])
+    got = decode_tiff_pixels(tagged)
+    assert np.array_equal(got, apply_exif_orientation(raw, 6))
+
+    px = rng.randint(0, 256, (8, 12, 4), np.uint8)
+    webp_plain = b"RIFF" ; body = encode_vp8l(px)
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    exif = _exif_app1(8)[4:]  # strip the JPEG APP1 marker+length
+    assert exif[:6] == b"Exif\x00\x00"
+    for payload in (exif, exif[6:]):  # prefixed and raw TIFF forms
+        echunk = b"EXIF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            echunk += b"\x00"
+        riff = b"WEBP" + chunk + echunk
+        buf = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        got = decode_webp_pixels(buf)
+        want = apply_exif_orientation(
+            decode_webp_pixels(b"RIFF" + struct.pack("<I", len(b"WEBP" + chunk)) + b"WEBP" + chunk), 8
+        )
+        assert np.array_equal(got, want)

@@ -93,6 +93,7 @@ def make_tiff(
     jpeg_strips: list[bytes] | None = None,
     jpeg_tables: bytes | None = None,
     predictor: int = 1,
+    extra_tags: list | None = None,
 ) -> bytes:
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
@@ -157,6 +158,8 @@ def make_tiff(
         entry(317, 3, [predictor])
     if spp == 4:
         entry(338, 3, [1])  # extra sample = associated alpha
+    for tag, typ, values in (extra_tags or []):
+        entry(tag, typ, values)
 
     # layout: header(8) + IFD + out-of-line values + strips
     n_with_offsets = len(entries) + 1  # plus StripOffsets
