@@ -22,10 +22,12 @@ like every other codec here).
 
 Named boundaries (quarantined upstream via DECODE_QUARANTINE, same
 contract as H.264/arithmetic-JPEG): MPEG-2.5 frames, Layer I/II
-payloads, intensity stereo on SHORT blocks and under LSF (long-block
-MPEG-1 intensity incl. the MS combination decodes), LSF mixed blocks
-(MPEG-1 mixed blocks decode), and the Huffman tables not transcribed
-in this offline build (see below).
+payloads, LSF intensity stereo and intensity on MIXED blocks (MPEG-1
+long-block AND short-block intensity decode, incl. the MS
+combinations — the short-block bound interpretation is the engine
+contract documented at ``_stereo_process``), LSF mixed blocks (MPEG-1
+mixed blocks decode), and the Huffman tables not transcribed in this
+offline build (see below).
 
 Table provenance
 ----------------
@@ -550,8 +552,10 @@ def _stereo_process(chans, gs, sfs, extents, hdr, rate):
     intensity-coded — the left channel carries the summed signal and
     the right channel's scalefactor is the position code is_pos
     (tan(is_pos·π/12) panning; 6 = hard left; 7 = illegal → band falls
-    back to MS when enabled, else stays as-is). Long blocks only:
-    per-window intensity on short blocks is a named boundary."""
+    back to MS when enabled, else stays as-is). Short blocks apply the
+    same rule per (window, band) segment in pre-reorder order with the
+    window's own position code; mixed-block intensity stays a named
+    boundary."""
     if not (hdr["ms_stereo"] or hdr["intensity"]):
         return chans
     L, R = chans
@@ -559,12 +563,49 @@ def _stereo_process(chans, gs, sfs, extents, hdr, rate):
     if not hdr["intensity"]:
         return [(L + R) * inv, (L - R) * inv]
     g_r = gs[1]
-    if g_r["block_type"] == 2 and g_r["window_switching"]:
-        raise NotImplementedError("MP3: intensity stereo on short blocks")
+    if (g_r["block_type"] == 2 and g_r["window_switching"]
+            and g_r["mixed_block_flag"]):
+        raise NotImplementedError("MP3: intensity stereo on mixed blocks")
     zero_bound = extents[1]
-    long_b = SFB_LONG[rate]
     out_l = L.copy()
     out_r = R.copy()
+    if g_r["block_type"] == 2 and g_r["window_switching"]:
+        # SHORT blocks: the spectrum here is pre-reorder (band-major,
+        # 3 window segments per band).  A (window, band) segment is
+        # intensity-coded when it lies entirely at/above the right
+        # channel's decoded extent — the direct short-block analog of
+        # the long-block rule below, with the position code taken from
+        # that window's scalefactor.  (The ISO text under-specifies the
+        # short-block bound; this engine-contract interpretation is
+        # mirrored verbatim by the differential model.)
+        short_b = SFB_SHORT[rate]
+        for sfb in range(13):
+            lo, hi = short_b[sfb], short_b[sfb + 1]
+            width = hi - lo
+            for w in range(3):
+                s = 3 * lo + w * width
+                e = s + width
+                if s >= zero_bound:
+                    is_pos = sfs[1]["short"][w][sfb]
+                    if is_pos == 7:
+                        if hdr["ms_stereo"]:
+                            m, sdiff = L[s:e], R[s:e]
+                            out_l[s:e] = (m + sdiff) * inv
+                            out_r[s:e] = (m - sdiff) * inv
+                        continue
+                    if is_pos == 6:
+                        out_l[s:e] = L[s:e]
+                        out_r[s:e] = 0.0
+                    else:
+                        ratio = np.tan(is_pos * np.pi / 12.0)
+                        out_l[s:e] = L[s:e] * (ratio / (1.0 + ratio))
+                        out_r[s:e] = L[s:e] * (1.0 / (1.0 + ratio))
+                elif hdr["ms_stereo"]:
+                    m, sdiff = L[s:e], R[s:e]
+                    out_l[s:e] = (m + sdiff) * inv
+                    out_r[s:e] = (m - sdiff) * inv
+        return [out_l, out_r]
+    long_b = SFB_LONG[rate]
     for sfb in range(22):
         lo, hi = long_b[sfb], long_b[sfb + 1]
         if lo >= zero_bound:

@@ -485,9 +485,39 @@ def _model_stereo(xrs, grs_gr, rate, ms_stereo, intensity):
         return xrs
     g_r = grs_gr[1]
     zero_bound = decoded_extent(g_r)
+    out_l, out_r = L.copy(), R.copy()
+    if g_r.get("block_type", 0) == 2:
+        # short blocks: per (window, band) segments in pre-reorder
+        # order; a segment wholly at/above the right channel's decoded
+        # extent is intensity-coded with that window's scalefactor
+        sb = M.SFB_SHORT[rate]
+        sfs_r = g_r.get("scalefac_short") or [[0] * 13 for _ in range(3)]
+        for band in range(13):
+            lo, hi = sb[band], sb[band + 1]
+            width = hi - lo
+            for w in range(3):
+                s = 3 * lo + w * width
+                e = s + width
+                if s >= zero_bound:
+                    is_pos = sfs_r[w][band]
+                    if is_pos == 7:
+                        if ms_stereo:
+                            out_l[s:e] = (L[s:e] + R[s:e]) * inv
+                            out_r[s:e] = (L[s:e] - R[s:e]) * inv
+                        continue
+                    if is_pos == 6:
+                        out_l[s:e] = L[s:e]
+                        out_r[s:e] = 0.0
+                    else:
+                        ratio = np.tan(is_pos * np.pi / 12.0)
+                        out_l[s:e] = L[s:e] * (ratio / (1.0 + ratio))
+                        out_r[s:e] = L[s:e] * (1.0 / (1.0 + ratio))
+                elif ms_stereo:
+                    out_l[s:e] = (L[s:e] + R[s:e]) * inv
+                    out_r[s:e] = (L[s:e] - R[s:e]) * inv
+        return [out_l, out_r]
     lb = M.SFB_LONG[rate]
     sfl_r = g_r.get("scalefac_long") or [0] * 22
-    out_l, out_r = L.copy(), R.copy()
     for sfb in range(22):
         lo, hi = lb[sfb], lb[sfb + 1]
         if lo >= zero_bound:

@@ -312,7 +312,9 @@ def test_intensity_stereo_long_blocks():
         assert np.abs(got).max() > 0
 
 
-def test_intensity_on_short_blocks_is_named_boundary():
+def test_intensity_on_short_blocks_now_decodes():
+    # the former named boundary: short-block intensity decodes since
+    # mid-r10 (full coverage in test_intensity_stereo_on_short_blocks)
     vals = [0] * 576
     vals[0] = 1
     gl = _gr(**{"is": vals, "table_select": [1, 1], "block_type": 2})
@@ -320,8 +322,7 @@ def test_intensity_on_short_blocks_is_named_boundary():
     frames = [[[gl, gr_], [gl, gr_]]]
     buf = encode_mp3(frames, rate=48000, bitrate=224000, channels=2,
                      intensity=True)
-    with pytest.raises(NotImplementedError, match="intensity stereo on short"):
-        decode_mp3_samples(buf)
+    _assert_matches(buf, frames, channels=2, intensity=True)
 
 
 def test_lsf_mpeg2_long_and_short_blocks():
@@ -520,4 +521,42 @@ def test_lsf_mixed_blocks_stay_named_boundary():
     frames = [[[g]]]
     buf = encode_mp3(frames, rate=22050, bitrate=64000)
     with pytest.raises(NotImplementedError, match="LSF mixed"):
+        decode_mp3_samples(buf)
+
+
+def test_intensity_stereo_on_short_blocks():
+    """Short-block intensity (the engine-contract interpretation,
+    mirrored by the model): per (window, band) segments at/above the
+    right channel's decoded extent pan the left channel's signal by
+    that window's position code; 6 = hard left, 7 = fall back to MS
+    when enabled."""
+    vals_l = [0] * 576
+    vals_r = [0] * 576
+    for i in range(0, 120, 2):
+        vals_l[i] = 2 - (i % 3)
+    for i in range(0, 36, 2):  # right channel decodes a short extent
+        vals_r[i] = 1
+    # position codes exercise pan, hard-left and the illegal value
+    sfs_r = [[(b + w) % 8 for b in range(13)] for w in range(3)]
+    gl = _gr(**{"is": vals_l, "block_type": 2, "table_select": [3, 3],
+                "global_gain": 170,
+                "scalefac_short": [[0] * 13 for _ in range(3)]})
+    gr_ = _gr(**{"is": vals_r, "block_type": 2, "table_select": [1, 1],
+                 "global_gain": 170, "scalefac_short": sfs_r,
+                 "scalefac_compress": 15})  # slen 4/3: codes up to 7
+    z = _gr(**{"is": [0] * 576, "block_type": 2, "table_select": [1, 1]})
+    frames = [[[gl, gr_], [z, z]]]
+    for ms in (False, True):
+        buf = encode_mp3(frames, rate=48000, bitrate=256000, channels=2,
+                         ms_stereo=ms, intensity=True)
+        _assert_matches(buf, frames, channels=2, ms=ms, intensity=True)
+
+
+def test_intensity_on_mixed_blocks_is_named_boundary():
+    g = _gr(**{"is": [0] * 576, "block_type": 2, "mixed": True,
+               "table_select": [1, 1]})
+    frames = [[[g, g], [g, g]]]
+    buf = encode_mp3(frames, rate=48000, bitrate=256000, channels=2,
+                     intensity=True)
+    with pytest.raises(NotImplementedError, match="mixed"):
         decode_mp3_samples(buf)
