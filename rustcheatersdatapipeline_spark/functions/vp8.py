@@ -1999,6 +1999,10 @@ class Vp8Decoder:
         if keyframe:
             data_off = 10
             w, h = tag["width"], tag["height"]
+            if (w, h) != (self.width, self.height):
+                # dimension change: the persisted per-MB segment map no
+                # longer fits the new MB grid
+                self.seg_map = None
         else:
             if self.last is None:
                 raise ValueError(

@@ -655,3 +655,29 @@ def test_property_random_sequences_roundtrip(data, seed, n_frames):
             refresh_entropy=int(rng.randint(0, 2)),
         )
         _assert_frame(dec.decode(p), e)
+
+
+def test_mid_stream_dimension_change_resets_segment_map():
+    """A new keyframe with different dimensions drops the persisted
+    per-MB segment map (it no longer fits the MB grid) and the stream
+    keeps decoding."""
+    rng = np.random.RandomState(97)
+    dec = Vp8Decoder()
+    from tests.vp8enc import encode_vp8
+
+    seg = {"abs": 1, "quant": [8, 12, 16, 20], "lf": [0, 0, 0, 0],
+           "map": [[(r + c) % 4 for c in range(3)] for r in range(2)],
+           "tree_probs": [128, 128, 128]}
+    p_big, e_big = encode_vp8(
+        _rnd(rng, 32, 48), _rnd(rng, 16, 24), _rnd(rng, 16, 24),
+        q_index=8, segmentation=seg,
+    )
+    _assert_frame(dec.decode(p_big), e_big)
+    assert dec.seg_map is not None
+    p_small, e_small = encode_vp8(
+        _rnd(rng, 16, 16), _rnd(rng, 8, 8), _rnd(rng, 8, 8), q_index=8
+    )
+    f = dec.decode(p_small)
+    _assert_frame(f, e_small)
+    assert dec.seg_map is None
+    assert (dec.width, dec.height) == (16, 16)
