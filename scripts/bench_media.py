@@ -38,11 +38,13 @@ def _payloads(n_items: int, size: int) -> list[tuple[int, bytes]]:
     from tests.test_jpeg_decode import encode_jpeg, encode_jpeg_progressive
     from tests.test_pixels_decode import encode_png, encode_wav
     from tests.test_vp8l import encode_vp8l, wrap_webp
+    from tests.test_vp8_inter import make_ivf
+    from tests.vp8interenc import Vp8SeqEncoder
 
     rng = np.random.RandomState(7)
     out = []
     for i in range(n_items):
-        kind = i % 8
+        kind = i % 9
         if kind in (0, 1):  # textured PNG / RGBA PNG
             coarse = rng.randint(0, 256, (8, 8, 3 if kind == 0 else 4)).astype(np.uint8)
             img = np.repeat(np.repeat(coarse, size // 8, 0), size // 8, 1)
@@ -71,6 +73,19 @@ def _payloads(n_items: int, size: int) -> list[tuple[int, bytes]]:
                 if (i // 8) % 2
                 else make_ico([make_ico_dib_entry(img, bpp=24)], [(32, 32)])
             )
+        elif kind == 8:  # IVF VP8 video: keyframe + 2 interframes
+            enc = Vp8SeqEncoder()
+            half = np.full((16, 16), 128, np.uint8)
+            y0 = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+            fr = [enc.keyframe(y0, half, half, q_index=12)[0]]
+            for k in range(2):
+                specs = [[{"ref": 1, "mode": "new",
+                           "mv": (2 * (k + 1), -2 * (k + 1))}
+                          for _ in range(2)] for _ in range(2)]
+                fr.append(enc.interframe(
+                    rng.randint(0, 256, (32, 32)).astype(np.uint8),
+                    half, half, specs, q_index=24)[0])
+            p = make_ivf(fr, 32, 32)
         else:  # FLAC / WAV audio
             sig = (8000 * np.sin(2 * np.pi * 440 * np.arange(4096) / 8000)).astype(np.int64)
             p = (

@@ -681,3 +681,53 @@ def test_mid_stream_dimension_change_resets_segment_map():
     _assert_frame(f, e_small)
     assert dec.seg_map is None
     assert (dec.width, dec.height) == (16, 16)
+
+
+def test_inter_tree_tables_are_structurally_valid():
+    """Mis-transcription catcher for the tree-shaped constants (the
+    analog of the MP3 Kraft/prefix checks): every tree must be a
+    well-formed binary tree whose leaves are exactly the expected
+    value set, each internal node an in-range even index."""
+    def leaves(tree):
+        seen = []
+        n = len(tree)
+        def walk(i):
+            assert 0 <= i < n and i % 2 == 0
+            for b in (0, 1):
+                node = tree[i + b]
+                if node <= 0:
+                    seen.append(-node)
+                else:
+                    assert node % 2 == 0 and node > i
+                    walk(node)
+        walk(0)
+        return sorted(seen)
+
+    assert leaves(V.MV_REF_TREE) == sorted(
+        [V.ZEROMV, V.NEARESTMV, V.NEARMV, V.NEWMV, V.SPLITMV]
+    )
+    assert leaves(V.SUB_MV_REF_TREE) == [V.LEFT4X4, V.ABOVE4X4, V.ZERO4X4,
+                                         V.NEW4X4]
+    assert leaves(V.MBSPLIT_TREE) == [0, 1, 2, 3]
+    assert leaves(V.SMALL_MV_TREE) == list(range(8))
+    assert leaves(V.YMODE_TREE) == sorted(
+        [V.DC_PRED, V.V_PRED, V.H_PRED, V.TM_PRED, V.B_PRED]
+    )
+    # fill tables: each partitioning labels all 16 blocks with exactly
+    # its subset count, contiguous labels from 0
+    for part, labels in enumerate(V.MBSPLITS):
+        assert len(labels) == 16
+        assert sorted(set(labels)) == list(range(V.MBSPLIT_COUNTS[part]))
+    # probability tables: 8-bit, nonzero where used as denominators
+    for comp in range(2):
+        assert len(V.DEFAULT_MV_PROBS[comp]) == 19
+        assert len(V.MV_UPDATE_PROBS[comp]) == 19
+        assert all(1 <= p <= 255 for p in V.DEFAULT_MV_PROBS[comp])
+        assert all(1 <= p <= 255 for p in V.MV_UPDATE_PROBS[comp])
+    assert all(len(r) == 4 for r in V.MODE_CONTEXTS)
+    assert all(1 <= (p & 0xFF) <= 255 for r in V.MODE_CONTEXTS for p in r)
+    for row in V.SUB_MV_REF_PROBS:
+        assert len(row) == 3 and all(1 <= p <= 255 for p in row)
+    for bank in (V.SIXTAP_FILTERS, V.BILINEAR_FILTERS):
+        for taps in bank:
+            assert sum(taps) == 128  # unity DC gain, the spec invariant
