@@ -498,3 +498,118 @@ def test_jpeg_single_ac_coefficient_cosine_profile():
     assert (got == got[0]).all()  # constant down each column
     assert np.max(np.abs(got[0] - expect)) <= 1.0
     assert got[0, 0] > 128 and got[0, 7] < 128  # half-cosine shape
+
+
+# ------------------------------------------------------------- lossy VP8
+
+
+def test_vp8_keyframe_hand_assembled_prediction_only():
+    """Lossy VP8 keyframe assembled WITHOUT either repo codec model:
+    the boolean-coded first partition is produced by a THIRD encoder
+    written inline below, following the RFC 6386 §7.3 encoder
+    pseudo-code literally (32-bit low value, byte-wise carry
+    propagation) — a different algorithm from both tests/vp8enc.py's
+    bigint-interval writer and the engine decoder. Three skipped MBs
+    exercise DC/V/TM 16x16 prediction against the synthetic borders;
+    the expected planes are the spec's own constants (DC with no
+    neighbors = 128, V from the 127 border row, TM = 127+127-127)."""
+    import numpy as np
+
+    import rustcheatersdatapipeline_spark.functions.vp8 as V
+
+    class SpecBool:
+        """RFC 6386 §7.3 bool encoder: lowvalue/range/count with
+        explicit carry into already-emitted bytes."""
+
+        def __init__(self):
+            self.low = 0
+            self.range_ = 255
+            self.count = -24
+            self.out = bytearray()
+
+        def write(self, prob, bit):
+            split = 1 + (((self.range_ - 1) * prob) >> 8)
+            if bit:
+                self.low += split
+                self.range_ -= split
+            else:
+                self.range_ = split
+            shift = 8 - self.range_.bit_length()
+            self.range_ <<= shift
+            self.count += shift
+            if self.count >= 0:
+                offset = shift - self.count
+                if ((self.low << (offset - 1)) & 0x80000000) and offset > 0:
+                    i = len(self.out) - 1
+                    while self.out[i] == 0xFF:
+                        self.out[i] = 0
+                        i -= 1
+                    self.out[i] += 1
+                self.out.append((self.low >> (24 - offset)) & 0xFF)
+                self.low = (self.low << offset) & 0xFFFFFF
+                shift = self.count
+                self.count -= 8
+            self.low = (self.low << shift) & 0xFFFFFFFF
+            assert self.low < (1 << 32)
+
+        def literal(self, bits, value):
+            for i in range(bits - 1, -1, -1):
+                self.write(128, (value >> i) & 1)
+
+        def done(self):
+            for _ in range(32):
+                self.write(128, 0)
+            return bytes(self.out)
+
+    e = SpecBool()
+    e.write(128, 0)  # color space
+    e.write(128, 0)  # clamping
+    e.write(128, 0)  # segmentation off
+    e.write(128, 0)  # filter type normal
+    e.literal(6, 0)  # filter level 0
+    e.literal(3, 0)  # sharpness
+    e.write(128, 0)  # lf deltas off
+    e.literal(2, 0)  # one token partition
+    e.literal(7, 0)  # q_index
+    for _ in range(5):
+        e.write(128, 0)  # q delta flags
+    e.write(128, 1)  # refresh entropy
+    for bt in range(4):  # no coefficient prob updates
+        for band in range(8):
+            for ctx in range(3):
+                for tok in range(11):
+                    e.write(V.COEFF_UPDATE_PROBS[bt][band][ctx][tok], 0)
+    e.write(128, 1)  # mb_no_skip
+    e.literal(8, 128)  # prob_skip_false
+    # MB0: skip, DC_PRED luma, DC chroma
+    e.write(128, 1)
+    e.write(145, 1); e.write(156, 0); e.write(163, 0)  # noqa: E702
+    e.write(142, 0)
+    # MB1: skip, V_PRED luma, V chroma
+    e.write(128, 1)
+    e.write(145, 1); e.write(156, 0); e.write(163, 1)  # noqa: E702
+    e.write(142, 1); e.write(114, 0)  # noqa: E702
+    # MB2: skip, TM_PRED luma, TM chroma
+    e.write(128, 1)
+    e.write(145, 1); e.write(156, 1); e.write(128, 1)  # noqa: E702
+    e.write(142, 1); e.write(114, 1); e.write(183, 1)  # noqa: E702
+    part0 = e.done()
+
+    tag = 0 | (0 << 1) | (1 << 4) | (len(part0) << 5)
+    buf = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    buf += b"\x9d\x01\x2a"
+    buf += (48).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    buf += part0 + b"\x00\x00"  # empty token partition (2-byte fill)
+
+    f = V.decode_vp8_frame(buf)
+    assert f["header"]["q_index"] == 0
+    assert f["header"]["mb_no_skip"] == 1
+    y, u, v = f["y"], f["u"], f["v"]
+    assert y.shape == (16, 48) and u.shape == (8, 24)
+    expect_y = np.full((16, 48), 127, np.uint8)
+    expect_y[:, :16] = 128  # DC with no neighbors
+    expect_uv = np.full((8, 24), 127, np.uint8)
+    expect_uv[:, :8] = 128
+    assert np.array_equal(y, expect_y)
+    assert np.array_equal(u, expect_uv)
+    assert np.array_equal(v, expect_uv)
