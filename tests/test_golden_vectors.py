@@ -500,6 +500,51 @@ def test_jpeg_single_ac_coefficient_cosine_profile():
     assert got[0, 0] > 128 and got[0, 7] < 128  # half-cosine shape
 
 
+class _SpecBool:
+    """RFC 6386 §7.3 bool encoder: lowvalue/range/count with
+    explicit carry into already-emitted bytes."""
+
+    def __init__(self):
+        self.low = 0
+        self.range_ = 255
+        self.count = -24
+        self.out = bytearray()
+
+    def write(self, prob, bit):
+        split = 1 + (((self.range_ - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range_ -= split
+        else:
+            self.range_ = split
+        shift = 8 - self.range_.bit_length()
+        self.range_ <<= shift
+        self.count += shift
+        if self.count >= 0:
+            offset = shift - self.count
+            if ((self.low << (offset - 1)) & 0x80000000) and offset > 0:
+                i = len(self.out) - 1
+                while self.out[i] == 0xFF:
+                    self.out[i] = 0
+                    i -= 1
+                self.out[i] += 1
+            self.out.append((self.low >> (24 - offset)) & 0xFF)
+            self.low = (self.low << offset) & 0xFFFFFF
+            shift = self.count
+            self.count -= 8
+        self.low = (self.low << shift) & 0xFFFFFFFF
+        assert self.low < (1 << 32)
+
+    def literal(self, bits, value):
+        for i in range(bits - 1, -1, -1):
+            self.write(128, (value >> i) & 1)
+
+    def done(self):
+        for _ in range(32):
+            self.write(128, 0)
+        return bytes(self.out)
+
+
 # ------------------------------------------------------------- lossy VP8
 
 
@@ -517,49 +562,7 @@ def test_vp8_keyframe_hand_assembled_prediction_only():
 
     import rustcheatersdatapipeline_spark.functions.vp8 as V
 
-    class SpecBool:
-        """RFC 6386 §7.3 bool encoder: lowvalue/range/count with
-        explicit carry into already-emitted bytes."""
-
-        def __init__(self):
-            self.low = 0
-            self.range_ = 255
-            self.count = -24
-            self.out = bytearray()
-
-        def write(self, prob, bit):
-            split = 1 + (((self.range_ - 1) * prob) >> 8)
-            if bit:
-                self.low += split
-                self.range_ -= split
-            else:
-                self.range_ = split
-            shift = 8 - self.range_.bit_length()
-            self.range_ <<= shift
-            self.count += shift
-            if self.count >= 0:
-                offset = shift - self.count
-                if ((self.low << (offset - 1)) & 0x80000000) and offset > 0:
-                    i = len(self.out) - 1
-                    while self.out[i] == 0xFF:
-                        self.out[i] = 0
-                        i -= 1
-                    self.out[i] += 1
-                self.out.append((self.low >> (24 - offset)) & 0xFF)
-                self.low = (self.low << offset) & 0xFFFFFF
-                shift = self.count
-                self.count -= 8
-            self.low = (self.low << shift) & 0xFFFFFFFF
-            assert self.low < (1 << 32)
-
-        def literal(self, bits, value):
-            for i in range(bits - 1, -1, -1):
-                self.write(128, (value >> i) & 1)
-
-        def done(self):
-            for _ in range(32):
-                self.write(128, 0)
-            return bytes(self.out)
+    SpecBool = _SpecBool
 
     e = SpecBool()
     e.write(128, 0)  # color space
@@ -613,3 +616,103 @@ def test_vp8_keyframe_hand_assembled_prediction_only():
     assert np.array_equal(y, expect_y)
     assert np.array_equal(u, expect_uv)
     assert np.array_equal(v, expect_uv)
+
+
+def test_vp8_interframe_hand_assembled_zeromv():
+    """Hand-assembled P-frame through the same spec-literal §7.3 bool
+    coder: three skipped ZEROMV macroblocks predicting off the golden
+    keyframe vector above must reproduce the previous frame exactly —
+    exercising the interframe header layout (refresh flags, sign
+    biases, mode probabilities, MV prob update flags) and the §16.3
+    mode-context lookup (an empty neighborhood selects row 0 of the
+    context table, zero-MV neighbors row 2) with no repo encoder
+    involved."""
+    import numpy as np
+
+    import rustcheatersdatapipeline_spark.functions.vp8 as V
+
+    # --- keyframe: reuse the prediction-only vector's construction
+    e = _SpecBool()
+    for _ in range(3):
+        e.write(128, 0)  # color space, clamping, segmentation off
+    e.write(128, 0)  # filter type
+    e.literal(6, 0)
+    e.literal(3, 0)
+    e.write(128, 0)  # lf deltas off
+    e.literal(2, 0)
+    e.literal(7, 0)
+    for _ in range(5):
+        e.write(128, 0)
+    e.write(128, 1)  # refresh entropy
+    for bt in range(4):
+        for band in range(8):
+            for ctx in range(3):
+                for tok in range(11):
+                    e.write(V.COEFF_UPDATE_PROBS[bt][band][ctx][tok], 0)
+    e.write(128, 1)
+    e.literal(8, 128)
+    for _ in range(3):  # three skipped DC_PRED MBs
+        e.write(128, 1)
+        e.write(145, 1); e.write(156, 0); e.write(163, 0)  # noqa: E702
+        e.write(142, 0)
+    part0 = e.done()
+    tag = (1 << 4) | (len(part0) << 5)
+    kf = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    kf += b"\x9d\x01\x2a"
+    kf += (48).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    kf += part0 + b"\x00\x00"
+
+    # --- interframe: ZEROMV everywhere, no residuals
+    e = _SpecBool()
+    e.write(128, 0)  # segmentation off
+    e.write(128, 0)  # filter type
+    e.literal(6, 0)
+    e.literal(3, 0)
+    e.write(128, 0)  # lf deltas off
+    e.literal(2, 0)  # one partition
+    e.literal(7, 0)  # q_index
+    for _ in range(5):
+        e.write(128, 0)
+    e.write(128, 1)  # refresh golden
+    e.write(128, 1)  # refresh altref
+    e.write(128, 0)  # sign bias golden
+    e.write(128, 0)  # sign bias altref
+    e.write(128, 1)  # refresh entropy
+    e.write(128, 1)  # refresh last
+    for bt in range(4):
+        for band in range(8):
+            for ctx in range(3):
+                for tok in range(11):
+                    e.write(V.COEFF_UPDATE_PROBS[bt][band][ctx][tok], 0)
+    e.write(128, 1)  # mb_no_skip
+    e.literal(8, 128)  # prob_skip_false
+    e.literal(8, 128)  # prob_intra
+    e.literal(8, 128)  # prob_last
+    e.literal(8, 128)  # prob_golden
+    e.write(128, 0)  # no ymode prob update
+    e.write(128, 0)  # no uv prob update
+    for comp in range(2):
+        for i in range(19):
+            e.write(V.MV_UPDATE_PROBS[comp][i], 0)
+    # MB0: empty neighborhood -> cnt [0,0,0,0] -> context row 0 for the
+    # ZEROMV position (prob 7); MB1/MB2: a zero-MV inter left neighbor
+    # weighs 2 into the zero pool -> row 2 (prob 135)
+    for zero_prob in (7, 135, 135):
+        e.write(128, 1)       # skip
+        e.write(128, 1)       # inter-coded
+        e.write(128, 0)       # reference = LAST
+        e.write(zero_prob, 0)  # MV_REF_TREE root: ZEROMV
+    part0 = e.done()
+    tag = 1 | (1 << 4) | (len(part0) << 5)
+    pf = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    pf += part0 + b"\x00\x00"
+
+    dec = V.Vp8Decoder()
+    f0 = dec.decode(kf)
+    f1 = dec.decode(pf)
+    assert f1["header"]["frame_type"] == 1
+    assert np.array_equal(f1["y"], f0["y"])
+    assert np.array_equal(f1["u"], f0["u"])
+    assert np.array_equal(f1["v"], f0["v"])
+    # and the spec constants directly: DC-with-no-neighbors everywhere
+    assert (f1["y"] == 128).all() and (f1["u"] == 128).all()
