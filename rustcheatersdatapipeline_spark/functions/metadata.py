@@ -327,6 +327,102 @@ def _iter_riff_info(buf: bytes) -> Iterator[tuple[str, str]]:
         pos += 8 + size + (size & 1)
 
 
+# -------------------------------------------------------------- mp4 / ogg
+
+#: iTunes-style ilst atoms carrying UTF-8 text (©-prefixed per spec)
+_MP4_ILST_KEYS = {
+    b"\xa9nam": "Title",
+    b"\xa9ART": "Artist",
+    b"\xa9alb": "Album",
+    b"\xa9cmt": "Comment",
+    b"\xa9day": "Date",
+    b"\xa9too": "Software",
+    b"\xa9wrt": "Writer",
+    b"\xa9gen": "Genre",
+}
+
+
+def _iter_mp4_ilst(buf: bytes) -> Iterator[tuple[str, str]]:
+    """moov/udta/meta/ilst text atoms (the public iTunes metadata
+    layout: each item holds a ``data`` box — version/flags with flag 1
+    = UTF-8 — then a 4-byte locale and the payload)."""
+    from .mp4 import _boxes, _find
+
+    udta = _find(buf, 0, len(buf), (b"moov", b"udta"))
+    if udta is None:
+        return
+    meta = _find(buf, udta[0], udta[1], (b"meta",))
+    if meta is None:
+        return
+    # meta is a FULL box: 4 bytes of version/flags precede its children
+    ilst = _find(buf, meta[0] + 4, meta[1], (b"ilst",))
+    if ilst is None:
+        return
+    for tag, body, end in _boxes(buf, ilst[0], ilst[1]):
+        name = _MP4_ILST_KEYS.get(tag)
+        if name is None:
+            continue
+        for dtag, dbody, dend in _boxes(buf, body, end):
+            if dtag != b"data" or dend - dbody < 8:
+                continue
+            flags = int.from_bytes(buf[dbody : dbody + 4], "big") & 0xFFFFFF
+            if flags != 1:  # 1 = UTF-8 text
+                continue
+            val = _clean(buf[dbody + 8 : dend].decode("utf-8", "replace"))
+            if val:
+                yield (name, val)
+
+
+def _iter_ogg_comments(buf: bytes) -> Iterator[tuple[str, str]]:
+    """Vorbis/Opus comment header from the head pages of an Ogg stream
+    (packet prefixed ``\\x03vorbis`` / ``OpusTags``), then the shared
+    little-endian vendor + KEY=value layout."""
+    pos = 0
+    packets: list[bytearray] = []
+    current = bytearray()
+    for _page in range(16):  # comments live in the head pages
+        if buf[pos : pos + 4] != b"OggS" or pos + 27 > len(buf):
+            break
+        nseg = buf[pos + 26]
+        seg_table = buf[pos + 27 : pos + 27 + nseg]
+        p = pos + 27 + nseg
+        for seg in seg_table:
+            current += buf[p : p + seg]
+            p += seg
+            if seg < 255:
+                packets.append(current)
+                current = bytearray()
+        pos = p
+    for pkt in packets:
+        if pkt[:7] == b"\x03vorbis":
+            body = bytes(pkt[7:])
+        elif pkt[:8] == b"OpusTags":
+            body = bytes(pkt[8:])
+        else:
+            continue
+        try:
+            vlen = int.from_bytes(body[0:4], "little")
+            vendor = body[4 : 4 + vlen].decode("utf-8", "replace")
+            if vendor:
+                yield ("vendor", _clean(vendor))
+            p = 4 + vlen
+            n = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            for _ in range(min(n, _MAX_ROWS_PER_ITEM)):
+                if p + 4 > len(body):
+                    return
+                ln = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                ent = body[p : p + ln].decode("utf-8", "replace")
+                p += ln
+                if "=" in ent:
+                    k, v = ent.split("=", 1)
+                    yield (k.upper()[:_MAX_KEY_CHARS], _clean(v))
+        except Exception:
+            return
+        return
+
+
 # ---------------------------------------------------------------- dispatch
 
 
@@ -360,6 +456,10 @@ def extract_metadata(buf: bytes) -> list[tuple[str, str, str]]:
         take("riff", _iter_riff_info(buf))
     elif buf[:4] in (b"II*\x00", b"MM\x00*"):
         take("tiff", _iter_tiff_ascii(buf))
+    elif len(buf) >= 12 and buf[4:8] == b"ftyp":
+        take("mp4", _iter_mp4_ilst(buf))
+    elif buf[:4] == b"OggS":
+        take("ogg", _iter_ogg_comments(buf))
     return out
 
 

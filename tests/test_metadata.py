@@ -221,3 +221,74 @@ def test_extract_media_metadata_spark(spark):
     # plan shape: one Arrow pass, no shuffle
     plan = extract_media_metadata(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + tag + body
+
+
+def make_mp4_with_ilst() -> bytes:
+    def data_atom(text: str) -> bytes:
+        return _box(b"data", (1).to_bytes(4, "big") + b"\x00" * 4
+                    + text.encode())
+
+    ilst = _box(b"\xa9nam", data_atom("an mp4 title"))
+    ilst += _box(b"\xa9too", data_atom("engine muxer"))
+    meta = _box(b"meta", b"\x00" * 4 + _box(b"ilst", ilst))
+    moov = _box(b"moov", _box(b"udta", meta))
+    return _box(b"ftyp", b"isom\x00\x00\x00\x01isom") + moov
+
+
+def _ogg_page(packet: bytes, serial=1, seq=0, htype=2) -> bytes:
+    segs = []
+    rest = packet
+    while True:
+        segs.append(min(len(rest), 255))
+        if len(rest) < 255:
+            break
+        rest = rest[255:]
+    hdr = (b"OggS" + b"\x00" + bytes([htype]) + b"\x00" * 8
+           + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+           + b"\x00" * 4 + bytes([len(segs)]) + bytes(segs))
+    return hdr + packet
+
+
+def make_ogg_with_comments(opus=False) -> bytes:
+    body = b""
+    vendor = b"engine-ogg"
+    body += len(vendor).to_bytes(4, "little") + vendor
+    ents = [b"TITLE=ogg song", b"artist=someone else"]
+    body += len(ents).to_bytes(4, "little")
+    for e in ents:
+        body += len(e).to_bytes(4, "little") + e
+    pkt = (b"OpusTags" if opus else b"\x03vorbis") + body
+    first = _ogg_page(b"\x01vorbis" + b"\x00" * 23, seq=0, htype=2)
+    return first + _ogg_page(pkt, seq=1, htype=0)
+
+
+def test_mp4_ilst_text_atoms():
+    rows = dict((k, v) for _s, k, v in extract_metadata(make_mp4_with_ilst()))
+    assert rows == {"Title": "an mp4 title", "Software": "engine muxer"}
+
+
+@pytest.mark.parametrize("opus", [False, True])
+def test_ogg_comment_headers(opus):
+    rows = extract_metadata(make_ogg_with_comments(opus))
+    assert ("ogg", "TITLE", "ogg song") in rows
+    assert ("ogg", "ARTIST", "someone else") in rows
+    assert ("ogg", "vendor", "engine-ogg") in rows
+
+
+def test_mp4_and_ogg_totality():
+    rng = np.random.RandomState(41)
+    for base in (make_mp4_with_ilst(), make_ogg_with_comments(),
+                 make_ogg_with_comments(True)):
+        for trial in range(60):
+            buf = bytearray(base)
+            if trial % 3 == 0:
+                buf = buf[: rng.randint(1, len(buf))]
+            else:
+                for _ in range(rng.randint(1, 5)):
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            rows = extract_metadata(bytes(buf))
+            assert len(rows) <= 64
