@@ -24,6 +24,11 @@ bounded number of short string rows out (caps on rows per item and
 value length make the output metadata-sized at any corpus scale).
 Malformed structures contribute nothing and never fail a task — the
 quarantine stance metadata shares with every decoder here.
+
+(Reference parity: the reference pipeline stores media opaquely —
+/root/reference/dags/custom_operators/SteamToS3Operator.py — this is
+engine extension surface for training-data provenance mining, beside
+featurize/phash.)
 """
 
 from __future__ import annotations

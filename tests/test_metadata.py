@@ -2,7 +2,6 @@
 hand-built fixtures per container family (no metadata-writing library
 anywhere), Spark end-to-end, and totality under mutation."""
 
-import struct
 import zlib
 
 import numpy as np
