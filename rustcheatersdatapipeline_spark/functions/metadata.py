@@ -97,6 +97,9 @@ def _iter_id3v2(buf: bytes) -> Iterator[tuple[str, str]]:
         if b & 0x80:
             return
         size = (size << 7) | b
+    if buf[5] & 0x80:  # v2.3 global unsynchronisation: FF 00 -> FF
+        buf = buf[:10] + buf[10 : 10 + size].replace(b"\xff\x00", b"\xff")
+        size = len(buf) - 10
     end = min(10 + size, len(buf))
     pos = 10
     if buf[5] & 0x40:  # extended header: skip by its own size field
@@ -119,10 +122,13 @@ def _iter_id3v2(buf: bytes) -> Iterator[tuple[str, str]]:
                      | (raw & 0x7F00) >> 1 | (raw & 0x7F))
         else:
             fsize = raw
+        fflags = buf[pos + 9] if pos + 10 <= len(buf) else 0
         body = buf[pos + 10 : pos + 10 + fsize]
         pos += 10 + fsize
         if len(body) < 1 or fsize <= 0:
             continue
+        if major >= 4 and fflags & 0x02:  # v2.4 per-frame unsync
+            body = body.replace(b"\xff\x00", b"\xff")
         if fid[0:1] == b"T" and fid.isalnum():
             try:
                 key = fid.decode("ascii")

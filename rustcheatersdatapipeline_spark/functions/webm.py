@@ -11,9 +11,9 @@ engine extension surface feeding sample_frames/video-phash like AVI.
 Supported: EBML header + Segment (sized or unknown-size), Info
 (TimecodeScale), Tracks (TrackEntry: number/type/CodecID/Video dims),
 Clusters (sized or unknown-size, children-terminated) with SimpleBlock
-and BlockGroup/Block frames, in storage order.  Named boundaries:
-laced blocks (Xiph/fixed/EBML lacing — libvpx/ffmpeg never lace VP8)
-and non-VP8 codec IDs.
+and BlockGroup/Block frames in storage order, and all three block
+lacing modes (Xiph / fixed / EBML signed-delta sizes).  Named
+boundary: non-VP8 codec IDs.
 """
 
 from __future__ import annotations
@@ -153,21 +153,77 @@ def _read_vint(buf: bytes, pos: int) -> tuple[int, int]:
     return value, pos + n
 
 
-def _block_frame(buf: bytes, p: int, stop: int, track: int) -> bytes | None:
-    """Frame bytes of a (Simple)Block for ``track``; None if other
-    track.  Laced blocks are a named boundary."""
+def _read_svint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Signed VINT (EBML lacing deltas): unsigned VINT minus the
+    mid-range bias (2^(7n-1) - 1)."""
+    first = buf[pos] if pos < len(buf) else 0
+    n = 1
+    mask = 0x80
+    while n <= 8 and not (first & mask):
+        mask >>= 1
+        n += 1
+    v, q = _read_vint(buf, pos)
+    return v - ((1 << (7 * n - 1)) - 1), q
+
+
+def _block_frames(buf: bytes, p: int, stop: int, track: int) -> list[bytes]:
+    """Frame payloads of a (Simple)Block for ``track`` ([] if another
+    track's) — all three lacing modes (RFC 9559 §10: Xiph 255-run
+    sizes, fixed equal division, EBML VINT + signed-delta sizes)."""
     tn, q = _read_vint(buf, p)
     if q + 3 > stop:
         raise ValueError("WebM: truncated block header")
     flags = buf[q + 2]
+    q += 3
     if tn != track:
-        return None
-    if flags & 0x06:
-        raise NotImplementedError(
-            "WebM: laced blocks (Xiph/fixed/EBML lacing) are not "
-            "supported; VP8 muxers emit one frame per block"
-        )
-    return buf[q + 3 : stop]
+        return []
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return [buf[q:stop]]
+    if q >= stop:
+        raise ValueError("WebM: laced block missing frame count")
+    n_frames = buf[q] + 1
+    q += 1
+    sizes: list[int] = []
+    if lacing == 2:  # fixed: equal division of the remaining bytes
+        total = stop - q
+        if n_frames == 0 or total % n_frames:
+            raise ValueError("WebM: fixed lacing does not divide evenly")
+        sizes = [total // n_frames] * n_frames
+    elif lacing == 1:  # Xiph: 255-run sums for all but the last frame
+        for _ in range(n_frames - 1):
+            s = 0
+            while True:
+                if q >= stop:
+                    raise ValueError("WebM: truncated Xiph lacing sizes")
+                s += buf[q]
+                last = buf[q]
+                q += 1
+                if last != 255:
+                    break
+            sizes.append(s)
+        sizes.append(stop - q - sum(sizes))
+    else:  # EBML: first size as VINT, then signed deltas
+        s, q = _read_vint(buf, q)
+        if q > stop:
+            raise ValueError("WebM: truncated EBML lacing sizes")
+        sizes.append(s)
+        for _ in range(n_frames - 2):
+            d, q = _read_svint(buf, q)
+            if q > stop:
+                raise ValueError("WebM: truncated EBML lacing sizes")
+            sizes.append(sizes[-1] + d)
+        if n_frames >= 2:
+            sizes.append(stop - q - sum(sizes))
+    out = []
+    for s in sizes:
+        if s < 0 or q + s > stop:
+            raise ValueError("WebM: lacing sizes exceed the block")
+        out.append(buf[q : q + s])
+        q += s
+    if q != stop:
+        raise ValueError("WebM: lacing sizes do not cover the block")
+    return out
 
 
 def iter_webm_vp8_frames(buf: bytes):
@@ -231,15 +287,11 @@ def iter_webm_vp8_frames(buf: bytes):
             if stop == _UNKNOWN:
                 raise ValueError("WebM: nested unknown-size cluster child")
             if eid == _SIMPLE_BLOCK:
-                frame = _block_frame(buf, p, stop, track)
-                if frame is not None:
-                    yield frame
+                yield from _block_frames(buf, p, stop, track)
             elif eid == _BLOCK_GROUP:
                 for gid, gp, gstop, _ in _walk(buf, p, stop):
                     if gid == _BLOCK:
-                        frame = _block_frame(buf, gp, gstop, track)
-                        if frame is not None:
-                            yield frame
+                        yield from _block_frames(buf, gp, gstop, track)
 
 
 def _cluster_end(buf: bytes, start: int, seg_end: int) -> int:

@@ -291,3 +291,22 @@ def test_mp4_and_ogg_totality():
                     buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
             rows = extract_metadata(bytes(buf))
             assert len(rows) <= 64
+
+
+def test_id3v2_unsynchronisation():
+    """v2.3 global unsync (FF 00 -> FF over the whole tag) and v2.4
+    per-frame unsync both reverse before text decode — a UTF-16 title
+    containing 0xFF bytes survives."""
+    title = "ÿ title ÿ"  # latin-1 0xFF characters force unsync bytes
+    data = bytes([1]) + title.encode("utf-16")  # BOM FF FE: unsync target
+    # v2.3 global: build the frame, unsync the WHOLE tag body
+    frame = b"TIT2" + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+    sync = frame.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3" + bytes([3, 0, 0x80]) + _syncsafe(len(sync)) + sync
+    assert ("id3v2", "TIT2", title.strip()) in extract_metadata(tag)
+    # v2.4 per-frame: frame format flag 0x02, syncsafe size of the
+    # unsynced body
+    body = data.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + _syncsafe(len(body)) + b"\x00\x02" + body
+    tag = b"ID3" + bytes([4, 0, 0]) + _syncsafe(len(frame)) + frame
+    assert ("id3v2", "TIT2", title.strip()) in extract_metadata(tag)

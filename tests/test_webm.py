@@ -60,9 +60,38 @@ def _track_entry(number: int, codec: bytes, w: int, h: int) -> bytes:
     )
 
 
+def _svint(v: int) -> bytes:
+    for n in range(1, 9):
+        bias = (1 << (7 * n - 1)) - 1
+        if -bias <= v <= bias:
+            return ((v + bias) | (1 << (7 * n))).to_bytes(n, "big")
+    raise AssertionError("delta out of vint range")
+
+
+def _laced_block(track, tc, frames, mode) -> bytes:
+    """One SimpleBlock carrying several frames: mode 1 = Xiph,
+    2 = fixed (frames must be equal length), 3 = EBML."""
+    flags = 0x80 | (mode << 1)
+    body = _vint(track) + tc.to_bytes(2, "big", signed=True) + bytes([flags])
+    body += bytes([len(frames) - 1])
+    if mode == 1:  # Xiph 255-run sizes for all but the last
+        for fr in frames[:-1]:
+            n = len(fr)
+            body += b"\xff" * (n // 255) + bytes([n % 255])
+    elif mode == 2:
+        assert len({len(f) for f in frames}) == 1
+    else:  # EBML: first absolute VINT, then signed deltas
+        body += _vint(len(frames[0]))
+        for a, b in zip(frames, frames[1:-1]):
+            body += _svint(len(b) - len(a))
+    body += b"".join(frames)
+    return _elem(0xA3, body)
+
+
 def make_webm(frames, w, h, *, codec=b"V_VP8", track=1,
               unknown_segment=False, unknown_cluster=False,
-              blockgroup=False, extra_track=False, laced=False):
+              blockgroup=False, extra_track=False, laced=False,
+              lace_mode=1):
     header = _elem(
         0x1A45DFA3,
         _elem(0x4286, b"\x01") + _elem(0x4282, b"webm"),
@@ -73,11 +102,12 @@ def make_webm(frames, w, h, *, codec=b"V_VP8", track=1,
         tracks += _track_entry(track + 1, b"A_VORBIS", 0, 0)
     tracks = _elem(0x1654AE6B, tracks)
     blocks = _elem(0xE7, b"\x00")  # cluster timecode
+    if laced:
+        blocks += _laced_block(track, 0, list(frames), lace_mode)
+        frames = []
     for i, fr in enumerate(frames):
         key = i == 0
-        if laced:
-            blocks += _simple_block(track, i, fr, key, flags=0x86)
-        elif blockgroup and i % 2 == 1:
+        if blockgroup and i % 2 == 1:
             inner = _elem(
                 0xA1,
                 _vint(track) + i.to_bytes(2, "big", signed=True)
@@ -151,8 +181,7 @@ def test_webm_named_boundaries_and_errors():
     payloads, _ = _sequence(seed=87, n_inter=1)
     with pytest.raises(NotImplementedError, match="V_VP8"):
         decode_webm_frames(make_webm(payloads, 32, 32, codec=b"V_VP9"))
-    with pytest.raises(NotImplementedError, match="laced"):
-        decode_webm_frames(make_webm(payloads, 32, 32, laced=True))
+
     with pytest.raises(ValueError, match="EBML signature"):
         decode_webm_frames(b"RIFFxxxx" + b"\x00" * 16)
     good = make_webm(payloads, 32, 32)
@@ -193,3 +222,36 @@ def test_webm_through_spark_featurize(spark):
         assert feats[i]["mime"] == "video/webm"
         assert (feats[i]["width"], feats[i]["height"]) == (32, 32)
         assert feats[i]["n_samples"] == 3 * 32 * 32 * 4
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_webm_all_lacing_modes(mode):
+    """Xiph / fixed / EBML lacing: several VP8 frames in ONE
+    SimpleBlock decode in order (fixed lacing pads payloads to equal
+    length — trailing bytes beyond the last token partition are inert
+    by construction)."""
+    payloads, expected = _sequence(seed=93, n_inter=3)
+    if mode == 2:
+        width = max(len(p) for p in payloads)
+        payloads = [p + b"\x00" * (width - len(p)) for p in payloads]
+    buf = make_webm(payloads, 32, 32, laced=True, lace_mode=mode)
+    _assert_rgba(decode_webm_frames(buf), expected)
+
+
+def test_webm_laced_fuzz_totality():
+    payloads, _ = _sequence(seed=95, n_inter=2)
+    rng = np.random.RandomState(97)
+    for mode in (1, 3):
+        good = make_webm(payloads, 32, 32, laced=True, lace_mode=mode)
+        for trial in range(60):
+            buf = bytearray(good)
+            if trial % 3 == 0:
+                buf = buf[: rng.randint(4, len(buf))]
+            else:
+                for _ in range(rng.randint(1, 4)):
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            try:
+                out = decode_webm_frames(bytes(buf))
+                assert out.ndim == 4
+            except (ValueError, NotImplementedError):
+                pass
