@@ -228,6 +228,26 @@ def decode_tiff_pixels(buf: bytes) -> np.ndarray:
     return px
 
 
+def _decompress_segment(comp: int, data: bytes, expected: int) -> bytes:
+    """One strip's / tile's bytes under the shared compression switch."""
+    if comp == 1:
+        if len(data) < expected:
+            raise ValueError("TIFF: uncompressed segment shorter than declared")
+        return data[:expected]
+    if comp == 32773:
+        return _unpackbits(data, expected)
+    if comp in (8, 32946):  # Adobe deflate / legacy deflate
+        d = zlib.decompressobj()
+        try:
+            inflated = d.decompress(data, expected)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF: bad deflate segment ({exc})") from None
+        if len(inflated) < expected:
+            raise ValueError("TIFF: deflate segment shorter than declared")
+        return inflated
+    return _lzw_decode(data, expected)
+
+
 def _decode_tiff_raw(buf: bytes) -> np.ndarray:
     order = _byte_order(buf)
     if order is None:
@@ -244,10 +264,17 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
     rows_per_strip = tags.get(278, [h])[0] or h
     offsets = tags.get(273)
     counts = tags.get(279)
-    if offsets is None or counts is None or len(offsets) != len(counts):
-        if 322 in tags or 323 in tags or 324 in tags or 325 in tags:
-            raise NotImplementedError("TIFF: tiled layout unsupported")
+    tile_off, tile_cnt = tags.get(324), tags.get(325)
+    tiled = (
+        322 in tags and 323 in tags
+        and tile_off is not None and tile_cnt is not None
+    )
+    if not tiled and (
+        offsets is None or counts is None or len(offsets) != len(counts)
+    ):
         raise ValueError("TIFF: missing strip tables")
+    if comp == 7 and tiled:
+        raise NotImplementedError("TIFF: JPEG-compressed tiles unsupported")
     if comp == 7:
         if w * h * 3 > _TIFF_MAX_DECODE_BYTES:
             raise ValueError("TIFF: image exceeds decode bound")
@@ -270,37 +297,54 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
     if w * h * max(spp, 1) > _TIFF_MAX_DECODE_BYTES:
         raise ValueError("TIFF: image exceeds decode bound")
 
-    row_bytes = (w * spp * depth + 7) // 8
-    raw = bytearray()
-    rows_done = 0
-    for off, cnt in zip(offsets, counts):
-        strip = buf[off : off + cnt]
-        if len(strip) < cnt:
-            raise ValueError("TIFF: strip out of range")
-        strip_rows = min(rows_per_strip, h - rows_done)
-        expected = strip_rows * row_bytes
-        if comp == 1:
-            if len(strip) < expected:
-                raise ValueError("TIFF: uncompressed strip shorter than declared")
-            raw += strip[:expected]
-        elif comp == 32773:
-            raw += _unpackbits(strip, expected)
-        elif comp in (8, 32946):  # Adobe deflate / legacy deflate
-            d = zlib.decompressobj()
-            try:
-                inflated = d.decompress(strip, expected)
-            except zlib.error as exc:
-                raise ValueError(f"TIFF: bad deflate strip ({exc})") from None
-            if len(inflated) < expected:
-                raise ValueError("TIFF: deflate strip shorter than declared")
-            raw += inflated
-        else:
-            raw += _lzw_decode(strip, expected)
-        rows_done += strip_rows
-        if rows_done >= h:
-            break
-    if rows_done < h:
-        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+    if tiled:
+        # tiled layout (spec section 15): the image is a grid of
+        # independently-compressed tw x th tiles, left-to-right then
+        # top-to-bottom, each padded to full tile size; predictor 2
+        # differencing restarts at every tile row
+        if depth != 8:
+            raise NotImplementedError("TIFF: tiled bilevel unsupported")
+        tw, th = tags[322][0], tags[323][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("TIFF: bad tile dimensions")
+        across, down = -(-w // tw), -(-h // th)
+        if down * th * across * tw * spp > _TIFF_MAX_DECODE_BYTES:
+            raise ValueError("TIFF: tile grid exceeds decode bound")
+        if len(tile_off) < across * down or len(tile_cnt) < across * down:
+            raise ValueError("TIFF: tile tables shorter than the grid")
+        canvas = np.zeros((down * th, across * tw, spp), np.uint8)
+        t_bytes = tw * spp
+        for ti in range(across * down):
+            off, cnt = tile_off[ti], tile_cnt[ti]
+            data = buf[off : off + cnt]
+            if len(data) < cnt:
+                raise ValueError("TIFF: tile out of range")
+            rawt = _decompress_segment(comp, data, th * t_bytes)
+            arr = np.frombuffer(
+                bytes(rawt[: th * t_bytes]), np.uint8
+            ).reshape(th, tw, spp)
+            if predictor == 2:
+                arr = np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8)
+            r, c = divmod(ti, across)
+            canvas[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = arr
+        raw = np.ascontiguousarray(canvas[:h, :w]).tobytes()
+        predictor = 1  # already undone per tile
+        row_bytes = w * spp
+    else:
+        row_bytes = (w * spp * depth + 7) // 8
+        raw = bytearray()
+        rows_done = 0
+        for off, cnt in zip(offsets, counts):
+            strip = buf[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("TIFF: strip out of range")
+            strip_rows = min(rows_per_strip, h - rows_done)
+            raw += _decompress_segment(comp, strip, strip_rows * row_bytes)
+            rows_done += strip_rows
+            if rows_done >= h:
+                break
+        if rows_done < h:
+            raise ValueError("TIFF: strips cover fewer rows than ImageLength")
 
     if predictor == 2:
         # horizontal differencing (spec section 14): each byte sample

@@ -61,7 +61,13 @@ def _lzw_encode(data: bytes) -> bytes:
         emit(table[prev])
         table[cur] = next_code
         next_code += 1
-        if next_code >= (1 << width) - 1 and width < 12:  # early change
+        # early change, encoder side: bump when the next assignable
+        # code reaches 2^w — the decoder (which builds each entry one
+        # code later) bumps at 2^w - 1, and the pair stays in lockstep
+        # (the old `>= 2^w - 1` here desynced at table entry 510,
+        # caught by the 1536-byte random tiles in the tiled-layout
+        # tests)
+        if next_code >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4094:  # keep the table bounded: restart
             emit(256)
@@ -374,3 +380,154 @@ def test_horizontal_predictor(comp):
     gray = _rand(7, 15, 0, seed=42)
     got = decode_tiff_pixels(make_tiff(gray, comp=comp, predictor=2))
     assert np.array_equal(got[..., 0], gray)
+
+
+def make_tiled_tiff(px: np.ndarray, tw: int, th: int, comp: int = 1,
+                    predictor: int = 1, order: str = "little") -> bytes:
+    """Tiled-layout writer (tags 322-325): grid of padded tiles,
+    left-to-right then top-to-bottom, each compressed independently,
+    predictor differencing restarting per tile row."""
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    if px.ndim == 2:
+        px = px[..., None]
+    across, down = -(-w // tw), -(-h // th)
+    padded = np.zeros((down * th, across * tw, spp), np.uint8)
+    padded[:h, :w] = px
+    tiles = []
+    for ti in range(across * down):
+        r, c = divmod(ti, across)
+        tile = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+        if predictor == 2:
+            t = tile.astype(np.int16)
+            d = t.copy()
+            d[:, 1:] = t[:, 1:] - t[:, :-1]
+            raw = (d % 256).astype(np.uint8).tobytes()
+        else:
+            raw = tile.tobytes()
+        if comp == 1:
+            tiles.append(raw)
+        elif comp == 32773:
+            tiles.append(_pack_bits(raw))
+        elif comp in (8, 32946):
+            tiles.append(zlib.compress(raw))
+        else:
+            tiles.append(_lzw_encode(raw))
+
+    def u(v, size):
+        return int(v).to_bytes(size, order)
+
+    entries = []
+
+    def entry(tag, typ, values):
+        size = {3: 2, 4: 4}[typ]
+        entries.append((tag, typ, len(values),
+                        b"".join(u(v, size) for v in values)))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp])
+    entry(262, 3, [2 if spp >= 3 else 1])
+    entry(277, 3, [spp])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    entry(322, 4, [tw])
+    entry(323, 4, [th])
+    entry(325, 4, [len(t) for t in tiles])
+    n_entries = len(entries) + 1  # + TileOffsets
+    ifd_size = 2 + 12 * n_entries + 4
+    pos = 8 + ifd_size
+    blobs, packed = [], []
+    for tag, typ, count, data in entries:
+        if len(data) <= 4:
+            packed.append((tag, typ, count, data + bytes(4 - len(data))))
+        else:
+            packed.append((tag, typ, count, u(pos, 4)))
+            blobs.append(data)
+            pos += len(data)
+    off_table_pos = pos if len(tiles) > 1 else None
+    if off_table_pos is not None:
+        pos += 4 * len(tiles)
+    tile_offsets = []
+    for t in tiles:
+        tile_offsets.append(pos)
+        pos += len(t)
+    if off_table_pos is not None:
+        packed.append((324, 4, len(tiles), u(off_table_pos, 4)))
+        blobs.append(b"".join(u(o, 4) for o in tile_offsets))
+    else:
+        packed.append((324, 4, 1, u(tile_offsets[0], 4)))
+    packed.sort(key=lambda e: e[0])
+    out = bytearray()
+    out += (b"II" if order == "little" else b"MM")
+    out += u(42, 2) + u(8, 4)
+    out += u(len(packed), 2)
+    for tag, typ, count, val in packed:
+        out += u(tag, 2) + u(typ, 2) + u(count, 4) + val
+    out += u(0, 4)
+    for b in blobs:
+        out += b
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+def test_tiled_layout_decodes(comp):
+    rng = np.random.RandomState(19)
+    px = rng.randint(0, 256, (37, 53, 3), np.uint8)  # non-multiple dims
+    buf = make_tiled_tiff(px, 32, 16, comp=comp)
+    assert np.array_equal(decode_tiff_pixels(buf), px)
+
+
+def test_tiled_predictor_restarts_per_tile_row():
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, (20, 40), np.uint8)
+    buf = make_tiled_tiff(px, 16, 16, comp=8, predictor=2)
+    got = decode_tiff_pixels(buf)
+    assert np.array_equal(got[..., 0], px)
+
+
+def test_tiled_gray_single_tile_and_big_endian():
+    rng = np.random.RandomState(29)
+    px = rng.randint(0, 256, (16, 16), np.uint8)
+    buf = make_tiled_tiff(px, 16, 16, order="big")
+    assert np.array_equal(decode_tiff_pixels(buf)[..., 0], px)
+
+
+def test_tiled_error_paths():
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    good = make_tiled_tiff(px, 16, 16)
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, NotImplementedError, IndexError)):
+        decode_tiff_pixels(good[: len(good) - 40])
+    for trial in range(60):
+        buf = bytearray(good)
+        if trial % 3 == 0:
+            buf = buf[: rng.randint(8, len(buf))]
+        else:
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            out = decode_tiff_pixels(bytes(buf))
+            assert out.ndim == 3
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+
+
+def test_lzw_early_change_boundary_roundtrips():
+    """Regression pin for the early-change lockstep: random streams
+    long enough to cross the 9->10 bit boundary (table entry 510) and
+    the 12-bit restart both round-trip. The engine decoder follows the
+    libtiff semantics (decoder bumps at 2^w - 1, one entry before the
+    encoder's 2^w, compensating the decoder's one-entry lag); the test
+    encoder's old bump-at-2^w-1 desynced exactly at entry 510."""
+    from rustcheatersdatapipeline_spark.functions.tiff import _lzw_decode
+
+    for seed, n in ((19, 600), (20, 1536), (21, 25000)):
+        rng = np.random.RandomState(seed)
+        raw = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(raw), n) == raw
