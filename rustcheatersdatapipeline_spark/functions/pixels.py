@@ -33,8 +33,8 @@ directly in this module:
   space is quarantined anymore; malformed structure still raises
   ValueError into the shared quarantine.
 - **WAV** (RIFF PCM): ``data`` chunk → ``numpy.frombuffer`` →
-  ``(n_frames, channels)`` int array (8-bit unsigned / 16-bit /
-  32-bit signed little-endian PCM).
+  ``(n_frames, channels)`` int array (8-bit unsigned / 16/32-bit
+  signed LE / 24-bit signed LE sign-extended to int32).
 - **GIF** (GIF87a/89a, public spec appendix F): block-stream walk →
   per-frame LZW sub-block concatenation → pure-Python variable-width
   LZW decode (clear/end codes, deferred width growth, 12-bit cap,
@@ -426,12 +426,14 @@ def decode_apng_frames(buf: bytes) -> np.ndarray:
 
 def decode_wav_samples(buf: bytes) -> tuple[np.ndarray, int]:
     """Full PCM WAV decode → (samples array of shape (n_frames,
-    channels), sample_rate). 8-bit unsigned, 16/32-bit signed LE."""
+    channels), sample_rate). 8-bit unsigned, 16/32-bit signed LE, and
+    24-bit signed LE (the studio-audio packing: 3-byte little-endian
+    samples, sign-extended to int32)."""
     hdr = parse_wav_header(buf)
     if hdr is None:
         raise ValueError("not a RIFF/WAVE payload")
     channels, rate, bits, n_frames = hdr
-    if bits not in (8, 16, 32):
+    if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"WAV {bits}-bit PCM unsupported")
     pos = 12
     data = None
@@ -444,6 +446,14 @@ def decode_wav_samples(buf: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + sz + (sz & 1)
     if data is None:
         raise ValueError("WAV: no data chunk")
+    if bits == 24:
+        frame_bytes = channels * 3
+        usable = len(data) // frame_bytes
+        raw = np.frombuffer(data[: usable * frame_bytes], np.uint8)
+        b = raw.reshape(-1, 3).astype(np.int32)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        vals = (vals << 8) >> 8  # sign-extend bit 23
+        return vals.reshape(-1, channels), rate
     dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
     usable = (len(data) // (channels * dtype.itemsize if bits != 8 else channels)) * channels
     arr = np.frombuffer(data, dtype)[:usable].reshape(-1, channels)
@@ -645,12 +655,79 @@ def decode_gif_pixels(buf: bytes) -> np.ndarray:
 _DIB_MAX_DECODE_BYTES = 1 << 28
 
 
+def _decode_dib_rle(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 run-length decode (public BMP spec) → (h, w)
+    palette indices in row-storage order.  Escapes: 00 00 end-of-line,
+    00 01 end-of-bitmap, 00 02 dx dy delta, 00 n absolute run (word
+    aligned); otherwise (count, value) encoded runs — RLE4 alternates
+    the value's two nibbles."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 1 < n and y < h:
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count:
+            if bpp == 8:
+                run = [val] * count
+            else:
+                run = [(val >> 4, val & 0xF)[i & 1] for i in range(count)]
+            take = min(count, w - x)
+            idx[y, x : x + take] = run[:take]
+            x += take
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("DIB: truncated RLE delta")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` pixels, word-aligned
+            if bpp == 8:
+                span = val
+            else:
+                span = (val + 1) // 2
+            if pos + span > n:
+                raise ValueError("DIB: truncated RLE absolute run")
+            chunk = data[pos : pos + span]
+            if bpp == 8:
+                run = list(chunk)
+            else:
+                run = []
+                for b in chunk:
+                    run.append(b >> 4)
+                    run.append(b & 0xF)
+                run = run[:val]
+            take = min(val, w - x)
+            if y < h:
+                idx[y, x : x + take] = run[:take]
+            x += take
+            pos += span + (span & 1)  # pad to word boundary
+    return idx
+
+
 def _decode_dib_rows(
-    data: bytes, w: int, h: int, bpp: int, palette: np.ndarray | None
+    data: bytes, w: int, h: int, bpp: int, palette: np.ndarray | None,
+    comp: int = 0,
 ) -> np.ndarray:
     """Packed DIB pixel rows → (h, w, channels) in ROW-STORAGE order
-    (caller flips bottom-up). BI_RGB only: 32 (BGRA), 24 (BGR), and
-    paletted 8/4/1-bit with the BGRX color table."""
+    (caller flips bottom-up): 32 (BGRA), 24 (BGR), 16 (RGB555),
+    paletted 8/4/1-bit with the BGRX color table, and RLE8/RLE4
+    compressed paletted rows."""
+    if comp in (1, 2):  # BI_RLE8 / BI_RLE4
+        if palette is None or not len(palette):
+            raise ValueError("DIB: RLE image without a color table")
+        if (comp == 1) != (bpp == 8) or (comp == 2) != (bpp == 4):
+            raise ValueError("DIB: RLE compression disagrees with bpp")
+        idx = _decode_dib_rle(data, w, h, bpp)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("DIB: palette index out of range")
+        return palette[idx]
     stride = ((w * bpp + 31) // 32) * 4
     if len(data) < stride * h:
         raise ValueError("DIB: pixel data shorter than stride*height")
@@ -661,6 +738,12 @@ def _decode_dib_rows(
     if bpp == 24:
         px = rows[:, : w * 3].reshape(h, w, 3)
         return px[..., ::-1]  # BGR → RGB
+    if bpp == 16:  # BI_RGB 16-bpp is RGB555 (x r5 g5 b5), little-endian
+        v = rows[:, : w * 2].copy().view("<u2").reshape(h, w).astype(np.uint32)
+        r = ((v >> 10) & 31) * 255 // 31
+        g = ((v >> 5) & 31) * 255 // 31
+        b = (v & 31) * 255 // 31
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
     if bpp in (8, 4, 1):
         if palette is None or not len(palette):
             raise ValueError("DIB: paletted image without a color table")
@@ -676,20 +759,41 @@ def _decode_dib_rows(
     raise NotImplementedError(f"DIB: {bpp}-bpp pixels unsupported")
 
 
-def _parse_dib_header(dib: bytes) -> tuple[int, int, int, bool, int, np.ndarray | None, int]:
-    """(w, h_total, bpp, top_down, header size, palette RGB, data offset)
-    of a BITMAPINFOHEADER-family DIB."""
-    if len(dib) < 40:
+def _parse_dib_header(
+    dib: bytes,
+) -> tuple[int, int, int, bool, int, np.ndarray | None, int, int]:
+    """(w, h_total, bpp, top_down, header size, palette RGB, data
+    offset, compression) of a DIB — BITMAPINFOHEADER family plus the
+    12-byte OS/2 BITMAPCOREHEADER (u16 dims, 3-byte palette)."""
+    if len(dib) < 12:
         raise ValueError("DIB: truncated header")
     hdr = int.from_bytes(dib[0:4], "little")
-    if hdr < 40:
-        raise NotImplementedError("DIB: pre-BITMAPINFOHEADER core headers")
+    if hdr == 12:  # BITMAPCOREHEADER
+        w = int.from_bytes(dib[4:6], "little")
+        h_raw = int.from_bytes(dib[6:8], "little")
+        bpp = int.from_bytes(dib[10:12], "little")
+        if w <= 0 or h_raw == 0:
+            raise ValueError("DIB: bad dimensions")
+        palette = None
+        pal_bytes = 0
+        if bpp <= 8:
+            n = 1 << bpp
+            pal_bytes = 3 * n  # core palettes are 3-byte BGR
+            raw = np.frombuffer(dib[hdr : hdr + pal_bytes], np.uint8)
+            if len(raw) < pal_bytes:
+                raise ValueError("DIB: truncated color table")
+            palette = raw.reshape(n, 3)[:, ::-1].copy()
+        return w, h_raw, bpp, False, hdr, palette, hdr + pal_bytes, 0
+    if len(dib) < 40 or hdr < 40:
+        raise ValueError("DIB: bad header size")
     w = int.from_bytes(dib[4:8], "little", signed=True)
     h_raw = int.from_bytes(dib[8:12], "little", signed=True)
     bpp = int.from_bytes(dib[14:16], "little")
     comp = int.from_bytes(dib[16:20], "little")
-    if comp != 0:
-        raise NotImplementedError(f"DIB: compression {comp} (only BI_RGB)")
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(
+            f"DIB: compression {comp} (BI_RGB and RLE8/RLE4 supported)"
+        )
     if w <= 0 or h_raw == 0:
         raise ValueError("DIB: bad dimensions")
     clr_used = int.from_bytes(dib[32:36], "little")
@@ -702,22 +806,23 @@ def _parse_dib_header(dib: bytes) -> tuple[int, int, int, bool, int, np.ndarray 
         if len(raw) < pal_bytes:
             raise ValueError("DIB: truncated color table")
         palette = raw.reshape(n, 4)[:, [2, 1, 0]].copy()  # BGRX → RGB
-    return w, abs(h_raw), bpp, h_raw < 0, hdr, palette, hdr + pal_bytes
+    return w, abs(h_raw), bpp, h_raw < 0, hdr, palette, hdr + pal_bytes, comp
 
 
 def decode_bmp_pixels(buf: bytes) -> np.ndarray:
-    """Full BMP file decode → uint8 (h, w, 3|4). Uncompressed BI_RGB
-    only (the favicon/screenshot shape): 32/24-bpp or paletted 8/4/1,
-    bottom-up or top-down rows."""
+    """Full BMP file decode → uint8 (h, w, 3|4): BI_RGB 32/24/16-bpp
+    or paletted 8/4/1 (BITMAPINFOHEADER family or the 12-byte OS/2
+    core header), plus RLE8/RLE4 compressed paletted rows, bottom-up
+    or top-down."""
     if len(buf) < 54 or buf[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off_bits = int.from_bytes(buf[10:14], "little")
-    w, h, bpp, top_down, _hdr, palette, _ = _parse_dib_header(buf[14:])
+    w, h, bpp, top_down, _hdr, palette, _, comp = _parse_dib_header(buf[14:])
     if w * h * 4 > _DIB_MAX_DECODE_BYTES:
         raise ValueError("BMP: frame exceeds decode bound")
     if off_bits < 14 or off_bits > len(buf):
         raise ValueError("BMP: bad pixel data offset")
-    px = _decode_dib_rows(buf[off_bits:], w, h, bpp, palette)
+    px = _decode_dib_rows(buf[off_bits:], w, h, bpp, palette, comp)
     return px.copy() if top_down else px[::-1].copy()
 
 
@@ -759,11 +864,11 @@ def decode_ico_pixels(buf: bytes) -> np.ndarray:
             px = np.concatenate([np.repeat(px[..., :1], 3, axis=2), px[..., 1:]], axis=2)
         return px
     # DIB entry: biHeight is DOUBLED (XOR image + 1-bit AND mask)
-    w, h2, bpp, top_down, _hdr, palette, data_off = _parse_dib_header(entry)
+    w, h2, bpp, top_down, _hdr, palette, data_off, comp = _parse_dib_header(entry)
     h = h2 // 2
     if h == 0 or w * h * 4 > _DIB_MAX_DECODE_BYTES:
         raise ValueError("ICO: bad DIB dimensions")
-    px = _decode_dib_rows(entry[data_off:], w, h, bpp, palette)
+    px = _decode_dib_rows(entry[data_off:], w, h, bpp, palette, comp)
     px = px if top_down else px[::-1]
     if px.shape[2] == 3:
         xor_stride = ((w * bpp + 31) // 32) * 4

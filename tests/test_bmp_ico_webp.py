@@ -227,3 +227,136 @@ def test_bmp_ico_mutation_totality():
                     fn(payload)
                 except DECODE_QUARANTINE:
                     pass
+
+
+# ------------------------------------------------- r10: RLE/core/16-bit
+
+
+def _rle8_encode(idx: np.ndarray) -> bytes:
+    """Forward BI_RLE8: encoded runs + end-of-line/bitmap escapes,
+    with an absolute run thrown in per row when it fits."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h):
+        x = 0
+        used_abs = False
+        while x < w:
+            run = 1
+            while x + run < w and idx[y, x + run] == idx[y, x] and run < 255:
+                run += 1
+            if run < 3 and not used_abs and w - x >= 3:
+                n = min(w - x, 255)
+                out += bytes([0, n]) + idx[y, x : x + n].tobytes()
+                if n & 1:
+                    out += b"\x00"  # word alignment
+                x += n
+                used_abs = True
+                continue
+            out += bytes([run, idx[y, x]])
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def _rle4_encode(idx: np.ndarray) -> bytes:
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h):
+        x = 0
+        while x < w:
+            n = min(w - x, 254)
+            pair_val = 0
+            # encoded run alternating two nibbles: use per-pixel pairs
+            a = int(idx[y, x])
+            b = int(idx[y, x + 1]) if x + 1 < w else a
+            run = 0
+            while (x + run < w and run < 255
+                   and int(idx[y, x + run]) == (a, b)[run & 1]):
+                run += 1
+            out += bytes([run, (a << 4) | b])
+            x += run
+            del n, pair_val
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return bytes(out)
+
+
+def make_bmp_rle(idx: np.ndarray, palette: np.ndarray, bpp: int) -> bytes:
+    h, w = idx.shape
+    data = _rle8_encode(idx) if bpp == 8 else _rle4_encode(idx)
+    n_pal = len(palette)
+    pal = np.zeros((n_pal, 4), np.uint8)
+    pal[:, [2, 1, 0]] = palette
+    comp = 1 if bpp == 8 else 2
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                      len(data), 0, 0, n_pal, 0)
+    off = 14 + len(dib) + len(pal.tobytes())
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + dib + pal.tobytes() + data
+
+
+def test_bmp_rle8_and_rle4_decode():
+    rng = np.random.RandomState(47)
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (9, 13)).astype(np.uint8)
+    idx[2, :] = 5  # long encoded run
+    idx[:, 0] = 3
+    for bpp in (8, 4):
+        buf = make_bmp_rle(idx, palette, bpp)
+        got = decode_bmp_pixels(buf)
+        # storage is bottom-up: decoded rows flip
+        assert np.array_equal(got, palette[idx][::-1])
+
+
+def test_bmp_core_header_and_16bpp():
+    rng = np.random.RandomState(53)
+    # OS/2 BITMAPCOREHEADER, 24-bpp
+    px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    rows = _pack_rows(px[::-1], 24)
+    dib = struct.pack("<IHHHH", 12, 7, 5, 1, 24)
+    off = 14 + len(dib)
+    buf = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off) + dib + rows
+    assert np.array_equal(decode_bmp_pixels(buf), px)
+    # 16-bpp RGB555
+    v555 = rng.randint(0, 1 << 15, (6, 9)).astype(np.uint16)
+    rows = bytearray()
+    for y in range(5, -1, -1):  # bottom-up
+        row = v555[y].astype("<u2").tobytes()
+        row += bytes((-len(row)) % 4)
+        rows += row
+    dib = struct.pack("<IiiHHIIiiII", 40, 9, 6, 1, 16, 0,
+                      len(rows), 0, 0, 0, 0)
+    off = 14 + len(dib)
+    buf = (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+           + dib + bytes(rows))
+    got = decode_bmp_pixels(buf)
+    r = ((v555.astype(np.uint32) >> 10) & 31) * 255 // 31
+    g = ((v555.astype(np.uint32) >> 5) & 31) * 255 // 31
+    b = (v555.astype(np.uint32) & 31) * 255 // 31
+    want = np.stack([r, g, b], axis=2).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_bmp_rle_totality():
+    rng = np.random.RandomState(59)
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (8, 8)).astype(np.uint8)
+    good = make_bmp_rle(idx, palette, 8)
+    from rustcheatersdatapipeline_spark.functions.pixels import (
+        DECODE_QUARANTINE,
+        decode_bmp_pixels as dec,
+    )
+
+    for trial in range(80):
+        buf = bytearray(good)
+        if trial % 3 == 0:
+            buf = buf[: rng.randint(2, len(buf))]
+        else:
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            out = dec(bytes(buf))
+            assert out.ndim == 3
+        except DECODE_QUARANTINE:
+            pass

@@ -411,3 +411,22 @@ def test_16bit_roundtrip_high_bytes(ch, ftype):
     got = decode_png_pixels(encode_png16(img16, ftype))
     assert got.shape == (9, 7, ch)
     assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_wav_24bit_pcm_sign_extended():
+    """24-bit PCM (3-byte LE samples) decodes with exact sign
+    extension — field-by-field writer, no wave-module involvement."""
+    import struct as _struct
+
+    vals = np.array([[0], [1], [-1], [8388607], [-8388608], [-4660]],
+                    np.int64)
+    frames = b"".join(
+        int(v).to_bytes(3, "little", signed=True) for v in vals[:, 0]
+    )
+    fmt = _struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(frames)) + frames
+    buf = b"RIFF" + _struct.pack("<I", len(body)) + body
+    samples, rate = decode_wav_samples(buf)
+    assert rate == 48000
+    assert np.array_equal(samples[:, 0], vals[:, 0])
