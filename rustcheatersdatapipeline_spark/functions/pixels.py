@@ -28,9 +28,10 @@ directly in this module:
   16 (network-order high byte kept: 8-bit downscale, what features/
   pHash consume), PALETTE (color type 3, PLTE/tRNS lookup, 1/2/4/8-bit
   MSB-packed indices — the icon/screenshot shape real crawls are full
-  of), and Adam7 interlacing for every one of those (per-pass
-  unfilter + strided scatter). Nothing in the PNG spec's still-image
-  space is quarantined anymore; malformed structure still raises
+  of), sub-byte GRAYSCALE (1/2/4-bit color type 0 with spec sample
+  scaling — the fax/scan shape), and Adam7 interlacing for every one
+  of those (per-pass unfilter + strided scatter). Nothing in the PNG
+  spec's still-image space is quarantined anymore; malformed structure still raises
   ValueError into the shared quarantine.
 - **WAV** (RIFF PCM): ``data`` chunk → ``numpy.frombuffer`` →
   ``(n_frames, channels)`` int array (8-bit unsigned / 16/32-bit
@@ -291,6 +292,29 @@ def _decode_png_image(
         raise ValueError(f"PNG: invalid interlace method {interlace}")
     if color == 3:
         return _decode_palette_png(w, h, depth, plte, trns, idat, interlace)
+    if color == 0 and depth in (1, 2, 4):
+        # sub-byte GRAYSCALE (the fax/scan shape): reuse the palette
+        # path's MSB-packed index machinery, then scale the index to
+        # the full 0..255 range per the spec's sample scaling
+        if interlace:
+            expected = sum(
+                hp * ((wp * depth + 7) // 8 + 1)
+                for *_xy, wp, hp in _adam7_passes(w, h)
+            )
+            idx = _deinterlace_indices(
+                _inflate_bounded(idat, expected), w, h, depth
+            )
+        else:
+            stride = (w * depth + 7) // 8
+            raw = _inflate_bounded(idat, h * (stride + 1))
+            rows = np.frombuffer(
+                bytes(_unfilter_scanlines(raw, h, stride, 1)), np.uint8
+            ).reshape(h, stride)
+            bits = np.unpackbits(rows, axis=1).reshape(h, -1, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2, dtype=np.uint16)[:, :w]
+        scale = 255 // ((1 << depth) - 1)
+        return (idx * scale).astype(np.uint8)[..., None]
     if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
     if color not in _PNG_CHANNELS:

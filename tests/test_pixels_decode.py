@@ -430,3 +430,62 @@ def test_wav_24bit_pcm_sign_extended():
     samples, rate = decode_wav_samples(buf)
     assert rate == 48000
     assert np.array_equal(samples[:, 0], vals[:, 0])
+
+
+def encode_gray_subbyte_png(gray_idx: np.ndarray, depth: int,
+                            ftype: int = 0) -> bytes:
+    """Test-side color-type-0 sub-byte encoder (1/2/4-bit grayscale):
+    MSB-first packing, any filter type."""
+    h, w = gray_idx.shape
+    stride = (w * depth + 7) // 8
+    bits = (
+        (gray_idx[:, :, None].astype(np.uint8)
+         >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, -1)
+    pad = stride * 8 - bits.shape[1]
+    if pad:
+        bits = np.concatenate([bits, np.zeros((h, pad), np.uint8)], axis=1)
+    packed = np.packbits(bits, axis=1)
+    raw = _forward_filter(packed[:, :, None], ftype)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ftype", [0, 2])
+def test_gray_subbyte_png_roundtrip(depth, ftype):
+    rng = np.random.RandomState(depth * 10 + ftype)
+    idx = rng.randint(0, 1 << depth, (11, 13)).astype(np.uint8)
+    got = decode_png_pixels(encode_gray_subbyte_png(idx, depth, ftype))
+    scale = 255 // ((1 << depth) - 1)
+    assert got.shape == (11, 13, 1)
+    assert np.array_equal(got[..., 0], (idx * scale).astype(np.uint8))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_gray_subbyte_png_adam7(depth):
+    rng = np.random.RandomState(60 + depth)
+    idx = rng.randint(0, 1 << depth, (10, 11)).astype(np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp, wp = sub.shape
+        bits = (
+            (sub[:, :, None].astype(np.uint8)
+             >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(hp, -1)
+        pad = ((wp * depth + 7) // 8) * 8 - bits.shape[1]
+        if pad:
+            bits = np.concatenate([bits, np.zeros((hp, pad), np.uint8)],
+                                  axis=1)
+        parts.append(_forward_filter(np.packbits(bits, axis=1)[:, :, None], 0))
+    ihdr = struct.pack(">IIBBBBB", 11, 10, depth, 0, 0, 0, 1)
+    buf = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+           + _chunk(b"IEND", b""))
+    got = decode_png_pixels(buf)
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(got[..., 0], (idx * scale).astype(np.uint8))
