@@ -59,16 +59,17 @@ def _video_stream_info(buf: bytes) -> tuple[int, bytes, bytes | None]:
     raise ValueError("AVI: no video stream in hdrl")
 
 
-def _decode_dib(body: bytes, w: int, h: int, bpp: int) -> np.ndarray:
-    """Bottom-up BGR rows, 4-byte-aligned stride → (h, w, 3) RGB."""
-    if bpp != 24:
-        raise NotImplementedError(f"AVI: {bpp}-bpp DIB frames unsupported")
-    stride = (w * 3 + 3) & ~3
-    if len(body) < stride * h:
-        raise ValueError("AVI: DIB frame shorter than stride*height")
-    rows = np.frombuffer(body[: stride * h], np.uint8).reshape(h, stride)
-    bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # bottom-up → top-down
-    return bgr[..., ::-1].copy()  # BGR → RGB
+def _decode_dib(body: bytes, w: int, h: int, bpp: int,
+                palette: np.ndarray | None = None) -> np.ndarray:
+    """Bottom-up DIB rows → (h, w, 3) RGB via the shared BMP unpack:
+    32 (alpha dropped — AVI frames are RGB), 24, 16 (RGB555) and
+    paletted 8/4/1-bpp with the stream-format color table."""
+    from .pixels import _decode_dib_rows
+
+    px = _decode_dib_rows(body, w, h, bpp, palette)[::-1]  # bottom-up
+    if px.shape[2] == 4:
+        px = px[..., :3]
+    return np.ascontiguousarray(px)
 
 
 def decode_avi_frames(buf: bytes) -> np.ndarray:
@@ -85,6 +86,14 @@ def decode_avi_frames(buf: bytes) -> np.ndarray:
     w, h, _ = hdr
     stream, handler, strf = _video_stream_info(buf)
     bpp = int.from_bytes(strf[14:16], "little") if strf and len(strf) >= 16 else 24
+    palette = None
+    if strf and len(strf) >= 40 and bpp <= 8:
+        from .pixels import _parse_dib_header
+
+        try:  # the strf body IS a BITMAPINFOHEADER (+ color table)
+            palette = _parse_dib_header(strf)[5]
+        except (ValueError, NotImplementedError):
+            palette = None
     prefix = b"%02d" % stream
     frames: list[np.ndarray] = []
     for cid, off, sz in _chunks(buf, 12, len(buf)):
@@ -103,7 +112,7 @@ def decode_avi_frames(buf: bytes) -> np.ndarray:
                 if px.shape[2] == 1:
                     px = np.repeat(px, 3, axis=2)
             elif c2[2:4] == b"db":
-                px = _decode_dib(body, w, h, bpp)
+                px = _decode_dib(body, w, h, bpp, palette)
             else:
                 four = handler.decode("ascii", "replace").strip() or "unknown"
                 raise NotImplementedError(

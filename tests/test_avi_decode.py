@@ -34,6 +34,7 @@ def build_avi(
     compression: int = 0,
     bpp: int = 24,
     kind: bytes = b"dc",
+    palette: np.ndarray | None = None,
 ) -> bytes:
     avih = bytearray(56)
     avih[16:20] = struct.pack("<I", len(frames))
@@ -49,6 +50,11 @@ def build_avi(
     strf[12:14] = struct.pack("<H", 1)
     strf[14:16] = struct.pack("<H", bpp)
     strf[16:20] = struct.pack("<I", compression)
+    if palette is not None:
+        strf[32:36] = struct.pack("<I", len(palette))
+        pal = np.zeros((len(palette), 4), np.uint8)
+        pal[:, [2, 1, 0]] = palette
+        strf += pal.tobytes()
     strl = _list(b"strl", _chunk(b"strh", bytes(strh)) + _chunk(b"strf", bytes(strf)))
     hdrl = _list(b"hdrl", _chunk(b"avih", bytes(avih)) + strl)
     movi = _list(b"movi", b"".join(_chunk(b"00" + kind, f) for f in frames))
@@ -130,3 +136,29 @@ def test_dispatch_and_features():
     assert feat["mime"] == "video/x-msvideo" and feat["kind"] == "video"
     assert (feat["width"], feat["height"], feat["channels"]) == (8, 8, 3)
     assert feat["mean"] == pytest.approx(float(expected.mean()), abs=1.5)
+
+
+def test_dib_frames_paletted_and_32bpp():
+    rng = np.random.RandomState(67)
+    palette = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = [rng.randint(0, 256, (8, 12)).astype(np.uint8) for _ in range(2)]
+
+    def dib8(i):
+        stride = (12 + 3) & ~3
+        rows = np.zeros((8, stride), np.uint8)
+        rows[:, :12] = i[::-1]
+        return rows.tobytes()
+
+    buf = build_avi(12, 8, [dib8(i) for i in idx], handler=b"DIB ",
+                    bpp=8, kind=b"db", palette=palette)
+    px = decode_avi_frames(buf)
+    assert px.shape == (2, 8, 12, 3)
+    for got, i in zip(px, idx):
+        assert np.array_equal(got, palette[i])
+    # 32-bpp BGRA frames: alpha dropped
+    rgba = rng.randint(0, 256, (8, 12, 4)).astype(np.uint8)
+    rows = rgba[::-1][:, :, [2, 1, 0, 3]].reshape(8, -1)
+    buf = build_avi(12, 8, [rows.tobytes()], handler=b"DIB ", bpp=32,
+                    kind=b"db")
+    px = decode_avi_frames(buf)
+    assert np.array_equal(px[0], rgba[..., :3])
