@@ -14,9 +14,11 @@ None/PackBits fax-scan shape, and new-style JPEG (compression 7,
 TIFF Tech Note 2): each strip is a self-contained abbreviated JPEG
 stream, shared tables arriving via the JPEGTables tag (347) are
 spliced in after each strip's SOI before handing the stream to
-``functions/jpeg.py``. Old-style JPEG (compression 6), tiled layout,
-and the other exotic compressions raise ``NotImplementedError`` with
-the scheme named.
+``functions/jpeg.py``; the TILED layout (tags 322-325) decodes for
+every supported compression including JPEG tiles, with predictor
+differencing restarting per tile row. Old-style JPEG (compression 6),
+tiled bilevel, and the other exotic compressions raise
+``NotImplementedError`` with the scheme named.
 Only the FIRST IFD (page) decodes — multi-page parity lives in the
 frame-sampling layer like GIF/APNG if ever needed.
 """
@@ -164,6 +166,48 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _jpeg_tables_prefix(tags: dict[int, list[int]]) -> bytes:
+    tables = tags.get(347)
+    if not tables:
+        return b""
+    tb = bytes(tables)
+    if len(tb) < 4 or tb[:2] != b"\xff\xd8":
+        raise ValueError("TIFF: invalid JPEGTables stream")
+    end = tb.rfind(b"\xff\xd9")
+    if end == -1:
+        raise ValueError("TIFF: JPEGTables missing EOI")
+    return tb[2:end]
+
+
+def _decode_jpeg_tiles(buf, tags, w, h, tw, th, offsets, counts) -> np.ndarray:
+    """JPEG-compressed tiles: every tile is a full (th, tw) JPEG stream
+    with the shared JPEGTables splice, stitched on the padded grid."""
+    from .jpeg import decode_jpeg_pixels
+
+    prefix = _jpeg_tables_prefix(tags)
+    across, down = -(-w // tw), -(-h // th)
+    if len(offsets) < across * down or len(counts) < across * down:
+        raise ValueError("TIFF: tile tables shorter than the grid")
+    canvas = None
+    for ti in range(across * down):
+        off, cnt = offsets[ti], counts[ti]
+        tile = buf[off : off + cnt]
+        if len(tile) < cnt:
+            raise ValueError("TIFF: tile out of range")
+        if tile[:2] != b"\xff\xd8":
+            raise ValueError("TIFF: JPEG tile missing SOI")
+        px = decode_jpeg_pixels(b"\xff\xd8" + prefix + tile[2:])
+        if px.shape[0] < th or px.shape[1] < tw:
+            raise ValueError("TIFF: JPEG tile smaller than declared")
+        if canvas is None:
+            canvas = np.zeros((down * th, across * tw, px.shape[2]), np.uint8)
+        if px.shape[2] != canvas.shape[2]:
+            raise ValueError("TIFF: JPEG tiles disagree on channel count")
+        r, c = divmod(ti, across)
+        canvas[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = px[:th, :tw]
+    return np.ascontiguousarray(canvas[:h, :w])
+
+
 def _decode_jpeg_strips(
     buf: bytes,
     tags: dict[int, list[int]],
@@ -179,16 +223,7 @@ def _decode_jpeg_strips(
     (SOI tables EOI) spliced in after each strip's SOI."""
     from .jpeg import decode_jpeg_pixels
 
-    prefix = b""
-    tables = tags.get(347)
-    if tables:
-        tb = bytes(tables)
-        if len(tb) < 4 or tb[:2] != b"\xff\xd8":
-            raise ValueError("TIFF: invalid JPEGTables stream")
-        end = tb.rfind(b"\xff\xd9")
-        if end == -1:
-            raise ValueError("TIFF: JPEGTables missing EOI")
-        prefix = tb[2:end]
+    prefix = _jpeg_tables_prefix(tags)
     parts: list[np.ndarray] = []
     rows_done = 0
     for off, cnt in zip(offsets, counts):
@@ -274,7 +309,12 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
     ):
         raise ValueError("TIFF: missing strip tables")
     if comp == 7 and tiled:
-        raise NotImplementedError("TIFF: JPEG-compressed tiles unsupported")
+        tw, th = tags[322][0], tags[323][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("TIFF: bad tile dimensions")
+        if w * h * 3 > _TIFF_MAX_DECODE_BYTES:
+            raise ValueError("TIFF: image exceeds decode bound")
+        return _decode_jpeg_tiles(buf, tags, w, h, tw, th, tile_off, tile_cnt)
     if comp == 7:
         if w * h * 3 > _TIFF_MAX_DECODE_BYTES:
             raise ValueError("TIFF: image exceeds decode bound")

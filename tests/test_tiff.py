@@ -383,7 +383,8 @@ def test_horizontal_predictor(comp):
 
 
 def make_tiled_tiff(px: np.ndarray, tw: int, th: int, comp: int = 1,
-                    predictor: int = 1, order: str = "little") -> bytes:
+                    predictor: int = 1, order: str = "little",
+                    jpeg_tiles: list[bytes] | None = None) -> bytes:
     """Tiled-layout writer (tags 322-325): grid of padded tiles,
     left-to-right then top-to-bottom, each compressed independently,
     predictor differencing restarting per tile row."""
@@ -394,8 +395,12 @@ def make_tiled_tiff(px: np.ndarray, tw: int, th: int, comp: int = 1,
     across, down = -(-w // tw), -(-h // th)
     padded = np.zeros((down * th, across * tw, spp), np.uint8)
     padded[:h, :w] = px
-    tiles = []
-    for ti in range(across * down):
+    if jpeg_tiles is not None:
+        comp = 7
+        tiles = list(jpeg_tiles)
+    else:
+        tiles = []
+    for ti in range(0 if jpeg_tiles is not None else across * down):
         r, c = divmod(ti, across)
         tile = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
         if predictor == 2:
@@ -531,3 +536,31 @@ def test_lzw_early_change_boundary_roundtrips():
         rng = np.random.RandomState(seed)
         raw = rng.randint(0, 256, n).astype(np.uint8).tobytes()
         assert _lzw_decode(_lzw_encode(raw), n) == raw
+
+
+def test_tiled_jpeg_with_shared_tables():
+    """JPEG-compressed tiles (comp 7 + tags 322-325) stitch on the
+    padded grid with the JPEGTables splice handled per tile."""
+    rng = np.random.RandomState(61)
+    from tests.test_jpeg_decode import encode_jpeg
+
+    px = rng.randint(0, 256, (20, 28, 3), np.uint8)
+    tw, th = 16, 16
+    across, down = 2, 2
+    padded = np.zeros((down * th, across * tw, 3), np.uint8)
+    padded[:20, :28] = px
+    tiles, expected_tiles = [], []
+    for ti in range(4):
+        r, c = divmod(ti, across)
+        tile = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+        buf, exp = encode_jpeg(tile)
+        tiles.append(buf)
+        expected_tiles.append(exp)
+    buf = make_tiled_tiff(px, tw, th, jpeg_tiles=tiles)
+    got = decode_tiff_pixels(buf)
+    assert got.shape == (20, 28, 3)
+    want = np.zeros_like(padded)
+    for ti in range(4):
+        r, c = divmod(ti, across)
+        want[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = expected_tiles[ti]
+    assert np.array_equal(got, want[:20, :28])
