@@ -215,6 +215,7 @@ class _ProgState:
             raise ValueError("JPEG: frame exceeds decode bound")
         self.h, self.w, self.comps = h, w, comps
         self.prec = prec
+        self.adobe: int | None = None  # Adobe APP14 transform flag
         self.dc_max = 11 if prec == 8 else 15  # T.81 F.1.2.1.1 / extended
         self.max_h = max(hi for _, hi, _, _ in comps)
         self.max_v = max(vi for _, _, vi, _ in comps)
@@ -475,6 +476,24 @@ class _ProgState:
             full.append(p[: self.h, : self.w] + half)
         if len(full) == 1:
             out = np.clip(np.round(full[0]), 0, maxval)
+        elif len(full) == 4:
+            # Adobe CMYK/YCCK (APP14 transform 0/2): channels are stored
+            # INVERTED (the Adobe convention); YCCK additionally runs
+            # the inverted C,M,Y through the YCbCr transform.  RGB =
+            # stored_cmy * stored_k / maxval — the standard consumer
+            # math once both inversions cancel.
+            if self.adobe == 2:  # YCCK
+                y, cb, cr = full[0], full[1], full[2]
+                c = y + 1.402 * (cr - half)
+                m = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+                ye = y + 1.772 * (cb - half)
+            else:  # transform 0 / absent: plain inverted CMYK
+                c, m, ye = full[0], full[1], full[2]
+            k = np.clip(full[3], 0.0, maxval)
+            r = np.clip(c, 0.0, maxval) * k / maxval
+            g = np.clip(m, 0.0, maxval) * k / maxval
+            b = np.clip(ye, 0.0, maxval) * k / maxval
+            out = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxval)
         else:
             y, cb, cr = full
             r = y + 1.402 * (cr - half)
@@ -489,8 +508,10 @@ class _ProgState:
 
 def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
     """Full JPEG decode (baseline SOF0 or progressive SOF2) → uint8
-    array of shape (h, w, 1) for grayscale or (h, w, 3) RGB. Corruption
-    raises ValueError; spec features beyond these modes raise
+    array of shape (h, w, 1) for grayscale or (h, w, 3) RGB — including
+    4-component Adobe CMYK/YCCK frames (APP14 transform flag), which
+    convert to RGB via the standard consumer math. Corruption raises
+    ValueError; spec features beyond these modes raise
     NotImplementedError (both quarantined by ``featurize_pixels``,
     never a task failure)."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
@@ -501,6 +522,7 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
     prog: _ProgState | None = None
     baseline = False
     restart = 0
+    adobe_transform: int | None = None
     pos = 2
     n = len(buf)
     while pos + 2 <= n:
@@ -560,7 +582,7 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
             if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
                 raise NotImplementedError(f"JPEG: {prec}-bit precision (SOF{marker - 0xC0})")
             nc = body[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(f"JPEG: {nc}-component frame")
             if len(body) < 6 + 3 * nc:
                 raise ValueError("JPEG: truncated SOF components")
@@ -570,6 +592,7 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
             prog = _ProgState(frame, prec)
+            prog.adobe = adobe_transform
             baseline = marker != 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -579,6 +602,10 @@ def decode_jpeg_pixels(buf: bytes) -> np.ndarray:
             raise NotImplementedError("JPEG: arithmetic coding")
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # 0=CMYK, 1=YCbCr, 2=YCCK
+            if prog is not None:
+                prog.adobe = adobe_transform
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")

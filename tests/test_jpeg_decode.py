@@ -1085,3 +1085,96 @@ def test_orientation_applies_to_tiff_and_webp_containers():
             decode_webp_pixels(b"RIFF" + struct.pack("<I", len(b"WEBP" + chunk)) + b"WEBP" + chunk), 8
         )
         assert np.array_equal(got, want)
+
+
+# --------------------------------------------------------------- CMYK
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, ycck: bool = False
+                     ) -> tuple[bytes, np.ndarray]:
+    """(jpeg bytes, expected RGB decode) for an (h, w, 4) array of
+    ACTUAL CMYK values. Channels are stored INVERTED per the Adobe
+    convention; ``ycck`` additionally runs the inverted C,M,Y through
+    the forward YCbCr transform and tags APP14 transform 2.  The
+    expected image replays the quantized coefficients and applies the
+    documented consumer math independently."""
+    h, w, _ = cmyk.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    stored = 255.0 - cmyk.astype(np.float64)  # Adobe inversion
+    if ycck:
+        c, m, ye = stored[..., 0], stored[..., 1], stored[..., 2]
+        y_ = 0.299 * c + 0.587 * m + 0.114 * ye
+        cb = 128 - 0.168736 * c - 0.331264 * m + 0.5 * ye
+        cr = 128 + 0.5 * c - 0.418688 * m - 0.081312 * ye
+        planes = [y_, cb, cr, stored[..., 3]]
+    else:
+        planes = [stored[..., i] for i in range(4)]
+    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), "edge") for p in planes]
+    comps = [(i + 1, 1, 1, 0) for i in range(4)]
+    blocks = [_quantize_plane(p, QT_LUMA) for p in padded]
+
+    # expected: dequant + IDCT per plane, then the decoder's math
+    C = _dct_basis()
+    qnat = np.empty(64, np.int64)
+    qnat[ZIGZAG] = QT_LUMA
+    recon = []
+    for bl, p in zip(blocks, padded):
+        plane = np.empty((ph, pw))
+        i = 0
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                fnat = np.zeros(64)
+                fnat[ZIGZAG] = bl[i]
+                plane[y0 : y0 + 8, x0 : x0 + 8] = np.einsum(
+                    "ux,uv,vy->xy", C, (fnat * qnat).reshape(8, 8), C
+                )
+                i += 1
+        recon.append(plane[:h, :w] + 128.0)
+    if ycck:
+        y_, cb, cr = recon[0], recon[1], recon[2]
+        rc = y_ + 1.402 * (cr - 128.0)
+        rm = y_ - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        ry = y_ + 1.772 * (cb - 128.0)
+    else:
+        rc, rm, ry = recon[0], recon[1], recon[2]
+    rk = np.clip(recon[3], 0.0, 255.0)
+    exp = np.stack(
+        [np.clip(x, 0.0, 255.0) * rk / 255.0 for x in (rc, rm, ry)], axis=-1
+    )
+    expected = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+
+    order = _mcu_order(comps, ph, pw)
+    wtr = BitWriter()
+    preds = [0] * 4
+    for ci, bi in order:
+        preds[ci] = _encode_block(wtr, blocks[ci][bi], preds[ci])
+    out = b"\xff\xd8"
+    adobe = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2 if ycck else 0])
+    out += _seg(0xEE, adobe)
+    out += _seg(0xDB, bytes([0x00]) + bytes(QT_LUMA.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([4])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + DC_VALS
+                + bytes([0x10]) + bytes(AC_BITS) + AC_VALS)
+    sos = bytes([4])
+    for cid, *_r in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos) + wtr.to_bytes() + b"\xff\xd9"
+    return out, expected
+
+
+@pytest.mark.parametrize("ycck", [False, True])
+def test_cmyk_jpeg_decodes(ycck):
+    rng = np.random.RandomState(71 + ycck)
+    cmyk = rng.randint(0, 256, (13, 18, 4)).astype(np.uint8)
+    buf, expected = encode_jpeg_cmyk(cmyk, ycck=ycck)
+    got = decode_jpeg_pixels(buf)
+    assert got.shape == (13, 18, 3)
+    diff = np.abs(got.astype(int) - expected.astype(int))
+    # per-plane quantization already baked into `expected`; only float
+    # rounding ties remain
+    assert diff.max() <= 1
+    assert (diff <= 0).mean() > 0.98
