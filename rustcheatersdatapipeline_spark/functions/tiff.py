@@ -15,9 +15,9 @@ TIFF Tech Note 2): each strip is a self-contained abbreviated JPEG
 stream, shared tables arriving via the JPEGTables tag (347) are
 spliced in after each strip's SOI before handing the stream to
 ``functions/jpeg.py``; the TILED layout (tags 322-325) decodes for
-every supported compression including JPEG tiles, with predictor
-differencing restarting per tile row. Old-style JPEG (compression 6),
-tiled bilevel, and the other exotic compressions raise
+every supported compression including JPEG tiles and bilevel tiles,
+with predictor differencing restarting per tile row. Old-style JPEG
+(compression 6) and the other exotic compressions raise
 ``NotImplementedError`` with the scheme named.
 Only the FIRST IFD (page) decodes — multi-page parity lives in the
 frame-sampling layer like GIF/APNG if ever needed.
@@ -342,8 +342,6 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
         # independently-compressed tw x th tiles, left-to-right then
         # top-to-bottom, each padded to full tile size; predictor 2
         # differencing restarts at every tile row
-        if depth != 8:
-            raise NotImplementedError("TIFF: tiled bilevel unsupported")
         tw, th = tags[322][0], tags[323][0]
         if tw <= 0 or th <= 0:
             raise ValueError("TIFF: bad tile dimensions")
@@ -352,22 +350,35 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
             raise ValueError("TIFF: tile grid exceeds decode bound")
         if len(tile_off) < across * down or len(tile_cnt) < across * down:
             raise ValueError("TIFF: tile tables shorter than the grid")
+        t_bytes = (tw * spp * depth + 7) // 8
         canvas = np.zeros((down * th, across * tw, spp), np.uint8)
-        t_bytes = tw * spp
         for ti in range(across * down):
             off, cnt = tile_off[ti], tile_cnt[ti]
             data = buf[off : off + cnt]
             if len(data) < cnt:
                 raise ValueError("TIFF: tile out of range")
             rawt = _decompress_segment(comp, data, th * t_bytes)
-            arr = np.frombuffer(
-                bytes(rawt[: th * t_bytes]), np.uint8
-            ).reshape(th, tw, spp)
-            if predictor == 2:
-                arr = np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8)
+            if depth == 1:  # bilevel tiles: MSB-first bit rows
+                rows = np.frombuffer(
+                    bytes(rawt[: th * t_bytes]), np.uint8
+                ).reshape(th, t_bytes)
+                arr = np.unpackbits(rows, axis=1)[:, :tw][..., None]
+            else:
+                arr = np.frombuffer(
+                    bytes(rawt[: th * t_bytes]), np.uint8
+                ).reshape(th, tw, spp)
+                if predictor == 2:
+                    arr = np.cumsum(
+                        arr, axis=1, dtype=np.uint32
+                    ).astype(np.uint8)
             r, c = divmod(ti, across)
             canvas[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = arr
-        raw = np.ascontiguousarray(canvas[:h, :w]).tobytes()
+        cropped = np.ascontiguousarray(canvas[:h, :w])
+        if depth == 1:
+            px = cropped[..., 0]
+            px = (px * 255) if photo == 1 else ((1 - px) * 255)
+            return px.astype(np.uint8)[..., None]
+        raw = cropped.tobytes()
         predictor = 1  # already undone per tile
         row_bytes = w * spp
     else:

@@ -384,7 +384,8 @@ def test_horizontal_predictor(comp):
 
 def make_tiled_tiff(px: np.ndarray, tw: int, th: int, comp: int = 1,
                     predictor: int = 1, order: str = "little",
-                    jpeg_tiles: list[bytes] | None = None) -> bytes:
+                    jpeg_tiles: list[bytes] | None = None,
+                    bilevel: bool = False) -> bytes:
     """Tiled-layout writer (tags 322-325): grid of padded tiles,
     left-to-right then top-to-bottom, each compressed independently,
     predictor differencing restarting per tile row."""
@@ -403,7 +404,9 @@ def make_tiled_tiff(px: np.ndarray, tw: int, th: int, comp: int = 1,
     for ti in range(0 if jpeg_tiles is not None else across * down):
         r, c = divmod(ti, across)
         tile = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
-        if predictor == 2:
+        if bilevel:
+            raw = np.packbits(tile[..., 0], axis=1).tobytes()
+        elif predictor == 2:
             t = tile.astype(np.int16)
             d = t.copy()
             d[:, 1:] = t[:, 1:] - t[:, :-1]
@@ -431,7 +434,7 @@ def make_tiled_tiff(px: np.ndarray, tw: int, th: int, comp: int = 1,
 
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [1 if bilevel else 8] * spp)
     entry(259, 3, [comp])
     entry(262, 3, [2 if spp >= 3 else 1])
     entry(277, 3, [spp])
@@ -564,3 +567,13 @@ def test_tiled_jpeg_with_shared_tables():
         r, c = divmod(ti, across)
         want[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = expected_tiles[ti]
     assert np.array_equal(got, want[:20, :28])
+
+
+@pytest.mark.parametrize("comp", [1, 32773])
+def test_tiled_bilevel_decodes(comp):
+    rng = np.random.RandomState(73)
+    bits = rng.randint(0, 2, (21, 37)).astype(np.uint8)
+    buf = make_tiled_tiff(bits, 16, 16, comp=comp, bilevel=True)
+    got = decode_tiff_pixels(buf)
+    assert got.shape == (21, 37, 1)
+    assert np.array_equal(got[..., 0], bits * 255)  # BlackIsZero polarity
