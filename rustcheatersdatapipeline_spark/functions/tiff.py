@@ -7,7 +7,8 @@ both byte orders, multi-strip images, compression None / PackBits /
 LZW (the TIFF variant: MSB-first packing with the early-change quirk)
 / Deflate (8 and legacy 32946, inflate bounded by the declared strip
 size), the horizontal-differencing predictor (tag 317 value 2) on
-8-bit samples, 8-bit grayscale (both photometric polarities), RGB,
+8-bit samples, 8/16-bit grayscale (both photometric polarities;
+16-bit keeps the high byte, the PNG16 policy), RGB incl. 48-bit,
 RGBA (extra
 sample), palette-color (ColorMap), 1-bit bilevel for the
 None/PackBits fax-scan shape, and new-style JPEG (compression 7,
@@ -330,6 +331,10 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
         depth = 1
     elif set(bits) == {8}:
         depth = 8
+    elif set(bits) == {16}:
+        depth = 16  # scientific/scan data: high-byte downscale (PNG16 policy)
+        if predictor == 2:
+            raise NotImplementedError("TIFF: predictor 2 on 16-bit samples")
     else:
         raise NotImplementedError(f"TIFF: bits-per-sample {bits} unsupported")
     if spp not in (1, 3, 4):
@@ -363,6 +368,12 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
                     bytes(rawt[: th * t_bytes]), np.uint8
                 ).reshape(th, t_bytes)
                 arr = np.unpackbits(rows, axis=1)[:, :tw][..., None]
+            elif depth == 16:
+                dt = ">u2" if order == "big" else "<u2"
+                a16 = np.frombuffer(
+                    bytes(rawt[: th * t_bytes]), dt
+                ).reshape(th, tw, spp)
+                arr = (a16 >> 8).astype(np.uint8)
             else:
                 arr = np.frombuffer(
                     bytes(rawt[: th * t_bytes]), np.uint8
@@ -411,7 +422,12 @@ def _decode_tiff_raw(buf: bytes) -> np.ndarray:
         px = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8)
         px = (px * 255) if photo == 1 else ((1 - px) * 255)  # 0=WhiteIsZero
         return px.astype(np.uint8)[..., None]
-    px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if depth == 16:
+        dt = ">u2" if order == "big" else "<u2"
+        a16 = np.frombuffer(bytes(raw[: h * w * spp * 2]), dt).reshape(h, w, spp)
+        px = (a16 >> 8).astype(np.uint8)
+    else:
+        px = np.frombuffer(bytes(raw)[: h * w * spp], np.uint8).reshape(h, w, spp)
     if photo == 3:  # palette-color: ColorMap of 3 * 2^depth u16 entries
         cmap = tags.get(320)
         if spp != 1 or cmap is None or len(cmap) < 3 * 256:

@@ -577,3 +577,54 @@ def test_tiled_bilevel_decodes(comp):
     got = decode_tiff_pixels(buf)
     assert got.shape == (21, 37, 1)
     assert np.array_equal(got[..., 0], bits * 255)  # BlackIsZero polarity
+
+
+@pytest.mark.parametrize("order", ["little", "big"])
+def test_16bit_samples_high_byte_downscale(order):
+    """48-bit RGB / 16-bit gray TIFFs decode with the PNG16 policy:
+    keep the high byte. Field-by-field writer (bits 258 = 16)."""
+    rng = np.random.RandomState(79)
+    vals = rng.randint(0, 1 << 16, (7, 9, 3)).astype(np.uint16)
+    flat_rows = [
+        vals[y].astype(">u2" if order == "big" else "<u2").tobytes()
+        for y in range(7)
+    ]
+    strips = [b"".join(flat_rows)]
+
+    def u(v, size):
+        return int(v).to_bytes(size, order)
+
+    def short(v):  # SHORT values are LEFT-justified in the value field
+        return u(v, 2) + b"\x00\x00"
+
+    entries = [
+        (256, 4, 1, u(9, 4)), (257, 4, 1, u(7, 4)),
+        (258, 3, 3, None),  # out-of-line 16,16,16
+        (259, 3, 1, short(1)), (262, 3, 1, short(2)),
+        (277, 3, 1, short(3)), (278, 4, 1, u(7, 4)),
+        (279, 4, 1, u(len(strips[0]), 4)),
+    ]
+    n = len(entries) + 1
+    ifd_size = 2 + 12 * n + 4
+    pos = 8 + ifd_size
+    bits_off = pos
+    pos += 6
+    strip_off = pos
+    out = bytearray()
+    out += (b"II*\x00" if order == "little" else b"MM\x00*") + u(8, 4)
+    out += u(n, 2)
+    packed = []
+    for tag, typ, count, val in entries:
+        if tag == 258:
+            packed.append((tag, typ, count, u(bits_off, 4)))
+        else:
+            packed.append((tag, typ, count, val))
+    packed.append((273, 4, 1, u(strip_off, 4)))
+    packed.sort(key=lambda e: e[0])
+    for tag, typ, count, val in packed:
+        out += u(tag, 2) + u(typ, 2) + u(count, 4) + val
+    out += u(0, 4)
+    out += u(16, 2) + u(16, 2) + u(16, 2)
+    out += strips[0]
+    got = decode_tiff_pixels(bytes(out))
+    assert np.array_equal(got, (vals >> 8).astype(np.uint8))
