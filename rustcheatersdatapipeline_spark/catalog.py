@@ -29,9 +29,17 @@ TABLES = (
 # engine targets (region/nation are bounded; the rest scale with SF).
 SMALL_DIMS = ("region", "nation")
 
-#: Sessions whose catalog invariants are already applied (conf writes
-#: are once per session, not per table() call).
-_CONFIGURED: set[int] = set()
+#: Attribute names for per-session catalog state.  State lives ON the
+#: session object — NOT in a module dict keyed by ``id(spark)`` —
+#: because CPython recycles object ids after GC: a stopped-then-
+#: collected session's id can be reassigned to a fresh session, which
+#: would silently skip ``_ensure_session_confs`` (a non-UTC host
+#: timezone then leaks into formatted timestamps, a wrong-answer path)
+#: or hand back a DataFrame bound to a dead session.  An attribute's
+#: lifetime and identity follow its owner inherently, so neither
+#: aliasing nor a leak of dead-session plans is possible.
+_CONF_ATTR = "_rcdp_catalog_confs_applied"
+_CACHE_ATTR = "_rcdp_catalog_scan_cache"
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -39,23 +47,20 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     formatted-timestamp outputs assume UTC (enforced even on
     externally-built sessions — runtime-settable, unlike most session
     configs), and nanos parquet timestamps read as raw longs."""
-    key = id(spark)
-    if key in _CONFIGURED:
+    if getattr(spark, _CONF_ATTR, False):
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _CONFIGURED.add(key)
+    setattr(spark, _CONF_ATTR, True)
 
 
-#: Memoized scans: (session, path, mtime_ns, size) -> DataFrame.  A
-#: DataFrame is an immutable logical plan, and ``spark.read.parquet``
+#: Memoized scans, per session: {(path, mtime_ns, size) -> DataFrame}.
+#: A DataFrame is an immutable logical plan, and ``spark.read.parquet``
 #: re-lists files and re-reads footers on EVERY call (~80 ms per table
 #: at sf0.1) — pure py4j/driver waste when the same static table is
 #: scanned by 50 query builders.  The mtime+size key keeps the cache
-#: correct for tests that rewrite a table in place; the plan handles
-#: are tiny, but the dict is bounded anyway (plan-registry hygiene,
-#: VERDICT r9 ADVICE precedent).
-_SCAN_CACHE: dict[tuple, DataFrame] = {}
+#: correct for tests that rewrite a table in place; the dict is
+#: bounded anyway (plan-registry hygiene, VERDICT r9 ADVICE precedent).
 _SCAN_CACHE_MAX = 512
 
 
@@ -75,18 +80,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = None
     try:
         st = os.stat(path)
-        key = (id(spark), path, st.st_mtime_ns, st.st_size)
+        key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         pass  # globs / non-local paths: fall through uncached
-    if key is not None and key in _SCAN_CACHE:
-        return _SCAN_CACHE[key]
+    plans = getattr(spark, _CACHE_ATTR, None)
+    if plans is None:
+        plans = {}
+        setattr(spark, _CACHE_ATTR, plans)
+    if key is not None and key in plans:
+        return plans[key]
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if key is not None:
-        if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
-            _SCAN_CACHE.clear()
-        _SCAN_CACHE[key] = df
+        if len(plans) >= _SCAN_CACHE_MAX:
+            plans.clear()
+        plans[key] = df
     return df
 
 
