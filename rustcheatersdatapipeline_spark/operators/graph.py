@@ -1,23 +1,65 @@
 """Distributed graph primitives: connected components + PageRank.
 
-Spark has no native CC operator; this is min-label propagation with
-POINTER JUMPING expressed as DataFrame joins, the standard shape for
-dup-family clustering at scale (cf. the large/small-star algorithm):
+Spark has no native CC operator; this is MIN-NEIGHBOR CONTRACTION with
+a budget-bounded finish, the shape practical systems converge on for
+dup-family clustering:
 
-    label := min(label, label(label), min over neighbors of label)
+  - while the quotient graph exceeds a fixed edge budget: contract
+    every node into its minimum neighborhood label
+    (``l(v) = min(v, min N(v))``) and rewrite edges between labels.
+    Every endpoint of every edge that is not a local minimum disappears,
+    so quotient NODES shrink by at least half per round (worst case —
+    a path; star-shaped dup clusters collapse in one round), giving
+    O(log(n / budget)) rounds of ONE equi-join shuffle each.
+  - once the quotient fits the budget, finish with a driver-side
+    union-find over ≤ ``CC_FINISH_EDGE_BUDGET`` (label, label) longs
+    (~16 MiB) and broadcast the root map back — the same
+    bounded-driver-step class as the k-means centroid collect: the
+    bound is a compile-time constant, not data-dependent.  The naive
+    alternative (iterate label propagation to convergence) costs a
+    Spark job per graph-diameter hop; on latency-bound tiny quotients
+    that is strictly worse than one bounded collect, and at 100 TB the
+    contraction rounds have already shrunk the graph to the budget.
 
-The label-of-label term halves chain depth every round, so the loop
-converges in O(log diameter) rounds instead of O(diameter); each round
-is two equi-join shuffles on the node id. ``localCheckpoint`` truncates
-lineage so round N's plan does not replay rounds 1..N-1 (and bounds the
-DAG the scheduler must walk). State per round is one (node, label)
-table — linear in nodes, uniform shuffle keys, no skew hazard.
+``localCheckpoint`` truncates lineage so round N's plan does not replay
+rounds 1..N-1.  State per round is the edge quotient plus one
+(node, label) composition map — linear in nodes, uniform shuffle keys.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Max quotient edges handed to the driver-side union-find finish: 1M
+#: (a, b) int64 pairs ≈ 16 MiB — far under the engine's broadcast
+#: budget (catalog.BROADCAST_MEMORY_BUDGET) that the root map rides
+#: back on.
+CC_FINISH_EDGE_BUDGET = 1_000_000
+
+
+def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-root union-find over an edge list: node -> min node id of
+    its component. Path-halving + union-by-min keeps it near-linear."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller id becomes the root, so the
+            # final root IS the component minimum.
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
 
 
 def connected_components(
@@ -27,55 +69,77 @@ def connected_components(
     reachable from it: (node, component). Edges are treated as
     undirected; isolated nodes (absent from edges) are absent from the
     output — union them in with node==component if needed."""
-    und = (
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    quotient = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+    node_type = quotient.schema["a"].dataType
+    out_schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
     )
+    # node -> current contracted label; starts as the identity and
+    # composes one contraction per round. Only materialized (and only
+    # re-shuffled) when a contraction round actually happens.
+    mapping: DataFrame | None = None
     while True:
-        nbr = (
-            und.join(labels, und.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
+        # One action doubles as size probe and finish-collect: ≤ budget
+        # rows come back ready for union-find; budget+1 rows mean
+        # "too big, contract" (the oversized batch is discarded — a
+        # bounded ≤16 MiB transfer per contraction round).  Arrow
+        # transfer (toPandas) because py4j Row collection is ~3× slower
+        # at the budget size; this is the bounded driver FINISH, not a
+        # data-plane transform.
+        probe = quotient.limit(CC_FINISH_EDGE_BUDGET + 1).toPandas()
+        if len(probe) <= CC_FINISH_EDGE_BUDGET:
+            break
+        # materialize before the round: the quotient feeds three
+        # subtrees below (groupBy + both relabel joins)
+        quotient = quotient.localCheckpoint()
+        contract = (
+            quotient.groupBy("a")
+            .agg(F.min("b").alias("nb"))
+            .select("a", F.least(F.col("nb"), F.col("a")).alias("label"))
         )
-        grand = labels.select(
-            F.col("node").alias("g_id"), F.col("label").alias("g_label")
-        )
-        new_labels = (
-            labels.join(grand, labels.label == grand.g_id, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("g_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .join(nbr, F.col("node") == nbr.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
+        lab_a = contract.select(F.col("a").alias("la_n"), F.col("label").alias("la"))
+        lab_b = contract.select(F.col("a").alias("lb_n"), F.col("label").alias("lb"))
+        quotient = (
+            quotient.join(lab_a, quotient.a == lab_a.la_n)
+            .join(lab_b, quotient.b == lab_b.lb_n)
+            .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+        step = contract.select(F.col("a").alias("node"), "label")
+        if mapping is None:
+            mapping = step.localCheckpoint()
+        else:
+            nxt = step.select(F.col("node").alias("s_n"), F.col("label").alias("s_l"))
+            mapping = (
+                mapping.join(nxt, mapping.label == nxt.s_n, "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("s_l"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+    pairs = list(zip(probe["a"].tolist(), probe["b"].tolist()))
+    roots = _union_find_roots(pairs)
+    if mapping is None:
+        # no contraction happened: the collected quotient holds every
+        # node, so the union-find answer IS the full result.
+        return spark.createDataFrame(sorted(roots.items()), out_schema)
+    root_schema = StructType(
+        [StructField("r_n", node_type), StructField("r_c", node_type)]
+    )
+    root_df = F.broadcast(spark.createDataFrame(sorted(roots.items()), root_schema))
+    return mapping.join(root_df, mapping.label == root_df.r_n, "left").select(
+        "node", F.coalesce(F.col("r_c"), F.col("label")).alias("component")
+    )
 
 
 def pagerank(

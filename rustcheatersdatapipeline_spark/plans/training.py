@@ -2171,10 +2171,11 @@ def dedup_cluster(spark, sf_dir):
     Delegates to ``operators.graph.connected_components`` (min-label
     propagation with pointer jumping: O(log diameter) rounds, two
     shuffles per round, lineage truncated per round — see that module).
-    The pytest oracle recomputes the same components with a DuckDB
-    recursive CTE; a hypothesis property test checks the CC operator
-    against a Python union-find on arbitrary graphs (tests-only: the
-    driver's single-DataFrame harness can't hold an iterative program).
+    The DuckDB oracle recomputes the same components with a
+    recursive CTE (declared surface since r11 — the iteration lives
+    inside the builder, so the driver's harness sees one DataFrame);
+    a hypothesis property test additionally checks the CC operator
+    against a Python union-find on arbitrary graphs.
     """
     from ..operators.graph import connected_components
 
@@ -2945,6 +2946,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # promoted to the declared surface in r10 (flagship data-mixture op;
     # the freed slot came from q24 — see plans/queries.py _TESTS_ONLY)
     "mixture_token_budget_sample": mixture_token_budget_sample,
+    # promoted in r11 (the freed slot came from q14): graph iteration —
+    # the pair-to-groups step every production dedup pipeline runs —
+    # was unrepresented in the declared surface (VERDICT r10 #6)
+    "dedup_cluster": dedup_cluster,
 }
 
 
@@ -2998,7 +3003,6 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": dedup_spans,
     "domain_mix": domain_mix,
     "kmeans_lloyd": kmeans_lloyd,
-    "dedup_cluster": dedup_cluster,
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
     "curate_corpus": curate_corpus,
@@ -3267,6 +3271,17 @@ ORACLE_SQL: dict[str, str] = {
         "'[0-9]{9,}', '<NUM>', 'g')) AS redacted_digest "
         "FROM documents ORDER BY doc_id"
     ),
+    "dedup_cluster": (
+        f"WITH RECURSIVE {_simhash_sql_cte()}, "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}), "
+        "e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p), "
+        "reach(doc_id, r) AS ("
+        "SELECT DISTINCT doc_a, doc_a FROM e "
+        "UNION SELECT e.doc_a, reach.r FROM reach JOIN e ON e.doc_b = reach.doc_id) "
+        "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"
+    ),
 }
 
 #: Oracles for the tests-only builders — same compare, run by pytest
@@ -3460,17 +3475,6 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept, "
         "md5(COALESCE(k.rebuilt, '')) AS kept_digest "
         "FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"
-    ),
-    "dedup_cluster": (
-        f"WITH RECURSIVE {_simhash_sql_cte()}, "
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
-        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}), "
-        "e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p), "
-        "reach(doc_id, r) AS ("
-        "SELECT DISTINCT doc_a, doc_a FROM e "
-        "UNION SELECT e.doc_a, reach.r FROM reach JOIN e ON e.doc_b = reach.doc_id) "
-        "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"
     ),
     "simhash_docs": (
         f"WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id"

@@ -526,3 +526,31 @@ def test_label_propagation_two_cliques(spark):
     }
     assert all(got[n] == 0 for n in range(5))
     assert all(got[n] == 10 for n in range(10, 15))
+
+
+def test_connected_components_contraction_path_matches_finish_path(spark, monkeypatch):
+    """The distributed min-neighbor contraction rounds (taken when the
+    quotient exceeds CC_FINISH_EDGE_BUDGET) must produce byte-identical
+    components to the direct driver union-find finish. A path + a star
+    + isolated self-loop nodes cover chain contraction, one-round
+    collapse, and the mapping fallback for nodes whose label never
+    appears in the final quotient."""
+    import rustcheatersdatapipeline_spark.operators.graph as G
+
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]  # path: many contraction rounds
+        + [(100, 100 + i) for i in range(1, 20)]  # star: one-round collapse
+        + [(200, 201), (201, 202), (300, 300)]  # chain + self-loop node
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        r["node"]: r["component"]
+        for r in G.connected_components(df).collect()
+    }
+    monkeypatch.setattr(G, "CC_FINISH_EDGE_BUDGET", 8)
+    got = {
+        r["node"]: r["component"]
+        for r in G.connected_components(df).collect()
+    }
+    assert got == want
+    assert want[40] == 0 and want[119] == 100 and want[300] == 300
