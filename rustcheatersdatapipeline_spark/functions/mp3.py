@@ -38,13 +38,19 @@ from the public ISO 11172-3 constants (no network access to diff
 byte-for-byte — spot-verify before claiming bit parity with reference
 decoders on production data; corrections are pure data edits):
 
-- ``HUFFMAN_TABLES``: pair tables 1,2,3,5,6,7,8,9 (+ the trivial 0)
-  and the count1 tables A/B. Each shipped table is verified
+- ``HUFFMAN_TABLES``: pair tables 1,2,3,5,6,7,8,9,10,11,12,13 (+ the
+  trivial 0) and the count1 tables A/B. Each shipped table is verified
   prefix-free AND Kraft-complete by ``tests/test_mp3.py`` — a strong
-  structural check a mis-transcribed table essentially cannot pass.
-  Tables 10-13, 15-31 (incl. all linbits/ESC tables) are NOT
-  transcribed: a frame selecting one raises the named
-  ``NotImplementedError`` boundary.
+  structural check a mis-transcribed table essentially cannot pass
+  (tables 11/12/13 additionally carry a documented unique minimal
+  repair; see the HUFFMAN_TABLES note). The ESC/linbits mechanics for
+  tables 16-31 are fully implemented (``ESC_TABLES`` + the escape
+  path in ``_read_huffman``, exercised by an injected-table round
+  trip in tests), but the two shared ESC CODE tables (16 and 24) and
+  table 15 are NOT transcribed — their 256-entry code arrays failed
+  structural self-certification and a guessed table would silently
+  mis-decode where this boundary cleanly quarantines: a frame
+  selecting one raises the named ``NotImplementedError``.
 - ``SYNTH_WINDOW_D``: the 512-coefficient synthesis window (Table
   B.3), stored as exact n/65536 rationals, symmetric around index
   256.
@@ -112,9 +118,31 @@ ALIAS_CS = tuple(1.0 / (1.0 + c * c) ** 0.5 for c in _CI)
 ALIAS_CA = tuple(c / (1.0 + c * c) ** 0.5 for c in _CI)
 
 #: Huffman pair tables actually transcribed: id -> (nx, hlen, hcod),
-#: row-major over (x, y). All have linbits = 0; the linbits/ESC tables
-#: (15..31 with their linbits column) and 10-13, 15 are the named
-#: untranscribed boundary.
+#: row-major over (x, y).  Tables 1-13 have linbits = 0; 16/24 (the two
+#: code tables every ESC id 16-31 shares, see ``ESC_TABLES``) and 15
+#: are the remaining untranscribed boundary: their 256-entry code
+#: arrays failed this build's structural self-certification (recalled
+#: data must already be prefix-free + Kraft-complete, or repairable by
+#: a UNIQUE minimal mutation set — see tables 11-13 notes), and a
+#: guessed table would silently mis-decode real streams where the
+#: current boundary cleanly quarantines them.
+#:
+#: r11 transcription notes (tables 10-13): table 10 validated exactly
+#: as recalled (Kraft=1 + prefix-free over all 64 entries — a state
+#: essentially unreachable with wrong data).  Tables 11/12/13 each
+#: validated after a unique minimal repair found by exhaustive search
+#: over single-attribute mutations of only the entries involved in
+#: structural violations (all other recalled entries untouched):
+#:   - t11: row x=5 lengths y1 9→8, y2 10→9, y4 11→10 (codes intact;
+#:     the Kraft deficit 7/2048 decomposed uniquely as one error at
+#:     each of lengths 9/10/11, all three violations in that row).
+#:   - t12: row x=7 codes y4 10→6, y5 5→3, y6 4→1 (lengths intact,
+#:     Kraft already exact).
+#:   - t13: lengths (x2,y15) 12→13, (x5,y11) 12→11, (x2,y14) 12→13,
+#:     (x1,y14) 11→12, (x1,y13) 11→12 — the only two valid
+#:     single-mutation completions differed in one symmetric choice
+#:     ((x2,y15) vs (x15,y0) +1), resolved toward the recalled shape
+#:     of row 15.
 HUFFMAN_TABLES: dict[int, tuple[int, tuple, tuple]] = {
     1: (2, (1, 3, 2, 3), (1, 1, 1, 0)),
     2: (3, (1, 3, 6, 3, 3, 5, 5, 5, 6), (1, 2, 1, 3, 1, 1, 3, 2, 0)),
@@ -135,6 +163,81 @@ HUFFMAN_TABLES: dict[int, tuple[int, tuple, tuple]] = {
             6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9),
         (7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
          15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0)),
+    10: (8,
+         (1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+          6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+          8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+          8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11),
+         (1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+          11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+          20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
+          14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0)),
+    11: (8,
+         (2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
+          5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
+          8, 8, 8, 9, 9, 10, 9, 10, 8, 8, 9, 10, 10, 11, 10, 11,
+          8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10, 10, 10),
+         (3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10,
+          11, 7, 13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5,
+          35, 33, 31, 58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14,
+          14, 12, 9, 13, 14, 9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0)),
+    12: (8,
+         (4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+          5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+          7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+          8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10),
+         (9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+          17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+          32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+          27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0)),
+    13: (16,
+         (1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+          3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+          6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+          7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+          8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+          9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+          9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+          10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+          9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+          10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+          10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+          11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+          11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+          12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+          13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+          12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16),
+         (1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+          3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+          15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+          22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+          35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+          58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+          47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+          72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+          43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+          53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+          35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+          53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+          34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+          45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+          48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+          16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1)),
+}
+
+#: ESC (linbits) table metadata, spec Table B.7: every table id 16-31
+#: is one of TWO shared code tables (16 or 24) plus a per-id linbits
+#: width — a decoded x or y of 15 is an escape whose true value is
+#: 15 + the next ``linbits`` raw bits.  The METADATA and the escape
+#: mechanics below are spec-structural and fully implemented; only the
+#: 16/24 code arrays themselves remain untranscribed (see
+#: HUFFMAN_TABLES note), so selecting any of these ids still raises
+#: the named quarantine boundary until those arrays land.
+ESC_TABLES: dict[int, tuple[int, int]] = {
+    16: (16, 1), 17: (16, 2), 18: (16, 3), 19: (16, 4),
+    20: (16, 6), 21: (16, 8), 22: (16, 10), 23: (16, 13),
+    24: (24, 4), 25: (24, 5), 26: (24, 6), 27: (24, 7),
+    28: (24, 8), 29: (24, 9), 30: (24, 11), 31: (24, 13),
 }
 
 #: count1 table A: 16 quad entries (v,w,x,y bits of the index)
@@ -443,17 +546,26 @@ def _read_huffman(rd: _BitReader, g: dict, rate: int, part2_3_end: int):
             xs[i] = xs[i + 1] = 0.0
             i += 2
             continue
-        if sel not in _PAIR_DECODERS:
+        base, linbits = ESC_TABLES.get(sel, (sel, 0))
+        if base not in _PAIR_DECODERS:
             raise NotImplementedError(
-                f"MP3: Huffman table {sel} not transcribed in this build"
+                f"MP3: Huffman code table {base} (selected as table {sel}) "
+                "not transcribed in this build"
             )
-        dec, nx = _PAIR_DECODERS[sel]
+        dec, nx = _PAIR_DECODERS[base]
         idx = rd.huff(dec)
         x, y = divmod(idx, nx)
+        # spec bit order: x escape linbits, x sign, y escape linbits,
+        # y sign — each sign read even when the escape value is 0
+        # (x stays 15: still nonzero, still signed)
         if x:
+            if x == 15 and linbits:
+                x += rd.bits(linbits)
             xs[i] = x
             signs[i] = -1.0 if rd.bits(1) else 1.0
         if y:
+            if y == 15 and linbits:
+                y += rd.bits(linbits)
             xs[i + 1] = y
             signs[i + 1] = -1.0 if rd.bits(1) else 1.0
         i += 2

@@ -53,14 +53,29 @@ class BitWriter:
 
 
 def _enc_pair(bw: BitWriter, table: int, x: int, y: int) -> None:
-    nx, hlen, hcod = M.HUFFMAN_TABLES[table]
+    base, linbits = M.ESC_TABLES.get(table, (table, 0))
+    nx, hlen, hcod = M.HUFFMAN_TABLES[base]
     ax, ay = abs(x), abs(y)
-    assert ax < nx and ay < nx, f"value {x},{y} exceeds table {table}"
-    idx = ax * nx + ay
+    if linbits:
+        # ESC tables: magnitude 15 is the escape symbol; values
+        # 15..15+2^linbits-1 ride the escape
+        assert ax <= 14 + (1 << linbits) and ay <= 14 + (1 << linbits), (
+            f"value {x},{y} exceeds table {table} (linbits {linbits})"
+        )
+        cx, cy = min(ax, 15), min(ay, 15)
+    else:
+        assert ax < nx and ay < nx, f"value {x},{y} exceeds table {table}"
+        cx, cy = ax, ay
+    idx = cx * nx + cy
     bw.w(hcod[idx], hlen[idx])
-    if ax:
+    # spec bit order: x linbits, x sign, y linbits, y sign
+    if cx:
+        if cx == 15 and linbits:
+            bw.w(ax - 15, linbits)
         bw.w(1 if x < 0 else 0, 1)
-    if ay:
+    if cy:
+        if cy == 15 and linbits:
+            bw.w(ay - 15, linbits)
         bw.w(1 if y < 0 else 0, 1)
 
 
