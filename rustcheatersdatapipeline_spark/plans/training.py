@@ -2335,12 +2335,24 @@ def mixture_token_budget_sample(spark, sf_dir):
     weights over domains (public practice: Pile/DoReMi-style recipes),
     quality-ranked within each domain, token- (not document-) budgeted.
 
-    Scale shape: ONE corpus scan computes (n_tokens, quality); the only
-    exchange is the per-language window — partition count = number of
-    domains, each sorted once. At 100 TB the sort per domain is the
-    cost; domains far above their budget should pre-filter with a
-    quality threshold from a quantile sketch (sketch_bounds) before
-    the full sort.
+    Scale shape (r11): the naive form sorts each language's ENTIRE
+    document set in one window partition — a 99%-skewed language
+    serializes the stage on one task. The quality PRE-FILTER below
+    removes that hazard exactly (not approximately): per (lang,
+    q_scaled) token sums (map-side combinable groupBy — the skewed
+    language's rows collapse into ≤ 1e6+1 distinct quality levels, a
+    compile-time bound from the q_scaled construction), a cumulative
+    window over those LEVEL rows (tiny: levels, not documents), and a
+    per-language threshold tau = the lowest quality level whose
+    strictly-higher levels still leave budget unfilled. Every admitted
+    document has q_scaled >= tau by construction (ties included, since
+    whole levels survive), so filtering the corpus to q_scaled >= tau
+    before the ranking window is a SUPERSET of the answer and the
+    output is byte-identical — but the per-language sort now touches
+    ~budget-sized survivors instead of the whole domain. Costs one
+    extra corpus scan (cheaper than a domain-wide sort at any scale);
+    the tau table is one row per configured language and rides a
+    broadcast join.
     """
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens("text")
@@ -2364,6 +2376,29 @@ def mixture_token_budget_sample(spark, sf_dir):
         q_scaled.alias("q_scaled"),
         F.expr(budget_case).cast("bigint").alias("budget"),
     ).filter(F.col("budget") > 0)
+    wq = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q_scaled").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tau = (
+        base.groupBy("lang", "budget", "q_scaled")
+        .agg(F.sum("n_tokens").alias("level_tokens"))
+        .select(
+            "lang",
+            "q_scaled",
+            (F.sum("level_tokens").over(wq) - F.col("level_tokens")).alias(
+                "higher_tokens"
+            ),
+            "budget",
+        )
+        .filter(F.col("higher_tokens") < F.col("budget"))
+        .groupBy("lang")
+        .agg(F.min("q_scaled").alias("tau"))
+    )
+    base = base.join(F.broadcast(tau), "lang").filter(
+        F.col("q_scaled") >= F.col("tau")
+    )
     w = (
         Window.partitionBy("lang")
         .orderBy(F.col("q_scaled").desc(), "doc_id")

@@ -67,9 +67,12 @@ DEFAULT_QUERIES = [
     "q15",
     "q16",
     "q27",
+    "hybrid_search_rrf",
+    "mixture_token_budget_sample",
 ]
 
-#: the 6 whales for the expensive 100x run (VERDICT r5 directive #4)
+#: the whales for the expensive 100x run (VERDICT r5 directive #4;
+#: r11 adds the two r10-promoted flagship ops per VERDICT r10 #5)
 WHALE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -77,6 +80,8 @@ WHALE_QUERIES = [
     "ann_lsh_search",
     "events_sessionize",
     "q16",
+    "hybrid_search_rrf",
+    "mixture_token_budget_sample",
 ]
 
 
@@ -89,12 +94,18 @@ def _perm(r: int) -> str:
     return "".join(chars)
 
 
-def _dst(replicas: int) -> str:
-    return os.path.join(BENCHDATA, f"sf{replicas / 10:g}")
+def _dst(replicas: int, skew: bool = False) -> str:
+    return os.path.join(
+        BENCHDATA, f"sf{replicas / 10:g}" + ("-skew" if skew else "")
+    )
 
 
-def build_replica(spark, replicas: int) -> None:
-    dst = _dst(replicas)
+def build_replica(spark, replicas: int, skew: bool = False) -> None:
+    """``skew=True`` builds the adversarial-mixture variant (VERDICT
+    r10 #5): every replica beyond the first is relabeled lang='en', so
+    one language holds ~99% of documents at 100x — the worst case for
+    any per-language window/sort."""
+    dst = _dst(replicas, skew)
     os.makedirs(dst, exist_ok=True)
     for name in ("region", "nation", "supplier", "part"):
         table(spark, SRC, name).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
@@ -108,6 +119,8 @@ def build_replica(spark, replicas: int) -> None:
                 df = df.withColumn(col, (F.col(col) + F.lit(r * step)).cast("long"))
             if name == "documents" and r:
                 df = df.withColumn("text", F.translate(F.col("text"), ALPHA, _perm(r)))
+                if skew:
+                    df = df.withColumn("lang", F.lit("en"))
             if name == "embeddings" and r:
                 rot = r % 64
                 col = F.col("embedding")
@@ -139,9 +152,15 @@ def main() -> None:
         replicas = int(args[i + 1])
         del args[i : i + 2]
     rebuild = "--rebuild" in args
+    skew = "--skew" in args
     names = [a for a in args if not a.startswith("--")]
     if not names:
-        names = WHALE_QUERIES if replicas >= 100 else DEFAULT_QUERIES
+        if skew:
+            # the per-language window/sort family — the shapes a
+            # 99%-one-language corpus could serialize
+            names = ["mixture_token_budget_sample", "stratified_sample"]
+        else:
+            names = WHALE_QUERIES if replicas >= 100 else DEFAULT_QUERIES
 
     dst = _dst(replicas)
     label = os.path.basename(dst)
@@ -152,6 +171,11 @@ def main() -> None:
     if rebuild or not os.path.exists(f"{dst}/events.parquet"):
         print(f"building {label} replica ({replicas}x) ...", flush=True)
         build_replica(spark, replicas)
+    if skew:
+        sdst = _dst(replicas, skew=True)
+        if rebuild or not os.path.exists(f"{sdst}/events.parquet"):
+            print(f"building {label}-skew replica ({replicas}x) ...", flush=True)
+            build_replica(spark, replicas, skew=True)
 
     import __spark_entry__ as entry
 
@@ -165,6 +189,41 @@ def main() -> None:
     qs = dict(entry.queries())
     for _m in (_T, _R, _A, _Q):
         qs.update(getattr(_m, "TESTS_ONLY_QUERIES", {}))
+    if skew:
+        # Skew gate (VERDICT r10 #5): same data VOLUME, one language
+        # holding ~99% of documents. A per-language sort that
+        # serializes on the fat partition shows up as a skew/uniform
+        # wall ratio far above 1; the gate allows 2x for the residual
+        # fat-partition pre-aggregation.
+        results = {}
+        for name in names:
+            fn = qs[name]
+            times = {}
+            for lab, d in (("uniform", dst), ("skewed", _dst(replicas, True))):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                times[lab] = round(time.time() - t0, 2)
+                times[f"rows_{lab}"] = n
+            ratio = times["skewed"] / max(times["uniform"], 0.01)
+            results[name] = {
+                **times,
+                "skew_ratio": round(ratio, 2),
+                "skew_ok": ratio <= 2.0,
+            }
+            print(name, "->", json.dumps(results[name]), flush=True)
+        bad = [k for k, v in results.items() if not v["skew_ok"]]
+        print(
+            json.dumps(
+                {
+                    "metric": "skew_gate",
+                    "replicas": replicas,
+                    "queries": results,
+                    "serialized": bad,
+                }
+            )
+        )
+        return
+
     results = {}
     for name in names:
         fn = qs[name]

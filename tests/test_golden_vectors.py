@@ -19,10 +19,17 @@ decoder and its paired encoder cannot pass by construction:
   spec (constant + verbatim subframes);
 - the VP8L (lossless WebP) stream is hand-assembled bit-by-bit from
   the public spec's simple-code layout, so the expected pixels follow
-  from the written symbol values alone.
+  from the written symbol values alone;
+- (r11) ICO/APNG/AVI bytes are written field-by-field with literal
+  expected pixels; the tiled TIFF exercises the section-15 grid +
+  padding crop; the WebM and MP4 fixtures pin container demux (EBML
+  SimpleBlock payloads, stsc/stco/stsz/stss range resolution) to
+  stated byte ranges; the MP3 frame packs header/side-info/main-data
+  bits by hand and crosses the engine decoder against the independent
+  reconstruction model.
 
-Each test asserts EXACT pixel/sample output — no round-trip through
-engine encoders anywhere in this file.
+Each test asserts EXACT pixel/sample/byte-range output — no fixture
+bytes produced by the repo's own encoders anywhere in this file.
 """
 
 import struct
@@ -716,3 +723,323 @@ def test_vp8_interframe_hand_assembled_zeromv():
     assert np.array_equal(f1["v"], f0["v"])
     # and the spec constants directly: DC-with-no-neighbors everywhere
     assert (f1["y"] == 128).all() and (f1["u"] == 128).all()
+
+
+# ------------------------------------------------------------------- ICO
+
+
+def test_ico_4bpp_dib_with_and_mask_hand_assembled():
+    """2x2 ICO written field-by-field from the public ICONDIR /
+    BITMAPINFOHEADER layouts: 4-bpp paletted XOR image with doubled
+    biHeight and a trailing 1-bit AND mask that punches out one pixel.
+    Every byte below is a stated literal; expected RGBA follows from
+    the palette indices and the mask bits alone."""
+    from rustcheatersdatapipeline_spark.functions.pixels import decode_ico_pixels
+
+    # BITMAPINFOHEADER: biSize=40, w=2, h=4 (DOUBLED), planes=1, bpp=4
+    dib_hdr = struct.pack("<IiiHHIIiiII", 40, 2, 4, 1, 4, 0, 0, 0, 0, 0, 0)
+    # palette (BGRA quads, full 2^4 entries): 0=red, 1=green, 2=blue,
+    # 3=white, rest black
+    palette = bytes((0, 0, 255, 0)) + bytes((0, 255, 0, 0)) + \
+        bytes((255, 0, 0, 0)) + bytes((255, 255, 255, 0)) + bytes(48)
+    # XOR rows (bottom-up, 4bpp packed high-nibble-first, padded to 4):
+    # bottom row = indices (2, 3) -> 0x23; top row = indices (0, 1)
+    xor_rows = bytes((0x23, 0, 0, 0)) + bytes((0x01, 0, 0, 0))
+    # AND mask rows (bottom-up, 1bpp, padded to 4 bytes): bottom row
+    # 0b01...  -> second pixel transparent; top row opaque
+    and_rows = bytes((0x40, 0, 0, 0)) + bytes((0x00, 0, 0, 0))
+    img = dib_hdr + palette + xor_rows + and_rows
+    ico = (
+        struct.pack("<HHH", 0, 1, 1)
+        + bytes((2, 2, 16, 0)) + struct.pack("<HHII", 1, 4, len(img), 22)
+        + img
+    )
+    px = decode_ico_pixels(ico)
+    assert px.shape == (2, 2, 4)
+    expect = np.array(
+        [
+            [(255, 0, 0, 255), (0, 255, 0, 255)],     # top: red, green
+            [(0, 0, 255, 255), (255, 255, 255, 0)],   # bottom: blue, white(masked)
+        ],
+        np.uint8,
+    )
+    assert np.array_equal(px, expect)
+
+
+# ------------------------------------------------------------------ APNG
+
+
+def test_apng_fctl_fdat_two_frames_hand_assembled():
+    """APNG golden vector: the default IDAT image joined to the
+    animation by a preceding fcTL, plus one fdAT frame blended over a
+    1x1 region — chunk layout written field-by-field from the public
+    acTL/fcTL/fdAT spec, zlib (independent DEFLATE) compressing
+    hand-filtered scanlines."""
+    from rustcheatersdatapipeline_spark.functions.pixels import decode_apng_frames
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)  # 2x1 RGB8
+    # frame 0 scanline: filter 0, red green
+    f0 = zlib.compress(bytes((0, 255, 0, 0, 0, 255, 0)))
+    # frame 1: 1x1 patch at x=1,y=0, blue, blend OVER (alpha-less RGB
+    # source = straight replace of the patch region)
+    f1 = zlib.compress(bytes((0, 0, 0, 255)))
+    actl = struct.pack(">II", 2, 0)
+    fctl0 = struct.pack(">IIIIIHHBB", 0, 2, 1, 0, 0, 1, 10, 0, 0)
+    fctl1 = struct.pack(">IIIIIHHBB", 1, 1, 1, 1, 0, 1, 10, 0, 0)
+    fdat1 = struct.pack(">I", 2) + f1
+    buf = _png([
+        (b"IHDR", ihdr), (b"acTL", actl), (b"fcTL", fctl0),
+        (b"IDAT", f0), (b"fcTL", fctl1), (b"fdAT", fdat1),
+        (b"IEND", b""),
+    ])
+    frames = decode_apng_frames(buf)
+    assert frames.shape == (2, 1, 2, 4)
+    assert frames[0, 0, 0].tolist() == [255, 0, 0, 255]
+    assert frames[0, 0, 1].tolist() == [0, 255, 0, 255]
+    # frame 1 composites the patch onto the prior canvas (dispose NONE)
+    assert frames[1, 0, 0].tolist() == [255, 0, 0, 255]
+    assert frames[1, 0, 1].tolist() == [0, 0, 255, 255]
+
+
+# ------------------------------------------------------------ TIFF tiled
+
+
+def test_tiff_tiled_rgb_hand_ifd():
+    """4x2 RGB TIFF in TILED layout (spec section 15, tags 322-325):
+    a 2x2 grid cell size means 2 tiles across x 1 down, each tile
+    independently stored and right-padded — the canvas crop must drop
+    the padding. IFD written field-by-field, little-endian."""
+    tile0 = bytes((255, 0, 0, 0, 255, 0,   0, 0, 255, 255, 255, 255))
+    tile1 = bytes((1, 2, 3, 4, 5, 6,   7, 8, 9, 10, 11, 12))
+
+    def tag(tid, typ, cnt, val):
+        return struct.pack("<HHI", tid, typ, cnt) + val
+
+    n_tags = 10
+    data_off = 8 + 2 + n_tags * 12 + 4   # after the IFD + next-IFD ptr
+    bits_off = data_off                  # BitsPerSample [8,8,8]
+    t_off_off = data_off + 6             # TileOffsets (2 longs)
+    t_cnt_off = t_off_off + 8            # TileByteCounts (2 longs)
+    tiles_at = t_cnt_off + 8
+    ifd = struct.pack("<H", n_tags)
+    for t in (
+        tag(256, 3, 1, struct.pack("<HH", 4, 0)),   # ImageWidth
+        tag(257, 3, 1, struct.pack("<HH", 2, 0)),   # ImageLength
+        tag(258, 3, 3, struct.pack("<I", bits_off)),
+        tag(259, 3, 1, struct.pack("<HH", 1, 0)),   # uncompressed
+        tag(262, 3, 1, struct.pack("<HH", 2, 0)),   # RGB
+        tag(277, 3, 1, struct.pack("<HH", 3, 0)),   # SamplesPerPixel
+        tag(322, 3, 1, struct.pack("<HH", 2, 0)),   # TileWidth
+        tag(323, 3, 1, struct.pack("<HH", 2, 0)),   # TileLength
+        tag(324, 4, 2, struct.pack("<I", t_off_off)),
+        tag(325, 4, 2, struct.pack("<I", t_cnt_off)),
+    ):
+        ifd += t
+    ifd += struct.pack("<I", 0)          # next IFD
+    aux = struct.pack("<HHH", 8, 8, 8)
+    aux += struct.pack("<II", tiles_at, tiles_at + len(tile0))
+    aux += struct.pack("<II", len(tile0), len(tile1))
+    buf = b"II*\x00" + struct.pack("<I", 8) + ifd + aux + tile0 + tile1
+    px = decode_tiff_pixels(buf)
+    assert px.shape == (2, 4, 3)
+    expect = np.array(
+        [
+            [(255, 0, 0), (0, 255, 0), (1, 2, 3), (4, 5, 6)],
+            [(0, 0, 255), (255, 255, 255), (7, 8, 9), (10, 11, 12)],
+        ],
+        np.uint8,
+    )
+    assert np.array_equal(px, expect)
+
+
+# -------------------------------------------------------------------- AVI
+
+
+def test_avi_single_dib_frame_hand_assembled():
+    """Minimal RIFF/AVI written field-by-field from the public layout:
+    LIST(hdrl){ avih, LIST(strl){ strh(vids/DIB), strf(BITMAPINFO) } }
+    + LIST(movi){ 00db } with one 2x1 bottom-up 24-bpp DIB frame.
+    Expected pixels are the stated BGR literals."""
+    from rustcheatersdatapipeline_spark.functions.avi import decode_avi_frames
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 1,
+                       2, 1, 0, 0, 0, 0)  # dwTotalFrames@+16=1, w=2,h=1
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            1, 25, 0, 1, 0, 0, 0, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+    frame = bytes((255, 0, 0, 0, 255, 0)) + bytes(2)  # BGR blue, green + pad
+    buf = (
+        b"RIFF" + b"????" + b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", chunk(b"00db", frame))
+    )
+    buf = buf[:4] + struct.pack("<I", len(buf) - 8) + buf[8:]
+    frames = decode_avi_frames(buf)
+    assert frames.shape == (1, 1, 2, 3)
+    assert frames[0, 0, 0].tolist() == [0, 0, 255]   # RGB: blue pixel
+    assert frames[0, 0, 1].tolist() == [0, 255, 0]   # green pixel
+
+
+# ----------------------------------------------------------- WebM demux
+
+
+def test_webm_ebml_hand_assembled_demux():
+    """Matroska/WebM EBML written byte-by-byte from the public element
+    ids: EBML header, Segment{ Tracks{ TrackEntry(V_VP8, track 2) },
+    Cluster{ Timecode, SimpleBlock(track 2) x2, SimpleBlock(track 1
+    ignored) } }. The demuxer must yield exactly the two VP8 payloads
+    in storage order — payload bytes are stated literals."""
+    from rustcheatersdatapipeline_spark.functions.webm import iter_webm_vp8_frames
+
+    def el(eid_bytes, body):
+        assert len(body) < 127
+        return eid_bytes + bytes((0x80 | len(body),)) + body
+
+    track_entry = el(b"\xae",
+        el(b"\xd7", b"\x02")          # TrackNumber = 2
+        + el(b"\x83", b"\x01")        # TrackType = video
+        + el(b"\x86", b"V_VP8")       # CodecID
+        + el(b"\xe0", el(b"\xb0", b"\x02") + el(b"\xba", b"\x01")))
+    tracks = el(b"\x16\x54\xae\x6b", track_entry)
+    pay1, pay2, other = b"\x11\x22\x33", b"\x44\x55", b"\x99"
+    # SimpleBlock: vint track, s16 timecode, flags, then payload
+    sb1 = el(b"\xa3", b"\x82" + b"\x00\x00" + b"\x80" + pay1)
+    sb_other = el(b"\xa3", b"\x81" + b"\x00\x01" + b"\x80" + other)
+    sb2 = el(b"\xa3", b"\x82" + b"\x00\x02" + b"\x00" + pay2)
+    cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", b"\x00") + sb1 + sb_other + sb2)
+    segment = el(b"\x18\x53\x80\x67", tracks + cluster)
+    ebml = el(b"\x1a\x45\xdf\xa3", b"")
+    frames = list(iter_webm_vp8_frames(ebml + segment))
+    assert frames == [pay1, pay2]
+
+
+# ------------------------------------------------------- MP4 sample maps
+
+
+def test_mp4_stbl_hand_assembled_sample_ranges():
+    """ISO-BMFF boxes written field-by-field (ftyp/moov/trak/mdia/
+    minf/stbl with stsd(avc1 640x360)/stts/stsc/stsz/stco/stss +
+    mdat): the full stsc run expansion — chunk 1 holds 2 samples,
+    chunk 2 holds 1 — and stss marking samples 1 and 3 as sync must
+    resolve to the exact mdat byte ranges of the stated payloads."""
+    from rustcheatersdatapipeline_spark.functions.mp4 import (
+        mp4_keyframe_ranges,
+        mp4_metadata,
+    )
+
+    def box(four, body):
+        return struct.pack(">I", len(body) + 8) + four + body
+
+    def full(four, body, ver=0, flags=0):
+        return box(four, struct.pack(">I", (ver << 24) | flags) + body)
+
+    s1, s2, s3 = b"AAAA", b"BBBBBB", b"CC"
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    # mdat payload starts after ftyp + moov; compute moov first with a
+    # placeholder stco then patch offsets
+    avc1 = box(b"avc1", bytes(6) + struct.pack(">H", 1) + bytes(16)
+               + struct.pack(">HH", 640, 360) + bytes(50))
+    stsd = full(b"stsd", struct.pack(">I", 1) + avc1)
+    stts = full(b"stts", struct.pack(">III", 1, 3, 100))
+    stsc = full(b"stsc", struct.pack(">I", 2)
+                + struct.pack(">III", 1, 2, 1)    # chunk 1: 2 samples
+                + struct.pack(">III", 2, 1, 1))   # chunk 2+: 1 sample
+    stsz = full(b"stsz", struct.pack(">II", 0, 3)
+                + struct.pack(">III", len(s1), len(s2), len(s3)))
+    stco_body = struct.pack(">I", 2) + struct.pack(">II", 0, 0)
+    stss = full(b"stss", struct.pack(">III", 2, 1, 3))
+
+    def build(chunk1_off, chunk2_off):
+        stco = full(b"stco", struct.pack(">I", 2)
+                    + struct.pack(">II", chunk1_off, chunk2_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + bytes(12) + b"\x00")
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 300) + bytes(4))
+        mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+        tkhd = full(b"tkhd", bytes(80))
+        moov = box(b"moov",
+                   full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 300) + bytes(80))
+                   + box(b"trak", tkhd + mdia))
+        return moov
+
+    moov_len = len(build(0, 0))
+    mdat_body_at = len(ftyp) + moov_len + 8
+    moov = build(mdat_body_at, mdat_body_at + len(s1) + len(s2))
+    buf = ftyp + moov + box(b"mdat", s1 + s2 + s3)
+
+    meta = mp4_metadata(buf)
+    assert meta["major_brand"] == "isom"
+    assert meta["timescale"] == 1000 and abs(meta["duration_s"] - 0.3) < 1e-9
+    (trk,) = meta["tracks"]
+    assert trk["kind"] == "video" and trk["codec"] == "avc1"
+    assert (trk["width"], trk["height"]) == (640, 360)
+    assert trk["n_samples"] == 3 and trk["sync_samples"] == [1, 3]
+
+    ranges = mp4_keyframe_ranges(buf)
+    # sync samples 1 and 3 -> byte ranges of s1 and s3 exactly
+    assert ranges == [
+        (1, mdat_body_at, len(s1)),
+        (3, mdat_body_at + len(s1) + len(s2), len(s3)),
+    ]
+    assert buf[ranges[0][1]:ranges[0][1] + ranges[0][2]] == s1
+    assert buf[ranges[1][1]:ranges[1][1] + ranges[1][2]] == s3
+
+
+# -------------------------------------------------------------------- MP3
+
+
+def test_mp3_hand_assembled_frame_bits():
+    """One MPEG-1 Layer III mono frame whose header, side info, and
+    main data are packed bit-by-bit HERE from the ISO 11172-3 layouts
+    (not by tests/mp3enc.py): granule 0 carries one table-1 pair
+    (x=+1, y=-1 — code '000', signs '0','1'), granule 1 is silent.
+    Expected PCM comes from the independent reconstruction model, so
+    the fixture crosses two separately written implementations."""
+    from rustcheatersdatapipeline_spark.functions.mp3 import decode_mp3_samples
+    from tests.mp3enc import expected_pcm
+
+    bits = []
+
+    def w(v, n):
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    # header: sync(11) ver=11(MPEG1) layer=01(III) prot=1 | br=1110
+    # (320k) sr=00 (44.1k) pad=0 priv=0 | mode=11 (mono) ...
+    w(0x7FF, 11); w(0b11, 2); w(0b01, 2); w(1, 1)
+    w(0b1110, 4); w(0b00, 2); w(0, 1); w(0, 1)
+    w(0b11, 2); w(0, 2); w(0, 1); w(0, 1); w(0b00, 2)
+    # side info (mono, 17 bytes): mdb=0, private(5)=0, scfsi(4)=0
+    w(0, 9); w(0, 5); w(0, 4)
+    # granule 0: part2_3=5, big_values=1, gg=210, sc=0, ws=0,
+    # tables (1,0,0), r0=0, r1=0, pre=0, ss=0, c1=0
+    w(5, 12); w(1, 9); w(210, 8); w(0, 4); w(0, 1)
+    w(1, 5); w(0, 5); w(0, 5); w(0, 4); w(0, 3); w(0, 1); w(0, 1); w(0, 1)
+    # granule 1: everything 0 (silent)
+    w(0, 59)
+    # main data: table-1 code '000' for (1,1), sign x '0', sign y '1'
+    w(0b000, 3); w(0, 1); w(1, 1)
+    frame_len = 144 * 320000 // 44100  # 1044, padding bit 0
+    while len(bits) % 8:
+        bits.append(0)
+    buf = bytearray(
+        int("".join(map(str, bits[i:i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+    buf.extend(bytes(frame_len - len(buf)))
+    got, rate = decode_mp3_samples(bytes(buf))
+    assert rate == 44100
+    vals = [0] * 576
+    vals[0], vals[1] = 1, -1
+    frames = [[[{"is": vals, "table_select": [1, 0, 0], "global_gain": 210,
+                 "region0_count": 0, "region1_count": 0}],
+               [{"is": [0] * 576}]]]
+    want = expected_pcm(frames, rate=44100, channels=1)
+    want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
+    assert got.shape == want16.shape == (1152, 1)
+    assert np.max(np.abs(got.astype(np.int64) - want16.astype(np.int64))) <= 1
+    assert np.any(got != 0)  # the pair genuinely reaches the output
