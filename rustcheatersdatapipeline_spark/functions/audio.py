@@ -88,7 +88,8 @@ _NULL_FEAT = {k: None for k in (
 
 def decode_audio_samples(buf: bytes) -> tuple[np.ndarray, int, int]:
     """(samples (n, ch), rate, bits) for any stdlib-decodable audio
-    payload — PCM WAV or FLAC (functions/flac.py). The single dispatch
+    payload — PCM WAV, FLAC (functions/flac.py), MP3 (functions/mp3.py) or Ogg
+    Vorbis (functions/vorbis.py). The single dispatch
     point all audio featurizers share, so adding a codec extends the
     whole feature/fingerprint stack at once."""
     from .pixels import decode_wav_samples
@@ -98,6 +99,11 @@ def decode_audio_samples(buf: bytes) -> tuple[np.ndarray, int, int]:
 
         samples, rate = decode_flac_samples(buf)
         return samples, rate, parse_flac_header(buf)[2]
+    if buf[:4] == b"OggS":
+        from .vorbis import decode_vorbis_samples
+
+        samples, rate = decode_vorbis_samples(buf)
+        return samples, rate, 16
     if buf[:3] == b"ID3" or (
         len(buf) >= 4 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
     ):

@@ -1088,6 +1088,21 @@ def decode_media(buf: bytes) -> dict:
                 "mean": float(flat.mean()) if samples.size else 0.0,
                 "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
             }
+    if buf[:4] == b"OggS":
+        from .vorbis import decode_vorbis_samples
+
+        samples, _rate = decode_vorbis_samples(buf)
+        flat = samples.astype(np.float64)
+        return {
+            "mime": "audio/ogg",
+            "kind": "audio",
+            "width": None,
+            "height": None,
+            "channels": int(samples.shape[1]) if samples.size else 0,
+            "n_samples": int(samples.shape[0]),
+            "mean": float(flat.mean()) if samples.size else 0.0,
+            "rms": float(np.sqrt((flat**2).mean())) if samples.size else 0.0,
+        }
     if len(buf) >= 16 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         from .vp8l import decode_webp_pixels
 
