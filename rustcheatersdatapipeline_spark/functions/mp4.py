@@ -121,6 +121,36 @@ def _parse_stsd(buf: bytes, body: int, end: int, visual: bool) -> dict:
         # then u16 width, u16 height (ISO 14496-12 §12.1.3)
         out["width"] = int.from_bytes(buf[entry + 8 + 24 : entry + 8 + 26], "big")
         out["height"] = int.from_bytes(buf[entry + 8 + 26 : entry + 8 + 28], "big")
+    if out["codec"] in ("avc1", "avc3"):
+        # VisualSampleEntry body is 78 bytes; child boxes follow —
+        # the avcC decoder-config record carries SPS/PPS (ISO 14496-15)
+        for four, b2, e2 in _boxes(buf, entry + 8 + 78, end):
+            if four == b"avcC":
+                from .h264 import parse_avcc_config
+
+                try:
+                    out["h264"] = parse_avcc_config(buf[b2:e2])
+                except ValueError:
+                    pass
+                break
+    if out["codec"] == "mp4a":
+        # AudioSampleEntry body is 28 bytes; the esds child carries the
+        # AudioSpecificConfig (object type / rate / channels)
+        for four, b2, e2 in _boxes(buf, entry + 8 + 28, end):
+            if four == b"esds":
+                from .aac import (
+                    parse_audio_specific_config,
+                    parse_esds_config,
+                )
+
+                _, p2 = _full_box(buf, b2)
+                try:
+                    cfg = parse_esds_config(buf[p2:e2])
+                    if cfg:
+                        out["aac"] = parse_audio_specific_config(cfg)
+                except ValueError:
+                    pass
+                break
     return out
 
 

@@ -23,8 +23,13 @@ Two decode paths:
 Full pixel/sample decoding (``decode_pixels`` / pixels.py, jpeg.py,
 avi.py) is real for PNG (all still-image variants), GIF, JPEG
 (baseline + progressive), AVI (MJPEG/DIB) and PCM WAV; formats that
-genuinely need a codec library (H.264/H.265, arithmetic JPEG, ...)
-raise a clearly-marked NotImplementedError.
+stay behind a named NotImplementedError (H.264/H.265 macroblocks,
+arithmetic JPEG, AAC spectra) raise a clearly-marked boundary — see
+functions/h264.py and functions/aac.py for the honest per-codec
+rationale (CABAC/arithmetic JPEG are arithmetic-coded; H.264-CAVLC
+and AAC-LC are VLC-coded but their ITU/ISO codebooks are tabulated
+data pending a validating source, the same self-certification bar as
+the MP3 tables).
 """
 
 from __future__ import annotations

@@ -14,9 +14,11 @@ mutation-totality fuzz):
   metadata + keyframe byte ranges incl. fragmented (mp4.py);
 - documents: PDF (pdftext.py), DOCX/XLSX/PPTX/ODT/RTF (officetext.py).
 
-Only genuinely codec-library formats (H.264/H.265, arithmetic JPEG,
-AAC payload decode) remain behind named ``NotImplementedError``
-boundaries, quarantined via the shared ``DECODE_QUARANTINE`` contract
+Only H.264/H.265 macroblocks, arithmetic JPEG and AAC spectra remain
+behind named ``NotImplementedError`` boundaries (see functions/h264.py
+and functions/aac.py for the honest rationale: arithmetic coding vs
+tabulated VLC codebooks pending a validating source), quarantined via
+the shared ``DECODE_QUARANTINE`` contract
 below (MP3 decodes via mp3.py; VP8 inter-frame video decodes via
 vp8.py — IVF streams and inter-coded animated-WebP frames included). Details of the formats coded
 directly in this module:
@@ -44,9 +46,9 @@ directly in this module:
   de-interlaced) → ``(n_frames, h, w, 3)`` uint8 array.
 
 JPEG (baseline + progressive, functions/jpeg.py) and AVI MJPEG/DIB
-frames (functions/avi.py) decode for real too; only genuinely
-codec-library formats (H.264/H.265, arithmetic JPEG, ...) stay behind
-the named NotImplementedError contract.
+frames (functions/avi.py) decode for real too; only H.264/H.265
+macroblocks, arithmetic JPEG and AAC spectra stay behind the named
+NotImplementedError contract (functions/h264.py, functions/aac.py).
 
 Spark integration: ``featurize_pixels`` is the same ``mapInPandas``
 shape as ``featurize_media`` — Arrow batches in, one bounded stats row
