@@ -512,11 +512,19 @@ def dedup_minhash_lsh(spark, sf_dir):
 def simhash_docs(spark, sf_dir):
     """Per-document 32-bit SimHash over token occurrences — one
     aggregation pass computing 32 vote sums map-side."""
+    return _simhash_docs_unsorted(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_docs_unsorted(spark, sf_dir):
+    """The signature table without the presentation sort: the banded
+    self-join re-shuffles on band keys, and Catalyst does NOT eliminate
+    a sort buried under the explode, so the pair path would otherwise
+    pay the doc_id sort TWICE (once per join side)."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(ws_tokens("text")).alias("w"))
     th = tok.select("doc_id", portable_hash64(F.col("w")).alias("h"))
     votes = th.groupBy("doc_id").agg(*simhash_column())
-    return votes.select("doc_id", simhash_from_votes().alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", simhash_from_votes().alias("simhash"))
 
 
 def simhash_neardup(spark, sf_dir):
@@ -526,7 +534,15 @@ def simhash_neardup(spark, sf_dir):
     so the banded equi-join finds EVERY qualifying pair — provably equal
     to the brute-force pairwise oracle, at O(candidates) cost.
     """
-    sim = simhash_docs(spark, sf_dir)
+    return _simhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _simhash_pairs(spark, sf_dir):
+    """The unsorted pair set behind ``simhash_neardup`` — consumers
+    that immediately re-shuffle (``dedup_cluster``'s contraction) take
+    this form so the declared query's total ORDER BY is not paid for
+    nothing."""
+    sim = _simhash_docs_unsorted(spark, sf_dir)
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -559,7 +575,6 @@ def simhash_neardup(spark, sf_dir):
         )
         .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2179,7 +2194,7 @@ def dedup_cluster(spark, sf_dir):
     """
     from ..operators.graph import connected_components
 
-    pairs = simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return (
         connected_components(pairs, src="doc_a", dst="doc_b")
         .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
@@ -2376,6 +2391,12 @@ def mixture_token_budget_sample(spark, sf_dir):
         q_scaled.alias("q_scaled"),
         F.expr(budget_case).cast("bigint").alias("budget"),
     ).filter(F.col("budget") > 0)
+    # One tokenization pass: the threshold aggregation and the final
+    # ranking window both read this 5-narrow-column projection, so
+    # materialize it instead of tokenizing the corpus twice (~30 B/doc
+    # in the block store — linear, spillable, far cheaper than a second
+    # pass over the raw text at any scale).
+    base = base.localCheckpoint()
     wq = (
         Window.partitionBy("lang")
         .orderBy(F.col("q_scaled").desc())
