@@ -104,6 +104,11 @@ def decode_audio_samples(buf: bytes) -> tuple[np.ndarray, int, int]:
 
         samples, rate = decode_vorbis_samples(buf)
         return samples, rate, 16
+    if buf[:4] == b"\x1aE\xdf\xa3":  # EBML: WebM/Matroska audio track
+        from .webm import decode_webm_audio
+
+        samples, rate = decode_webm_audio(buf)
+        return samples, rate, 16
     if buf[:3] == b"ID3" or (
         len(buf) >= 4 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
     ):

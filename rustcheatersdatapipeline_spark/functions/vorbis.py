@@ -643,6 +643,19 @@ def decode_vorbis_samples(buf: bytes) -> tuple[np.ndarray, int]:
             continue
         packets.append(pkt)
         granules.append(granule)
+    last_granule = next(
+        (g for g in reversed(granules) if g is not None and g >= 0), None
+    )
+    return decode_vorbis_packets(packets, last_granule)
+
+
+def decode_vorbis_packets(
+    packets: list[bytes], last_granule: int | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode a raw Vorbis packet sequence (3 headers + audio packets)
+    — the container-independent core shared by the Ogg path above and
+    the WebM/Matroska ``V_VORBIS`` path (functions/webm.py), whose
+    CodecPrivate carries the same three header packets Xiph-laced."""
     if len(packets) < 3:
         raise ValueError("Vorbis: missing header packets")
     hdr = _parse_headers(packets)
@@ -770,9 +783,6 @@ def decode_vorbis_samples(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("Vorbis: no audio packets decoded")
     samples = np.concatenate(pcm, axis=0)
     # granule position of the final page = total PCM length (spec A.2)
-    last_granule = next(
-        (g for g in reversed(granules) if g is not None and g >= 0), None
-    )
     if last_granule is not None and 0 < last_granule < len(samples):
         samples = samples[:last_granule]
     out16 = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype(np.int16)

@@ -42,6 +42,7 @@ _TIMECODE = 0xE7
 _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
+_CODEC_PRIVATE = 0x63A2
 
 #: elements that may legally appear inside a Cluster — used to find the
 #: end of an unknown-size cluster without a byte scan
@@ -114,11 +115,14 @@ def _walk(buf: bytes, pos: int, end: int):
 
 
 def _parse_track_entry(buf: bytes, start: int, end: int) -> dict:
-    out = {"number": None, "type": None, "codec": None, "w": None, "h": None}
+    out = {"number": None, "type": None, "codec": None, "w": None, "h": None,
+           "private": None}
     for eid, p, stop, _nxt in _walk(buf, start, end):
         if stop == _UNKNOWN:
             raise ValueError("WebM: unknown-size element inside TrackEntry")
-        if eid == _TRACK_NUMBER:
+        if eid == _CODEC_PRIVATE:
+            out["private"] = buf[p:stop]
+        elif eid == _TRACK_NUMBER:
             out["number"] = _uint(buf[p:stop])
         elif eid == _TRACK_TYPE:
             out["type"] = _uint(buf[p:stop])
@@ -226,8 +230,10 @@ def _block_frames(buf: bytes, p: int, stop: int, track: int) -> list[bytes]:
     return out
 
 
-def iter_webm_vp8_frames(buf: bytes):
-    """Yield the VP8 track's frame payloads in storage order."""
+def _segment_layout(buf: bytes):
+    """(track entries, cluster (start, end|UNKNOWN) list, seg_end) of a
+    WebM/Matroska stream — the shared walk behind the video and audio
+    iterators."""
     if len(buf) < 4 or buf[:4] != b"\x1aE\xdf\xa3":
         raise ValueError("WebM: bad EBML signature")
     # EBML header
@@ -245,11 +251,9 @@ def iter_webm_vp8_frames(buf: bytes):
     if seg_end > len(buf):
         raise ValueError("WebM: Segment extends past payload")
 
-    track = None
-    any_track = False
+    entries = []
+    saw_tracks = False
     pos = p
-    # first pass over segment children up to the first cluster to find
-    # the VP8 track (Tracks precedes Clusters in well-formed files)
     cluster_positions = []
     while pos < seg_end:
         eid, q = _read_id(buf, pos)
@@ -265,22 +269,17 @@ def iter_webm_vp8_frames(buf: bytes):
         if size == _UNKNOWN:
             raise ValueError("WebM: unknown-size non-cluster element")
         if eid == _TRACKS:
+            saw_tracks = True
             for tid, tp, tstop, _ in _walk(buf, q, q + size):
-                if tid != _TRACK_ENTRY:
-                    continue
-                any_track = True
-                te = _parse_track_entry(buf, tp, tstop)
-                if te["type"] == 1 and te["codec"] == "V_VP8":
-                    track = te["number"]
+                if tid == _TRACK_ENTRY:
+                    entries.append(_parse_track_entry(buf, tp, tstop))
         pos = q + size
-    if track is None:
-        if any_track:
-            raise NotImplementedError(
-                "WebM: no V_VP8 video track (other codecs need a codec "
-                "library)"
-            )
+    if not saw_tracks:
         raise ValueError("WebM: no Tracks element")
+    return entries, cluster_positions, seg_end
 
+
+def _iter_track_payloads(buf: bytes, track: int, cluster_positions, seg_end):
     for cstart, cend in cluster_positions:
         end = _cluster_end(buf, cstart, seg_end) if cend == _UNKNOWN else cend
         for eid, p, stop, _ in _walk(buf, cstart, end):
@@ -292,6 +291,80 @@ def iter_webm_vp8_frames(buf: bytes):
                 for gid, gp, gstop, _ in _walk(buf, p, stop):
                     if gid == _BLOCK:
                         yield from _block_frames(buf, gp, gstop, track)
+
+
+def iter_webm_vp8_frames(buf: bytes):
+    """Yield the VP8 track's frame payloads in storage order."""
+    entries, clusters, seg_end = _segment_layout(buf)
+    track = next(
+        (e["number"] for e in entries if e["type"] == 1 and e["codec"] == "V_VP8"),
+        None,
+    )
+    if track is None:
+        if entries:
+            raise NotImplementedError(
+                "WebM: no V_VP8 video track (other codecs need a codec "
+                "library)"
+            )
+        raise ValueError("WebM: no Tracks element")
+    yield from _iter_track_payloads(buf, track, clusters, seg_end)
+
+
+def _xiph_unlace(private: bytes) -> list[bytes]:
+    """CodecPrivate Xiph lacing (Matroska spec): count-1 byte, then
+    255-run sizes for all but the last packet, remainder is last."""
+    if not private:
+        raise ValueError("WebM: empty CodecPrivate")
+    n = private[0] + 1
+    sizes = []
+    pos = 1
+    for _ in range(n - 1):
+        v = 0
+        while True:
+            if pos >= len(private):
+                raise ValueError("WebM: truncated Xiph lacing")
+            b = private[pos]
+            pos += 1
+            v += b
+            if b != 255:
+                break
+        sizes.append(v)
+    out = []
+    for sz in sizes:
+        if pos + sz > len(private):
+            raise ValueError("WebM: Xiph-laced packet past end")
+        out.append(private[pos : pos + sz])
+        pos += sz
+    out.append(private[pos:])
+    return out
+
+
+def decode_webm_audio(buf: bytes):
+    """Decode a WebM file's Vorbis audio track → (int16 (n, ch), rate):
+    the A_VORBIS CodecPrivate carries the three Vorbis header packets
+    Xiph-laced; cluster blocks carry raw audio packets. Other audio
+    codecs (A_OPUS is range/arithmetic-coded, A_AAC per functions/
+    aac.py) raise the named boundary."""
+    from .vorbis import decode_vorbis_packets
+
+    entries, clusters, seg_end = _segment_layout(buf)
+    audio = [e for e in entries if e["type"] == 2]
+    vorbis = next((e for e in audio if e["codec"] == "A_VORBIS"), None)
+    if vorbis is None:
+        if audio:
+            raise NotImplementedError(
+                f"WebM: audio codec {audio[0]['codec']} payload decode"
+            )
+        raise ValueError("WebM: no audio track")
+    if not vorbis["private"]:
+        raise ValueError("WebM: A_VORBIS track without CodecPrivate")
+    headers = _xiph_unlace(vorbis["private"])
+    if len(headers) != 3:
+        raise ValueError("WebM: A_VORBIS CodecPrivate must lace 3 packets")
+    packets = headers + list(
+        _iter_track_payloads(buf, vorbis["number"], clusters, seg_end)
+    )
+    return decode_vorbis_packets(packets)
 
 
 def _cluster_end(buf: bytes, start: int, seg_end: int) -> int:

@@ -403,3 +403,66 @@ def test_decode_media_routes_ogg_vorbis():
     out = decode_media(st.encode(list(frames)))
     assert out["mime"] == "audio/ogg" and out["kind"] == "audio"
     assert out["n_samples"] == 96 and out["channels"] == 1
+
+
+def _webm_wrap(header_packets, audio_packets, codec=b"A_VORBIS",
+               track_num=1):
+    """Minimal WebM: Tracks{audio TrackEntry + Xiph-laced CodecPrivate}
+    + one Cluster of SimpleBlocks (hand EBML, golden-vector style)."""
+    def el(eid, body):
+        if len(body) < 127:
+            return eid + bytes((0x80 | len(body),)) + body
+        assert len(body) < (1 << 14)
+        return eid + bytes((0x40 | (len(body) >> 8), len(body) & 0xFF)) + body
+
+    lace = bytes((len(header_packets) - 1,))
+    for pkt in header_packets[:-1]:
+        q, r = divmod(len(pkt), 255)
+        lace += bytes([255] * q + [r])
+    private = lace + b"".join(header_packets)
+    entry = el(b"\xae",
+               el(b"\xd7", bytes((track_num,)))
+               + el(b"\x83", b"\x02")        # audio
+               + el(b"\x86", codec)
+               + el(b"\x63\xa2", private))
+    tracks = el(b"\x16\x54\xae\x6b", entry)
+    blocks = b"".join(
+        el(b"\xa3", bytes((0x80 | track_num,)) + b"\x00\x00" + b"\x80" + pkt)
+        for pkt in audio_packets
+    )
+    cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", b"\x00") + blocks)
+    segment = el(b"\x18\x53\x80\x67", tracks + cluster)
+    return el(b"\x1a\x45\xdf\xa3", b"") + segment
+
+
+def test_webm_vorbis_audio_matches_ogg_path():
+    """The same Vorbis packets through the WebM (Xiph-laced
+    CodecPrivate) path and the Ogg path must produce identical PCM,
+    modulo the Ogg granule trim (absent in WebM)."""
+    from rustcheatersdatapipeline_spark.functions.webm import decode_webm_audio
+
+    st = _simple_stream()
+    rng = np.random.default_rng(41)
+    frames, _ = zip(*[_mono_frame(st, rng) for _ in range(5)])
+    frames = list(frames)
+    ogg_got, _ = decode_vorbis_samples(st.encode(frames))
+    headers = [st._ident(), st._comment(), st._setup()]
+    audio = [st.audio_packet(f) for f in frames]
+    webm_got, rate = decode_webm_audio(_webm_wrap(headers, audio))
+    assert rate == 8000
+    assert np.array_equal(webm_got, ogg_got)
+
+    from rustcheatersdatapipeline_spark.functions.audio import decode_audio_samples
+
+    s2, r2, bits = decode_audio_samples(_webm_wrap(headers, audio))
+    assert np.array_equal(s2, ogg_got) and r2 == 8000 and bits == 16
+
+
+def test_webm_non_vorbis_audio_is_named_boundary():
+    from rustcheatersdatapipeline_spark.functions.webm import decode_webm_audio
+
+    st = _simple_stream()
+    headers = [st._ident(), st._comment(), st._setup()]
+    buf = _webm_wrap(headers, [b"\x00"], codec=b"A_OPUS")
+    with pytest.raises(NotImplementedError, match="A_OPUS"):
+        decode_webm_audio(buf)
