@@ -3,12 +3,13 @@
 Implements Vorbis I decode end-to-end for mono and multi-channel
 streams: Ogg page demux (CRC-checked, continued packets), the three
 header packets, stream-defined Huffman codebooks with the canonical
-lowest-available-leaf codeword assignment, VQ lookup types 1/2, floor
-type 1 (the piecewise-line dB-domain amplitude curve with the spec's
-integer render_point/render_line math), residue types 0/1/2 with
-cascade passes, square-polar channel coupling, the FFT-based inverse
-MDCT, Vorbis windowing and unequal-blocksize overlap-add, and final
-granule-position truncation.
+lowest-available-leaf codeword assignment, VQ lookup types 1/2, BOTH
+floor types — 1 (the piecewise-line dB-domain amplitude curve with the
+spec's integer render_point/render_line math) and 0 (the legacy LSP
+curve: bark-mapped line spectral pairs, closed-form) — residue types
+0/1/2 with cascade passes, square-polar channel coupling, the
+FFT-based inverse MDCT, Vorbis windowing and unequal-blocksize
+overlap-add, and final granule-position truncation.
 
 Unlike MP3 (ISO-tabulated Huffman data, see functions/mp3.py), Vorbis
 carries its entropy codebooks INSIDE the stream and assigns codewords
@@ -19,9 +20,9 @@ its closed form ``10^((i-255) * 7/256)`` (a 0.546875 dB step spanning
 ~139.45 dB, endpoints 1.0649863e-07 and 1.0 — matching the spec's
 listed float32 values).
 
-Named boundaries (quarantined upstream via DECODE_QUARANTINE): floor
-type 0 (LSP — modern encoders emit floor 1 exclusively) and non-zero
-mapping/time/window/transform types (reserved by the spec).
+No named codec boundaries remain inside Vorbis I: reserved (non-0/1)
+floor/mapping/time/window/transform types raise ValueError as
+malformed streams, per spec.
 
 Engine contract: int16 samples like WAV/FLAC/MP3, feeding the shared
 feature/fingerprint stack (reference parity: the reference stores
@@ -265,6 +266,111 @@ class _Codebook:
         if self.vq is None:
             raise ValueError("Vorbis: VQ read from a scalar codebook")
         return self.vq[self.read_scalar(rd)]
+
+
+# ------------------------------------------------------------ floor type 0
+
+
+def _parse_floor0(rd: _BitReader) -> dict:
+    order = rd.bits(8)
+    rate = rd.bits(16)
+    bark_map_size = rd.bits(16)
+    amplitude_bits = rd.bits(6)
+    amplitude_offset = rd.bits(8)
+    n_books = rd.bits(4) + 1
+    books = [rd.bits(8) for _ in range(n_books)]
+    if order == 0 or rate == 0 or bark_map_size == 0:
+        raise ValueError("Vorbis: invalid floor0 configuration")
+    return {
+        "type": 0, "order": order, "rate": rate,
+        "bark_map_size": bark_map_size, "amplitude_bits": amplitude_bits,
+        "amplitude_offset": amplitude_offset, "books": books,
+    }
+
+
+def _floor0_decode(rd: _BitReader, fl: dict, books: list[_Codebook]):
+    """(amplitude, LSP coefficients) for one channel; None = unused
+    (a zero amplitude is floor0's channel-unused signal)."""
+    amplitude = rd.bits(fl["amplitude_bits"]) if fl["amplitude_bits"] else 0
+    if amplitude <= 0:
+        return None
+    booknum = rd.bits(_ilog(len(fl["books"])))
+    if booknum >= len(fl["books"]):
+        raise ValueError("Vorbis: floor0 book number out of range")
+    book = books[fl["books"][booknum]]
+    coeffs: list[float] = []
+    last = 0.0
+    while len(coeffs) < fl["order"]:
+        vec = book.read_vector(rd)
+        coeffs.extend(float(v) + last for v in vec)
+        last = coeffs[-1]
+    return amplitude, coeffs[: fl["order"]]
+
+
+def _bark(x: float) -> float:
+    import math
+
+    return (
+        13.1 * math.atan(0.00074 * x)
+        + 2.24 * math.atan(0.0000185 * x * x)
+        + 0.0001 * x
+    )
+
+
+def _floor0_synthesize(fl: dict, data, n2: int) -> np.ndarray:
+    """LSP curve synthesis (spec 6.2.3): piecewise-constant over the
+    bark map, each segment the LSP magnitude response at its map
+    frequency, amplitude-scaled in the 0.11512925 (ln10/20) domain."""
+    import math
+
+    amplitude, coeffs = data
+    order = fl["order"]
+    bms = fl["bark_map_size"]
+    half_rate = fl["rate"] / 2.0
+    scale = bms / _bark(half_rate)
+    mp = [
+        min(bms - 1, int(_bark(half_rate * i / n2) * scale)) for i in range(n2)
+    ]
+    cos_coeffs = [math.cos(c) for c in coeffs]
+    out = np.zeros(n2)
+    i = 0
+    while i < n2:
+        w = math.pi * mp[i] / bms
+        cw = math.cos(w)
+        if order % 2:
+            p = (1.0 - cw * cw)
+            for j in range((order - 1) // 2):
+                d = cos_coeffs[2 * j + 1] - cw
+                p *= 4.0 * d * d
+            q = 0.25
+            for j in range((order + 1) // 2):
+                d = cos_coeffs[2 * j] - cw
+                q *= 4.0 * d * d
+        else:
+            p = (1.0 - cw) / 2.0
+            q = (1.0 + cw) / 2.0
+            for j in range(order // 2):
+                d = cos_coeffs[2 * j + 1] - cw
+                p *= 4.0 * d * d
+                d = cos_coeffs[2 * j] - cw
+                q *= 4.0 * d * d
+        denom = math.sqrt(p + q)
+        if denom <= 0:
+            val = 1.0
+        else:
+            amp_max = (1 << fl["amplitude_bits"]) - 1
+            val = math.exp(
+                0.11512925
+                * (
+                    amplitude * fl["amplitude_offset"] / (amp_max * denom)
+                    - fl["amplitude_offset"]
+                )
+            )
+        m = mp[i]
+        while i < n2 and mp[i] == m:
+            out[i] = val
+            i += 1
+    return out
 
 
 # ------------------------------------------------------------ floor type 1
@@ -579,10 +685,11 @@ def _parse_headers(packets):
     for _ in range(rd.bits(6) + 1):
         ftype = rd.bits(16)
         if ftype == 0:
-            raise NotImplementedError("Vorbis: floor type 0 (LSP) decode")
-        if ftype != 1:
+            floors.append(_parse_floor0(rd))
+        elif ftype == 1:
+            floors.append(_parse_floor1(rd))
+        else:
             raise ValueError(f"Vorbis: reserved floor type {ftype}")
-        floors.append(_parse_floor1(rd))
     residues = [_parse_residue(rd) for _ in range(rd.bits(6) + 1)]
     mappings = []
     for _ in range(rd.bits(6) + 1):
@@ -693,7 +800,10 @@ def decode_vorbis_packets(
         try:
             for j in range(ch):
                 fl = hdr["floors"][mapping["submaps"][mapping["mux"][j]]["floor"]]
-                ys = _floor1_decode(rd, fl, books)
+                if fl["type"] == 0:
+                    ys = _floor0_decode(rd, fl, books)
+                else:
+                    ys = _floor1_decode(rd, fl, books)
                 floor_ys.append(ys)
                 no_residue.append(ys is None)
         except _EndOfPacket:
@@ -755,7 +865,10 @@ def decode_vorbis_packets(
             if floor_ys[j] is None:
                 continue
             fl = hdr["floors"][mapping["submaps"][mapping["mux"][j]]["floor"]]
-            curve = _floor1_synthesize(fl, floor_ys[j], n2)
+            if fl["type"] == 0:
+                curve = _floor0_synthesize(fl, floor_ys[j], n2)
+            else:
+                curve = _floor1_synthesize(fl, floor_ys[j], n2)
             data[j] = _imdct(spectra[j] * curve, n) * w
         # ---- overlap-add with centered alignment (unequal blocks)
         if prev_data is not None:

@@ -311,28 +311,80 @@ def test_granule_position_truncates_tail():
 # ------------------------------------------------------------- boundaries
 
 
-def test_floor0_is_named_boundary():
-    st = _simple_stream()
-    setup = bytearray(st._setup())
-    # floor type field: locate by rebuilding with type 0 — patch via
-    # the encoder: easier to flip the bit-packed field directly is
-    # fragile, so build a raw setup with floor type 0
-    from tests.vorbisenc import BitWriter
+def test_floor0_lsp_roundtrip():
+    """Floor type 0 (legacy LSP): bark-mapped line-spectral-pair curve,
+    coefficients VQ-decoded with the running ``last`` accumulator —
+    differential against an independently written LSP model."""
+    from tests.vorbisenc import model_floor0_curve
 
-    bw = BitWriter()
-    bw.w(0, 8)
-    st.books[0].write(bw)
-    bw.w(0, 6)
-    bw.w(0, 16)
-    bw.w(0, 6)
-    bw.w(0, 16)  # floor type 0
-    setup = b"\x05vorbis" + bw.bytes()
-    out = bytearray()
-    out += st._page([st._ident()], 0, 0, header_type=0x02)
-    out += st._page([st._comment(), setup], 1, 0)
-    out += st._page([b"\x00"], 2, 0, header_type=0x04)
-    with pytest.raises(NotImplementedError, match="floor type 0"):
-        decode_vorbis_samples(bytes(out))
+    classbook = fixed_book(2, dims=2)                    # book 0
+    mults = []
+    for e in range(16):
+        mults += [e // 4, e % 4]
+    value_book = Book(2, [4] * 16, lookup=2, mults=mults, minimum=-2.0,
+                      delta=1.0, value_bits=3)           # book 1
+    # LSP coefficient book: dims 2, lookup 2, values in [0.0, 0.75]
+    lsp_mults = []
+    for e in range(16):
+        lsp_mults += [e // 4, e % 4]
+    lsp_book = Book(2, [4] * 16, lookup=2, mults=lsp_mults, minimum=0.0,
+                    delta=0.25, value_bits=3)            # book 2
+    floor = {"type": 0, "order": 4, "rate": 8000, "bark_map_size": 32,
+             "amplitude_bits": 6, "amplitude_offset": 20, "books": [2]}
+    residue = {"type": 1, "begin": 0, "end": 32, "psize": 4,
+               "classifications": 2, "classbook": 0,
+               "books": [[None] * 8, [1] + [None] * 7]}
+    st = VorbisStream(rate=8000, channels=1, bs=(64, 64),
+                      books=[classbook, value_book, lsp_book],
+                      floor=floor, residue=residue)
+
+    rng = np.random.default_rng(43)
+    classes = [1, 0, 1, 0, 1, 0, 1, 1]
+    vectors, v = [], np.zeros(32)
+    for part in range(8):
+        if not classes[part]:
+            continue
+        for i in (0, 2):
+            a, b = int(rng.integers(-2, 2)), int(rng.integers(-2, 2))
+            vectors.append((0, part, _vec_entry(a, b)))
+            v[part * 4 + i] += a
+            v[part * 4 + i + 1] += b
+    # LSP entries: two dims-2 vectors cover order 4; the decoder adds
+    # the PREVIOUS vector's final scalar to every element of the next
+    # vector (spec 6.2.2), not a running within-vector sum
+    entries = [6, 9]  # vectors (0.25, 0.50) then (0.50, 0.25)
+    c0, c1 = lsp_book.vector_of(6)
+    c2, c3 = lsp_book.vector_of(9)
+    coeffs = [c0, c1, c2 + c1, c3 + c1]
+    amplitude = 40
+    frame = {"mode": 0,
+             "floors": [{"amplitude": amplitude, "entries": entries}],
+             "classes": [classes], "vectors": [vectors]}
+    curve = model_floor0_curve(floor, amplitude, coeffs, 32)
+    spec = (v * curve)[None, :]
+    got, _ = _roundtrip(st, [frame] * 3, [spec] * 3)
+    assert np.any(got)
+
+
+def test_floor0_zero_amplitude_is_silent_channel():
+    from tests.vorbisenc import model_floor0_curve  # noqa: F401
+
+    classbook = fixed_book(2, dims=2)
+    lsp_book = Book(2, [4] * 16, lookup=2,
+                    mults=[x for e in range(16) for x in (e // 4, e % 4)],
+                    minimum=0.0, delta=0.25, value_bits=3)
+    floor = {"type": 0, "order": 4, "rate": 8000, "bark_map_size": 32,
+             "amplitude_bits": 6, "amplitude_offset": 20, "books": [1]}
+    residue = {"type": 1, "begin": 0, "end": 32, "psize": 4,
+               "classifications": 2, "classbook": 0,
+               "books": [[None] * 8, [None] * 8]}
+    st = VorbisStream(rate=8000, channels=1, bs=(64, 64),
+                      books=[classbook, lsp_book],
+                      floor=floor, residue=residue)
+    frame = {"mode": 0, "floors": [None], "classes": [None], "vectors": []}
+    got, _ = _roundtrip(st, [frame] * 3,
+                        [np.zeros((1, 32))] * 3)
+    assert not np.any(got)
 
 
 def test_crc_mismatch_raises():

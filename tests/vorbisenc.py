@@ -173,8 +173,19 @@ class VorbisStream:
         bw.w(0, 6)          # 1 time transform
         bw.w(0, 16)
         bw.w(0, 6)          # 1 floor
-        bw.w(1, 16)         # floor type 1
         fl = self.floor
+        if fl.get("type") == 0:
+            bw.w(0, 16)     # floor type 0 (LSP)
+            bw.w(fl["order"], 8)
+            bw.w(fl["rate"], 16)
+            bw.w(fl["bark_map_size"], 16)
+            bw.w(fl["amplitude_bits"], 6)
+            bw.w(fl["amplitude_offset"], 8)
+            bw.w(len(fl["books"]) - 1, 4)
+            for b in fl["books"]:
+                bw.w(b, 8)
+            return self._setup_tail(bw)
+        bw.w(1, 16)         # floor type 1
         bw.w(fl["partitions"], 5)
         for c in fl["class_list"]:
             bw.w(c, 4)
@@ -189,6 +200,9 @@ class VorbisStream:
         bw.w(fl["rangebits"], 4)
         for x in fl["xs"][2:]:
             bw.w(x, fl["rangebits"])
+        return self._setup_tail(bw)
+
+    def _setup_tail(self, bw: BitWriter) -> bytes:
         bw.w(0, 6)          # 1 residue
         rs = self.residue
         bw.w(rs["type"], 16)
@@ -239,6 +253,18 @@ class VorbisStream:
         bw.w(1, 1)          # framing
         return b"\x05vorbis" + bw.bytes()
 
+    def _emit_floor0(self, bw: BitWriter, fd) -> None:
+        fl = self.floor
+        if fd is None:
+            bw.w(0, fl["amplitude_bits"])
+            return
+        bw.w(fd["amplitude"], fl["amplitude_bits"])
+        nb = len(fl["books"])
+        bw.w(fd.get("booknumber", 0), nb.bit_length())  # ilog(nb) bits
+        book = self.books[fl["books"][fd.get("booknumber", 0)]]
+        for e in fd["entries"]:
+            bw.code(book.codes[e])
+
     # ---- audio packets
 
     def audio_packet(self, frame: dict) -> bytes:
@@ -259,6 +285,10 @@ class VorbisStream:
             bw.w(frame.get("prev_long", 1), 1)
             bw.w(frame.get("next_long", 1), 1)
         fl = self.floor
+        if fl.get("type") == 0:
+            for fd in frame["floors"]:
+                self._emit_floor0(bw, fd)
+            return self._emit_residue(bw, frame, n)
         rng = {1: 256, 2: 128, 3: 86, 4: 64}[fl["multiplier"]]
         ybits = (rng - 1).bit_length()
         for ys in frame["floors"]:
@@ -276,7 +306,9 @@ class VorbisStream:
                 for _ in range(cls["dim"]):
                     bw.code(book.codes[ys[i]])
                     i += 1
-        # residue
+        return self._emit_residue(bw, frame, n)
+
+    def _emit_residue(self, bw: BitWriter, frame: dict, n: int) -> bytes:
         rs = self.residue
         n2 = n // 2
         vec_len = n2 * self.channels if rs["type"] == 2 else n2
@@ -482,3 +514,44 @@ def expected_pcm(stream: VorbisStream, frames: list[dict],
             chunks.append(out)
         prev, prev_n = data, n
     return np.concatenate(chunks, axis=0)
+
+
+def model_floor0_curve(fl: dict, amplitude: int, coeffs, n2: int) -> np.ndarray:
+    """Independent floor-0 (LSP) synthesis: same spec, separate code."""
+    import math
+
+    def bark(x):
+        return (13.1 * math.atan(0.00074 * x)
+                + 2.24 * math.atan(0.0000185 * x * x) + 0.0001 * x)
+
+    order = fl["order"]
+    bms = fl["bark_map_size"]
+    half = fl["rate"] / 2.0
+    mp = [min(bms - 1, int(bark(half * i / n2) * bms / bark(half)))
+          for i in range(n2)]
+    cosc = [math.cos(c) for c in coeffs]
+    amp_max = (1 << fl["amplitude_bits"]) - 1
+    out = np.zeros(n2)
+    for i in range(n2):
+        w = math.pi * mp[i] / bms
+        cw = math.cos(w)
+        if order % 2:
+            p = (1.0 - cw * cw) * math.prod(
+                4.0 * (cosc[2 * j + 1] - cw) ** 2 for j in range((order - 1) // 2)
+            )
+            q = 0.25 * math.prod(
+                4.0 * (cosc[2 * j] - cw) ** 2 for j in range((order + 1) // 2)
+            )
+        else:
+            p = (1.0 - cw) / 2.0 * math.prod(
+                4.0 * (cosc[2 * j + 1] - cw) ** 2 for j in range(order // 2)
+            )
+            q = (1.0 + cw) / 2.0 * math.prod(
+                4.0 * (cosc[2 * j] - cw) ** 2 for j in range(order // 2)
+            )
+        out[i] = math.exp(
+            0.11512925
+            * (amplitude * fl["amplitude_offset"] / (amp_max * math.sqrt(p + q))
+               - fl["amplitude_offset"])
+        )
+    return out
