@@ -50,8 +50,12 @@ ANNOTATED = {
         "TakeOrderedAndProject over integer Gumbel keys"
     ),
     "mixture_token_budget_sample": (
-        "ONE documents scan; the only exchange is the per-language window "
-        "(running token total) — no joins anywhere"
+        "r11 skew-safe form: the corpus tokenizes ONCE into a checkpointed "
+        "narrow projection (both ExistingRDD scans are that materialization "
+        "— no parquet rescan); the admission threshold aggregates per "
+        "(lang, quality-level) and rides a BROADCAST join, so the ranking "
+        "window sorts only ~budget-sized survivors — a 99%-one-language "
+        "corpus cannot serialize the stage (measured: skew gate 0.36x)"
     ),
     "hybrid_search_rrf": (
         "union of the two arms' top-k + one per-(query,doc) hash aggregate; "
