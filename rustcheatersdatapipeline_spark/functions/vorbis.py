@@ -222,6 +222,8 @@ class _Codebook:
         lookup = rd.bits(4)
         if lookup not in (0, 1, 2):
             raise ValueError(f"Vorbis: reserved codebook lookup type {lookup}")
+        if lookup and self.dims == 0:
+            raise ValueError("Vorbis: VQ codebook with zero dimensions")
         if lookup:
             minimum = _float32_unpack(rd.bits(32))
             delta = _float32_unpack(rd.bits(32))
@@ -359,13 +361,14 @@ def _floor0_synthesize(fl: dict, data, n2: int) -> np.ndarray:
             val = 1.0
         else:
             amp_max = (1 << fl["amplitude_bits"]) - 1
-            val = math.exp(
-                0.11512925
-                * (
-                    amplitude * fl["amplitude_offset"] / (amp_max * denom)
-                    - fl["amplitude_offset"]
-                )
+            # clamp the exponent: a degenerate LSP root (denom -> 0 on
+            # a corrupt stream) must yield a huge-but-finite curve, not
+            # an OverflowError escaping the quarantine contract
+            arg = 0.11512925 * (
+                amplitude * fl["amplitude_offset"] / (amp_max * denom)
+                - fl["amplitude_offset"]
             )
+            val = math.exp(min(arg, 700.0))
         m = mp[i]
         while i < n2 and mp[i] == m:
             out[i] = val
@@ -564,6 +567,10 @@ def _residue_decode(
         return out
     classbook = books[res["classbook"]]
     cwords = classbook.dims
+    if cwords < 1:
+        # a zero-dims classbook would never advance the partition
+        # cursor — corrupt stream, not a hang
+        raise ValueError("Vorbis: residue classbook needs >= 1 dimension")
     psize = res["psize"]
     nparts = (end - begin) // psize
     cls = np.zeros((ch, nparts + cwords), np.int64)

@@ -418,8 +418,8 @@ def test_totality_under_mutation_and_truncation():
             buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
         try:
             decode_vorbis_samples(bytes(buf))
-        except (ValueError, NotImplementedError, OverflowError):
-            pass
+        except (ValueError, NotImplementedError):
+            pass  # exactly the DECODE_QUARANTINE surface — nothing else
     for cut in range(0, len(base), 37):
         try:
             decode_vorbis_samples(base[:cut])

@@ -549,9 +549,9 @@ def model_floor0_curve(fl: dict, amplitude: int, coeffs, n2: int) -> np.ndarray:
             q = (1.0 + cw) / 2.0 * math.prod(
                 4.0 * (cosc[2 * j] - cw) ** 2 for j in range(order // 2)
             )
-        out[i] = math.exp(
-            0.11512925
-            * (amplitude * fl["amplitude_offset"] / (amp_max * math.sqrt(p + q))
-               - fl["amplitude_offset"])
+        arg = 0.11512925 * (
+            amplitude * fl["amplitude_offset"] / (amp_max * math.sqrt(p + q))
+            - fl["amplitude_offset"]
         )
+        out[i] = math.exp(min(arg, 700.0))  # same clamp as the engine
     return out
