@@ -133,9 +133,29 @@ def parse_esds_config(body: bytes) -> bytes | None:
             if tag == 5:
                 return body[q : q + size]
             if tag == 3:
-                # ES descriptor: es_id(2) + flags(1) (+ optional fields
-                # we don't emit) then nested descriptors
-                hit = walk(q + 3, q + size)
+                # ES descriptor (ISO 14496-1 §7.2.6.5): es_id(2) then a
+                # flags byte whose bits gate OPTIONAL fields that must be
+                # skipped before the nested descriptors — 2-byte
+                # dependsOn_ES_ID (streamDependenceFlag, 0x80), URLlength
+                # + URLstring (URL_Flag, 0x40), 2-byte OCR_ES_ID
+                # (OCRstreamFlag, 0x20). Ignoring them misaligns the walk
+                # and can silently return a wrong AudioSpecificConfig.
+                r = q + 2
+                if r >= len(body) or r >= q + size:
+                    raise ValueError("AAC: truncated esds ES descriptor")
+                flags = body[r]
+                r += 1
+                if flags & 0x80:
+                    r += 2
+                if flags & 0x40:
+                    if r >= len(body) or r >= q + size:
+                        raise ValueError("AAC: truncated esds URL field")
+                    r += 1 + body[r]
+                if flags & 0x20:
+                    r += 2
+                if r > q + size:
+                    raise ValueError("AAC: esds ES optional fields overrun")
+                hit = walk(r, q + size)
             elif tag == 4:
                 # DecoderConfig: 13 fixed bytes then nested
                 hit = walk(q + 13, q + size)

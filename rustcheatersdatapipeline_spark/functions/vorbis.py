@@ -134,9 +134,18 @@ class _BitReader:
         return b
 
 
-class _EndOfPacket(Exception):
+class _EndOfPacket(ValueError):
     """Running off the end of an audio packet is NOT an error in
-    Vorbis: remaining vectors are zero (spec 1.3.2)."""
+    Vorbis: remaining vectors are zero (spec 1.3.2).
+
+    Subclasses ValueError so that the *unexpected* escape paths —
+    a truncated/short HEADER packet reaching `_parse_headers` (e.g.
+    via WebM CodecPrivate, which carries no CRC), where no caller
+    catches `_EndOfPacket` — fall inside `pixels.DECODE_QUARANTINE`
+    and quarantine the row instead of becoming a permanent poison
+    pill under foreachBatch replay. Every intentional end-of-packet
+    site still catches the exact class, so audio-packet semantics
+    are unchanged."""
 
 
 def _ilog(x: int) -> int:

@@ -240,6 +240,38 @@ def test_esds_descriptor_walk():
     assert A.parse_esds_config(es_long) == asc
 
 
+def test_esds_es_descriptor_optional_fields():
+    """ISO 14496-1 §7.2.6.5: the ES descriptor flags byte gates optional
+    dependsOn_ES_ID / URLstring / OCR_ES_ID fields that sit BEFORE the
+    nested descriptors; ignoring them misaligns the walk and can return
+    a wrong AudioSpecificConfig."""
+    asc = bytes([0x12, 0x10])
+    dsi = bytes([5, len(asc)]) + asc
+    dcfg = bytes([4, 13 + len(dsi)]) + bytes(13) + dsi
+
+    # streamDependenceFlag: +2-byte dependsOn_ES_ID
+    body = bytes([0, 1, 0x80]) + b"\x00\x07" + dcfg
+    es = bytes([3, len(body)]) + body
+    assert A.parse_esds_config(es) == asc
+
+    # URL_Flag: +1-byte length + URL string
+    url = b"rtsp://x"
+    body = bytes([0, 1, 0x40, len(url)]) + url + dcfg
+    es = bytes([3, len(body)]) + body
+    assert A.parse_esds_config(es) == asc
+
+    # all three flags together
+    body = (bytes([0, 1, 0xE0]) + b"\x00\x07" + bytes([len(url)]) + url
+            + b"\x00\x09" + dcfg)
+    es = bytes([3, len(body)]) + body
+    assert A.parse_esds_config(es) == asc
+
+    # truncated optional fields must raise, not walk garbage
+    import pytest
+    with pytest.raises(ValueError, match="esds"):
+        A.parse_esds_config(bytes([3, 4, 0, 1, 0x40, 200]))
+
+
 def test_mp4a_track_integration():
     from rustcheatersdatapipeline_spark.functions.mp4 import mp4_metadata
 

@@ -518,3 +518,41 @@ def test_webm_non_vorbis_audio_is_named_boundary():
     buf = _webm_wrap(headers, [b"\x00"], codec=b"A_OPUS")
     with pytest.raises(NotImplementedError, match="A_OPUS"):
         decode_webm_audio(buf)
+
+
+def test_truncated_header_packets_stay_inside_quarantine():
+    """A short/truncated HEADER packet must raise inside
+    DECODE_QUARANTINE, never escape as a bare _EndOfPacket.
+
+    _parse_headers runs OUTSIDE the per-audio-packet try blocks, so
+    before r12 a truncated setup packet (reachable via WebM
+    CodecPrivate, which has no CRC, or a CRC-valid Ogg page carrying a
+    short setup packet) raised the internal _EndOfPacket sentinel past
+    the quarantine tuple — a permanent poison pill under foreachBatch
+    replay. _EndOfPacket now subclasses ValueError; this pins it."""
+    from rustcheatersdatapipeline_spark.functions.pixels import DECODE_QUARANTINE
+    from rustcheatersdatapipeline_spark.functions.vorbis import (
+        decode_vorbis_packets,
+    )
+    from rustcheatersdatapipeline_spark.functions.webm import decode_webm_audio
+
+    st = _simple_stream()
+    ident, comment, setup = st._ident(), st._comment(), st._setup()
+
+    # every strict-prefix truncation of every header packet, through the
+    # container-independent core (shared by the Ogg and WebM paths)
+    for idx, pkt in enumerate((ident, comment, setup)):
+        for cut in range(len(pkt)):
+            headers = [ident, comment, setup]
+            headers[idx] = pkt[:cut]
+            with pytest.raises(DECODE_QUARANTINE):
+                decode_vorbis_packets(headers)
+
+    # the advisor's exact repro: truncated setup inside WebM CodecPrivate
+    # (no CRC protects it) must quarantine, not poison
+    buf = _webm_wrap([ident, comment, setup[: len(setup) // 2]], [b"\x00"])
+    with pytest.raises(DECODE_QUARANTINE):
+        decode_webm_audio(buf)
+
+    # the sentinel itself is inside the quarantine surface by type
+    assert issubclass(V._EndOfPacket, ValueError)
