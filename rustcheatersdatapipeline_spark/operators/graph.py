@@ -72,9 +72,20 @@ def connected_components(
     from pyspark.sql.types import StructField, StructType
 
     spark = edges.sparkSession
+    # symmetrize via explode, NOT union: a union would scan the edges
+    # subtree once per branch (for dedup_cluster that subtree is the
+    # whole banded-candidate join — the most expensive part of the
+    # query), while the explode emits both directions from ONE scan.
     quotient = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
     )
     node_type = quotient.schema["a"].dataType
@@ -86,19 +97,21 @@ def connected_components(
     # re-shuffled) when a contraction round actually happens.
     mapping: DataFrame | None = None
     while True:
-        # One action doubles as size probe and finish-collect: ≤ budget
-        # rows come back ready for union-find; budget+1 rows mean
-        # "too big, contract" (the oversized batch is discarded — a
-        # bounded ≤16 MiB transfer per contraction round).  Arrow
-        # transfer (toPandas) because py4j Row collection is ~3× slower
-        # at the budget size; this is the bounded driver FINISH, not a
-        # data-plane transform.
-        probe = quotient.limit(CC_FINISH_EDGE_BUDGET + 1).toPandas()
-        if len(probe) <= CC_FINISH_EDGE_BUDGET:
-            break
-        # materialize before the round: the quotient feeds three
-        # subtrees below (groupBy + both relabel joins)
+        # Materialize once per round, THEN probe the cached blocks: the
+        # quotient feeds the size probe plus (if contracting) three
+        # subtrees below (groupBy + both relabel joins), and probing the
+        # raw plan would recompute the whole upstream subtree a second
+        # time per round AND ship a discarded ≤16 MiB batch to the
+        # driver when oversized. limit(budget+1).count() on the
+        # checkpointed blocks is a cheap executor-side probe; the Arrow
+        # transfer (toPandas — ~3× faster than py4j Row collection at
+        # the budget size) happens only when the quotient is KNOWN to
+        # fit. This is the bounded driver FINISH, not a data-plane
+        # transform.
         quotient = quotient.localCheckpoint()
+        if quotient.limit(CC_FINISH_EDGE_BUDGET + 1).count() <= CC_FINISH_EDGE_BUDGET:
+            probe = quotient.toPandas()
+            break
         contract = (
             quotient.groupBy("a")
             .agg(F.min("b").alias("nb"))
@@ -112,7 +125,8 @@ def connected_components(
             .select(F.col("la").alias("a"), F.col("lb").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            # left lazy: the loop top checkpoints it next round (or the
+            # finish path checkpoints-then-collects it)
         )
         step = contract.select(F.col("a").alias("node"), "label")
         if mapping is None:

@@ -542,7 +542,12 @@ def _simhash_pairs(spark, sf_dir):
     that immediately re-shuffle (``dedup_cluster``'s contraction) take
     this form so the declared query's total ORDER BY is not paid for
     nothing."""
-    sim = _simhash_docs_unsorted(spark, sf_dir)
+    # cache the signature table (doc_id + int64 — tiny): the banded
+    # self-join consumes it on BOTH sides and Catalyst does not reuse
+    # the exchange across the sides (verified .explain r12), so without
+    # this the tokenize+groupBy subtree runs twice. Same cached-small-
+    # intermediate discipline as dedup_ngram_jaccard's shingle cache.
+    sim = _simhash_docs_unsorted(spark, sf_dir).cache()
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -573,8 +578,11 @@ def _simhash_pairs(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so filtering BEFORE
+        # the distinct is semantics-neutral and keeps the non-qualifying
+        # candidates out of the dedup shuffle entirely
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 
@@ -2183,14 +2191,22 @@ def dedup_cluster(spark, sf_dir):
     ``cluster_id`` — the step that turns pairwise matches into dedup
     GROUPS (keep one representative per cluster).
 
-    Delegates to ``operators.graph.connected_components`` (min-label
-    propagation with pointer jumping: O(log diameter) rounds, two
-    shuffles per round, lineage truncated per round — see that module).
-    The DuckDB oracle recomputes the same components with a
-    recursive CTE (declared surface since r11 — the iteration lives
-    inside the builder, so the driver's harness sees one DataFrame);
-    a hypothesis property test additionally checks the CC operator
-    against a Python union-find on arbitrary graphs.
+    Delegates to ``operators.graph.connected_components``: min-neighbor
+    CONTRACTION — while the symmetrized edge quotient exceeds
+    ``CC_FINISH_EDGE_BUDGET`` (1M edges), relabel every node to
+    ``min(v, min N(v))`` and rewrite edges between labels (one
+    equi-join shuffle per round; quotient nodes at least halve) — then
+    a bounded driver-side union-find FINISH over the ≤1M-edge quotient
+    (≈16 MiB Arrow collect, the same bounded-driver class as the
+    k-means centroid collect), whose root map broadcasts back onto the
+    composed per-round (node, label) mapping. See the graph module
+    docstring for why this beats propagate-to-convergence on both tiny
+    and 100 TB graphs. The DuckDB oracle recomputes the same components
+    with a recursive CTE (declared surface since r11 — the iteration
+    lives inside the builder, so the driver's harness sees one
+    DataFrame); a hypothesis property test additionally checks the CC
+    operator against a Python union-find on arbitrary graphs, and a
+    differential test pins contraction-path vs finish-only results.
     """
     from ..operators.graph import connected_components
 
