@@ -3022,6 +3022,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the pair-to-groups step every production dedup pipeline runs —
     # was unrepresented in the declared surface (VERDICT r10 #6)
     "dedup_cluster": dedup_cluster,
+    # promoted in r12 (the freed slot came from q12 → q19): passage-
+    # level exact dedup (the Lee et al. exact-substring pass) — the
+    # most-used LLM dedup family not yet driver-verified (VERDICT r11
+    # next-round #5)
+    "dedup_spans": dedup_spans,
 }
 
 
@@ -3072,7 +3077,6 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": graph_triangles,
     "hll_register_rows": hll_register_rows,
     "ddsketch_buckets": ddsketch_buckets,
-    "dedup_spans": dedup_spans,
     "domain_mix": domain_mix,
     "kmeans_lloyd": kmeans_lloyd,
     "lm_score": lm_score,
@@ -3174,6 +3178,24 @@ _LANG_SCORE = {
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL: dict[str, str] = {
+    "dedup_spans": (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        "pos AS (SELECT i FROM generate_series(1, 256) t(i)), "
+        f"ch AS (SELECT doc_id, i - 1 AS chunk_idx, "
+        f"array_to_string(w[((i - 1) * {SPAN_W} + 1):((i - 1) * {SPAN_W} + {SPAN_W})], ' ') AS chunk "
+        f"FROM toks JOIN pos ON (i - 1) * {SPAN_W} < len(w)), "
+        "keep AS (SELECT doc_id, chunk_idx, chunk, "
+        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch), "
+        "k AS (SELECT doc_id, COUNT(*) AS n_kept, "
+        "array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS rebuilt "
+        "FROM keep WHERE rn = 1 GROUP BY doc_id), "
+        f"n AS (SELECT doc_id, CAST(CEIL(len(w) / {float(SPAN_W)}) AS BIGINT) AS n_chunks "
+        "FROM toks) "
+        "SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept, "
+        "md5(COALESCE(k.rebuilt, '')) AS kept_digest "
+        "FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"
+    ),
     "mixture_token_budget_sample": (
         "WITH base AS (SELECT doc_id, lang, "
         "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens, "
@@ -3529,24 +3551,6 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "SELECT r.source, t_tokens, n_docs, rate_ppm, "
         "COALESCE(kept_docs, 0) AS kept_docs, COALESCE(kept_tokens, 0) AS kept_tokens "
         "FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source"
-    ),
-    "dedup_spans": (
-        "WITH toks AS (SELECT doc_id, "
-        "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
-        "pos AS (SELECT i FROM generate_series(1, 256) t(i)), "
-        f"ch AS (SELECT doc_id, i - 1 AS chunk_idx, "
-        f"array_to_string(w[((i - 1) * {SPAN_W} + 1):((i - 1) * {SPAN_W} + {SPAN_W})], ' ') AS chunk "
-        f"FROM toks JOIN pos ON (i - 1) * {SPAN_W} < len(w)), "
-        "keep AS (SELECT doc_id, chunk_idx, chunk, "
-        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch), "
-        "k AS (SELECT doc_id, COUNT(*) AS n_kept, "
-        "array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS rebuilt "
-        "FROM keep WHERE rn = 1 GROUP BY doc_id), "
-        f"n AS (SELECT doc_id, CAST(CEIL(len(w) / {float(SPAN_W)}) AS BIGINT) AS n_chunks "
-        "FROM toks) "
-        "SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept, "
-        "md5(COALESCE(k.rebuilt, '')) AS kept_digest "
-        "FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"
     ),
     "simhash_docs": (
         f"WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id"
