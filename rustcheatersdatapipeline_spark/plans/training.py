@@ -2763,6 +2763,39 @@ def embed_quantize(spark, sf_dir):
     )
 
 
+def quality_classifier(spark, sf_dir):
+    """Trained linear quality classifier (VERDICT r11 next-round #7):
+    hashed-n-gram logistic regression in the CCNet/GPT-3 style — the
+    positive class is the 'trusted reference corpus' (here the
+    deterministic ``lang = 'en'`` slice, standing in for
+    Wikipedia/books), full-batch gradient descent, then every document
+    scored with the trained weights.
+
+    Returns ``(doc_id, margin_scaled bigint, y int)`` —
+    ``margin_scaled`` is the exact ⌊1e9·x·w⌋ integer fold, so the
+    output is bit-identical on any partitioning and against the numpy
+    replica (tests/test_classify.py). Per iteration: one margin
+    aggregate + one gradient aggregate (two map-side-combinable
+    shuffles) + a ≤LR_BUCKETS-row driver collect for the weight
+    update — the k-means bounded-driver class. Tests-only: iterative,
+    so no single-statement SQL oracle.
+    """
+    from ..operators.classify import lr_features, lr_margins, lr_train
+
+    docs = table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    feats = lr_features(docs).localCheckpoint()
+    weights, _losses = lr_train(feats, labels)
+    return (
+        lr_margins(feats, weights)
+        .join(labels, "doc_id")
+        .select("doc_id", "margin_scaled", F.col("y").cast("int").alias("y"))
+        .orderBy("doc_id")
+    )
+
+
 def lm_score(spark, sf_dir):
     """Perplexity-proxy quality scoring: per-document mean log-probability
     of its word bigrams under the corpus bigram model — the cheap
@@ -3079,6 +3112,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_buckets": ddsketch_buckets,
     "domain_mix": domain_mix,
     "kmeans_lloyd": kmeans_lloyd,
+    "quality_classifier": quality_classifier,
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
     "curate_corpus": curate_corpus,

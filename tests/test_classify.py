@@ -107,3 +107,128 @@ def test_nb_corpus_curation_end_to_end(spark, sf_dir):
     rows = scored.select("doc_id", "nb_score").collect()
     assert len(rows) == 200
     assert all(r["nb_score"] is not None and math.isfinite(r["nb_score"]) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram logistic regression (VERDICT r11 next-round #7)
+# ---------------------------------------------------------------------------
+
+
+def _lr_ref(docs, buckets, n_iter, rate):
+    """Pure-Python replica of lr_train/lr_margins: identical hashing,
+    identical ⌊1e9·v⌋ integer folds, identical driver float updates.
+    docs: list of (doc_id, text, y)."""
+    import hashlib
+
+    SCALE = 1_000_000_000.0
+
+    def bucket_of(gram):
+        h = int(hashlib.md5(("qc:" + gram).encode()).hexdigest()[:15], 16)
+        return h % buckets
+
+    feats = {}  # doc_id -> list[(bucket, x)]
+    ys = {}
+    for doc_id, text, y in docs:
+        w = [t for t in text.split(" ") if t != ""]
+        grams = w + [a + " " + b for a, b in zip(w, w[1:])]
+        if not grams:
+            continue
+        cnt = Counter(bucket_of(g) for g in grams)
+        tot = float(len(grams))
+        feats[doc_id] = [(b, c / tot) for b, c in cnt.items()]
+        ys[doc_id] = y
+    n = len(feats)
+    weights = [0.0] * buckets
+    for _ in range(n_iter):
+        errs = {}
+        for d, rows in feats.items():
+            ms = sum(math.floor(SCALE * x * weights[b]) for b, x in rows)
+            p = 1.0 / (1.0 + math.exp(-(ms / SCALE)))
+            errs[d] = p - ys[d]
+        grad = [0] * buckets
+        for d, rows in feats.items():
+            e = errs[d]
+            for b, x in rows:
+                grad[b] += math.floor(SCALE * e * x)
+        for b in range(buckets):
+            weights[b] -= rate * (grad[b] / SCALE) / n
+    margins = {
+        d: sum(math.floor(SCALE * x * weights[b]) for b, x in rows)
+        for d, rows in feats.items()
+    }
+    return weights, margins
+
+
+def test_lr_quality_classifier_matches_python_replica(spark, sf_dir):
+    """End-to-end bit-exactness: the distributed trainer's weights and
+    every document's scaled-integer margin equal the sequential
+    replica's, on any partitioning — the k-means oracle discipline."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.catalog import table
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lr_features,
+        lr_margins,
+        lr_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    feats = lr_features(docs).localCheckpoint()
+    weights, losses = lr_train(feats, labels)
+    got = {
+        r["doc_id"]: r["margin_scaled"]
+        for r in lr_margins(feats, weights).collect()
+    }
+
+    rows = [
+        (r["doc_id"], r["text"], 1.0 if r["lang"] == "en" else 0.0)
+        for r in docs.select("doc_id", "text", "lang").collect()
+    ]
+    ref_w, ref_m = _lr_ref(rows, 1024, 8, 50.0)
+
+    assert weights == ref_w  # bit-exact, not approx
+    assert got == ref_m
+
+    # gradient descent on a convex loss with this rate must descend
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert not _math.isnan(losses[-1])
+
+
+def test_lr_margins_partitioning_invariance(spark, sf_dir):
+    """The scaled-int folds are order-independent: retraining on a
+    repartitioned feature frame yields identical weights."""
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.catalog import table
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lr_features,
+        lr_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    w1, _ = lr_train(lr_features(docs), labels, n_iter=3)
+    w2, _ = lr_train(
+        lr_features(docs).repartition(7, "bucket"), labels, n_iter=3
+    )
+    assert w1 == w2
+
+
+def test_quality_classifier_plans_entry(spark, sf_dir):
+    """The plans entry scores every non-empty document and classifies
+    a nontrivial fraction of the trusted slice positive after
+    training (learnability floor, not a tight accuracy claim)."""
+    from rustcheatersdatapipeline_spark.plans.training import quality_classifier
+
+    out = quality_classifier(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert {"doc_id", "margin_scaled", "y"} == set(out[0].asDict())
+    # margins are nonzero after training (the model moved off init)
+    assert any(r["margin_scaled"] != 0 for r in out)
