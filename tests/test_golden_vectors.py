@@ -1043,3 +1043,123 @@ def test_mp3_hand_assembled_frame_bits():
     assert got.shape == want16.shape == (1152, 1)
     assert np.max(np.abs(got.astype(np.int64) - want16.astype(np.int64))) <= 1
     assert np.any(got != 0)  # the pair genuinely reaches the output
+
+
+# ---------------------------------------------------------------------------
+# r12 additions (VERDICT r11 next-round #8): a Vorbis floor-1 worked
+# curve beyond the spec's 3.2.1 codeword example, a hand-assembled
+# H.264 SPS/PPS pair with every bit stated, and a REAL-encoder WAV
+# cross-checked against an independent decoder (stdlib wave).
+# ---------------------------------------------------------------------------
+
+
+def test_vorbis_floor1_worked_curve_spec_integer_math():
+    """Floor-1 synthesis (Vorbis I spec 7.2.3-7.2.4) on a 5-post floor,
+    every intermediate derived BY HAND from the spec's integer
+    algorithms — low/high neighbor search, render_point prediction,
+    the room/parity folding of decoded Ys, the val=0 'unused post'
+    skip, the multiplier, and render_line's Bresenham stepping:
+
+      multiplier=2 (range 128), xs=[0,16,8,4,12], ys=[10,60,40,15,0]
+      final[2]: pred = render_point(0,10,16,60,8) = 10+((50*8)//16) = 35
+                room = 2*min(128-35,35) = 70; val=40 even -> 35+20 = 55
+      final[3]: pred = render_point(0,10,8,55,4)  = 10+((45*4)//8)  = 32
+                room = 64; val=15 odd  -> 32-((15+1)//2) = 24
+      final[4]: pred = render_point(8,55,16,60,12) = 55+((5*4)//8)  = 57
+                val=0 -> post UNUSED (skipped in rendering)
+      points after multiplier: (0,20) (4,48) (8,110) (16,120)
+      render_line(0,20,4,48):   base=7 ady=0 -> 20 27 34 41
+      render_line(4,48,8,110):  base=15 ady=2 -> 48 63 79 94
+      render_line(8,110,16,120): base=1 ady=2 -> 110 111 112 113 115 116 117 118
+    """
+    from rustcheatersdatapipeline_spark.functions.vorbis import (
+        FLOOR1_INVERSE_DB,
+        _floor1_synthesize,
+    )
+
+    fl = {"multiplier": 2, "xs": [0, 16, 8, 4, 12]}
+    got = _floor1_synthesize(fl, [10, 60, 40, 15, 0], 16)
+    curve_y = [20, 27, 34, 41, 48, 63, 79, 94,
+               110, 111, 112, 113, 115, 116, 117, 118]
+    assert np.array_equal(got, FLOOR1_INVERSE_DB[curve_y])
+
+
+def test_h264_sps_pps_hand_assembled_bitstream():
+    """Baseline CIF SPS + CAVLC PPS, every bit written by hand from the
+    H.264 syntax tables (7.3.2.1.1 / 7.3.2.2) and stated below; the
+    parser must recover the exact encoded fields.
+
+    SPS RBSP bits after profile(0x42=66)/constraints(0xC0)/level(13):
+      sps_id ue(0)=1 | log2_max_frame_num_minus4 ue(0)=1
+      | poc_type ue(0)=1 | log2_max_poc_lsb_minus4 ue(0)=1
+      | num_ref_frames ue(1)=010 | gaps u(1)=0
+      | width_mbs_minus1 ue(21)=000010110 (22 mbs = 352)
+      | height_units_minus1 ue(17)=000010010 (18 units = 288)
+      | frame_mbs_only=1 | direct_8x8=1 | crop=0 | vui=0 | stop=1
+      = 11110100 00001011 00000100 10110010 = F4 0B 04 B2
+
+    PPS RBSP bits: pps_id ue(0)=1 | sps_id ue(0)=1
+      | entropy_coding_mode u(1)=0 (CAVLC) | stop=1 = 1101 0000 = D0
+    """
+    from rustcheatersdatapipeline_spark.functions import h264 as H
+
+    sps = bytes.fromhex("6742c00df40b04b2")
+    got = H.parse_sps(sps)
+    assert got["profile"] == "baseline" and got["profile_idc"] == 66
+    assert got["level"] == 1.3
+    assert (got["width"], got["height"]) == (352, 288)
+    assert got["chroma_format_idc"] == 1
+    assert got["frame_mbs_only"] == 1
+    assert got["log2_max_frame_num"] == 4
+    assert got["num_ref_frames"] == 1
+
+    pps = bytes.fromhex("68d0")
+    assert H.parse_pps(pps) == {"pps_id": 0, "sps_id": 0, "entropy": "cavlc"}
+
+    # the pair as one Annex B stream: start-code iteration + type walk
+    stream = b"\x00\x00\x00\x01" + sps + b"\x00\x00\x00\x01" + pps
+    kinds = [nal[0] & 0x1F for nal in H.annexb_nal_units(stream)]
+    assert kinds == [7, 8]
+
+
+def test_wav_real_encoder_vs_stdlib_wave():
+    """A REAL externally produced WAV (CPython's test-suite pluck
+    recording — not written by anything in this repo) decoded by the
+    engine must be sample-exact against an INDEPENDENT decoder (stdlib
+    ``wave``): same frames, channels, rate, every int16 equal."""
+    import os
+    import wave
+
+    import pytest
+
+    from rustcheatersdatapipeline_spark.functions.pixels import decode_wav_samples
+
+    path = None
+    for root in ("/root/.pyenv/versions",):
+        if not os.path.isdir(root):
+            continue
+        for ver in sorted(os.listdir(root), reverse=True):
+            cand = os.path.join(
+                root, ver, "lib",
+                f"python{'.'.join(ver.split('.')[:2])}",
+                "test", "audiodata", "pluck-pcm16.wav",
+            )
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path:
+            break
+    if path is None:
+        pytest.skip("no CPython test audiodata in this environment")
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    samples, rate = decode_wav_samples(buf)
+
+    w = wave.open(path)
+    assert (w.getnchannels(), w.getframerate()) == (samples.shape[1], rate)
+    ref = np.frombuffer(w.readframes(w.getnframes()), "<i2").reshape(
+        -1, w.getnchannels()
+    )
+    assert samples.shape == ref.shape
+    assert np.array_equal(samples, ref)
