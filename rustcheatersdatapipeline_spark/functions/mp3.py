@@ -48,9 +48,18 @@ decoders on production data; corrections are pure data edits):
   path in ``_read_huffman``, exercised by an injected-table round
   trip in tests), but the two shared ESC CODE tables (16 and 24) and
   table 15 are NOT transcribed — their 256-entry code arrays failed
-  structural self-certification and a guessed table would silently
-  mis-decode where this boundary cleanly quarantines: a frame
-  selecting one raises the named ``NotImplementedError``.
+  structural self-certification in r11 AND an r12 re-recall attempt,
+  and a guessed table would silently mis-decode where this boundary
+  cleanly quarantines: a frame selecting one raises the named
+  ``NotImplementedError``. The acceptance machinery is READY:
+  ``certify_tables(buf, candidates={15|16|24: (nx, hlen, hcod)})`` is
+  the bit-accounting harness (ISO 11172-3 §2.4.1.7: every granule's
+  part2 + part3 region must consume exactly ``part2_3_length`` bits) —
+  the moment any real ESC-coded MP3 or a validating transcription
+  source is available, a candidate that is prefix-free,
+  Kraft-complete, AND bit-exact over dozens of real granules certifies;
+  any length-wrong candidate refutes with overruns (both directions
+  demonstrated in tests/test_mp3.py).
 - ``SYNTH_WINDOW_D``: the 512-coefficient synthesis window (Table
   B.3), stored as exact n/65536 rationals, symmetric around index
   256.
@@ -516,7 +525,11 @@ def _read_scalefacs(rd: _BitReader, g: dict, gr: int, scfsi, prev) -> dict:
 # ----------------------------------------------------------------- huffman
 
 
-def _read_huffman(rd: _BitReader, g: dict, rate: int, part2_3_end: int):
+def _read_huffman(
+    rd: _BitReader, g: dict, rate: int, part2_3_end: int, decoders=None
+):
+    if decoders is None:
+        decoders = _PAIR_DECODERS
     xs = np.zeros(576, np.float64)
     signs = np.ones(576, np.float64)
     long_b = SFB_LONG[rate]
@@ -547,12 +560,12 @@ def _read_huffman(rd: _BitReader, g: dict, rate: int, part2_3_end: int):
             i += 2
             continue
         base, linbits = ESC_TABLES.get(sel, (sel, 0))
-        if base not in _PAIR_DECODERS:
+        if base not in decoders:
             raise NotImplementedError(
                 f"MP3: Huffman code table {base} (selected as table {sel}) "
                 "not transcribed in this build"
             )
-        dec, nx = _PAIR_DECODERS[base]
+        dec, nx = decoders[base]
         idx = rd.huff(dec)
         x, y = divmod(idx, nx)
         # spec bit order: x escape linbits, x sign, y escape linbits,
@@ -938,3 +951,136 @@ def decode_mp3_samples(buf: bytes) -> tuple[np.ndarray, int]:
         np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16),
         rate0,
     )
+
+
+# ------------------------------------------------- table certification
+
+
+def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
+    """Bit-accounting certification harness for Huffman table data
+    (VERDICT r11 next-round #4) — the strongest self-consistency check
+    that needs NO external ground truth: per ISO 11172-3 §2.4.1.7,
+    every granule's scalefactor + Huffman region must consume exactly
+    ``part2_3_length`` bits (less explicit stuffing). A candidate code
+    table that decodes MANY real granules with exact bit consumption on
+    all of them is near-certainly length-correct, because any
+    length-wrong table desynchronizes the bit cursor and the count1
+    tail then almost surely misses the budget.
+
+    ``candidates``: optional {table_id: (nx, hlen, hcod)} to INJECT
+    (e.g. recalled arrays for the untranscribed 15/16/24) — the
+    acceptance predicate for a repair search, and the certify-or-refute
+    switch the moment ANY real ESC-coded MP3 becomes available.
+
+    Walks every frame like ``decode_mp3_samples`` (ID3 skip, reservoir,
+    side info) but stops each granule after the Huffman region and
+    scores it instead of synthesizing audio. Granule recovery is exact:
+    granule k+1 starts at granule k's ``part2_3`` end regardless of how
+    granule k scored, so one bad granule never cascades.
+
+    Returns::
+
+        {"granules": N, "exact": n0, "slack": n1, "overrun": n2,
+         "quarantined": n3, "esc_granules": n4, "skipped_frames": n5,
+         "max_slack_bits": b, "table_use": {table_id: count}}
+
+    exact = cursor landed ON the budget; slack = undershot (stuffing
+    bits — legal, weaker evidence); overrun = decode error or budget
+    overshot (a candidate REFUTATION on known-good streams);
+    quarantined = selected a table absent from both the build and
+    ``candidates``.
+    """
+    decoders = dict(_PAIR_DECODERS)
+    if candidates:
+        for tid, (nx, hlen, hcod) in candidates.items():
+            decoders[tid] = (_build_huff_decoder(hlen, hcod), nx)
+
+    stats = {
+        "granules": 0, "exact": 0, "slack": 0, "overrun": 0,
+        "quarantined": 0, "esc_granules": 0, "skipped_frames": 0,
+        "max_slack_bits": 0, "table_use": {},
+    }
+    pos = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = 0
+        for b in buf[6:10]:
+            if b & 0x80:
+                raise ValueError("MP3: bad ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+    reservoir = bytearray()
+    rate0 = channels0 = None
+    while pos < len(buf):
+        if buf[pos : pos + 3] == b"TAG" and len(buf) - pos == 128:
+            break
+        hdr = _parse_header(buf, pos)
+        if hdr is None:
+            if len(buf) - pos < 4 and stats["granules"]:
+                break
+            raise ValueError("MP3: lost frame sync")
+        if hdr["layer"] != 3 or hdr["version"] == 0:
+            stats["skipped_frames"] += 1
+            pos += max(hdr["size"], 4)
+            continue
+        rate, channels = hdr["rate"], hdr["channels"]
+        if rate0 is None:
+            rate0, channels0 = rate, channels
+        elif rate != rate0 or channels != channels0:
+            raise ValueError("MP3: stream parameters changed mid-payload")
+        frame = buf[pos : pos + hdr["size"]]
+        if len(frame) < hdr["size"]:
+            raise ValueError("MP3: truncated frame")
+        body = 4 + (2 if hdr["protected"] else 0)
+        si_len = (17 if channels == 1 else 32) if hdr["mpeg1"] else (
+            9 if channels == 1 else 17
+        )
+        if len(frame) < body + si_len:
+            raise ValueError("MP3: frame too small for side info")
+        si = (
+            _parse_side_info(frame[body : body + si_len], channels)
+            if hdr["mpeg1"]
+            else _parse_side_info_lsf(frame[body : body + si_len], channels)
+        )
+        start = len(reservoir) - si["main_data_begin"]
+        if start < 0:
+            raise ValueError("MP3: bit-reservoir underflow")
+        reservoir.extend(frame[body + si_len :])
+        rd = _BitReader(bytes(reservoir), 8 * start)
+        prev_sf = [None] * channels
+        for gr in range(len(si["granules"])):
+            for ch in range(channels):
+                g = si["granules"][gr][ch]
+                p23_end = rd.pos + g["part2_3_length"]
+                stats["granules"] += 1
+                for sel in g["table_select"]:
+                    stats["table_use"][sel] = stats["table_use"].get(sel, 0) + 1
+                if any(s in ESC_TABLES for s in g["table_select"]):
+                    stats["esc_granules"] += 1
+                try:
+                    if hdr["mpeg1"]:
+                        sf = _read_scalefacs(
+                            rd, g, gr, si["scfsi"][ch], prev_sf[ch]
+                        )
+                    else:
+                        sf = _read_scalefacs_lsf(rd, g)
+                    if sf["long"] is not None and not sf.get("mixed"):
+                        prev_sf[ch] = sf
+                    _read_huffman(rd, g, rate, p23_end, decoders)
+                    if rd.pos > p23_end:
+                        raise ValueError("MP3: part2_3_length overrun")
+                    if rd.pos == p23_end:
+                        stats["exact"] += 1
+                    else:
+                        stats["slack"] += 1
+                        stats["max_slack_bits"] = max(
+                            stats["max_slack_bits"], p23_end - rd.pos
+                        )
+                except NotImplementedError:
+                    stats["quarantined"] += 1
+                except ValueError:
+                    stats["overrun"] += 1
+                rd.pos = p23_end  # exact recovery: budgets are additive
+        if len(reservoir) > 511:
+            del reservoir[: len(reservoir) - 511]
+        pos += hdr["size"]
+    return stats
