@@ -583,6 +583,13 @@ def _simhash_pairs(spark, sf_dir):
         # candidates out of the dedup shuffle entirely
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
+        # the verified pair set is near-dup-sparse (~0.2% of docs at
+        # any SF) and consumed by TWO declared queries (the pair
+        # presentation and dedup_cluster's contraction) — cache it so
+        # the banded-candidate join runs once per session, not once
+        # per consumer (DataFrame.cache is MEMORY_AND_DISK: spills,
+        # never recomputes, at 100 TB)
+        .cache()
     )
 
 
