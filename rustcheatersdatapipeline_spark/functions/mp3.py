@@ -152,6 +152,18 @@ ALIAS_CA = tuple(c / (1.0 + c * c) ** 0.5 for c in _CI)
 #:     single-mutation completions differed in one symmetric choice
 #:     ((x2,y15) vs (x15,y0) +1), resolved toward the recalled shape
 #:     of row 15.
+#:
+#: CAVEAT (r11 ADVICE, still open): structural validity pins the
+#: LENGTH multiset, not the code-to-symbol assignment — same-length
+#: codewords can be permuted and still pass, and the round-trip tests
+#: share these arrays with tests/mp3enc.py, so they cannot catch a
+#: consistent mis-transcription of 10-13. ``certify_tables`` (r12) is
+#: the external-data switch: it scores shipped tables exactly like
+#: injected candidates, so the first real MP3 that SELECTS 10-13
+#: certifies their lengths granule-by-granule (and any decode of such
+#: a file should be cross-checked sample-level before claiming bit
+#: parity). Until then, treat features derived from real-world MP3s
+#: that exercise 11/12/13 as unverified.
 HUFFMAN_TABLES: dict[int, tuple[int, tuple, tuple]] = {
     1: (2, (1, 3, 2, 3), (1, 1, 1, 0)),
     2: (3, (1, 3, 6, 3, 3, 5, 5, 5, 6), (1, 2, 1, 3, 1, 1, 3, 2, 0)),
