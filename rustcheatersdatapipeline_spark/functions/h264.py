@@ -117,10 +117,21 @@ def avcc_nal_units(buf: bytes, length_size: int = 4):
         i += ln
 
 
+#: sample aspect ratios, aspect_ratio_idc 1..16 (Table E-1)
+_SAR_TABLE = (
+    (1, 1), (12, 11), (10, 11), (16, 11), (40, 33), (24, 11), (20, 11),
+    (32, 11), (80, 33), (18, 11), (15, 11), (64, 33), (160, 99), (4, 3),
+    (3, 2), (2, 1),
+)
+
+
 def parse_sps(nal: bytes) -> dict:
     """Sequence parameter set (section 7.3.2.1.1): profile/level,
     TRUE display dimensions (mb grid minus frame cropping), frame
-    numbering and field/frame mode."""
+    numbering and field/frame mode — plus, when VUI carries them, the
+    curation-filterable ``fps`` (timing_info, frame = two ticks per
+    E.2.1) and ``sar`` (Table E-1 or Extended_SAR); both None when the
+    stream does not declare them."""
     if not nal or nal[0] & 0x1F != 7:
         raise ValueError("H.264: not an SPS NAL")
     rd = _ExpGolomb(nal[1:])
@@ -173,7 +184,7 @@ def parse_sps(nal: bytes) -> dict:
     crop_y_mult = sub_h * (2 - frame_mbs_only)
     width = w_mbs * 16 - sub_w * (crop_l + crop_r)
     height = (2 - frame_mbs_only) * h_units * 16 - crop_y_mult * (crop_t + crop_b)
-    return {
+    out = {
         "profile_idc": profile_idc,
         "profile": _PROFILES.get(profile_idc, str(profile_idc)),
         "level": level_idc / 10.0,
@@ -183,7 +194,32 @@ def parse_sps(nal: bytes) -> dict:
         "frame_mbs_only": frame_mbs_only,
         "log2_max_frame_num": log2_max_frame_num,
         "num_ref_frames": num_ref_frames,
+        "fps": None,
+        "sar": None,
     }
+    if rd.u(1):  # vui_parameters_present (annex E.1.1, through timing)
+        if rd.u(1):  # aspect_ratio_info_present
+            idc = rd.u(8)
+            if idc == 255:  # Extended_SAR
+                out["sar"] = (rd.u(16), rd.u(16))
+            elif 1 <= idc <= len(_SAR_TABLE):
+                out["sar"] = _SAR_TABLE[idc - 1]
+        if rd.u(1):  # overscan_info_present
+            rd.u(1)
+        if rd.u(1):  # video_signal_type_present
+            rd.u(4)  # video_format(3) + full_range(1)
+            if rd.u(1):  # colour_description_present
+                rd.u(24)  # primaries + transfer + matrix
+        if rd.u(1):  # chroma_loc_info_present
+            rd.ue(), rd.ue()
+        if rd.u(1):  # timing_info_present
+            num_units = rd.u(32)
+            time_scale = rd.u(32)
+            rd.u(1)  # fixed_frame_rate_flag
+            if num_units:
+                # frame rate convention (E.2.1): one frame = two ticks
+                out["fps"] = time_scale / (2.0 * num_units)
+    return out
 
 
 def parse_pps(nal: bytes) -> dict:

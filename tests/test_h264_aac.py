@@ -306,3 +306,49 @@ def test_mp4a_track_integration():
 def test_aac_decode_is_named_boundary():
     with pytest.raises(NotImplementedError, match="Huffman codebooks"):
         A.decode_aac_samples(_adts_frame())
+
+
+def test_sps_vui_timing_and_sar():
+    """VUI (annex E.1.1) through timing_info: fps = time_scale /
+    (2 * num_units_in_tick) per E.2.1, SAR from Table E-1 or
+    Extended_SAR — the fields a curation pipeline filters crawled
+    video on."""
+    def sps_with_vui(write_vui):
+        bw = BW()
+        bw.u(0x67, 8), bw.u(66, 8), bw.u(0, 8), bw.u(30, 8)
+        bw.ue(0)                     # sps id
+        bw.ue(4), bw.ue(0), bw.ue(0) # frame_num / poc
+        bw.ue(3), bw.u(0, 1)         # refs, gaps
+        bw.ue(39), bw.ue(29)         # 640x480
+        bw.u(1, 1), bw.u(1, 1)       # frame_mbs_only, direct_8x8
+        bw.u(0, 1)                   # no crop
+        bw.u(1, 1)                   # vui present
+        write_vui(bw)
+        return bw.bytes()
+
+    def ntsc(bw):
+        bw.u(1, 1), bw.u(1, 8)       # aspect present, idc 1 (1:1)
+        bw.u(0, 1), bw.u(0, 1), bw.u(0, 1)  # overscan/signal/chroma absent
+        bw.u(1, 1)                   # timing present
+        bw.u(1001, 32), bw.u(60000, 32), bw.u(1, 1)
+
+    got = H.parse_sps(sps_with_vui(ntsc))
+    assert got["sar"] == (1, 1)
+    assert abs(got["fps"] - 29.97002997) < 1e-6
+    assert (got["width"], got["height"]) == (640, 480)
+
+    def ext_sar_no_timing(bw):
+        bw.u(1, 1), bw.u(255, 8)     # Extended_SAR
+        bw.u(59, 16), bw.u(54, 16)
+        bw.u(0, 1)
+        bw.u(1, 1), bw.u(3, 3), bw.u(1, 1), bw.u(0, 1)  # signal type, no colour
+        bw.u(0, 1)                   # chroma absent
+        bw.u(0, 1)                   # timing absent
+
+    got = H.parse_sps(sps_with_vui(ext_sar_no_timing))
+    assert got["sar"] == (59, 54) and got["fps"] is None
+
+    # no VUI at all -> both None (and the golden-vector SPS agrees)
+    plain = _sps()
+    got = H.parse_sps(plain)
+    assert got["fps"] is None and got["sar"] is None
