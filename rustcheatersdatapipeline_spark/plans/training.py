@@ -2228,6 +2228,73 @@ def dedup_cluster(spark, sf_dir):
 #: Span width (whitespace tokens) for passage-level exact dedup.
 SPAN_W = 20
 
+#: Minimum repeated-run length (whitespace tokens) for the
+#: arbitrary-length exact-substring pass.
+SUBSTR_W = 16
+
+
+def dedup_substrings(spark, sf_dir):
+    """Arbitrary-length exact-substring duplicate spans (the Lee et al.
+    2022 exact-substring pass at its TRUE granularity): every maximal
+    run of >= SUBSTR_W tokens that also occurs earlier in the corpus
+    (by (doc_id, position) order), reported as merged (doc_id,
+    span_start, span_end) token intervals.
+
+    ``dedup_spans`` approximates this with fixed NON-overlapping
+    chunks, which misses duplicates straddling a chunk boundary and
+    quantizes span edges to SPAN_W. This operator uses stride-1
+    W-token grams — every gram occurrence beyond its first marks its
+    W-token window as duplicated, and overlapping/adjacent marked
+    windows merge into maximal spans (the islands-and-gaps pattern,
+    same as sessionize): exact boundaries, arbitrary lengths, still a
+    pure DataFrame program.
+
+    Scale shape: stride-1 grams are one row per TOKEN (not per chunk,
+    but still corpus-linear); first-occurrence election is one window
+    shuffle keyed on the gram hash (md5 — uniform, portable to the
+    oracle); island merging is one doc_id window. 2 shuffles total, no
+    similarity joins, no candidate explosion. The suffix-array
+    construction Lee et al. use single-node is unnecessary here: for a
+    fixed minimum length W, stride-1 gram election finds the identical
+    duplicated-token set.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_grams = (F.size(toks) - F.lit(SUBSTR_W - 1)).cast("int")
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, SUBSTR_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup = (
+        occ.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(SUBSTR_W)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "brk",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("brk").over(wd))
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(SUBSTR_W)).cast("bigint").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+        .orderBy("doc_id", "span_start")
+    )
+
 
 def dedup_spans(spark, sf_dir):
     """Passage-level exact dedup: drop repeated SPAN_W-token spans
@@ -3115,6 +3182,7 @@ def graph_triangles(spark, sf_dir):
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": graph_triangles,
+    "dedup_substrings": dedup_substrings,
     "hll_register_rows": hll_register_rows,
     "ddsketch_buckets": ddsketch_buckets,
     "domain_mix": domain_mix,
@@ -3437,6 +3505,24 @@ _PQ_CTE = (
 )
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
+    "dedup_substrings": (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        "g AS (SELECT doc_id, i - 1 AS pos, "
+        f"md5(array_to_string(w[i:i + {SUBSTR_W - 1}], ' ')) AS h "
+        f"FROM toks JOIN generate_series(1, 4096) t(i) ON i <= len(w) - {SUBSTR_W - 1}), "
+        "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+        "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM g) WHERE rn > 1), "
+        f"isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_W}) "
+        "OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk "
+        "FROM dup), "
+        "isl2 AS (SELECT doc_id, pos, SUM(brk) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS island FROM isl) "
+        "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+        f"CAST(MAX(pos) + {SUBSTR_W} AS BIGINT) AS span_end "
+        "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"
+    ),
     "graph_triangles": (
         "WITH raw AS (SELECT ((('0x'||substr(md5('ga:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sa, ((('0x'||substr(md5('gb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sb FROM documents), "
         "e AS (SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b "

@@ -72,3 +72,44 @@ def test_bloom_prefilter_is_exact_and_selective(spark, sf_dir):
     assert cand >= true_hits            # no false negatives
     fp = (cand - true_hits) / max(total - true_hits, 1)
     assert fp < 0.05                    # the 32 KiB filter prunes ≥95%
+
+
+def test_dedup_substrings_exact_boundaries_and_merging(spark):
+    """Constructed corpus: arbitrary-length exact-substring spans get
+    EXACT token boundaries (including duplicates straddling dedup_spans'
+    fixed SPAN_W chunk grid), overlapping/adjacent runs merge into one
+    maximal island, and separated runs stay separate islands."""
+    from rustcheatersdatapipeline_spark.plans.training import (
+        SUBSTR_W,
+        dedup_substrings,
+    )
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    shared = words("dup", 24)           # a 24-token repeated block
+    shared2 = words("other", 16)        # exactly W tokens, elsewhere
+    doc0 = words("a", 7) + shared + words("b", 9) + shared2
+    # doc1 repeats `shared` at a DIFFERENT offset (straddles any fixed
+    # chunk grid) and `shared2` later, separated by unique filler
+    doc1 = words("c", 3) + shared + words("d", 30) + shared2 + words("e", 2)
+    rows = [
+        (0, " ".join(doc0), "en", "s", 1),
+        (1, " ".join(doc1), "en", "s", 1),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = [
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup_substrings(spark, td).collect()
+        ]
+    # doc0 is first by (doc_id, pos) everywhere -> no spans; doc1's
+    # copies are duplicates with exact extents: `shared` covers tokens
+    # [3, 27), `shared2` covers [57, 73) (3+24+30=57)
+    assert got == [(1, 3, 3 + 24), (1, 57, 57 + 16)]
+    assert (3 + 24 - 3) > SUBSTR_W  # first span is LONGER than W: runs merge
