@@ -2268,11 +2268,27 @@ def dedup_substrings(spark, sf_dir):
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, SUBSTR_W))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = docs.select("doc_id", F.posexplode(grams).alias("pos", "h"))
-    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    # repartition BEFORE the ~n_tokens-per-doc explode (char_shingles'
+    # documented practice): a small parquet arrives as one scan
+    # partition, which would serialize the gram expansion + md5 on one
+    # core; the shuffle moves only the cheap pre-explode rows
+    parallelism = spark.sparkContext.defaultParallelism
+    occ = docs.repartition(parallelism, "doc_id").select(
+        "doc_id", F.posexplode(grams).alias("pos", "h")
+    )
+    # duplicates = occurrences that are not the global (doc_id, pos)
+    # minimum for their gram. min(struct) + join-back instead of a
+    # row_number window: the aggregate partially combines map-side
+    # (skew-safe for boilerplate grams repeated across a large corpus
+    # fraction), and the join-back is a JOIN — the shape AQE's skew
+    # splitting covers, unlike a window (r12, same fix as dedup_spans).
+    firsts = occ.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
     dup = (
-        occ.withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") > 1)
+        occ.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
         .select("doc_id", "pos")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -2332,10 +2348,20 @@ def dedup_spans(spark, sf_dir):
     exploded = docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    # first-occurrence election via min(struct), NOT a row_number
+    # window: the aggregate partially combines map-side, so a chunk
+    # repeated in millions of documents (license block at 100 TB)
+    # collapses to one row per map task instead of routing every
+    # occurrence into a single window-sort task — windows are the one
+    # shuffle shape AQE cannot skew-split (r12).
     kept = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        exploded.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.chunk_idx").alias("chunk_idx"),
+            "chunk",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
