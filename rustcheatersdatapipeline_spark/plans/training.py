@@ -361,15 +361,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # the former groupBy("doc_id")+join (one aggregate exchange and one
     # join fewer; results identical since shingles are distinct per doc)
     wn = Window.partitionBy("doc_id")
-    # document frequency as a window count over g: shingles are distinct
-    # per doc, so COUNT(*) OVER (PARTITION BY g) IS df(g) exactly. This
-    # replaces the former groupBy("g")+join-back — one g-shuffle of the
-    # shingle table instead of an aggregate exchange PLUS a join that
-    # re-shuffled the same rows by g (the largest intermediate in the
-    # query, so one fewer full-data exchange at any corpus size).
-    wg = Window.partitionBy("g")
+    # document frequency via groupBy("g")+join-back, NOT a g-window:
+    # COUNT(*) OVER (PARTITION BY g) routes EVERY row of a hot shingle
+    # into one window task (a boilerplate shingle present in most
+    # documents = one task holding ~n_docs rows at 100 TB), and windows
+    # are the one shuffle shape AQE cannot skew-split. The aggregate
+    # partially combines map-side — hot keys collapse to one row per
+    # map task — and the join-back on g is a JOIN, which AQE's skew
+    # splitting covers. (r12; reverses the r10 window micro-opt, which
+    # saved one local exchange by giving up both skew defenses.)
+    # Cached: the same distinct-shingle-sized table serves this query,
+    # dedup_containment, and every bench rep; AQE broadcasts it when it
+    # fits and shuffle-joins with skew splitting when it does not.
+    df_tab = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).cache()
     prefix = (
-        sh.withColumn("df", F.count(F.lit(1)).over(wg))
+        sh.join(df_tab, "g")
         .select(
             "doc_id",
             "g",
@@ -433,12 +439,14 @@ def dedup_containment(spark, sf_dir):
     k = choose_shingle_k(spark, sf_dir)
     sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
     w = Window.partitionBy("doc_id").orderBy("df", "g")
-    # same single-shuffle window tricks as dedup_ngram_jaccard: df rides
-    # a g-window and the per-doc size a doc_id-window — no groupBy+join
+    # per-doc size rides a doc_id-window (bounded partitions — safe);
+    # df via groupBy+join-back for the same skew rationale as
+    # dedup_ngram_jaccard (hot boilerplate shingles vs un-splittable
+    # window partitions)
     wn = Window.partitionBy("doc_id")
-    wg = Window.partitionBy("g")
+    df_tab = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).cache()
     prefix = (
-        sh.withColumn("df", F.count(F.lit(1)).over(wg))
+        sh.join(df_tab, "g")
         .select(
             "doc_id",
             "g",
