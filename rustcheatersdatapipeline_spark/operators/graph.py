@@ -500,14 +500,24 @@ def label_propagation(
     convergence-to-fixpoint is not a meaningful stop condition.
 
     Per round: one join shuffle (labels onto edge endpoints) + one
-    aggregation (neighbor label histogram) + one window top-1 per
-    node — all keyed by node id, linear state, no skew beyond the
-    graph's own degree skew (AQE's job).  Returns (node, label)."""
+    aggregation (neighbor label histogram) + one min(struct) top-1
+    aggregate per node — all keyed by node id, linear state, every
+    aggregate map-side combinable so a celebrity node's histogram
+    collapses per map task instead of landing in one un-splittable
+    window partition (r12: the former window top-1 was the one
+    degree-skew shape AQE could not manage).  Returns (node, label)."""
     if rounds < 0:
         raise ValueError("label_propagation: rounds must be >= 0")
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
@@ -525,11 +535,12 @@ def label_propagation(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
         hist = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
-        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+        # top-1 by (n desc, label asc) as a lexicographic struct MIN —
+        # a partially-aggregable fold, unlike a row_number window
         labels = (
-            hist.select("node", "label", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            hist.groupBy("node")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), F.col("label").alias("l"))).alias("t"))
+            .select("node", F.col("t.l").alias("label"))
             .localCheckpoint()
         )
     return labels
