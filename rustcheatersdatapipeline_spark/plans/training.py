@@ -385,6 +385,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("plen", F.col("n") - F.expr("(8 * n + 9) div 10") + 1)
         .filter(F.col("rn") <= F.col("plen"))
         .select("doc_id", "g", "n", "rn")
+        # both self-join sides consume the prefix table and Catalyst
+        # does not reuse the exchange across sides (same finding as the
+        # simhash signature cache) — ~20% of the shingle rows, cached
+        .cache()
     )
     pa = prefix.alias("pa")
     pb = prefix.alias("pb")
