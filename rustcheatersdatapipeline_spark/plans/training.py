@@ -504,7 +504,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     # fresh — it recomputes shingles and serializes behind the band join)
     sh = char_shingles(docs, "text", "doc_id", k=choose_shingle_k(spark, sf_dir)).cache()
     hashed = sh.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
-    sig = minhash_signature(hashed)
+    # the banded self-join consumes the signature table on BOTH sides
+    # and Catalyst does not reuse the exchange across sides — cache the
+    # (doc_id + 16 ints) table so the 16-min aggregation over the
+    # shingle table runs once (same finding as the simhash signature
+    # and PPJoin prefix caches, r12)
+    sig = minhash_signature(hashed).cache()
     bands = minhash_bands(sig)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
