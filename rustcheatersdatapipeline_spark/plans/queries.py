@@ -507,9 +507,12 @@ def q30(spark, sf_dir):
 #: composite key + DESC tiebreak ordering a strict superset of q12's
 #: mechanics) went to ``dedup_spans`` (plans/training.py) so
 #: passage-level exact dedup — the Lee et al. exact-substring family —
-#: is driver-verified. The driver's correctness gate records at most
-#: 50 entries, so the declared surface is kept at exactly 50 —
-#: coverage is preserved by compositing, not dropping.
+#: is driver-verified; in r13 that same slot rotated to
+#: ``dedup_substrings`` (the true-granularity stride-1 form strictly
+#: supersedes the fixed-grid span semantics) with ``dedup_spans``
+#: folding into training's tests-only suite. The driver's correctness
+#: gate records at most 50 entries, so the declared surface is kept at
+#: exactly 50 — coverage is preserved by compositing, not dropping.
 _TESTS_ONLY = (6, 8, 10, 12, 14, 22, 24, 30)
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

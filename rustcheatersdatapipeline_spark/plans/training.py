@@ -3172,11 +3172,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the pair-to-groups step every production dedup pipeline runs —
     # was unrepresented in the declared surface (VERDICT r10 #6)
     "dedup_cluster": dedup_cluster,
-    # promoted in r12 (the freed slot came from q12 → q19): passage-
-    # level exact dedup (the Lee et al. exact-substring pass) — the
-    # most-used LLM dedup family not yet driver-verified (VERDICT r11
-    # next-round #5)
-    "dedup_spans": dedup_spans,
+    # r13 rotation (VERDICT r12 next-round #2): the declared slot the
+    # r12 round gave to ``dedup_spans`` now holds ``dedup_substrings``
+    # — the TRUE-granularity exact-substring pass (stride-1 W-gram
+    # election + island merge) strictly supersedes the fixed-grid
+    # ``dedup_spans`` semantics (which quantizes span edges to SPAN_W
+    # and misses straddling duplicates), so the declared surface holds
+    # the stronger operator. ``dedup_spans`` keeps its identical
+    # DuckDB-oracle compare in the tests-only suite below.
+    "dedup_substrings": dedup_substrings,
 }
 
 
@@ -3225,7 +3229,10 @@ def graph_triangles(spark, sf_dir):
 
 TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": graph_triangles,
-    "dedup_substrings": dedup_substrings,
+    # folded r13: superseded in the declared surface by the
+    # true-granularity ``dedup_substrings`` (see SPARK_QUERIES note);
+    # the fixed-grid span semantics stay oracle-verified here
+    "dedup_spans": dedup_spans,
     "hll_register_rows": hll_register_rows,
     "ddsketch_buckets": ddsketch_buckets,
     "domain_mix": domain_mix,
@@ -3330,23 +3337,28 @@ _LANG_SCORE = {
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL: dict[str, str] = {
-    "dedup_spans": (
+    # r13 (declared; was tests-only): per-row LATERAL
+    # unnest(generate_series(1, len(w) - W + 1)) replaces the old fixed
+    # generate_series(1, 4096) cap, so the oracle covers documents of
+    # ANY length instead of silently diverging past the cap
+    # (ADVICE r12).
+    "dedup_substrings": (
         "WITH toks AS (SELECT doc_id, "
         "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
-        "pos AS (SELECT i FROM generate_series(1, 256) t(i)), "
-        f"ch AS (SELECT doc_id, i - 1 AS chunk_idx, "
-        f"array_to_string(w[((i - 1) * {SPAN_W} + 1):((i - 1) * {SPAN_W} + {SPAN_W})], ' ') AS chunk "
-        f"FROM toks JOIN pos ON (i - 1) * {SPAN_W} < len(w)), "
-        "keep AS (SELECT doc_id, chunk_idx, chunk, "
-        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch), "
-        "k AS (SELECT doc_id, COUNT(*) AS n_kept, "
-        "array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS rebuilt "
-        "FROM keep WHERE rn = 1 GROUP BY doc_id), "
-        f"n AS (SELECT doc_id, CAST(CEIL(len(w) / {float(SPAN_W)}) AS BIGINT) AS n_chunks "
-        "FROM toks) "
-        "SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept, "
-        "md5(COALESCE(k.rebuilt, '')) AS kept_digest "
-        "FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"
+        "g AS (SELECT doc_id, i - 1 AS pos, "
+        f"md5(array_to_string(w[i:i + {SUBSTR_W - 1}], ' ')) AS h "
+        f"FROM toks, unnest(generate_series(1, len(w) - {SUBSTR_W - 1})) AS t(i)), "
+        "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+        "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM g) WHERE rn > 1), "
+        f"isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_W}) "
+        "OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk "
+        "FROM dup), "
+        "isl2 AS (SELECT doc_id, pos, SUM(brk) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS island FROM isl) "
+        "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+        f"CAST(MAX(pos) + {SUBSTR_W} AS BIGINT) AS span_end "
+        "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"
     ),
     "mixture_token_budget_sample": (
         "WITH base AS (SELECT doc_id, lang, "
@@ -3548,23 +3560,26 @@ _PQ_CTE = (
 )
 
 TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
-    "dedup_substrings": (
+    # r13 (tests-only; was declared r12): same lateral-unnest uncapping
+    # as dedup_substrings — the chunk index now derives from each
+    # document's own length instead of a fixed 256-chunk cap
+    # (ADVICE r12).
+    "dedup_spans": (
         "WITH toks AS (SELECT doc_id, "
         "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
-        "g AS (SELECT doc_id, i - 1 AS pos, "
-        f"md5(array_to_string(w[i:i + {SUBSTR_W - 1}], ' ')) AS h "
-        f"FROM toks JOIN generate_series(1, 4096) t(i) ON i <= len(w) - {SUBSTR_W - 1}), "
-        "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
-        "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM g) WHERE rn > 1), "
-        f"isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_W}) "
-        "OVER (PARTITION BY doc_id ORDER BY pos "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk "
-        "FROM dup), "
-        "isl2 AS (SELECT doc_id, pos, SUM(brk) OVER "
-        "(PARTITION BY doc_id ORDER BY pos) AS island FROM isl) "
-        "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
-        f"CAST(MAX(pos) + {SUBSTR_W} AS BIGINT) AS span_end "
-        "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"
+        f"ch AS (SELECT doc_id, i - 1 AS chunk_idx, "
+        f"array_to_string(w[((i - 1) * {SPAN_W} + 1):((i - 1) * {SPAN_W} + {SPAN_W})], ' ') AS chunk "
+        f"FROM toks, unnest(generate_series(1, CAST(CEIL(len(w) / {float(SPAN_W)}) AS BIGINT))) AS t(i)), "
+        "keep AS (SELECT doc_id, chunk_idx, chunk, "
+        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch), "
+        "k AS (SELECT doc_id, COUNT(*) AS n_kept, "
+        "array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS rebuilt "
+        "FROM keep WHERE rn = 1 GROUP BY doc_id), "
+        f"n AS (SELECT doc_id, CAST(CEIL(len(w) / {float(SPAN_W)}) AS BIGINT) AS n_chunks "
+        "FROM toks) "
+        "SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept, "
+        "md5(COALESCE(k.rebuilt, '')) AS kept_digest "
+        "FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"
     ),
     "graph_triangles": (
         "WITH raw AS (SELECT ((('0x'||substr(md5('ga:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sa, ((('0x'||substr(md5('gb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % 200) AS sb FROM documents), "
