@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..plan_cache import cached
 from ..operators.graph import triangle_counts
 from ..functions.sketches import DD_LN_GAMMA, dd_rows, hll_rows
 from ..functions.similarity import (
@@ -352,9 +353,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """
     docs = table(spark, sf_dir, "documents")
     # sh feeds three subtrees (df, prefix, verification) — cache it
-    # so the explode+distinct shuffle runs once, not three times
+    # so the explode+distinct shuffle runs once, not three times.
+    # All cache handles ride the plan_cache registry (r13): one shared
+    # handle per (session, corpus, key) with an explicit release path,
+    # and dedup_containment's identical shingle/df tables share these
+    # exact entries instead of re-caching equal plans.
     k = choose_shingle_k(spark, sf_dir)
-    sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
+    sh = cached(
+        spark,
+        sf_dir,
+        ("shingles", k, True),
+        lambda: char_shingles(docs, "text", "doc_id", k=k, hash64=True),
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc set size as a window count over the SAME partition key as
     # the row_number — both windows share one doc_id shuffle, replacing
@@ -373,22 +383,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # Cached: the same distinct-shingle-sized table serves this query,
     # dedup_containment, and every bench rep; AQE broadcasts it when it
     # fits and shuffle-joins with skew splitting when it does not.
-    df_tab = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).cache()
-    prefix = (
-        sh.join(df_tab, "g")
-        .select(
-            "doc_id",
-            "g",
-            F.count(F.lit(1)).over(wn).alias("n"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .withColumn("plen", F.col("n") - F.expr("(8 * n + 9) div 10") + 1)
-        .filter(F.col("rn") <= F.col("plen"))
-        .select("doc_id", "g", "n", "rn")
-        # both self-join sides consume the prefix table and Catalyst
-        # does not reuse the exchange across sides (same finding as the
-        # simhash signature cache) — ~20% of the shingle rows, cached
-        .cache()
+    df_tab = cached(
+        spark,
+        sf_dir,
+        ("shingle_df", k, True),
+        lambda: sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")),
+    )
+    # both self-join sides consume the prefix table and Catalyst does
+    # not reuse the exchange across sides (same finding as the simhash
+    # signature cache) — ~20% of the shingle rows, cached
+    prefix = cached(
+        spark,
+        sf_dir,
+        ("ppjoin_prefix", k),
+        lambda: (
+            sh.join(df_tab, "g")
+            .select(
+                "doc_id",
+                "g",
+                F.count(F.lit(1)).over(wn).alias("n"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .withColumn("plen", F.col("n") - F.expr("(8 * n + 9) div 10") + 1)
+            .filter(F.col("rn") <= F.col("plen"))
+            .select("doc_id", "g", "n", "rn")
+        ),
     )
     pa = prefix.alias("pa")
     pb = prefix.alias("pb")
@@ -441,14 +460,27 @@ def dedup_containment(spark, sf_dir):
     """
     docs = table(spark, sf_dir, "documents")
     k = choose_shingle_k(spark, sf_dir)
-    sh = char_shingles(docs, "text", "doc_id", k=k, hash64=True).cache()
+    # identical registry keys to dedup_ngram_jaccard's — the two
+    # builders now share ONE cached shingle table and ONE df table per
+    # (session, corpus) instead of re-caching equal plans (r13)
+    sh = cached(
+        spark,
+        sf_dir,
+        ("shingles", k, True),
+        lambda: char_shingles(docs, "text", "doc_id", k=k, hash64=True),
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc size rides a doc_id-window (bounded partitions — safe);
     # df via groupBy+join-back for the same skew rationale as
     # dedup_ngram_jaccard (hot boilerplate shingles vs un-splittable
     # window partitions)
     wn = Window.partitionBy("doc_id")
-    df_tab = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).cache()
+    df_tab = cached(
+        spark,
+        sf_dir,
+        ("shingle_df", k, True),
+        lambda: sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")),
+    )
     prefix = (
         sh.join(df_tab, "g")
         .select(
@@ -502,14 +534,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     # aggregation and the exact-Jaccard verify, so the shingle shuffle
     # is paid once (a candidate-only re-shingle was measured 5x slower
     # fresh — it recomputes shingles and serializes behind the band join)
-    sh = char_shingles(docs, "text", "doc_id", k=choose_shingle_k(spark, sf_dir)).cache()
+    k = choose_shingle_k(spark, sf_dir)
+    sh = cached(
+        spark,
+        sf_dir,
+        ("shingles", k, False),
+        lambda: char_shingles(docs, "text", "doc_id", k=k),
+    )
     hashed = sh.select("doc_id", (portable_hash64(F.col("g")) % PRIME).alias("h"))
     # the banded self-join consumes the signature table on BOTH sides
     # and Catalyst does not reuse the exchange across sides — cache the
     # (doc_id + 16 ints) table so the 16-min aggregation over the
     # shingle table runs once (same finding as the simhash signature
     # and PPJoin prefix caches, r12)
-    sig = minhash_signature(hashed).cache()
+    sig = cached(
+        spark, sf_dir, ("minhash_sig", k), lambda: minhash_signature(hashed)
+    )
     bands = minhash_bands(sig)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -564,7 +604,12 @@ def _simhash_pairs(spark, sf_dir):
     # the exchange across the sides (verified .explain r12), so without
     # this the tokenize+groupBy subtree runs twice. Same cached-small-
     # intermediate discipline as dedup_ngram_jaccard's shingle cache.
-    sim = _simhash_docs_unsorted(spark, sf_dir).cache()
+    sim = cached(
+        spark,
+        sf_dir,
+        ("simhash_sig",),
+        lambda: _simhash_docs_unsorted(spark, sf_dir),
+    )
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -583,30 +628,34 @@ def _simhash_pairs(spark, sf_dir):
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        # hamming is a pure function of the pair, so filtering BEFORE
-        # the distinct is semantics-neutral and keeps the non-qualifying
-        # candidates out of the dedup shuffle entirely
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
-        # the verified pair set is near-dup-sparse (~0.2% of docs at
-        # any SF) and consumed by TWO declared queries (the pair
-        # presentation and dedup_cluster's contraction) — cache it so
-        # the banded-candidate join runs once per session, not once
-        # per consumer (DataFrame.cache is MEMORY_AND_DISK: spills,
-        # never recomputes, at 100 TB)
-        .cache()
+    # the verified pair set is near-dup-sparse (~0.2% of docs at any
+    # SF) and consumed by TWO declared queries (the pair presentation
+    # and dedup_cluster's contraction) — cache it so the banded-
+    # candidate join runs once per session, not once per consumer
+    # (DataFrame.cache is MEMORY_AND_DISK: spills, never recomputes,
+    # at 100 TB)
+    return cached(
+        spark,
+        sf_dir,
+        ("simhash_pairs",),
+        lambda: (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            # hamming is a pure function of the pair, so filtering
+            # BEFORE the distinct is semantics-neutral and keeps the
+            # non-qualifying candidates out of the dedup shuffle
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .distinct()
+        ),
     )
 
 
@@ -2157,21 +2206,25 @@ def dedup_cdc(spark, sf_dir):
     )
     # chunks feeds two subtrees (digest sharing stats + per-doc counts) —
     # cache so the token-window pass runs once, not per consumer
-    chunks = (
-        marked.select("doc_id", "pos", "w", chunk_idx.alias("chunk_idx"))
-        .groupBy("doc_id", "chunk_idx")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                        lambda s: s.w,
-                    ),
-                    " ",
-                )
-            ).alias("h")
-        )
-        .cache()
+    chunks = cached(
+        spark,
+        sf_dir,
+        ("cdc_chunks",),
+        lambda: (
+            marked.select("doc_id", "pos", "w", chunk_idx.alias("chunk_idx"))
+            .groupBy("doc_id", "chunk_idx")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                            lambda s: s.w,
+                        ),
+                        " ",
+                    )
+                ).alias("h")
+            )
+        ),
     )
     h_stats = chunks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     return (

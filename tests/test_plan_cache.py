@@ -1,0 +1,91 @@
+"""Lifecycle tests for the plan-level cache registry (VERDICT r12
+next-round #3): training-plan ``.cache()`` handles must be owned,
+shared across repeat invocations, and explicitly releasable — a
+multi-corpus session must not accumulate executor storage."""
+
+import shutil
+
+import pytest
+
+from rustcheatersdatapipeline_spark import plan_cache
+from rustcheatersdatapipeline_spark.plans import training as T
+
+
+def _persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.fixture()
+def clean_registry(spark):
+    plan_cache.release(spark)
+    yield
+    plan_cache.release(spark)
+
+
+def test_release_empties_persistent_rdds(spark, sf_dir, clean_registry):
+    base = _persistent_rdds(spark)
+    T.dedup_ngram_jaccard(spark, sf_dir).count()
+    handles = plan_cache.registered(spark, sf_dir)
+    assert len(handles) >= 3  # shingles, shingle_df, ppjoin_prefix
+    assert _persistent_rdds(spark) > base
+    released = plan_cache.release(spark, sf_dir)
+    assert released == len(handles)
+    assert plan_cache.registered(spark, sf_dir) == []
+    assert _persistent_rdds(spark) == base
+
+
+def test_repeat_invocation_does_not_double_cache(spark, sf_dir, clean_registry):
+    T.dedup_ngram_jaccard(spark, sf_dir).count()
+    n_handles = len(plan_cache.registered(spark))
+    n_rdds = _persistent_rdds(spark)
+    # same builder again: same handles, same storage
+    T.dedup_ngram_jaccard(spark, sf_dir).count()
+    assert len(plan_cache.registered(spark)) == n_handles
+    assert _persistent_rdds(spark) == n_rdds
+    # containment derives from the SAME shingle/df tables — its
+    # invocation must reuse the jaccard entries, not re-cache them
+    T.dedup_containment(spark, sf_dir).count()
+    assert len(plan_cache.registered(spark)) == n_handles
+    assert _persistent_rdds(spark) == n_rdds
+
+
+def test_two_sf_sweeps_release_independently(spark, sf_dir, tmp_path, clean_registry):
+    other = tmp_path / "sf_other"
+    other.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", other / "documents.parquet")
+    T.dedup_exact(spark, sf_dir).count()  # uncached baseline builder
+    T.simhash_neardup(spark, sf_dir).count()
+    T.simhash_neardup(spark, str(other)).count()
+    assert len(plan_cache.registered(spark, sf_dir)) == 2  # sig + pairs
+    assert len(plan_cache.registered(spark, str(other))) == 2
+    # releasing one corpus leaves the other's handles untouched
+    plan_cache.release(spark, str(other))
+    assert plan_cache.registered(spark, str(other)) == []
+    assert len(plan_cache.registered(spark, sf_dir)) == 2
+    plan_cache.release(spark, sf_dir)
+    assert plan_cache.registered(spark) == []
+
+
+def test_inplace_rewrite_evicts_stale_generation(spark, sf_dir, tmp_path, clean_registry):
+    d = tmp_path / "sf_rw"
+    d.mkdir()
+    dst = d / "documents.parquet"
+    shutil.copy(f"{sf_dir}/documents.parquet", dst)
+    first = T._simhash_docs_unsorted(spark, str(d))
+    sim1 = plan_cache.cached(
+        spark, str(d), ("simhash_sig",), lambda: first
+    )
+    sim1.count()
+    # rewrite the table in place (new mtime → new corpus identity)
+    shutil.copy(f"{sf_dir}/documents.parquet", dst)
+    import os
+
+    os.utime(dst)
+    sim2 = plan_cache.cached(
+        spark,
+        str(d),
+        ("simhash_sig",),
+        lambda: T._simhash_docs_unsorted(spark, str(d)),
+    )
+    assert sim2 is not sim1  # stale generation evicted, fresh built
+    assert len(plan_cache.registered(spark, str(d))) == 1
