@@ -996,6 +996,11 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
          "quarantined": n3, "esc_granules": n4, "skipped_frames": n5,
          "max_slack_bits": b, "table_use": {table_id: count}}
 
+    plus ``resync_frames`` when a reservoir underflow forced frames to
+    be consumed unscored (mid-stream start, or the reservoir reset
+    after a skipped alien frame — ADVICE r12: skipping without the
+    reset desynced ``main_data_begin`` for every later frame).
+
     exact = cursor landed ON the budget; slack = undershot (stuffing
     bits — legal, weaker evidence); overrun = decode error or budget
     overshot (a candidate REFUTATION on known-good streams);
@@ -1031,6 +1036,13 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                 break
             raise ValueError("MP3: lost frame sync")
         if hdr["layer"] != 3 or hdr["version"] == 0:
+            # an alien (non-Layer-III) frame contributes no main_data,
+            # so any later main_data_begin pointing across it is
+            # unresolvable — reset the reservoir rather than letting
+            # subsequent granules score against misaligned bits
+            # (ADVICE r12): the frames after the gap then resync via
+            # the underflow path below instead of being miscounted.
+            reservoir.clear()
             stats["skipped_frames"] += 1
             pos += max(hdr["size"], 4)
             continue
@@ -1055,7 +1067,17 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
         )
         start = len(reservoir) - si["main_data_begin"]
         if start < 0:
-            raise ValueError("MP3: bit-reservoir underflow")
+            # reservoir underflow (mid-stream start, or the reset after
+            # a skipped alien frame): this frame's granules are not
+            # scoreable, but its payload still BELONGS to the reservoir
+            # — extend it and resync on the next frame instead of
+            # aborting the whole certification (ADVICE r12).
+            reservoir.extend(frame[body + si_len :])
+            if len(reservoir) > 511:
+                del reservoir[: len(reservoir) - 511]
+            stats["resync_frames"] = stats.get("resync_frames", 0) + 1
+            pos += hdr["size"]
+            continue
         reservoir.extend(frame[body + si_len :])
         rd = _BitReader(bytes(reservoir), 8 * start)
         prev_sf = [None] * channels
@@ -1089,8 +1111,13 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                         )
                 except NotImplementedError:
                     stats["quarantined"] += 1
+                    # a failed granule's scalefactors are unreliable:
+                    # a later scfsi-sharing granule must not reuse them
+                    # or it gets misscored as an overrun (ADVICE r12)
+                    prev_sf[ch] = None
                 except ValueError:
                     stats["overrun"] += 1
+                    prev_sf[ch] = None
                 rd.pos = p23_end  # exact recovery: budgets are additive
         if len(reservoir) > 511:
             del reservoir[: len(reservoir) - 511]

@@ -221,6 +221,11 @@ def lr_train(
     feats = feats.join(labels, "doc_id").select("doc_id", "bucket", "x", "y")
     feats = feats.localCheckpoint()  # one materialization; iterations re-scan
     n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError(
+            "lr_train: no labeled documents with feature rows "
+            "(labels join produced an empty training set)"
+        )
     weights = [0.0] * buckets
     losses: list[float] = []
     for _ in range(n_iter):
@@ -235,9 +240,16 @@ def lr_train(
         )
         m = F.col("ms") / F.lit(_LR_SCALE)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        # the REPORTED loss clamps p into [eps, 1-eps]: under the
+        # aggressive default rate a saturated sigmoid sends log(p) /
+        # log1p(-p) to ±inf/NaN and poisons the whole loss scalar
+        # (ADVICE r12). The gradient keeps the UNclamped p — clamping
+        # there would change the trained weights.
+        eps = F.lit(1e-15)
+        pc = F.least(F.greatest(p, eps), F.lit(1.0) - eps)
         scored = margins.select(
             "doc_id", "y", (p - F.col("y")).alias("err"),
-            (-F.col("y") * F.log(p) - (F.lit(1.0) - F.col("y")) * F.log1p(-p + F.lit(0.0))).alias(
+            (-F.col("y") * F.log(pc) - (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)).alias(
                 "nll"
             ),
         )

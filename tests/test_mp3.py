@@ -731,3 +731,52 @@ def test_certify_tables_on_real_external_file():
     assert got["overrun"] == 0 and got["quarantined"] == 0
     assert got["exact"] + got["slack"] == 45
     assert set(got["table_use"]) == {0}
+
+
+def test_certify_tables_resyncs_over_alien_frame():
+    """ADVICE r12: an alien (non-Layer-III) frame spliced mid-stream
+    must not desync the bit-reservoir accounting for the frames after
+    it — the harness resets the reservoir at the splice, resyncs via
+    the underflow path, and keeps scoring cleanly (no phantom overruns,
+    no abort)."""
+    rng = np.random.default_rng(7)
+    granules = []
+    for k in range(12):
+        vals = [0] * 576
+        for i in range(0, 32):
+            vals[i] = int(rng.integers(0, 3))
+        granules.append(_gr(**{"is": vals, "table_select": [2, 2, 2],
+                               "big_end": 32}))
+    frames = _frames_mono(*granules)
+    buf = encode_mp3(frames, rate=48000, bitrate=32000)
+
+    clean = M.certify_tables(buf)
+    assert clean["granules"] == 12 and clean["overrun"] == 0
+
+    # frame boundaries of the encoded stream
+    bounds, pos = [], 0
+    while pos < len(buf):
+        hdr = M._parse_header(buf, pos)
+        bounds.append((pos, pos + hdr["size"]))
+        pos += hdr["size"]
+    assert len(bounds) == 6
+    # later frames must actually use the reservoir, or the splice
+    # would be vacuous
+    si_rd = lambda p: M._parse_side_info(
+        buf[p + 4 : p + 21], 1)["main_data_begin"]
+    assert any(si_rd(s) > 0 for s, _ in bounds[3:])
+
+    # a valid MPEG-1 Layer II header (48 kbps, 48 kHz, mono) + zero body
+    alien_hdr = bytes([0xFF, 0xFD, 0x24, 0xC0])
+    alien = alien_hdr + bytes(M._parse_header(alien_hdr, 0)["size"] - 4)
+    cut = bounds[3][0]
+    spliced = buf[:cut] + alien + buf[cut:]
+
+    got = M.certify_tables(spliced)
+    assert got["skipped_frames"] == 1
+    assert got.get("resync_frames", 0) >= 1
+    # every granule that WAS scored scored cleanly — the splice causes
+    # resyncs, never phantom overruns
+    assert got["overrun"] == 0 and got["quarantined"] == 0
+    assert got["granules"] == 12 - 2 * got["resync_frames"]
+    assert got["exact"] + got["slack"] == got["granules"]
