@@ -279,7 +279,11 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": (
         "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, "
         "hex(encode(text)) AS hx, text FROM documents), "
-        "pos AS (SELECT i FROM generate_series(1, 8192) t(i)), "
+        # bound derived from the corpus (not a fixed cap) so an
+        # oversized payload fails the compare loudly instead of
+        # silently truncating the checksum (ADVICE r12 class)
+        "pos AS (SELECT unnest(generate_series(1, "
+        "(SELECT GREATEST(max(octet_length(encode(text))), 1) FROM documents))) AS i), "
         "ch AS (SELECT doc_id, "
         "CAST(SUM(('0x' || substring(hx, 2 * i - 1, 2))::BIGINT) AS BIGINT) AS checksum "
         "FROM b JOIN pos ON i <= n GROUP BY doc_id) "

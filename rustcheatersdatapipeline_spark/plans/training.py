@@ -95,9 +95,11 @@ COSINE_THRESHOLD = 0.45
 HAMMING_MAX = 3
 KNN_K = 5
 KNN_QUERY_MAX_ID = 20
-#: generate_series upper bound for oracle-side shingling; must exceed
-#: the longest document at the oracle SF (max n_chars ≈ 550 at sf0.01).
-_MAX_DOC_LEN = 4096
+#: generate_series upper bound for oracle-side shingling — derived from
+#: the corpus itself (max document length) so a longer-than-expected
+#: document can never silently truncate the oracle's position range
+#: (ADVICE r12; previously a fixed 4096 cap).
+_MAX_DOC_LEN = "(SELECT GREATEST(max(length(text)), 1) FROM documents)"
 
 
 # --------------------------------------------------------------------------
@@ -125,7 +127,7 @@ _KSEL_CTE = (
 )
 
 _SHINGLE_CTE = (
-    f"pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+    f"pos AS (SELECT unnest(generate_series(1, {_MAX_DOC_LEN})) AS i), "
     f"{_KSEL_CTE}, "
     "sh AS (SELECT DISTINCT doc_id, substring(text, i, (SELECT k FROM ksel)) AS g "
     "FROM documents JOIN pos ON i <= length(text) - (SELECT k FROM ksel) + 1), "
@@ -3492,7 +3494,7 @@ ORACLE_SQL: dict[str, str] = {
         "FROM base ORDER BY doc_id"
     ),
     "doc_fingerprint": (
-        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        f"WITH pos AS (SELECT unnest(generate_series(1, {_MAX_DOC_LEN})) AS i), "
         "kg AS (SELECT doc_id, length(text) AS len, i, "
         f"{_H.format(expr='substring(text, i, 8)')} % {PRIME} AS h "
         "FROM documents JOIN pos ON i <= length(text) - 7), "
@@ -3564,7 +3566,7 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE b < t ORDER BY doc_id"
     ),
     "decontaminate": (
-        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        f"WITH pos AS (SELECT unnest(generate_series(1, {_MAX_DOC_LEN})) AS i), "
         "grams AS (SELECT DISTINCT doc_id, substring(text, i, 13) AS g "
         "FROM documents JOIN pos ON i <= length(text) - 12), "
         "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10) "
@@ -3836,7 +3838,7 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "ORDER BY doc_a, doc_b"
     ),
     "dedup_cdc": (
-        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        f"WITH pos AS (SELECT unnest(generate_series(1, {_MAX_DOC_LEN})) AS i), "
         "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
         "FROM documents), "
         "t AS (SELECT doc_id, i AS pos, w[i] AS tok, "
@@ -3888,7 +3890,7 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "FROM cum ORDER BY source, doc_id"
     ),
     "repetition_score": (
-        f"WITH pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        f"WITH pos AS (SELECT unnest(generate_series(1, {_MAX_DOC_LEN})) AS i), "
         "g AS (SELECT doc_id, substring(text, i, 8) AS gram "
         "FROM documents JOIN pos ON i <= length(text) - 7 WHERE length(text) >= 8) "
         "SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct, "
@@ -3943,7 +3945,7 @@ TESTS_ONLY_ORACLE_SQL: dict[str, str] = {
         "nd AS (SELECT DISTINCT b.doc_id FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}), "
         "s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM nd)), "
-        f"pos AS (SELECT i FROM generate_series(1, {_MAX_DOC_LEN}) t(i)), "
+        f"pos AS (SELECT unnest(generate_series(1, {_MAX_DOC_LEN})) AS i), "
         "grams AS (SELECT DISTINCT doc_id, substring(text, i, 13) AS g "
         "FROM documents JOIN pos ON i <= length(text) - 12), "
         "cont AS (SELECT doc_id FROM grams WHERE doc_id >= 10 "
