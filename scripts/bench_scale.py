@@ -94,17 +94,33 @@ def _perm(r: int) -> str:
     return "".join(chars)
 
 
-def _dst(replicas: int, skew: bool = False) -> str:
-    return os.path.join(
-        BENCHDATA, f"sf{replicas / 10:g}" + ("-skew" if skew else "")
-    )
+#: fixed navigation/footer boilerplate for the content-skew variant:
+#: injected VERBATIM (after the per-replica permutation) so its
+#: shingles / W-grams are the same hot keys across every replica.
+BOILERPLATE = (
+    "subscribe to our newsletter for updates terms of service privacy "
+    "policy all rights reserved contact us about careers press blog "
+    "help center community guidelines cookie preferences site map "
+    "accessibility statement report a problem manage subscriptions"
+)
+
+_SKEW_SUFFIX = {None: "", "lang": "-skew", "boilerplate": "-skewbp"}
 
 
-def build_replica(spark, replicas: int, skew: bool = False) -> None:
-    """``skew=True`` builds the adversarial-mixture variant (VERDICT
+def _dst(replicas: int, skew: str | None = None) -> str:
+    return os.path.join(BENCHDATA, f"sf{replicas / 10:g}" + _SKEW_SUFFIX[skew])
+
+
+def build_replica(spark, replicas: int, skew: str | None = None) -> None:
+    """``skew='lang'`` builds the adversarial-mixture variant (VERDICT
     r10 #5): every replica beyond the first is relabeled lang='en', so
     one language holds ~99% of documents at 100x — the worst case for
-    any per-language window/sort."""
+    any per-language window/sort. ``skew='boilerplate'`` (VERDICT r12
+    #4) prepends a fixed boilerplate passage to ~30% of documents
+    (doc_id %% 10 < 3) AFTER the per-replica permutation, so every
+    boilerplate shingle / span W-gram is one content key shared by 30%
+    of the corpus — the hot-key case the r12 min(struct)-election and
+    df-join rewrites exist for."""
     dst = _dst(replicas, skew)
     os.makedirs(dst, exist_ok=True)
     for name in ("region", "nation", "supplier", "part"):
@@ -119,8 +135,16 @@ def build_replica(spark, replicas: int, skew: bool = False) -> None:
                 df = df.withColumn(col, (F.col(col) + F.lit(r * step)).cast("long"))
             if name == "documents" and r:
                 df = df.withColumn("text", F.translate(F.col("text"), ALPHA, _perm(r)))
-                if skew:
+                if skew == "lang":
                     df = df.withColumn("lang", F.lit("en"))
+            if name == "documents" and skew == "boilerplate":
+                df = df.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 10 < 3,
+                        F.concat(F.lit(BOILERPLATE + " "), F.col("text")),
+                    ).otherwise(F.col("text")),
+                )
             if name == "embeddings" and r:
                 rot = r % 64
                 col = F.col("embedding")
@@ -152,13 +176,22 @@ def main() -> None:
         replicas = int(args[i + 1])
         del args[i : i + 2]
     rebuild = "--rebuild" in args
-    skew = "--skew" in args
+    skew = None
+    if "--skew-boilerplate" in args:
+        skew = "boilerplate"
+    elif "--skew" in args:
+        skew = "lang"
     names = [a for a in args if not a.startswith("--")]
     if not names:
-        if skew:
+        if skew == "lang":
             # the per-language window/sort family — the shapes a
             # 99%-one-language corpus could serialize
             names = ["mixture_token_budget_sample", "stratified_sample"]
+        elif skew == "boilerplate":
+            # the content-keyed candidate/election family — the shapes
+            # a 30%-shared-boilerplate corpus could serialize (VERDICT
+            # r12 #4: the r12 window→join/aggregate rewrites)
+            names = ["dedup_ngram_jaccard", "dedup_spans", "dedup_substrings"]
         else:
             names = WHALE_QUERIES if replicas >= 100 else DEFAULT_QUERIES
 
@@ -172,10 +205,10 @@ def main() -> None:
         print(f"building {label} replica ({replicas}x) ...", flush=True)
         build_replica(spark, replicas)
     if skew:
-        sdst = _dst(replicas, skew=True)
+        sdst = _dst(replicas, skew=skew)
         if rebuild or not os.path.exists(f"{sdst}/events.parquet"):
-            print(f"building {label}-skew replica ({replicas}x) ...", flush=True)
-            build_replica(spark, replicas, skew=True)
+            print(f"building {label}-{skew} replica ({replicas}x) ...", flush=True)
+            build_replica(spark, replicas, skew=skew)
 
     import __spark_entry__ as entry
 
@@ -190,16 +223,22 @@ def main() -> None:
     for _m in (_T, _R, _A, _Q):
         qs.update(getattr(_m, "TESTS_ONLY_QUERIES", {}))
     if skew:
-        # Skew gate (VERDICT r10 #5): same data VOLUME, one language
-        # holding ~99% of documents. A per-language sort that
-        # serializes on the fat partition shows up as a skew/uniform
-        # wall ratio far above 1; the gate allows 2x for the residual
-        # fat-partition pre-aggregation.
+        # Skew gate: same data SHAPE, one key family made hot.
+        # 'lang' (VERDICT r10 #5): one language holds ~99% of documents
+        # — a per-language sort that serializes on the fat partition
+        # shows up as a skew/uniform wall ratio far above 1.
+        # 'boilerplate' (VERDICT r12 #4): one fixed passage shared by
+        # 30% of documents — every one of its shingles/W-grams is a hot
+        # content key; a content-keyed window would stall one task,
+        # the r12 join/aggregate shapes must not. The gate allows 2x
+        # for the residual fat-partition pre-aggregation (boilerplate
+        # also adds ~+25 tokens to 30% of docs, so part of its ratio
+        # is real extra volume, not skew).
         results = {}
         for name in names:
             fn = qs[name]
             times = {}
-            for lab, d in (("uniform", dst), ("skewed", _dst(replicas, True))):
+            for lab, d in (("uniform", dst), ("skewed", _dst(replicas, skew))):
                 t0 = time.time()
                 n = fn(spark, d).count()
                 times[lab] = round(time.time() - t0, 2)
@@ -216,6 +255,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "skew_gate",
+                    "mode": skew,
                     "replicas": replicas,
                     "queries": results,
                     "serialized": bad,

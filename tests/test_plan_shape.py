@@ -291,3 +291,27 @@ def test_hybrid_rrf_fuses_without_extra_corpus_scans(spark, sf_dir):
     # side: the kNN arm's query set and bm25's 1-row stats crossJoin —
     # never corpus x corpus
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard", "dedup_spans", "dedup_substrings"]
+)
+def test_content_dedup_windows_are_doc_keyed_only(spark, sf_dir, name):
+    """VERDICT r12 #4 pin: the r12 rewrites moved first-occurrence
+    election (min(struct)) and document frequency (groupBy+join) off
+    content-keyed windows — the one shuffle shape AQE cannot
+    skew-split. Any window remaining in these plans must partition on
+    doc_id (bounded per document by its own length), never on the
+    shingle / gram / content-hash key a 30%-boilerplate corpus makes
+    hot."""
+    import re
+
+    from rustcheatersdatapipeline_spark.plans import training as T
+
+    fn = getattr(T, name, None) or T.TESTS_ONLY_QUERIES[name]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    # windowspecdefinition(<part1>#id, ... ) — the leading args up to
+    # the first ASC/DESC/frame spec are the partition columns
+    parts = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert all(c == "doc_id" for c in parts), parts
+    assert "CartesianProduct" not in plan
