@@ -994,7 +994,16 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
 
         {"granules": N, "exact": n0, "slack": n1, "overrun": n2,
          "quarantined": n3, "esc_granules": n4, "skipped_frames": n5,
-         "max_slack_bits": b, "table_use": {table_id: count}}
+         "max_slack_bits": b, "table_use": {table_id: count},
+         "table_outcomes": {table_id: {"exact": e, "slack": s,
+                                       "overrun": o, "quarantined": q}}}
+
+    ``table_outcomes`` attributes each granule's score to every
+    DISTINCT table it selected — the per-table tally the ingest path
+    persists (VERDICT r12 #5): a table consistently present in
+    overruns while the others certify clean is the refutation signal,
+    and a table accumulating exact granules on real streams is
+    certified, with zero manual action.
 
     plus ``resync_frames`` when a reservoir underflow forced frames to
     be consumed unscored (mid-stream start, or the reservoir reset
@@ -1015,7 +1024,7 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
     stats = {
         "granules": 0, "exact": 0, "slack": 0, "overrun": 0,
         "quarantined": 0, "esc_granules": 0, "skipped_frames": 0,
-        "max_slack_bits": 0, "table_use": {},
+        "max_slack_bits": 0, "table_use": {}, "table_outcomes": {},
     }
     pos = 0
     if buf[:3] == b"ID3" and len(buf) >= 10:
@@ -1103,21 +1112,28 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                     if rd.pos > p23_end:
                         raise ValueError("MP3: part2_3_length overrun")
                     if rd.pos == p23_end:
-                        stats["exact"] += 1
+                        outcome = "exact"
                     else:
-                        stats["slack"] += 1
+                        outcome = "slack"
                         stats["max_slack_bits"] = max(
                             stats["max_slack_bits"], p23_end - rd.pos
                         )
                 except NotImplementedError:
-                    stats["quarantined"] += 1
+                    outcome = "quarantined"
                     # a failed granule's scalefactors are unreliable:
                     # a later scfsi-sharing granule must not reuse them
                     # or it gets misscored as an overrun (ADVICE r12)
                     prev_sf[ch] = None
                 except ValueError:
-                    stats["overrun"] += 1
+                    outcome = "overrun"
                     prev_sf[ch] = None
+                stats[outcome] += 1
+                for sel in set(g["table_select"]):
+                    d = stats["table_outcomes"].setdefault(
+                        sel,
+                        {"exact": 0, "slack": 0, "overrun": 0, "quarantined": 0},
+                    )
+                    d[outcome] += 1
                 rd.pos = p23_end  # exact recovery: budgets are additive
         if len(reservoir) > 511:
             del reservoir[: len(reservoir) - 511]

@@ -395,7 +395,28 @@ class MediaIngestSink(IncrementalIngestSink):
     The Hamming radius is the index's data contract (a radius change
     silently alters which candidates the band join can see), so it is
     persisted as table properties and verified on reopen, same
-    discipline as the text sink's shingle width."""
+    discipline as the text sink's shingle width.
+
+    Opportunistic MP3 certification sweep (VERDICT r12 #5): every
+    admitted payload that sniffs as MPEG audio is bit-accounting-scored
+    by ``functions.mp3.certify_tables`` and its per-Huffman-table
+    outcome tallies append — atomically with the batch — to the
+    ``mp3_certification`` table. The harness is thereby SELF-ARMING:
+    the first real ESC-coded MP3 that enters any ingest certifies or
+    refutes the repair-derived tables 10-13 (and scores any future
+    15/16/24 transcription) with zero manual action; until then the
+    table accumulates clean-stream evidence for the transcribed ids."""
+
+    #: certification delta schema. One stream-level row per MPEG-audio
+    #: payload (table_id NULL, carries the whole-stream stats incl.
+    #: parse_error for un-walkable streams) plus one row per Huffman
+    #: table the stream's granules selected (outcome tallies only).
+    CERT_SCHEMA = (
+        "item_id string, table_id int, n_granules long, exact long, "
+        "slack long, overrun long, quarantined long, esc_granules long, "
+        "max_slack_bits long, skipped_frames long, resync_frames long, "
+        "parse_error string"
+    )
 
     def __init__(
         self,
@@ -407,12 +428,14 @@ class MediaIngestSink(IncrementalIngestSink):
         max_hamming: int | None = None,
         max_dirs: int | None = None,
         keep_versions: int | None = None,
+        cert_table: str = "mp3_certification",
     ):
         from ..functions.phash import HAM_K
 
         super().__init__(store, media_table, index_table, max_dirs, keep_versions)
         self.id_col = id_col
         self.payload_col = payload_col
+        self.cert_table = cert_table
         self._explicit_hamming = max_hamming
         self.max_hamming = HAM_K if max_hamming is None else max_hamming
         self._bind_contract()
@@ -454,6 +477,81 @@ class MediaIngestSink(IncrementalIngestSink):
         from ..operators.incremental import build_media_index
 
         return build_media_index(novel, self.id_col, self.payload_col)
+
+    def _certification_rows(self, novel: DataFrame) -> DataFrame:
+        """Score every admitted MPEG-audio payload with the
+        bit-accounting harness; Arrow-batched (``mapInPandas``) like
+        the rest of the binary-decode surface. The Spark-side prefix
+        filter (0xFF frame sync / ID3v2 tag) keeps non-audio payloads
+        out of the Python path; the authoritative sniff
+        (``parse_mp3_header``) runs inside the batch."""
+        import pandas as pd
+
+        from ..functions.mp3 import certify_tables
+        from ..functions.multimodal import parse_mp3_header
+
+        cand = novel.select(
+            F.col(self.id_col).cast("string").alias("item_id"),
+            F.col(self.payload_col).cast("binary").alias("_p"),
+        ).filter(
+            (F.substring("_p", 1, 3) == F.lit(b"ID3"))
+            | (F.substring("_p", 1, 1) == F.lit(b"\xff"))
+        )
+        cols = [f.split(" ")[0] for f in self.CERT_SCHEMA.split(", ")]
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for iid, payload in zip(pdf["item_id"], pdf["_p"]):
+                    buf = bytes(payload)
+                    if parse_mp3_header(buf) is None:
+                        continue  # sync-like prefix, not MPEG audio
+                    try:
+                        st = certify_tables(buf)
+                    except ValueError as e:
+                        rows.append(
+                            (iid, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, str(e))
+                        )
+                        continue
+                    rows.append(
+                        (
+                            iid, None, st["granules"], st["exact"],
+                            st["slack"], st["overrun"], st["quarantined"],
+                            st["esc_granules"], st["max_slack_bits"],
+                            st["skipped_frames"],
+                            st.get("resync_frames", 0), None,
+                        )
+                    )
+                    for tid in sorted(st["table_outcomes"]):
+                        d = st["table_outcomes"][tid]
+                        rows.append(
+                            (
+                                iid, tid, sum(d.values()), d["exact"],
+                                d["slack"], d["overrun"], d["quarantined"],
+                                None, None, None, None, None,
+                            )
+                        )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+        return cand.mapInPandas(run, schema=self.CERT_SCHEMA)
+
+    def _extra_publish(self, novel: DataFrame) -> tuple[dict, dict]:
+        # materialize the (tiny) certification delta once: the probe
+        # and the publish must not re-run the Python scoring pass
+        cert = self._certification_rows(novel).localCheckpoint(eager=True)
+        if cert.limit(1).count() == 0:
+            return {}, {}
+        from ..functions.mp3 import _PAIR_DECODERS
+
+        props = {
+            "builtin_tables": ",".join(str(t) for t in sorted(_PAIR_DECODERS)),
+            "harness": "part2_3_length bit accounting (ISO 11172-3 2.4.1.7)",
+        }
+        return {self.cert_table: cert}, {self.cert_table: props}
+
+    def _maintained_tables(self) -> tuple[str, ...]:
+        return (*super()._maintained_tables(), self.cert_table)
 
 
 class MergeUpsertSink:
