@@ -286,3 +286,180 @@ def lr_margins(
         * F.element_at(wlit, F.col("bucket").cast("int") + 1)
     ).cast("long")
     return feats.groupBy("doc_id").agg(F.sum(contrib).alias("margin_scaled"))
+
+
+# ---------------------------------------------------------------------------
+# Multiclass softmax extension — char-n-gram language ID (the
+# fastText-class trained LID the standard curation stack pairs with the
+# quality classifier; VERDICT r12 next-round #6)
+# ---------------------------------------------------------------------------
+
+#: char n-gram width for the LID feature space
+LID_NGRAM = 3
+
+
+def lid_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = LR_BUCKETS,
+    n: int = LID_NGRAM,
+) -> DataFrame:
+    """L1-normalized hashed char-``n``-gram counts, sparse rows
+    ``(doc_id, bucket, x)`` — the fastText-style LID feature space over
+    the same bounded bucket vector as ``lr_features`` (salt ``lid:``,
+    portable 60-bit md5 hash, so a pure-Python replica reproduces the
+    bucketing exactly). Pure codegen: one stride-1 substring explode +
+    one (doc, bucket) hash aggregate. Documents shorter than ``n``
+    chars yield no rows."""
+    from ..functions.text import portable_hash64
+
+    s = f"lower({text_col})"
+    grams_col = F.when(
+        F.length(F.lower(F.col(text_col))) >= n,
+        F.expr(
+            f"transform(sequence(1, length({s}) - {n - 1}), "
+            f"i -> substring({s}, i, {n}))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams_col).alias("gram")
+    )
+    hashed = grams.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("lid:"), F.col("gram"))), F.lit(buckets)
+        ).alias("bucket"),
+    )
+    counts = hashed.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return counts.select("doc_id", "bucket", (F.col("cnt") / tot).alias("x"))
+
+
+def softmax_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_classes: int,
+    buckets: int = LR_BUCKETS,
+    n_iter: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> tuple[list[list[float]], list[float]]:
+    """Full-batch gradient descent on the multiclass cross-entropy:
+    ``(weights[K][buckets], per-iteration mean loss)`` — the K-class
+    generalization of ``lr_train`` under the identical deterministic
+    contract (VERDICT r12 #6).
+
+    Per iteration: ONE margin aggregate producing all K scaled margins
+    per document (map-side combinable — the K sums ride one shuffle),
+    ONE gradient aggregate producing all K cells per bucket, and a
+    ≤``buckets``-row (×K columns) driver collect for the update —
+    still the k-means bounded-driver class. Margins and gradient cells
+    fold as ⌊1e9·v⌋ BIGINTs, so the distributed result is bit-exact vs
+    a sequential numpy replica on any partitioning. The softmax uses
+    the standard max-shift (``exp(m_k − max m)``), mirrored verbatim
+    in the replica; the REPORTED loss clamps p_y away from 0 (the
+    ``lr_train`` discipline) while the gradient keeps unclamped
+    probabilities.
+
+    ``labels``: (doc_id, y) with y ∈ {0..K−1} (int)."""
+    feats = feats.join(labels, "doc_id").select(
+        "doc_id", "bucket", "x", F.col("y").cast("int").alias("y")
+    )
+    feats = feats.localCheckpoint()  # one materialization; iterations re-scan
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError(
+            "softmax_train: no labeled documents with feature rows "
+            "(labels join produced an empty training set)"
+        )
+    K = int(n_classes)
+    if K < 2:
+        raise ValueError("softmax_train: n_classes must be >= 2")
+    weights = [[0.0] * buckets for _ in range(K)]
+    losses: list[float] = []
+    idx = F.col("bucket").cast("int") + 1
+    for _ in range(n_iter):
+        wlits = [F.array(*[F.lit(float(w)) for w in wk]) for wk in weights]
+        margins = feats.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.floor(
+                        F.lit(_LR_SCALE) * F.col("x") * F.element_at(wlits[k], idx)
+                    ).cast("long")
+                ).alias(f"m{k}")
+                for k in range(K)
+            ],
+            F.min("y").alias("y"),
+        )
+        m_arr = F.array(*[F.col(f"m{k}") / F.lit(_LR_SCALE) for k in range(K)])
+        mx = F.array_max(m_arr)
+        ex = F.transform(m_arr, lambda v: F.exp(v - mx))
+        denom = F.aggregate(ex, F.lit(0.0), lambda a, b: a + b)
+        p_arr = F.transform(ex, lambda v: v / denom)
+        p_y = F.element_at(p_arr, F.col("y") + 1)
+        scored = margins.select(
+            "doc_id",
+            "y",
+            p_arr.alias("p"),
+            (-F.log(F.greatest(p_y, F.lit(1e-15)))).alias("nll"),
+        )
+        loss_row = scored.agg(F.sum("nll").alias("s")).first()
+        losses.append(float(loss_row["s"]) / n_docs)
+        err = F.transform(
+            F.col("p"),
+            lambda v, i: v
+            - F.when(F.col("y") == i.cast("int"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        errs = scored.select("doc_id", err.alias("err"))
+        grad_rows = (
+            feats.join(errs, "doc_id")
+            .select(
+                "bucket",
+                *[
+                    F.floor(
+                        F.lit(_LR_SCALE)
+                        * F.element_at(F.col("err"), k + 1)
+                        * F.col("x")
+                    )
+                    .cast("long")
+                    .alias(f"gc{k}")
+                    for k in range(K)
+                ],
+            )
+            .groupBy("bucket")
+            .agg(*[F.sum(f"gc{k}").alias(f"g{k}") for k in range(K)])
+            .collect()
+        )
+        for r in grad_rows:
+            b = int(r["bucket"])
+            for k in range(K):
+                weights[k][b] -= rate * (r[f"g{k}"] / _LR_SCALE) / n_docs
+    return weights, losses
+
+
+def softmax_margins(
+    feats: DataFrame, weights: list[list[float]], buckets: int = LR_BUCKETS
+) -> DataFrame:
+    """Per-document scaled margins for every class plus the argmax
+    prediction: ``(doc_id, margins_scaled array<bigint>, pred int)``.
+    The margins are the exact training-time ⌊1e9·x·w⌋ folds (platform-
+    and partitioning-exact); ties break to the smaller class id
+    (``array_position`` finds the first maximum)."""
+    K = len(weights)
+    idx = F.col("bucket").cast("int") + 1
+    wlits = [F.array(*[F.lit(float(w)) for w in wk]) for wk in weights]
+    out = feats.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.floor(
+                    F.lit(_LR_SCALE) * F.col("x") * F.element_at(wlits[k], idx)
+                ).cast("long")
+            ).alias(f"m{k}")
+            for k in range(K)
+        ]
+    )
+    arr = F.array(*[F.col(f"m{k}") for k in range(K)])
+    pred = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return out.select(
+        "doc_id", arr.alias("margins_scaled"), pred.alias("pred")
+    )

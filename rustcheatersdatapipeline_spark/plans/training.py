@@ -2968,6 +2968,48 @@ def quality_classifier(spark, sf_dir):
     )
 
 
+def lid_classifier(spark, sf_dir):
+    """Trained char-n-gram softmax language ID (VERDICT r12 #6) — the
+    fastText-class k-class LID the standard curation stack pairs with
+    the binary quality classifier. Class order = sorted distinct
+    ``lang`` labels (deterministic); features = hashed char trigrams
+    (``lid_features``); trainer = ``softmax_train`` under the
+    bounded-driver contract (per iteration: 2 map-side-combinable
+    shuffles + one ≤K×1024-cell collect).
+
+    Returns ``(doc_id, y int, pred int, agree int)``. Tests-only:
+    iterative, so no single-statement SQL oracle — the bit-exact
+    replica oracle and the disagreement-rate report vs the heuristic
+    ``lang_id`` live in tests/test_classify.py. NOTE the fixture
+    corpus's ``lang`` labels are independent of its text (one shared
+    vocabulary), so train accuracy ≈ majority share here by
+    construction; the separable-corpus test proves learnability.
+    """
+    from ..operators.classify import lid_features, softmax_margins, softmax_train
+
+    docs = table(spark, sf_dir, "documents")
+    langs = [
+        r["lang"] for r in docs.select("lang").distinct().orderBy("lang").collect()
+    ]
+    lab = docs.select(
+        "doc_id",
+        (F.array_position(F.lit(langs), F.col("lang")) - 1).cast("int").alias("y"),
+    )
+    feats = lid_features(docs).localCheckpoint()
+    w, _losses = softmax_train(feats, lab, n_classes=len(langs), n_iter=4)
+    return (
+        softmax_margins(feats, w)
+        .join(lab, "doc_id")
+        .select(
+            "doc_id",
+            "y",
+            "pred",
+            (F.col("pred") == F.col("y")).cast("int").alias("agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def lm_score(spark, sf_dir):
     """Perplexity-proxy quality scoring: per-document mean log-probability
     of its word bigrams under the corpus bigram model — the cheap
@@ -3293,6 +3335,7 @@ TESTS_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix": domain_mix,
     "kmeans_lloyd": kmeans_lloyd,
     "quality_classifier": quality_classifier,
+    "lid_classifier": lid_classifier,
     "lm_score": lm_score,
     "embed_quantize": embed_quantize,
     "curate_corpus": curate_corpus,

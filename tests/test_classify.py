@@ -283,3 +283,203 @@ def test_lr_train_loss_finite_under_saturation(spark):
     # loss-report-only): re-run and compare for determinism too
     w_again, _ = lr_train(lr_features(docs), labels, n_iter=6, rate=5000.0)
     assert w_hot == w_again
+
+
+# ---------------------------------------------------------------------------
+# multiclass softmax LID (VERDICT r12 #6)
+# ---------------------------------------------------------------------------
+
+
+def _softmax_ref(docs, n_classes, buckets, n_iter, rate, n=3):
+    """Pure-Python replica of lid_features/softmax_train/softmax_margins:
+    identical char-trigram hashing, identical ⌊1e9·v⌋ integer folds,
+    identical max-shifted softmax and driver float updates.
+    docs: list of (doc_id, text, y)."""
+    import hashlib
+
+    SCALE = 1_000_000_000.0
+
+    def bucket_of(gram):
+        h = int(hashlib.md5(("lid:" + gram).encode()).hexdigest()[:15], 16)
+        return h % buckets
+
+    feats, ys = {}, {}
+    for doc_id, text, y in docs:
+        s = text.lower()
+        grams = [s[i : i + n] for i in range(len(s) - n + 1)]
+        if not grams:
+            continue
+        cnt = Counter(bucket_of(g) for g in grams)
+        tot = float(len(grams))
+        feats[doc_id] = [(b, c / tot) for b, c in cnt.items()]
+        ys[doc_id] = y
+    nd = len(feats)
+    K = n_classes
+    weights = [[0.0] * buckets for _ in range(K)]
+    losses = []
+    for _ in range(n_iter):
+        errs, nll_sum = {}, 0.0
+        for d, rows in feats.items():
+            m = [
+                sum(math.floor(SCALE * x * weights[k][b]) for b, x in rows) / SCALE
+                for k in range(K)
+            ]
+            mx = max(m)
+            ex = [math.exp(v - mx) for v in m]
+            den = 0.0
+            for v in ex:
+                den += v
+            p = [v / den for v in ex]
+            nll_sum += -math.log(max(p[ys[d]], 1e-15))
+            errs[d] = [p[k] - (1.0 if ys[d] == k else 0.0) for k in range(K)]
+        losses.append(nll_sum / nd)
+        grad = [[0] * buckets for _ in range(K)]
+        for d, rows in feats.items():
+            e = errs[d]
+            for b, x in rows:
+                for k in range(K):
+                    grad[k][b] += math.floor(SCALE * e[k] * x)
+        for k in range(K):
+            for b in range(buckets):
+                weights[k][b] -= rate * (grad[k][b] / SCALE) / nd
+    margins = {
+        d: [
+            sum(math.floor(SCALE * x * weights[k][b]) for b, x in rows)
+            for k in range(K)
+        ]
+        for d, rows in feats.items()
+    }
+    return weights, margins, losses
+
+
+def _lang_labeled(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    langs = [
+        r["lang"] for r in docs.select("lang").distinct().orderBy("lang").collect()
+    ]
+    labels = docs.select(
+        "doc_id",
+        (F.array_position(F.lit(langs), F.col("lang")) - 1).cast("int").alias("y"),
+    )
+    return docs, langs, labels
+
+
+def test_softmax_lid_matches_python_replica(spark, sf_dir):
+    """End-to-end bit-exactness of the K-class trainer: distributed
+    weights, every per-class scaled margin, and the per-iteration loss
+    equal the sequential replica's — the lr_train oracle discipline
+    extended to the softmax."""
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lid_features,
+        softmax_margins,
+        softmax_train,
+    )
+
+    docs, langs, labels = _lang_labeled(spark, sf_dir)
+    feats = lid_features(docs).localCheckpoint()
+    weights, losses = softmax_train(feats, labels, len(langs), n_iter=3)
+    got = {
+        r["doc_id"]: list(r["margins_scaled"])
+        for r in softmax_margins(feats, weights).collect()
+    }
+
+    lmap = {l: i for i, l in enumerate(langs)}
+    rows = [
+        (r["doc_id"], r["text"], lmap[r["lang"]])
+        for r in docs.select("doc_id", "text", "lang").collect()
+    ]
+    ref_w, ref_m, ref_l = _softmax_ref(rows, len(langs), 1024, 3, 50.0)
+
+    assert weights == ref_w  # bit-exact, not approx
+    assert got == ref_m
+    # the loss is reporting, not contract: a distributed double SUM is
+    # order-dependent in the last ulp (weights stay exact because the
+    # gradient folds are floored BIGINTs)
+    assert losses == pytest.approx(ref_l, rel=1e-12)
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+def test_softmax_partitioning_invariance(spark, sf_dir):
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lid_features,
+        softmax_train,
+    )
+
+    docs, langs, labels = _lang_labeled(spark, sf_dir)
+    w1, _ = softmax_train(lid_features(docs), labels, len(langs), n_iter=2)
+    w2, _ = softmax_train(
+        lid_features(docs).repartition(7, "bucket"), labels, len(langs), n_iter=2
+    )
+    assert w1 == w2
+
+
+def test_softmax_learns_separable_classes(spark):
+    """Learnability proof on a 3-class corpus whose classes ARE
+    separable in char trigrams (the fixture corpus's lang labels are
+    text-independent by construction, so this is where the machinery
+    shows it can actually classify)."""
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.operators.classify import (
+        lid_features,
+        softmax_margins,
+        softmax_train,
+    )
+
+    words = ["alpha bravo charlie", "delta echo foxtrot", "golf hotel india"]
+    rows = [
+        (i, (words[i % 3] + " ") * 4, i % 3) for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(d, y) for d, _, y in rows], "doc_id long, y int"
+    )
+    feats = lid_features(docs).localCheckpoint()
+    w, losses = softmax_train(feats, labels, 3, n_iter=6, rate=200.0)
+    assert losses[-1] < losses[0] / 2
+    pred = softmax_margins(feats, w).join(labels, "doc_id")
+    acc = pred.select(
+        F.avg((F.col("pred") == F.col("y")).cast("double")).alias("a")
+    ).first()["a"]
+    assert acc == 1.0
+
+
+def test_lid_classifier_entry_and_heuristic_disagreement(spark, sf_dir):
+    """The plans entry classifies every non-empty document, and the
+    cross-check vs the marker-stopword heuristic (VERDICT r12 #6's
+    disagreement-rate report) is recorded here: both systems see a
+    text-independent label, so neither beats majority share and the
+    report's value is the mechanical cross-check, not an accuracy
+    claim."""
+    from pyspark.sql import functions as F
+
+    from rustcheatersdatapipeline_spark.plans.training import (
+        lang_id,
+        lid_classifier,
+    )
+
+    out = lid_classifier(spark, sf_dir)
+    assert out.columns == ["doc_id", "y", "pred", "agree"]
+    n = out.count()
+    assert n > 0
+    k = out.select("y").distinct().count()
+    assert k >= 2
+
+    # disagreement rate vs the heuristic, over the shared doc set
+    heur = lang_id(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("h_pred")
+    )
+    docs, langs, _ = _lang_labeled(spark, sf_dir)
+    lmap = F.array_position(F.lit(langs), F.col("h_pred")) - 1
+    joined = out.join(heur.select("doc_id", lmap.cast("int").alias("h_y")), "doc_id")
+    dis = joined.select(
+        F.avg((F.col("pred") != F.col("h_y")).cast("double")).alias("d")
+    ).first()["d"]
+    print(f"\nLID disagreement vs heuristic lang_id: {dis:.3f} over {n} docs")
+    assert 0.0 <= dis <= 1.0
