@@ -495,6 +495,15 @@ def _read_scalefacs_lsf(rd: _BitReader, g: dict) -> dict:
 # ------------------------------------------------------------ scalefactors
 
 
+class _ScfsiGap(ValueError):
+    """Granule 1's scfsi references granule-0 long scalefactors that
+    were never successfully read — a KNOCK-ON from an earlier
+    unscoreable granule, not independent evidence against granule 1's
+    own tables. ``decode_mp3_samples`` treats it as any ValueError;
+    ``certify_tables`` scores it as quarantined rather than overrun so
+    it cannot poison the per-table refutation tallies."""
+
+
 def _read_scalefacs(rd: _BitReader, g: dict, gr: int, scfsi, prev) -> dict:
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     if g["block_type"] == 2 and g["window_switching"]:
@@ -525,7 +534,7 @@ def _read_scalefacs(rd: _BitReader, g: dict, gr: int, scfsi, prev) -> dict:
     for gi, (lo, hi, sl) in enumerate(groups):
         if gr == 1 and scfsi[gi]:
             if prev is None or prev.get("long") is None:
-                raise ValueError("MP3: scfsi set with no granule-0 long scalefacs")
+                raise _ScfsiGap("MP3: scfsi set with no granule-0 long scalefacs")
             for band in range(lo, hi):
                 sf[band] = prev["long"][band]
         else:
@@ -1099,6 +1108,17 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                     stats["table_use"][sel] = stats["table_use"].get(sel, 0) + 1
                 if any(s in ESC_TABLES for s in g["table_select"]):
                     stats["esc_granules"] += 1
+                # two stages with DIFFERENT prev_sf consequences: a
+                # failure while READING the scalefactors means they are
+                # genuinely unknown (clear prev_sf so a scfsi-sharing
+                # granule quarantines instead of misscoring, ADVICE
+                # r12); a failure in the HUFFMAN region leaves the
+                # already-read scalefactors valid — the read is
+                # bit-count-deterministic and independent of the table
+                # outcome — so prev_sf must be KEPT or the next
+                # scfsi-sharing granule records a phantom overrun
+                # against its own (innocent) tables.
+                sf = None
                 try:
                     if hdr["mpeg1"]:
                         sf = _read_scalefacs(
@@ -1106,27 +1126,36 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                         )
                     else:
                         sf = _read_scalefacs_lsf(rd, g)
-                    if sf["long"] is not None and not sf.get("mixed"):
-                        prev_sf[ch] = sf
-                    _read_huffman(rd, g, rate, p23_end, decoders)
-                    if rd.pos > p23_end:
-                        raise ValueError("MP3: part2_3_length overrun")
-                    if rd.pos == p23_end:
-                        outcome = "exact"
-                    else:
-                        outcome = "slack"
-                        stats["max_slack_bits"] = max(
-                            stats["max_slack_bits"], p23_end - rd.pos
-                        )
+                except _ScfsiGap:
+                    # knock-on from an earlier unscoreable granule —
+                    # not refutation evidence against THIS granule's
+                    # tables
+                    outcome = "quarantined"
+                    prev_sf[ch] = None
                 except NotImplementedError:
                     outcome = "quarantined"
-                    # a failed granule's scalefactors are unreliable:
-                    # a later scfsi-sharing granule must not reuse them
-                    # or it gets misscored as an overrun (ADVICE r12)
                     prev_sf[ch] = None
                 except ValueError:
                     outcome = "overrun"
                     prev_sf[ch] = None
+                else:
+                    if sf["long"] is not None and not sf.get("mixed"):
+                        prev_sf[ch] = sf
+                    try:
+                        _read_huffman(rd, g, rate, p23_end, decoders)
+                        if rd.pos > p23_end:
+                            raise ValueError("MP3: part2_3_length overrun")
+                        if rd.pos == p23_end:
+                            outcome = "exact"
+                        else:
+                            outcome = "slack"
+                            stats["max_slack_bits"] = max(
+                                stats["max_slack_bits"], p23_end - rd.pos
+                            )
+                    except NotImplementedError:
+                        outcome = "quarantined"
+                    except ValueError:
+                        outcome = "overrun"
                 stats[outcome] += 1
                 for sel in set(g["table_select"]):
                     d = stats["table_outcomes"].setdefault(

@@ -126,6 +126,13 @@ class IncrementalIngestSink:
         or vice versa."""
         return {}, {}
 
+    def _release_extra(self) -> None:
+        """Release anything ``_extra_publish`` pinned (cached frames);
+        called once per CAS attempt in the same ``finally`` that
+        unpersists the batch — without this a long-running stream
+        accumulates one pinned RDD per micro-batch (the ADVICE r8
+        leak class)."""
+
     #: documents admitted by the most recent __call__ — the O(batch)
     #: bookkeeping fact callers need (the sink computes it anyway for the
     #: empty-batch guard); reading it here replaces any O(corpus)
@@ -204,6 +211,7 @@ class IncrementalIngestSink:
                 last = e  # another writer advanced the index: recompute
             finally:
                 novel.unpersist(blocking=True)
+                self._release_extra()
         raise last
 
     def _maintained_tables(self) -> tuple[str, ...]:
@@ -536,11 +544,19 @@ class MediaIngestSink(IncrementalIngestSink):
 
         return cand.mapInPandas(run, schema=self.CERT_SCHEMA)
 
+    #: cache handle for the in-flight certification delta; released by
+    #: ``_release_extra`` in the ingest loop's per-attempt finally
+    _cert_cached: DataFrame | None = None
+
     def _extra_publish(self, novel: DataFrame) -> tuple[dict, dict]:
-        # materialize the (tiny) certification delta once: the probe
-        # and the publish must not re-run the Python scoring pass
-        cert = self._certification_rows(novel).localCheckpoint(eager=True)
-        if cert.limit(1).count() == 0:
+        # cache + count materializes the (tiny) delta once: the
+        # emptiness probe and the publish must not re-run the Python
+        # scoring pass; the handle is released per attempt via
+        # _release_extra (r13 code review: localCheckpoint here pinned
+        # one RDD per micro-batch with no release path)
+        cert = self._certification_rows(novel).cache()
+        self._cert_cached = cert
+        if cert.count() == 0:
             return {}, {}
         from ..functions.mp3 import _PAIR_DECODERS
 
@@ -549,6 +565,11 @@ class MediaIngestSink(IncrementalIngestSink):
             "harness": "part2_3_length bit accounting (ISO 11172-3 2.4.1.7)",
         }
         return {self.cert_table: cert}, {self.cert_table: props}
+
+    def _release_extra(self) -> None:
+        if self._cert_cached is not None:
+            self._cert_cached.unpersist(blocking=False)
+            self._cert_cached = None
 
     def _maintained_tables(self) -> tuple[str, ...]:
         return (*super()._maintained_tables(), self.cert_table)

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from rustcheatersdatapipeline_spark.catalog import table  # noqa: E402
+from rustcheatersdatapipeline_spark import plan_cache  # noqa: E402
 from rustcheatersdatapipeline_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
@@ -243,6 +244,10 @@ def main() -> None:
                 n = fn(spark, d).count()
                 times[lab] = round(time.time() - t0, 2)
                 times[f"rows_{lab}"] = n
+                # end-of-corpus eviction (plan_cache contract): without
+                # it the uniform corpus's cached shingle/df/signature
+                # tables stay pinned under the skewed corpus's timing
+                plan_cache.release(spark, d)
             ratio = times["skewed"] / max(times["uniform"], 0.01)
             results[name] = {
                 **times,
@@ -273,6 +278,7 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             times[lab] = round(time.time() - t0, 2)
             times[f"rows_{lab}"] = n
+            plan_cache.release(spark, sf_dir)
         ratio = times[label] / max(times["sf0.1"], 0.01)
         results[name] = {**times, "ratio": round(ratio, 1), "linear_ok": ratio <= slack}
         print(name, "->", json.dumps(results[name]), flush=True)

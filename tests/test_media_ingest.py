@@ -165,5 +165,9 @@ def test_mp3_certification_sweep_self_arms(spark, tmp_path, monkeypatch):
     assert "16" not in props["builtin_tables"].split(",")
 
     # replay through a fresh checkpoint: pure no-op, no duplicate rows
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
     _run(spark, src, tmp_path / "ck2", MediaIngestSink(store))
     assert store.read("mp3_certification").count() == len(cert)
+    # the certification cache is released per batch (r13 review): the
+    # replay must not leave any extra pinned RDD behind
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before

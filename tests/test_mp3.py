@@ -780,3 +780,45 @@ def test_certify_tables_resyncs_over_alien_frame():
     assert got["overrun"] == 0 and got["quarantined"] == 0
     assert got["granules"] == 12 - 2 * got["resync_frames"]
     assert got["exact"] + got["slack"] == got["granules"]
+
+
+def test_certify_huffman_failure_keeps_scalefactors_for_scfsi(monkeypatch):
+    """r13 code-review regression: a granule whose HUFFMAN region fails
+    (quarantined ESC table) has still read its scalefactors completely
+    and deterministically — the next scfsi-sharing granule must reuse
+    them and score cleanly, NOT record a phantom overrun against its
+    own (innocent) tables. Only a failure while READING the
+    scalefactors clears prev_sf (and the scfsi knock-on then scores
+    quarantined via _ScfsiGap, never overrun)."""
+    t13 = M.HUFFMAN_TABLES[13]
+    dec13 = (M._build_huff_decoder(t13[1], t13[2]), 16)
+    for base in (16, 24):
+        monkeypatch.setitem(M.HUFFMAN_TABLES, base, t13)
+        monkeypatch.setitem(M._PAIR_DECODERS, base, dec13)
+    vals0 = [0] * 576
+    for i in range(0, 24, 2):
+        vals0[i] = 20  # escape-range magnitudes: table 21 really engages
+        vals0[i + 1] = 1
+    sfl = [1] * 22
+    g0 = _gr(**{"is": vals0, "scalefac_long": sfl, "scalefac_compress": 5,
+                "table_select": [21, 21, 21], "global_gain": 170,
+                "big_end": 24})
+    vals1 = [0] * 576
+    for i in range(0, 40, 2):
+        vals1[i] = 1
+    g1 = _gr(**{"is": vals1, "scalefac_long": sfl, "scalefac_compress": 5,
+                "table_select": [1, 1, 1], "global_gain": 170})
+    buf = encode_mp3(
+        _frames_mono(g0, g1), rate=48000, bitrate=96000, scfsi=[[1, 1, 0, 0]]
+    )
+    monkeypatch.undo()
+
+    got = M.certify_tables(buf)
+    assert got["granules"] == 2
+    assert got["quarantined"] == 1  # granule 0's untranscribed ESC table
+    assert got["overrun"] == 0      # NO phantom overrun on granule 1
+    assert got["exact"] + got["slack"] == 1
+    to = got["table_outcomes"]
+    assert to[21] == {"exact": 0, "slack": 0, "overrun": 0, "quarantined": 1}
+    assert to[1]["overrun"] == 0
+    assert to[1]["exact"] + to[1]["slack"] == 1

@@ -311,7 +311,13 @@ def test_content_dedup_windows_are_doc_keyed_only(spark, sf_dir, name):
     fn = getattr(T, name, None) or T.TESTS_ONLY_QUERIES[name]
     plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
     # windowspecdefinition(<part1>#id, ... ) — the leading args up to
-    # the first ASC/DESC/frame spec are the partition columns
+    # the first ASC/DESC/frame spec are the partition columns. The
+    # bare-attribute regex must account for EVERY windowspecdefinition
+    # in the plan: a window partitioned by an EXPRESSION over content
+    # (e.g. pmod(xxhash64(g), N)) would not match and must fail the
+    # count equality rather than pass vacuously (r13 review).
+    total = plan.count("windowspecdefinition(")
     parts = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert len(parts) == total, (len(parts), total)
     assert all(c == "doc_id" for c in parts), parts
     assert "CartesianProduct" not in plan
