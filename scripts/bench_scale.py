@@ -239,6 +239,14 @@ def main() -> None:
         for name in names:
             fn = qs[name]
             times = {}
+            # discarded warmup on the uniform corpus: the first query
+            # of a session otherwise carries 10-20 s of JVM/codegen
+            # warmup on the UNIFORM (first-timed) side, which deflates
+            # the skew ratio — the gate-friendly direction, i.e. it
+            # could hide a real skew stall (r13 review of the first
+            # recorded run)
+            fn(spark, dst).count()
+            plan_cache.release(spark, dst)
             for lab, d in (("uniform", dst), ("skewed", _dst(replicas, skew))):
                 t0 = time.time()
                 n = fn(spark, d).count()
