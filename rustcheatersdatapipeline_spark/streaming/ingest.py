@@ -724,3 +724,55 @@ class MergeUpsertSink:
             )
         except ConcurrentWriteError:
             return None  # another writer won — debt re-checked next trigger
+
+
+def mp3_certification_report(
+    store: GoldStore, table: str = "mp3_certification", min_exact: int = 64
+):
+    """Aggregate the accumulated per-table certification tallies into a
+    per-Huffman-table verdict frame — the human-readable end of the
+    self-arming sweep (VERDICT r12 #5):
+
+    ``(table_id, n_streams, granules, exact, slack, overrun,
+    quarantined, verdict)``
+
+    - ``refuted``: any overrun recorded — a length-wrong table
+      desynchronizes the bit cursor on real streams, so overruns on a
+      table are the refutation signal (``certify_tables`` docstring);
+    - ``certified``: ≥ ``min_exact`` exact granules and zero overruns —
+      many independent exact bit-budget landings are near-certain
+      length-correctness;
+    - ``armed``: only quarantines — the table is selected by real
+      streams but absent from the build (the 15/16/24 boundary);
+      evidence will flip to certified/refuted the moment a candidate
+      array is injected and the streams re-scored;
+    - ``insufficient``: anything else (too few exact granules).
+
+    One bounded aggregate over the (tiny) tallies table — rows are one
+    per (stream, table). Streams whose walk failed entirely
+    (``parse_error`` set) carry no per-table rows and are excluded by
+    the ``table_id`` filter.
+    """
+    rows = store.read(table).filter(F.col("table_id").isNotNull())
+    agg = rows.groupBy("table_id").agg(
+        F.count_distinct("item_id").alias("n_streams"),
+        F.sum("n_granules").alias("granules"),
+        F.sum("exact").alias("exact"),
+        F.sum("slack").alias("slack"),
+        F.sum("overrun").alias("overrun"),
+        F.sum("quarantined").alias("quarantined"),
+    )
+    verdict = (
+        F.when(F.col("overrun") > 0, F.lit("refuted"))
+        .when(
+            (F.col("exact") >= min_exact) & (F.col("overrun") == 0),
+            F.lit("certified"),
+        )
+        .when(
+            (F.col("quarantined") > 0)
+            & (F.col("exact") + F.col("slack") == 0),
+            F.lit("armed"),
+        )
+        .otherwise(F.lit("insufficient"))
+    )
+    return agg.select("*", verdict.alias("verdict")).orderBy("table_id")

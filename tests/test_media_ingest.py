@@ -164,6 +164,25 @@ def test_mp3_certification_sweep_self_arms(spark, tmp_path, monkeypatch):
     assert "13" in props["builtin_tables"].split(",")
     assert "16" not in props["builtin_tables"].split(",")
 
+    # the aggregated verdict frame over the accumulated tallies
+    from rustcheatersdatapipeline_spark.streaming.ingest import (
+        mp3_certification_report,
+    )
+
+    rep = {
+        r["table_id"]: r
+        for r in mp3_certification_report(store, min_exact=1).collect()
+    }
+    assert rep[21]["verdict"] == "armed"  # selected but absent from build
+    assert rep[21]["quarantined"] == 16 and rep[21]["overrun"] == 0
+    assert rep[1]["verdict"] == "certified"  # exact landings, no overrun
+    assert rep[1]["overrun"] == 0
+    # default threshold: the same evidence is only 'insufficient'
+    rep_strict = {
+        r["table_id"]: r for r in mp3_certification_report(store).collect()
+    }
+    assert rep_strict[1]["verdict"] == "insufficient"
+
     # replay through a fresh checkpoint: pure no-op, no duplicate rows
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     _run(spark, src, tmp_path / "ck2", MediaIngestSink(store))
