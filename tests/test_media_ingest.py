@@ -190,3 +190,36 @@ def test_mp3_certification_sweep_self_arms(spark, tmp_path, monkeypatch):
     # the certification cache is released per batch (r13 review): the
     # replay must not leave any extra pinned RDD behind
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
+
+def test_mp3_certification_report_all_verdicts(spark, tmp_path):
+    """The verdict rules over synthetic tallies: refuted (any overrun,
+    even alongside exacts), certified (>= min_exact, zero overruns),
+    armed (quarantines only), insufficient (too few exacts); rows from
+    parse-failed streams (table_id NULL) are excluded."""
+    from rustcheatersdatapipeline_spark.streaming.ingest import (
+        MediaIngestSink,
+        mp3_certification_report,
+    )
+
+    store = GoldStore(spark, str(tmp_path / "gold"))
+    cols = [f.split(" ")[0] for f in MediaIngestSink.CERT_SCHEMA.split(", ")]
+    rows = [
+        # (item, table, n, exact, slack, overrun, quarantined, ...)
+        ("a", 12, 10, 8, 1, 1, 0, None, None, None, None, None),   # refuted
+        ("a", 1, 100, 96, 4, 0, 0, None, None, None, None, None),  # certified
+        ("b", 1, 40, 32, 8, 0, 0, None, None, None, None, None),
+        ("b", 16, 6, 0, 0, 0, 6, None, None, None, None, None),    # armed
+        ("b", 5, 4, 2, 2, 0, 0, None, None, None, None, None),     # insufficient
+        ("c", None, 0, 0, 0, 0, 0, 0, 0, 0, 0, "MP3: lost frame sync"),
+    ]
+    frame = spark.createDataFrame(
+        [dict(zip(cols, r)) for r in rows], MediaIngestSink.CERT_SCHEMA
+    )
+    store.publish({"mp3_certification": frame}, store.current_version())
+
+    rep = {
+        r["table_id"]: r["verdict"]
+        for r in mp3_certification_report(store, min_exact=64).collect()
+    }
+    assert rep == {12: "refuted", 1: "certified", 16: "armed", 5: "insufficient"}
