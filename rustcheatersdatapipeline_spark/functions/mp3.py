@@ -1012,7 +1012,10 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
     persists (VERDICT r12 #5): a table consistently present in
     overruns while the others certify clean is the refutation signal,
     and a table accumulating exact granules on real streams is
-    certified, with zero manual action.
+    certified, with zero manual action. Only granules whose scoring
+    REACHED the Huffman region attribute: a scalefactor-stage failure
+    (corrupt back-pointer, scfsi knock-on) precedes the code tables
+    and counts in the stream-level stats only.
 
     plus ``resync_frames`` when a reservoir underflow forced frames to
     be consumed unscored (mid-stream start, or the reservoir reset
@@ -1118,7 +1121,14 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                 # outcome — so prev_sf must be KEPT or the next
                 # scfsi-sharing granule records a phantom overrun
                 # against its own (innocent) tables.
+                # a failure in the SCALEFACTOR stage precedes the
+                # Huffman region, so the granule's code tables cannot
+                # have caused it — such outcomes count in the
+                # stream-level stats but are NOT attributed to
+                # table_outcomes (r13 review: stream corruption must
+                # not manufacture refutation evidence against tables)
                 sf = None
+                attribute = True
                 try:
                     if hdr["mpeg1"]:
                         sf = _read_scalefacs(
@@ -1131,12 +1141,15 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                     # not refutation evidence against THIS granule's
                     # tables
                     outcome = "quarantined"
+                    attribute = False
                     prev_sf[ch] = None
                 except NotImplementedError:
                     outcome = "quarantined"
+                    attribute = False
                     prev_sf[ch] = None
                 except ValueError:
                     outcome = "overrun"
+                    attribute = False
                     prev_sf[ch] = None
                 else:
                     if sf["long"] is not None and not sf.get("mixed"):
@@ -1157,12 +1170,14 @@ def certify_tables(buf: bytes, candidates: dict | None = None) -> dict:
                     except ValueError:
                         outcome = "overrun"
                 stats[outcome] += 1
-                for sel in set(g["table_select"]):
-                    d = stats["table_outcomes"].setdefault(
-                        sel,
-                        {"exact": 0, "slack": 0, "overrun": 0, "quarantined": 0},
-                    )
-                    d[outcome] += 1
+                if attribute:
+                    for sel in set(g["table_select"]):
+                        d = stats["table_outcomes"].setdefault(
+                            sel,
+                            {"exact": 0, "slack": 0, "overrun": 0,
+                             "quarantined": 0},
+                        )
+                        d[outcome] += 1
                 rd.pos = p23_end  # exact recovery: budgets are additive
         if len(reservoir) > 511:
             del reservoir[: len(reservoir) - 511]

@@ -147,6 +147,26 @@ LR_ITERS = 8
 LR_RATE = 50.0
 
 
+def _hashed_l1_features(grams: DataFrame, salt: str, buckets: int) -> DataFrame:
+    """Shared tail of the hashed feature builders: salt+hash each gram
+    with the portable 60-bit md5 hash, pmod into ``buckets``, count per
+    (doc, bucket), L1-normalize per doc. One contract, two gram
+    sources (word n-grams for quality LR, char n-grams for LID) — and
+    two pure-Python test replicas that must keep mirroring exactly
+    this sequence."""
+    from ..functions.text import portable_hash64
+
+    hashed = grams.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit(salt), F.col("gram"))), F.lit(buckets)
+        ).alias("bucket"),
+    )
+    counts = hashed.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return counts.select("doc_id", "bucket", (F.col("cnt") / tot).alias("x"))
+
+
 def lr_features(
     docs: DataFrame,
     text_col: str = "text",
@@ -161,7 +181,7 @@ def lr_features(
     codegen: token explode + one (doc, bucket) hash aggregate. Empty
     documents yield no rows (they score the bias-free margin 0).
     """
-    from ..functions.text import portable_hash64, ws_tokens
+    from ..functions.text import ws_tokens
 
     ts = ws_tokens(text_col)
     ts_sql = f"filter(split({text_col}, ' '), x -> x <> '')"
@@ -177,19 +197,7 @@ def lr_features(
         F.col(id_col).alias("doc_id"),
         F.explode(F.concat(ts, bigrams)).alias("gram"),
     )
-    hashed = grams.select(
-        "doc_id",
-        F.pmod(
-            portable_hash64(F.concat(F.lit("qc:"), F.col("gram"))), F.lit(buckets)
-        ).alias("bucket"),
-    )
-    counts = hashed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
-    return counts.select(
-        "doc_id", "bucket", (F.col("cnt") / tot).alias("x")
-    )
+    return _hashed_l1_features(grams, "qc:", buckets)
 
 
 def lr_train(
@@ -247,25 +255,33 @@ def lr_train(
         # there would change the trained weights.
         eps = F.lit(1e-15)
         pc = F.least(F.greatest(p, eps), F.lit(1.0) - eps)
+        # cached: the loss scalar AND the gradient join both read the
+        # margin aggregate — uncached, the heaviest stage (the full
+        # feature-table groupBy) would run twice per iteration (r13
+        # review); one row per labeled doc, released before the next
+        # iteration rebuilds it with fresh weights
         scored = margins.select(
             "doc_id", "y", (p - F.col("y")).alias("err"),
             (-F.col("y") * F.log(pc) - (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)).alias(
                 "nll"
             ),
-        )
-        # loss: mean nll over labeled docs (driver-side scalar)
-        loss_row = scored.agg(F.sum("nll").alias("s")).first()
-        losses.append(float(loss_row["s"]) / n_docs)
-        grad_rows = (
-            feats.join(scored.select("doc_id", "err"), "doc_id")
-            .select(
-                "bucket",
-                F.floor(F.lit(_LR_SCALE) * F.col("err") * F.col("x")).cast("long").alias("gc"),
+        ).cache()
+        try:
+            # loss: mean nll over labeled docs (driver-side scalar)
+            loss_row = scored.agg(F.sum("nll").alias("s")).first()
+            losses.append(float(loss_row["s"]) / n_docs)
+            grad_rows = (
+                feats.join(scored.select("doc_id", "err"), "doc_id")
+                .select(
+                    "bucket",
+                    F.floor(F.lit(_LR_SCALE) * F.col("err") * F.col("x")).cast("long").alias("gc"),
+                )
+                .groupBy("bucket")
+                .agg(F.sum("gc").alias("g"))
+                .collect()
             )
-            .groupBy("bucket")
-            .agg(F.sum("gc").alias("g"))
-            .collect()
-        )
+        finally:
+            scored.unpersist(blocking=False)
         for r in grad_rows:
             weights[int(r["bucket"])] -= rate * (r["g"] / _LR_SCALE) / n_docs
     return weights, losses
@@ -312,8 +328,6 @@ def lid_features(
     bucketing exactly). Pure codegen: one stride-1 substring explode +
     one (doc, bucket) hash aggregate. Documents shorter than ``n``
     chars yield no rows."""
-    from ..functions.text import portable_hash64
-
     s = f"lower({text_col})"
     grams_col = F.when(
         F.length(F.lower(F.col(text_col))) >= n,
@@ -325,15 +339,7 @@ def lid_features(
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(grams_col).alias("gram")
     )
-    hashed = grams.select(
-        "doc_id",
-        F.pmod(
-            portable_hash64(F.concat(F.lit("lid:"), F.col("gram"))), F.lit(buckets)
-        ).alias("bucket"),
-    )
-    counts = hashed.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
-    return counts.select("doc_id", "bucket", (F.col("cnt") / tot).alias("x"))
+    return _hashed_l1_features(grams, "lid:", buckets)
 
 
 def softmax_train(
@@ -372,6 +378,15 @@ def softmax_train(
             "softmax_train: no labeled documents with feature rows "
             "(labels join produced an empty training set)"
         )
+    if feats.filter(F.col("y").isNull()).limit(1).count():
+        # a NULL label would silently act as a negative example for
+        # EVERY class (err = p - NULL-indicator -> p) while dropping
+        # out of the loss numerator — corrupt training, no error
+        # (r13 review). Fail loudly instead.
+        raise ValueError(
+            "softmax_train: NULL labels in the training set (a label "
+            "value outside the class mapping, or missing source labels)"
+        )
     K = int(n_classes)
     if K < 2:
         raise ValueError("softmax_train: n_classes must be >= 2")
@@ -397,39 +412,45 @@ def softmax_train(
         denom = F.aggregate(ex, F.lit(0.0), lambda a, b: a + b)
         p_arr = F.transform(ex, lambda v: v / denom)
         p_y = F.element_at(p_arr, F.col("y") + 1)
+        # cached like lr_train's scored frame: the loss scalar and the
+        # gradient join must not re-run the K-sum margin aggregate
+        # (r13 review); one row per labeled doc, released per iteration
         scored = margins.select(
             "doc_id",
             "y",
             p_arr.alias("p"),
             (-F.log(F.greatest(p_y, F.lit(1e-15)))).alias("nll"),
-        )
-        loss_row = scored.agg(F.sum("nll").alias("s")).first()
-        losses.append(float(loss_row["s"]) / n_docs)
-        err = F.transform(
-            F.col("p"),
-            lambda v, i: v
-            - F.when(F.col("y") == i.cast("int"), F.lit(1.0)).otherwise(F.lit(0.0)),
-        )
-        errs = scored.select("doc_id", err.alias("err"))
-        grad_rows = (
-            feats.join(errs, "doc_id")
-            .select(
-                "bucket",
-                *[
-                    F.floor(
-                        F.lit(_LR_SCALE)
-                        * F.element_at(F.col("err"), k + 1)
-                        * F.col("x")
-                    )
-                    .cast("long")
-                    .alias(f"gc{k}")
-                    for k in range(K)
-                ],
+        ).cache()
+        try:
+            loss_row = scored.agg(F.sum("nll").alias("s")).first()
+            losses.append(float(loss_row["s"]) / n_docs)
+            err = F.transform(
+                F.col("p"),
+                lambda v, i: v
+                - F.when(F.col("y") == i.cast("int"), F.lit(1.0)).otherwise(F.lit(0.0)),
             )
-            .groupBy("bucket")
-            .agg(*[F.sum(f"gc{k}").alias(f"g{k}") for k in range(K)])
-            .collect()
-        )
+            errs = scored.select("doc_id", err.alias("err"))
+            grad_rows = (
+                feats.join(errs, "doc_id")
+                .select(
+                    "bucket",
+                    *[
+                        F.floor(
+                            F.lit(_LR_SCALE)
+                            * F.element_at(F.col("err"), k + 1)
+                            * F.col("x")
+                        )
+                        .cast("long")
+                        .alias(f"gc{k}")
+                        for k in range(K)
+                    ],
+                )
+                .groupBy("bucket")
+                .agg(*[F.sum(f"gc{k}").alias(f"g{k}") for k in range(K)])
+                .collect()
+            )
+        finally:
+            scored.unpersist(blocking=False)
         for r in grad_rows:
             b = int(r["bucket"])
             for k in range(K):

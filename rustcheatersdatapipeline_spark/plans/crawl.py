@@ -682,6 +682,45 @@ def discover_sitemap_urls(warc_batch: DataFrame) -> DataFrame:
     return from_robots.unionByName(from_xml).distinct()
 
 
+def discover_frontier_urls(
+    warc: DataFrame, store: GoldStore, url_table: str = "url_frontier"
+) -> DataFrame:
+    """Candidate next-frontier URLs from a raw WARC batch: links
+    extracted from the batch's clean HTML pages plus sitemap page
+    discoveries, distinct, minus everything already in the persisted
+    URL frontier. Shared by ``crawl_tick`` and the composed-tick bench
+    (scripts/bench_warc.py) so the measured stage sequence cannot
+    drift from the shipped one (r13 review)."""
+    from ..functions.weburl import canonical_url, extract_links
+
+    pages = warc.filter(
+        F.col("corrupt_reason").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("mime").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    discovered = (
+        extract_links(pages, "html", "url")
+        .select(F.col("link").alias("url"))
+        .unionByName(
+            discover_sitemap_urls(warc).filter(F.col("kind") == "page").select("url")
+        )
+        .distinct()
+    )
+    tables = store.current_manifest()["tables"]
+    if url_table in tables:
+        seen = store.read(url_table).select("url_digest")
+        discovered = discovered.withColumn(
+            "_ud", F.xxhash64(canonical_url("url"))
+        ).join(
+            seen.withColumnRenamed("url_digest", "_ud"), "_ud", "left_anti"
+        ).drop("_ud")
+    return discovered
+
+
 def crawl_tick(
     spark: SparkSession,
     warc_path: str,
@@ -707,8 +746,6 @@ def crawl_tick(
     LAZY prioritized DataFrame for the fetch scheduler. Each stage
     reads only the batch plus its bounded index, so the tick is
     O(crawl bytes) at any corpus size."""
-    from ..functions.weburl import canonical_url, extract_links
-
     warc = read_warc(spark, warc_path)
     n_rules = RobotsIngestSink(store)(warc, batch_id=store.current_version())
     n_pairs = HostGraphIngestSink(store)(warc, batch_id=store.current_version())
@@ -717,31 +754,7 @@ def crawl_tick(
     sink = CuratedCorpusIngestSink(store, k=k)
     admitted = sink(docs, batch_id=-1)
 
-    pages = warc.filter(
-        F.col("corrupt_reason").isNull()
-        & (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("mime").startswith("text/html")
-    ).select(
-        F.col("target_uri").alias("url"),
-        F.col("payload").cast("string").alias("html"),
-    )
-    discovered = (
-        extract_links(pages, "html", "url")
-        .select(F.col("link").alias("url"))
-        .unionByName(
-            discover_sitemap_urls(warc).filter(F.col("kind") == "page").select("url")
-        )
-        .distinct()
-    )
-    tables = store.current_manifest()["tables"]
-    if sink.url_table in tables:
-        seen = store.read(sink.url_table).select("url_digest")
-        discovered = discovered.withColumn(
-            "_ud", F.xxhash64(canonical_url("url"))
-        ).join(
-            seen.withColumnRenamed("url_digest", "_ud"), "_ud", "left_anti"
-        ).drop("_ud")
+    discovered = discover_frontier_urls(warc, store, sink.url_table)
     frontier = prioritized_frontier(discovered, store, agent)
     return {
         "admitted": admitted,

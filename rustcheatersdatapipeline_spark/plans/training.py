@@ -2987,7 +2987,10 @@ def lid_classifier(spark, sf_dir):
     """
     from ..operators.classify import lid_features, softmax_margins, softmax_train
 
-    docs = table(spark, sf_dir, "documents")
+    # NULL langs carry no class: excluded up front, or array_position
+    # would map them to NULL y and softmax_train would (correctly)
+    # refuse the training set
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     langs = [
         r["lang"] for r in docs.select("lang").distinct().orderBy("lang").collect()
     ]

@@ -497,6 +497,7 @@ class MediaIngestSink(IncrementalIngestSink):
 
         from ..functions.mp3 import certify_tables
         from ..functions.multimodal import parse_mp3_header
+        from ..functions.pixels import DECODE_QUARANTINE
 
         cand = novel.select(
             F.col(self.id_col).cast("string").alias("item_id"),
@@ -516,9 +517,16 @@ class MediaIngestSink(IncrementalIngestSink):
                         continue  # sync-like prefix, not MPEG audio
                     try:
                         st = certify_tables(buf)
-                    except ValueError as e:
+                    except DECODE_QUARANTINE as e:
+                        # the shared binary-decode quarantine set, not
+                        # just ValueError: an adversarial payload
+                        # driving the walker into any of these must
+                        # yield a parse_error row, never a poisoned
+                        # micro-batch that replays into the same
+                        # deterministic task failure (r13 review)
                         rows.append(
-                            (iid, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, str(e))
+                            (iid, None, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                             f"{type(e).__name__}: {e}")
                         )
                         continue
                     rows.append(
@@ -727,7 +735,11 @@ class MergeUpsertSink:
 
 
 def mp3_certification_report(
-    store: GoldStore, table: str = "mp3_certification", min_exact: int = 64
+    store: GoldStore,
+    table: str = "mp3_certification",
+    min_exact: int = 64,
+    refute_min: int = 4,
+    refute_rate: float = 0.05,
 ):
     """Aggregate the accumulated per-table certification tallies into a
     per-Huffman-table verdict frame — the human-readable end of the
@@ -736,22 +748,29 @@ def mp3_certification_report(
     ``(table_id, n_streams, granules, exact, slack, overrun,
     quarantined, verdict)``
 
-    - ``refuted``: any overrun recorded — a length-wrong table
-      desynchronizes the bit cursor on real streams, so overruns on a
-      table are the refutation signal (``certify_tables`` docstring);
-    - ``certified``: ≥ ``min_exact`` exact granules and zero overruns —
-      many independent exact bit-budget landings are near-certain
-      length-correctness;
+    - ``refuted``: ≥ ``refute_min`` overruns AND an overrun rate ≥
+      ``refute_rate`` over the table's scored granules — a
+      length-wrong table desynchronizes the bit cursor on essentially
+      EVERY granule that uses it, so refutation demands consistency,
+      not a single event (r13 review: one bit-corrupted crawled file
+      must not permanently refute a heavily-certified table, since
+      tallies accumulate append-only);
+    - ``certified``: ≥ ``min_exact`` exact granules and an overrun
+      rate below ``refute_rate`` — many independent exact bit-budget
+      landings are near-certain length-correctness, tolerating stray
+      stream corruption;
     - ``armed``: only quarantines — the table is selected by real
       streams but absent from the build (the 15/16/24 boundary);
       evidence will flip to certified/refuted the moment a candidate
       array is injected and the streams re-scored;
-    - ``insufficient``: anything else (too few exact granules).
+    - ``insufficient``: anything else (too few exact granules, or an
+      ambiguous overrun pattern below the refutation bar).
 
     One bounded aggregate over the (tiny) tallies table — rows are one
     per (stream, table). Streams whose walk failed entirely
     (``parse_error`` set) carry no per-table rows and are excluded by
-    the ``table_id`` filter.
+    the ``table_id`` filter; scalefactor-stage failures never
+    attribute to tables at all (``certify_tables``).
     """
     rows = store.read(table).filter(F.col("table_id").isNotNull())
     agg = rows.groupBy("table_id").agg(
@@ -762,10 +781,15 @@ def mp3_certification_report(
         F.sum("overrun").alias("overrun"),
         F.sum("quarantined").alias("quarantined"),
     )
+    scored = F.col("exact") + F.col("slack") + F.col("overrun")
+    rate = F.col("overrun") / F.greatest(scored, F.lit(1))
     verdict = (
-        F.when(F.col("overrun") > 0, F.lit("refuted"))
+        F.when(
+            (F.col("overrun") >= refute_min) & (rate >= refute_rate),
+            F.lit("refuted"),
+        )
         .when(
-            (F.col("exact") >= min_exact) & (F.col("overrun") == 0),
+            (F.col("exact") >= min_exact) & (rate < refute_rate),
             F.lit("certified"),
         )
         .when(

@@ -175,17 +175,11 @@ def _timed_tick(spark, warc_dir: str, gold_dir: str) -> dict:
     """crawl_tick's exact stage sequence (plans/crawl.py crawl_tick)
     with a timer around each stage; frontier is materialized so its
     PageRank/robots joins are inside the measurement."""
-    from pyspark.sql import functions as F
-
-    from rustcheatersdatapipeline_spark.functions.weburl import (
-        canonical_url,
-        extract_links,
-    )
     from rustcheatersdatapipeline_spark.plans.crawl import (
         CuratedCorpusIngestSink,
         HostGraphIngestSink,
         RobotsIngestSink,
-        discover_sitemap_urls,
+        discover_frontier_urls,
         distill_and_curate,
         prioritized_frontier,
     )
@@ -210,31 +204,9 @@ def _timed_tick(spark, warc_dir: str, gold_dir: str) -> dict:
     stages["curate_ingest"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    pages = warc.filter(
-        F.col("corrupt_reason").isNull()
-        & (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("mime").startswith("text/html")
-    ).select(
-        F.col("target_uri").alias("url"),
-        F.col("payload").cast("string").alias("html"),
-    )
-    discovered = (
-        extract_links(pages, "html", "url")
-        .select(F.col("link").alias("url"))
-        .unionByName(
-            discover_sitemap_urls(warc).filter(F.col("kind") == "page").select("url")
-        )
-        .distinct()
-    )
-    tables = store.current_manifest()["tables"]
-    if sink.url_table in tables:
-        seen = store.read(sink.url_table).select("url_digest")
-        discovered = discovered.withColumn(
-            "_ud", F.xxhash64(canonical_url("url"))
-        ).join(
-            seen.withColumnRenamed("url_digest", "_ud"), "_ud", "left_anti"
-        ).drop("_ud")
+    # the SHARED discovery helper (plans/crawl.py) — the bench times
+    # exactly the code crawl_tick ships, no copy to drift (r13 review)
+    discovered = discover_frontier_urls(warc, store, sink.url_table)
     n_frontier = prioritized_frontier(discovered, store, "sparkgraftbot").count()
     stages["frontier"] = round(time.time() - t0, 2)
 

@@ -206,9 +206,12 @@ def test_mp3_certification_report_all_verdicts(spark, tmp_path):
     cols = [f.split(" ")[0] for f in MediaIngestSink.CERT_SCHEMA.split(", ")]
     rows = [
         # (item, table, n, exact, slack, overrun, quarantined, ...)
-        ("a", 12, 10, 8, 1, 1, 0, None, None, None, None, None),   # refuted
+        # consistent overruns (5/10, >= refute_min and >= refute_rate)
+        ("a", 12, 10, 4, 1, 5, 0, None, None, None, None, None),   # refuted
+        # heavy exact evidence + ONE stray overrun (a bit-corrupted
+        # crawled file) must NOT refute (r13 review)
         ("a", 1, 100, 96, 4, 0, 0, None, None, None, None, None),  # certified
-        ("b", 1, 40, 32, 8, 0, 0, None, None, None, None, None),
+        ("b", 1, 40, 31, 8, 1, 0, None, None, None, None, None),
         ("b", 16, 6, 0, 0, 0, 6, None, None, None, None, None),    # armed
         ("b", 5, 4, 2, 2, 0, 0, None, None, None, None, None),     # insufficient
         ("c", None, 0, 0, 0, 0, 0, 0, 0, 0, 0, "MP3: lost frame sync"),
