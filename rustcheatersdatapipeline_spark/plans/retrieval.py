@@ -109,8 +109,9 @@ def _query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-BM25_TOPK corpus documents per probe query by BM25.
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked (unordered) BM25 results: top-BM25_TOPK corpus documents
+    per probe query.
 
     score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene variant,
@@ -139,6 +140,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # postq feeds TWO consumers (dfreq and the scored join) and neither
+    # Catalyst's ReuseExchange nor AQE stage reuse fires across them
+    # (verified .explain + executed plan, r13) — without this the
+    # corpus-wide tokenize+broadcast-semi-join+aggregate subtree runs
+    # twice per query. Materialize it once: localCheckpoint (eager,
+    # per-invocation, released with the plan — no cross-call cache) on
+    # the aggregated, query-term-restricted postings, which are ≤ the
+    # hit count of ≤ 96 query terms — orders of magnitude under the
+    # corpus at any scale (the mixture builder's r11 precedent).
+    postq = postq.localCheckpoint()
     # document frequency of each query term over the FULL corpus
     # (postq already spans the full corpus for those terms)
     dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -184,8 +195,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= BM25_TOPK)
         .select("query_id", "rnk", "doc_id", "score_scaled")
-        .orderBy("query_id", "rnk")
     )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOPK corpus documents per probe query by BM25 — the
+    presentation form of ``_bm25_ranked`` (which see for the plan
+    discussion). Split out (r13) so consumers that immediately
+    re-aggregate the ranks (``hybrid_search_rrf``) do not pay the
+    total-order range exchange: Catalyst does not eliminate a sort
+    buried under a union+aggregate, so the fused plan used to carry
+    this exchange as dead weight."""
+    return _bm25_ranked(spark, sf_dir).orderBy("query_id", "rnk")
 
 
 def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,8 +282,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import KNN_K, _vectors, cosine, dot_product
 
     rrf = F.expr(f"1000000 div ({HYBRID_RRF_K} + rnk)").alias("c")
+    # _bm25_ranked, not bm25_search: the fusion aggregates the ranks
+    # away, so the lex arm's total ORDER BY would be a dead range
+    # exchange in this plan (Catalyst does not remove it under the
+    # union+aggregate — verified .explain r13)
     lex = (
-        bm25_search(spark, sf_dir)
+        _bm25_ranked(spark, sf_dir)
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id", rrf)
     )
@@ -289,8 +314,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KNN_K)
         .select("query_id", "doc_id", rrf)
     )
+    # one exchange serves BOTH the fused aggregate and the rank window:
+    # hashpartitioning(query_id) satisfies the aggregate's clustered
+    # distribution on (query_id, doc_id) — query_id is a subset of the
+    # group key — AND the window's partitioning, where the aggregate's
+    # own hash(query_id, doc_id) exchange would NOT satisfy the window
+    # and a second shuffle followed (guide §2.4: key two operations the
+    # same way and share the exchange). Rows here are ≤ (BM25_TOPK +
+    # KNN_K) per query, so per-partition state is bounded at any scale.
     fused = (
         lex.unionByName(vec)
+        .repartition("query_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("rrf_scaled"))
     )
