@@ -211,6 +211,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # dedup_spans rotated out of the declared surface in r13 (its slot
+    # holds the strictly-stronger dedup_substrings; the builder stays
+    # oracle-checked in the tests-only suite). The bench contract says
+    # entries may be ADDED but never removed, so keep timing it as an
+    # extra `queries` entry for cross-round continuity — it is NOT part
+    # of the declared surface and is EXCLUDED from `value`.
+    from rustcheatersdatapipeline_spark.plans import training as _training
+
+    declared = set(qs)
+    qs = dict(qs)
+    qs["dedup_spans"] = _training.TESTS_ONLY_QUERIES["dedup_spans"]
     # warm-up: JVM, codegen, parquet footer caches
     qs["q25"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warm-up the Python worker pool too, or the first Arrow-path query
@@ -267,12 +278,18 @@ def main() -> None:
     ]
 
     timings = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
-    total = round(sum(timings.values()), 4)
+    # `value` sums the DECLARED surface only (the driver's gate); the
+    # continuity extras (dedup_spans) are reported per-query but not
+    # added to the headline, which would otherwise double-count the
+    # rotated slot against every earlier round.
+    total = round(sum(v for k, v in timings.items() if k in declared), 4)
     norm_timings = {
         name: statistics.median(t / query_factors[r] for r, t in enumerate(ts))
         for name, ts in samples.items()
     }
-    normalized_value = round(sum(norm_timings.values()), 4)
+    normalized_value = round(
+        sum(v for k, v in norm_timings.items() if k in declared), 4
+    )
     print(
         json.dumps(
             {

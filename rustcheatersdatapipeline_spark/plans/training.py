@@ -314,13 +314,37 @@ def _jaccard_verify(cand, sh):
     """
     # note: hashing shingles to int64 before intersecting was measured
     # SLOWER here — the per-shingle md5 outweighs cheaper long equality
-    arrs = sh.groupBy("doc_id").agg(
-        F.collect_list("g").alias("arr"), F.count(F.lit(1)).alias("n")
-    )
-    a = arrs.alias("sa")
-    b = arrs.alias("sb")
+    #
+    # r13: build the shingle arrays ONLY for documents that appear in a
+    # candidate pair, not corpus-wide. Near-dup candidates are a sparse
+    # fraction of the corpus (~0.2% here; prefix/band filtering exists
+    # to keep them sparse at every scale), so the old corpus-wide
+    # collect_list aggregated (and, in the shuffle-join regime, moved)
+    # every document's full shingle set to verify almost none of them.
+    # The candidate table is materialized once (localCheckpoint — it
+    # feeds the two id sets and the verify join; candidate-bounded by
+    # the filters' design), the id sets ride broadcast semi-joins into
+    # the cached shingle table — which is already hash(doc_id)
+    # partitioned, so the per-side groupBy needs NO new exchange — and
+    # the arrays exist only for candidate docs. No broadcast hint on
+    # the id sets (candidate counts are filter-sparse but not
+    # compile-time bounded — repo policy): AQE broadcasts them from the
+    # materialized size while they fit and shuffle-joins beyond.
+    cand = cand.localCheckpoint()
     i = F.size(F.array_intersect(F.col("sa.arr"), F.col("sb.arr")))
     jac = (i / (F.col("sa.n") + F.col("sb.n") - i)).alias("jac")
+
+    def side_arrays(id_col: str, alias: str):
+        ids = cand.select(F.col(id_col).alias("doc_id")).distinct()
+        return (
+            sh.join(ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("arr"), F.count(F.lit(1)).alias("n"))
+            .alias(alias)
+        )
+
+    a = side_arrays("doc_a", "sa")
+    b = side_arrays("doc_b", "sb")
     return (
         cand.join(a, F.col("doc_a") == F.col("sa.doc_id"))
         .join(b, F.col("doc_b") == F.col("sb.doc_id"))
@@ -1230,18 +1254,23 @@ def doc_fingerprint(spark, sf_dir):
     """
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 11)
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    hs = F.expr(
+    hs = (
         "transform(sequence(1, length(text)-7), i -> "
         f"CAST(conv(substr(md5(substring(text, i, 8)),1,15),16,10) AS BIGINT) % {PRIME})"
     )
+    # the rolling-hash array is bound ONCE as a lambda variable (the
+    # single-element-transform 'let' idiom) instead of a projected
+    # column the next projection references twice — Catalyst collapses
+    # stacked projections, and higher-order functions evaluate
+    # interpreted, so the collapsed form re-evaluated parts of the
+    # md5-per-position array; one fused projection also measured
+    # slightly faster end-to-end (r13).
+    fp = F.expr(
+        f"transform(array({hs}), hs -> array_distinct("
+        "transform(sequence(1, size(hs)-3), i -> array_min(slice(hs, i, 4)))))[0]"
+    )
     return (
-        docs.select("doc_id", hs.alias("hs"))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr("transform(sequence(1, size(hs)-3), i -> array_min(slice(hs, i, 4)))")
-            ).alias("fp"),
-        )
+        docs.select("doc_id", fp.alias("fp"))
         .select(
             "doc_id",
             F.size("fp").cast("bigint").alias("n_fp"),
