@@ -821,7 +821,15 @@ def embed_neardup_cosine(spark, sf_dir):
     # it through plain equi-joins, so no unbounded side is ever broadcast
     block_pairs = F.broadcast(grid).join(pa, "blk_a").join(pb, "blk_b")
     n_pairs = n_blocks * (n_blocks + 1) // 2
-    block_pairs = block_pairs.repartition(min(n_pairs, 256), "blk_a", "blk_b")
+    # repartitionByRange, not hash repartition: with few block pairs
+    # (small corpora) hashing n_pairs keys into n_pairs partitions
+    # collides — some tasks carry 2-3 pairs and others none, doubling
+    # the stage's critical path (§2.5: synthetic keys with too few
+    # distinct values). Contiguous ranges give ~one pair per task; at
+    # large B the two schemes converge.
+    block_pairs = block_pairs.repartitionByRange(
+        min(n_pairs, 256), "blk_a", "blk_b"
+    )
 
     def pairs(batches):
         for pdf in batches:

@@ -126,7 +126,9 @@ def date_dim(
 ) -> DataFrame:
     """D15 date-dimension derivation (reference data_warehouse.sql:65-74,
     populated out-of-band): one row per calendar day in [start, end]."""
-    days = spark.range(1).select(
+    # single-partition seed row: the default range parallelism spawns
+    # one task per core for this 1-row driver of the calendar explode
+    days = spark.range(0, 1, 1, 1).select(
         F.explode(
             F.sequence(
                 F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr("interval 1 day")
