@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..plan_cache import cached
+from ..plan_cache import cached, checkpointed
 from ..operators.graph import triangle_counts
 from ..functions.sketches import DD_LN_GAMMA, dd_rows, hll_rows
 from ..functions.similarity import (
@@ -297,7 +297,7 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _jaccard_verify(cand, sh):
+def _jaccard_verify(spark, sf_dir, cand_key, cand, sh):
     """Exact Jaccard on candidate pairs via shingle-array joins.
 
     Collecting each document's (distinct) shingles into one array and
@@ -321,16 +321,21 @@ def _jaccard_verify(cand, sh):
     # to keep them sparse at every scale), so the old corpus-wide
     # collect_list aggregated (and, in the shuffle-join regime, moved)
     # every document's full shingle set to verify almost none of them.
-    # The candidate table is materialized once (localCheckpoint — it
-    # feeds the two id sets and the verify join; candidate-bounded by
-    # the filters' design), the id sets ride broadcast semi-joins into
-    # the cached shingle table — which is already hash(doc_id)
-    # partitioned, so the per-side groupBy needs NO new exchange — and
-    # the arrays exist only for candidate docs. No broadcast hint on
-    # the id sets (candidate counts are filter-sparse but not
-    # compile-time bounded — repo policy): AQE broadcasts them from the
-    # materialized size while they fit and shuffle-joins beyond.
-    cand = cand.localCheckpoint()
+    # The candidate table is materialized once (a registry-owned
+    # localCheckpoint — it feeds the two id sets and the verify join;
+    # candidate-bounded by the filters' design), the id sets ride
+    # broadcast semi-joins into the cached shingle table — which is
+    # already hash(doc_id) partitioned, so the per-side groupBy needs
+    # NO new exchange — and the arrays exist only for candidate docs.
+    # No broadcast hint on the id sets (candidate counts are
+    # filter-sparse but not compile-time bounded — repo policy): AQE
+    # broadcasts them from the materialized size while they fit and
+    # shuffle-joins beyond. The checkpoint handle lives in plan_cache
+    # (keyed per candidate generator) so release() drops its blocks
+    # deterministically — a bare localCheckpoint stranded one
+    # persistent RDD per invocation until driver GC.
+    cand_plan = cand
+    cand = checkpointed(spark, sf_dir, ("jacc_cand",) + cand_key, lambda: cand_plan)
     i = F.size(F.array_intersect(F.col("sa.arr"), F.col("sb.arr")))
     jac = (i / (F.col("sa.n") + F.col("sb.n") - i)).alias("jac")
 
@@ -464,7 +469,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_verify(cand, sh)
+    return _jaccard_verify(spark, sf_dir, ("ppjoin", k), cand, sh)
 
 
 def dedup_containment(spark, sf_dir):
@@ -589,7 +594,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_verify(cand, sh)
+    return _jaccard_verify(spark, sf_dir, ("minhash", k), cand, sh)
 
 
 def simhash_docs(spark, sf_dir):

@@ -66,6 +66,32 @@ def test_two_sf_sweeps_release_independently(spark, sf_dir, tmp_path, clean_regi
     assert plan_cache.registered(spark) == []
 
 
+def test_checkpointed_rebuilds_without_stranding(spark, sf_dir, clean_registry):
+    """``checkpointed`` must re-run the build on every call (a later
+    bench rep re-does the work — no cross-invocation replay) while
+    holding exactly ONE generation of checkpoint blocks per key."""
+    base = _persistent_rdds(spark)
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5)
+
+    df1 = plan_cache.checkpointed(spark, sf_dir, ("ckpt_probe",), build)
+    assert df1.count() == 5
+    after_first = _persistent_rdds(spark)
+    assert after_first > base  # blocks held, owned by the registry
+    df2 = plan_cache.checkpointed(spark, sf_dir, ("ckpt_probe",), build)
+    assert df2.count() == 5
+    assert builds == [1, 1]  # rebuilt, not memoized
+    assert df2 is not df1
+    # one generation only: the first call's blocks were dropped
+    assert _persistent_rdds(spark) == after_first
+    assert len(plan_cache.registered(spark, sf_dir)) == 1
+    plan_cache.release(spark, sf_dir)
+    assert _persistent_rdds(spark) == base
+
+
 def test_inplace_rewrite_evicts_stale_generation(spark, sf_dir, tmp_path, clean_registry):
     d = tmp_path / "sf_rw"
     d.mkdir()
