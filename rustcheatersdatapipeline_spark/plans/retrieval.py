@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..plan_cache import checkpointed
 
 #: how many results per query BM25 returns
 BM25_TOPK = 10
@@ -144,12 +145,15 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst's ReuseExchange nor AQE stage reuse fires across them
     # (verified .explain + executed plan, r13) — without this the
     # corpus-wide tokenize+broadcast-semi-join+aggregate subtree runs
-    # twice per query. Materialize it once: localCheckpoint (eager,
-    # per-invocation, released with the plan — no cross-call cache) on
-    # the aggregated, query-term-restricted postings, which are ≤ the
-    # hit count of ≤ 96 query terms — orders of magnitude under the
-    # corpus at any scale (the mixture builder's r11 precedent).
-    postq = postq.localCheckpoint()
+    # twice per query. Materialize it once: a registry-owned
+    # localCheckpoint (eager, rebuilt per invocation — no cross-call
+    # memo; plan_cache.checkpointed replaces the previous generation's
+    # blocks and release() owns the last one) on the aggregated,
+    # query-term-restricted postings, which are ≤ the hit count of
+    # ≤ 96 query terms — orders of magnitude under the corpus at any
+    # scale (the mixture builder's r11 precedent).
+    postq_plan = postq
+    postq = checkpointed(spark, sf_dir, "bm25_postq", lambda: postq_plan)
     # document frequency of each query term over the FULL corpus
     # (postq already spans the full corpus for those terms)
     dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -793,15 +793,22 @@ def embed_neardup_cosine(spark, sf_dir):
     # ReuseExchange nor AQE stage reuse fires across the two aliases
     # (verified executed plan, r13) — without the checkpoint the
     # groupBy-shuffle + Python pack pass over every vector ran TWICE
-    # per invocation. localCheckpoint materializes the B packed block
-    # rows once, eagerly, per invocation (no cross-call cache): ~n·d
-    # doubles total, the same data volume the O(n²) baseline already
-    # shuffles B more times right below.
-    packed = (
-        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
-        .groupBy("blk")
-        .applyInPandas(pack, "blk int, ids array<bigint>, mat array<array<double>>")
-        .localCheckpoint()
+    # per invocation. A registry-owned localCheckpoint materializes the
+    # B packed block rows once, eagerly, per invocation (no cross-call
+    # memo — plan_cache.checkpointed rebuilds each call and replaces
+    # the previous generation's blocks; release() owns the last one):
+    # ~n·d doubles total, the same data volume the O(n²) baseline
+    # already shuffles B more times right below.
+    packed = checkpointed(
+        spark,
+        sf_dir,
+        "embed_pack",
+        lambda: (
+            emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+            .groupBy("blk")
+            .applyInPandas(pack, "blk int, ids array<bigint>, mat array<array<double>>")
+        ),
+        tables=("embeddings",),
     )
     # single-partition ranges: the default spark.range parallelism (one
     # partition per core) made this B²-row toy grid a cores² -task

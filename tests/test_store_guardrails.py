@@ -159,7 +159,14 @@ def test_on_violation_validated(spark, tmp_path):
 
 def test_ingest_sink_drop_mode_unpersists_its_cache(spark, tmp_path):
     """drop-mode caches the batch to count violations; a long-running
-    stream must not accumulate one pinned RDD per micro-batch."""
+    stream must not accumulate one pinned RDD per micro-batch.
+
+    Asserts the sink's OWN storage delta (before vs after, across two
+    micro-batches), not global-zero storage: the plan-cache registry
+    legitimately pins one candidate-checkpoint generation per builder
+    key until release(), so a global-zero assertion here would fail on
+    unrelated, registry-owned blocks left by earlier tests (and before
+    the registry it only passed by GC timing)."""
     from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
 
     spark.catalog.clearCache()
@@ -172,5 +179,7 @@ def test_ingest_sink_drop_mode_unpersists_its_cache(spark, tmp_path):
     sink = CorpusIngestSink(
         store, k=9, expectations=["n_chars > 0"], on_violation="drop"
     )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert sink(docs, batch_id=1) == 1
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    sink(docs, batch_id=2)  # replayed batch: dedup-dropped, return not asserted
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) <= before
