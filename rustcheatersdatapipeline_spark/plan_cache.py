@@ -105,8 +105,19 @@ def _scoped_bucket(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) ->
     reg = _registry(spark)
     ident = _table_identity(sf_dir, tables)
     scope = (sf_dir, ident)
-    # auto-evict stale generations of the same sf_dir (rewritten table)
-    for other in [s for s in reg if s[0] == sf_dir and s != scope]:
+    # auto-evict stale generations: same sf_dir, same table NAMES, but a
+    # different stat identity (the table was rewritten in place). Scopes
+    # over a different table set (e.g. embeddings- vs documents-derived
+    # plans of one corpus) are sibling scopes, not stale generations —
+    # evicting them would drop every memoized cache of the other family
+    # each time a builder from this one runs (a 3× regression on the
+    # near-dup queries when embed_neardup_cosine ran between them).
+    names = tuple(t[0] for t in ident)
+    for other in [
+        s
+        for s in reg
+        if s[0] == sf_dir and s != scope and tuple(t[0] for t in s[1]) == names
+    ]:
         for handle in reg.pop(other).values():
             handle.unpersist(spark, blocking=False)
     return reg.setdefault(scope, {})

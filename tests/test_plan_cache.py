@@ -92,6 +92,34 @@ def test_checkpointed_rebuilds_without_stranding(spark, sf_dir, clean_registry):
     assert _persistent_rdds(spark) == base
 
 
+def test_sibling_table_scopes_coexist(spark, sf_dir, clean_registry):
+    """Scopes over DIFFERENT table sets of one corpus (documents- vs
+    embeddings-derived plans) are siblings, not stale generations: an
+    embeddings-scoped entry must not evict the documents-scoped bucket
+    (that eviction dropped every memoized near-dup cache each time
+    embed_neardup_cosine ran between two near-dup queries — a measured
+    3× regression on dedup_ngram_jaccard/dedup_minhash_lsh)."""
+    docs_df = plan_cache.cached(
+        spark, sf_dir, ("sibling_docs",), lambda: spark.range(7)
+    )
+    docs_df.count()
+    assert len(plan_cache.registered(spark, sf_dir)) == 1
+    plan_cache.checkpointed(
+        spark,
+        sf_dir,
+        ("sibling_emb",),
+        lambda: spark.range(3),
+        tables=("embeddings",),
+    ).count()
+    # both scopes alive: the documents entry is still the SAME handle
+    assert len(plan_cache.registered(spark, sf_dir)) == 2
+    again = plan_cache.cached(
+        spark, sf_dir, ("sibling_docs",), lambda: spark.range(7)
+    )
+    assert again is docs_df  # memo survived the sibling-scope call
+    plan_cache.release(spark, sf_dir)
+
+
 def test_inplace_rewrite_evicts_stale_generation(spark, sf_dir, tmp_path, clean_registry):
     d = tmp_path / "sf_rw"
     d.mkdir()
