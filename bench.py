@@ -18,6 +18,33 @@ meaningless. Reps interleave (all queries pass 1, then pass 2, ...) so a
 transient GC/compilation stall hits one rep of many queries instead of
 all reps of one.
 
+Cold-invocation reps, r14 methodology (VERDICT r13 next-round #3).
+Before r14, ``plan_cache.cached()`` intermediates (shingle/df/prefix/
+signature/pair-set/CDC tables) and the sizing-scalar memos
+(``choose_shingle_k``, ``_emb_count``) survived across reps, so reps
+2..N of the near-dup/embed/LSH family skipped those builds and the
+median was a warm-steady-state number — a cold invocation of e.g.
+dedup_ngram_jaccard costs more than the r13-reported 2.09 s. Now
+``_cold_reset`` (plan_cache.release + clear_session_memos) runs
+BETWEEN reps, so every rep prices a cold invocation. For series
+continuity the sweep ends with ONE extra warm pass over all queries
+(no reset — reusing the last rep's intermediates exactly as the old
+loop's reps 2+ did), reported as ``queries_warm_pass`` /
+``value_warm_pass``: the old-methodology steady-state reading, NOT
+part of the headline. ``queries_min`` / ``value_min`` additionally
+report the per-query MIN over the cold reps (VERDICT r13 next-round
+#8: medians still carry storm reps; min is the storm-robust
+statistic — storms only ever add time). The driver-consumed fields
+(``value``, ``queries``) keep their names; all new fields are
+additions. NOTE for cross-round comparison: r14 ``value`` prices
+cold invocations, so it is directly comparable to r13's ``value``
+only through ``value_warm_pass`` (one warm sample per query) or the
+per-query deltas of unaffected queries. None of the 10 ruler queries
+touches a cross-rep cache or memo (verified: cached()/checkpointed()
+consumers are the near-dup family; _emb_count consumers are
+embed_neardup_cosine and the LSH queries), so the ruler references
+and host-factor arithmetic are unchanged by the cold loop.
+
 Host-weather calibration, r13 design (VERDICT r12 next-round #1).
 Rounds 10-12 saw non-recovering ambient inflation of 1.25-1.9x on
 UNTOUCHED plans (judge-reproduced), making a raw total hostage to its
@@ -106,7 +133,12 @@ _DEFAULT_QUERY_REFS = {
     "q27": 0.6193,
     "events_rollup": 0.3172,
     "corpus_stats": 0.6105,
-    "text_metrics": 1.063,
+    # re-recorded r14 in the SAME commit as the text_metrics plan change
+    # (split bound once; docstring CONSTRAINT): old ref 1.063 scaled by
+    # the median interleaved-A/B min ratio over three sf0.1 sessions
+    # (old/new = 1.033; sessions read 0.93/1.14/1.03 — the win grows to
+    # 1.14x at the 100x replica where compute dominates overhead)
+    "text_metrics": 1.029,
     "ann_ivf_assign": 0.6273,
     "stratified_sample": 0.2197,
 }
@@ -201,6 +233,22 @@ def _job_probe(spark) -> float:
     )
 
 
+def _cold_reset(spark, sf_dir: str) -> int:
+    """Drop every cross-invocation intermediate so the next rep prices
+    a COLD query invocation: release the plan-cache registry's handles
+    (cached shingle/signature/pair tables, registry-owned checkpoints)
+    and the sizing-scalar memos (shingle k, embedding count). Returns
+    the number of plan-cache handles released (0 when nothing was
+    registered — e.g. between reps of a subset sweep that never builds
+    them)."""
+    from rustcheatersdatapipeline_spark import plan_cache
+    from rustcheatersdatapipeline_spark.plans import training as _tr
+
+    n = plan_cache.release(spark, sf_dir)
+    _tr.clear_session_memos(spark, sf_dir)
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -241,13 +289,28 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in qs}
-    for _ in range(reps):
+    for r in range(reps):
+        if r:
+            # r14 cold-invocation loop: rep 1 starts cold on a fresh
+            # session; resetting between reps makes every later rep
+            # cold too (module docstring, VERDICT r13 #3)
+            _cold_reset(spark, sf_dir)
         for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
         scan_probes.append(_scan_probe(spark))
         job_probes.append(_job_probe(spark))
+
+    # ONE warm continuity pass (no reset): the last rep's cached
+    # intermediates/memos are still live, so this pass reads the
+    # pre-r14 loop's steady state — the number comparable to r13's
+    # medians. Diagnostic only; excluded from `value`.
+    warm_pass: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm_pass[name] = round(time.perf_counter() - t0, 4)
 
     # primary ruler: per-rep untouched-plan median over the frozen
     # query set, each rep normalized by ITS OWN factor (at sf!=0.1 the
@@ -283,6 +346,9 @@ def main() -> None:
     # added to the headline, which would otherwise double-count the
     # rotated slot against every earlier round.
     total = round(sum(v for k, v in timings.items() if k in declared), 4)
+    timings_min = {name: round(min(ts), 4) for name, ts in samples.items()}
+    total_min = round(sum(v for k, v in timings_min.items() if k in declared), 4)
+    total_warm = round(sum(v for k, v in warm_pass.items() if k in declared), 4)
     norm_timings = {
         name: statistics.median(t / query_factors[r] for r, t in enumerate(ts))
         for name, ts in samples.items()
@@ -297,6 +363,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "value_min": total_min,
+                "queries_warm_pass": warm_pass,
+                "value_warm_pass": total_warm,
                 "sf": sf,
                 "calibration": {
                     "query_ruler": sorted(CALIB_QUERY_REFS),

@@ -951,6 +951,29 @@ def _emb_count(spark, sf_dir) -> int:
     return memo[key]
 
 
+def clear_session_memos(spark, sf_dir: str | None = None) -> None:
+    """Drop the bounded sizing-scalar memos (shingle k, embedding
+    count) for ``sf_dir`` (all corpora when None) so the next builder
+    invocation re-derives them. The bench's r14 cold-invocation loop
+    calls this between reps, together with ``plan_cache.release``, so
+    per-query medians price a cold invocation — including the sizing
+    jobs — instead of warm steady state (VERDICT r13 next-round #3)."""
+    for key in [
+        k
+        for k in _SHINGLE_K_CACHE
+        if k[0] == id(spark) and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        del _SHINGLE_K_CACHE[key]
+    memo = getattr(spark, _EMB_COUNT_ATTR, None)
+    if memo is not None:
+        for key in [
+            k
+            for k in memo
+            if sf_dir is None or k[0] == f"{sf_dir}/embeddings.parquet"
+        ]:
+            del memo[key]
+
+
 def _lsh_nplanes_for(n: int) -> int:
     for p in range(LSH_MIN_PLANES, LSH_MAX_PLANES):
         if (1 << p) * LSH_TARGET_BUCKET >= n:
@@ -2615,19 +2638,52 @@ def text_metrics(spark, sf_dir):
     standalone versions, so the oracle stays bit-exact.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = ws_tokens("text")
-    n_tok = F.size(toks)
-    n_alpha = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    stop_cnt = marker_count("text", STOPWORDS)
-    base = docs.select(
+    # r14 (§2.3/§4): bind split(text, " ") ONCE in its own projection.
+    # The pre-r14 shape inlined marker_count/ws_tokens everywhere and
+    # computed 11 independent split() calls per row (verified in
+    # plans/r13/text_metrics_before.txt Project (2)) — higher-order
+    # filter() is CodegenFallback, so codegen subexpression elimination
+    # never commons the splits. An expensive expression referenced many
+    # times survives CollapseProject, so the bound array is evaluated
+    # once and every count below filters the same attribute.
+    bound = docs.select("doc_id", "lang", "text", F.split("text", " ").alias("toks"))
+
+    def tok_count(pred):
+        return F.size(F.filter(F.col("toks"), pred))
+
+    def isin_count(markers):
+        # closure factory, NOT a default-arg lambda: F.filter treats a
+        # second lambda parameter as the element-index column
+        return tok_count(lambda x: x.isin(*markers))
+
+    # counts projection: one array traversal per distinct count (the
+    # ratio/score layer references these as attributes, not recomputes)
+    counts = bound.select(
         "doc_id",
         "lang",
-        *[marker_count("text", m).alias(f"s_{lang}") for lang, m in LANG_MARKERS.items()],
-        n_tok.alias("n_ws_tokens"),
+        *[isin_count(m).alias(f"s_{lang}") for lang, m in LANG_MARKERS.items()],
+        tok_count(lambda x: x != "").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias(
             "n_re_tokens"
         ),
         F.length("text").alias("n_chars_obs"),
+        # raw part count: size(split) == #spaces + 1, so non-space chars
+        # == length - (parts - 1) — replaces the old per-row
+        # regexp_replace pass with two already-needed ints (exact: a
+        # 1-char separator yields one part per separator plus one)
+        F.size("toks").alias("n_parts"),
+        tok_count(lambda x: x.isin(*STOPWORDS)).alias("stop_cnt"),
+    )
+    n_tok = F.col("n_ws_tokens")
+    n_alpha = F.col("n_chars_obs") - (F.col("n_parts") - F.lit(1))
+    stop_cnt = F.col("stop_cnt")
+    base = counts.select(
+        "doc_id",
+        "lang",
+        *[f"s_{lang}" for lang in LANG_MARKERS],
+        "n_ws_tokens",
+        "n_re_tokens",
+        "n_chars_obs",
         (n_alpha / n_tok).alias("avg_word_len"),
         (stop_cnt / n_tok).alias("stopword_ratio"),
         (

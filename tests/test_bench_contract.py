@@ -70,6 +70,66 @@ def test_probe_constants_are_fixed():
     assert bench.CALIB_REF_SEC == expected
 
 
+def test_cold_reset_releases_handles_and_memos(spark, sf_dir):
+    """r14 methodology (VERDICT r13 #3): the rep loop resets every
+    cross-invocation intermediate between reps — plan-cache handles AND
+    the sizing-scalar memos — so per-query medians price a cold
+    invocation, not warm-cache steady state."""
+    from rustcheatersdatapipeline_spark import plan_cache
+    from rustcheatersdatapipeline_spark.plans import training as tr
+
+    df = plan_cache.cached(
+        spark, sf_dir, "bench_cold_reset_probe", lambda: spark.range(4)
+    )
+    df.count()
+    tr.choose_shingle_k(spark, sf_dir)
+    tr._emb_count(spark, sf_dir)
+    assert plan_cache.registered(spark, sf_dir)
+    assert any(k == (id(spark), sf_dir) for k in tr._SHINGLE_K_CACHE)
+    emb_memo = getattr(spark, tr._EMB_COUNT_ATTR)
+    assert any(k[0] == f"{sf_dir}/embeddings.parquet" for k in emb_memo)
+
+    released = bench._cold_reset(spark, sf_dir)
+
+    assert released >= 1
+    assert plan_cache.registered(spark, sf_dir) == []
+    assert not any(k == (id(spark), sf_dir) for k in tr._SHINGLE_K_CACHE)
+    assert not any(k[0] == f"{sf_dir}/embeddings.parquet" for k in emb_memo)
+
+
+def test_clear_session_memos_scopes_to_sf_dir():
+    """clear_session_memos(sf_dir) must not evict another corpus's
+    memoized scalars (a multi-corpus session sweeps several sf dirs)."""
+    from rustcheatersdatapipeline_spark.plans import training as tr
+
+    class FakeSession:
+        pass
+
+    s = FakeSession()
+    tr._SHINGLE_K_CACHE[(id(s), "/corpus/a")] = 3
+    tr._SHINGLE_K_CACHE[(id(s), "/corpus/b")] = 4
+    setattr(
+        s,
+        tr._EMB_COUNT_ATTR,
+        {
+            ("/corpus/a/embeddings.parquet", 1, 1): 10,
+            ("/corpus/b/embeddings.parquet", 1, 1): 20,
+        },
+    )
+    try:
+        tr.clear_session_memos(s, "/corpus/a")
+        assert (id(s), "/corpus/a") not in tr._SHINGLE_K_CACHE
+        assert tr._SHINGLE_K_CACHE[(id(s), "/corpus/b")] == 4
+        memo = getattr(s, tr._EMB_COUNT_ATTR)
+        assert list(memo.values()) == [20]
+        tr.clear_session_memos(s)  # None = all corpora
+        assert (id(s), "/corpus/b") not in tr._SHINGLE_K_CACHE
+        assert memo == {}
+    finally:
+        for k in [k for k in tr._SHINGLE_K_CACHE if k[0] == id(s)]:
+            del tr._SHINGLE_K_CACHE[k]
+
+
 def test_probes_run_and_time(spark):
     """End-to-end on the session: setup writes the deterministic
     tables, both probes return positive wall readings, and repeat runs
