@@ -110,7 +110,9 @@ def _query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_ranked(
+    spark: SparkSession, sf_dir: str, consumer: str = "bm25_search"
+) -> DataFrame:
     """Ranked (unordered) BM25 results: top-BM25_TOPK corpus documents
     per probe query.
 
@@ -152,8 +154,15 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query-term-restricted postings, which are ≤ the hit count of
     # ≤ 96 query terms — orders of magnitude under the corpus at any
     # scale (the mixture builder's r11 precedent).
+    # the checkpoint key carries the TOP-LEVEL consumer (ADVICE r13
+    # medium): with one shared "bm25_postq" key, a driver that builds
+    # both bm25_search and hybrid_search_rrf DataFrames before
+    # executing the first would find the first's checkpoint blocks
+    # dropped by the second build (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    # Per-consumer keys keep each builder's latest handle valid; the
+    # per-invocation rebuild/replace semantics are unchanged.
     postq_plan = postq
-    postq = checkpointed(spark, sf_dir, "bm25_postq", lambda: postq_plan)
+    postq = checkpointed(spark, sf_dir, ("bm25_postq", consumer), lambda: postq_plan)
     # document frequency of each query term over the FULL corpus
     # (postq already spans the full corpus for those terms)
     dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -291,7 +300,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange in this plan (Catalyst does not remove it under the
     # union+aggregate — verified .explain r13)
     lex = (
-        _bm25_ranked(spark, sf_dir)
+        _bm25_ranked(spark, sf_dir, consumer="hybrid_search_rrf")
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id", rrf)
     )

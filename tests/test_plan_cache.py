@@ -143,3 +143,21 @@ def test_inplace_rewrite_evicts_stale_generation(spark, sf_dir, tmp_path, clean_
     )
     assert sim2 is not sim1  # stale generation evicted, fresh built
     assert len(plan_cache.registered(spark, str(d))) == 1
+
+
+def test_bm25_and_hybrid_checkpoints_coexist(spark, sf_dir, clean_registry):
+    """ADVICE r13 (medium): bm25_search and hybrid_search_rrf used to
+    share the "bm25_postq" checkpoint key, so building the second
+    DataFrame dropped the first's checkpoint blocks — a driver that
+    builds both before executing the first got
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Per-consumer keys keep a
+    previously returned handle valid across the other builder's build."""
+    from rustcheatersdatapipeline_spark.plans import retrieval as R
+
+    bm25 = R.bm25_search(spark, sf_dir)
+    hybrid = R.hybrid_search_rrf(spark, sf_dir)
+    assert bm25.count() > 0  # the ADVICE repro failed exactly here
+    assert hybrid.count() > 0
+    keys = [k for _, k in plan_cache.registered(spark, sf_dir)]
+    assert ("bm25_postq", "bm25_search") in keys
+    assert ("bm25_postq", "hybrid_search_rrf") in keys
