@@ -166,6 +166,16 @@ def checkpointed(
     materialize their result within the invocation, which every
     builder here does.
 
+    NOTE (ADVICE r13): ``localCheckpoint`` is EAGER, so builders that
+    route an intermediate through here execute Spark jobs at
+    DataFrame-CONSTRUCTION time — ``queries()[name](spark, sf_dir)``
+    materializes the checkpointed subtrees before any action (explain/
+    plan-dump flows included), and runtime errors in those subtrees
+    surface at build time instead of action time. Affected builders:
+    bm25_search / hybrid_search_rrf (bm25 postings), the Jaccard/
+    MinHash verify path, embed_neardup_cosine's pack pass, and the
+    iterative graph/trainer operators' per-round checkpoints.
+
     The checkpoint's persistent RDD id is read off the LogicalRDD the
     checkpoint plans to (with a before/after ``getPersistentRDDs``
     diff as fallback), so the registry — not driver GC — owns the
@@ -179,11 +189,27 @@ def checkpointed(
     df = build().localCheckpoint()
     ids: set[int] = set()
     try:
-        ids.add(int(df._jdf.queryExecution().analyzed().rdd().id()))
+        ids.add(_analyzed_rdd_id(df))
     except Exception:  # noqa: BLE001 — internal accessor; diff covers it
-        ids.update(_persistent_rdd_ids(spark) - before)
+        # the diff can include persistent RDDs that ``build`` itself
+        # registered (e.g. a cached() handle built inside it); the
+        # checkpoint RDD is created LAST — after build() returns — so
+        # with the documented single-threaded build discipline it is
+        # exactly the max new id. Attributing the whole diff would let
+        # a later replace()/release() of THIS handle unpersist blocks
+        # owned by another (ADVICE r13).
+        diff = _persistent_rdd_ids(spark) - before
+        if diff:
+            ids.add(max(diff))
     bucket[key] = _Handle(df, frozenset(ids))
     return df
+
+
+def _analyzed_rdd_id(df: DataFrame) -> int:
+    """The checkpoint's own persistent RDD id, read off the LogicalRDD
+    the checkpointed DataFrame plans to (internal accessor — callers
+    fall back to a getPersistentRDDs diff when it breaks)."""
+    return int(df._jdf.queryExecution().analyzed().rdd().id())
 
 
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:

@@ -195,8 +195,29 @@ def events_session_attribution(spark, sf_dir):
     from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
+    # r14 (§2.4 remove shuffles outright): both join sides consume ONE
+    # shared (user_id, ts) projection so the probe side's Exchange is a
+    # ReusedExchange of the window side's — the pre-r14 shape shuffled
+    # the events table TWICE (once for the session windows, once for
+    # the attribution probe; Exchange 3→2, Scan parquet 2→1 in
+    # plans/r14). Two details make the subtrees canonically identical:
+    # (a) the explicit not-null filter matches what the range join
+    #     infers on the probe side (isnotnull(ts)/isnotnull(user_id));
+    #     on the window side it only drops rows a window over nullable
+    #     keys would route to the NULL partition — no such rows exist
+    #     (events.ts/user_id carry no NULLs at any SF);
+    # (b) the windows order by ts alone, not (ts, event_id), so the
+    #     probe's column set matches. Tie order cannot reach the
+    #     output: among equal-ts rows only the first carries a nonzero
+    #     new_s, the running sum gives every tie row the SAME
+    #     session_id either way, and sessions aggregate to identical
+    #     (s_user, session_id, t0, t1) rows (collect-compared old vs
+    #     new at sf0.001/sf0.01/sf0.1; oracle green).
+    base = ev.select("user_id", "ts").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = base.select(
         "user_id",
         "ts",
         F.when(
@@ -206,14 +227,13 @@ def events_session_attribution(spark, sf_dir):
         )
         .otherwise(0)
         .alias("new_s"),
-        "event_id",
     )
     sess = (
         flagged.select("user_id", "ts", F.sum("new_s").over(w).alias("session_id"))
         .groupBy(F.col("user_id").alias("s_user"), "session_id")
         .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
     )
-    joined = ev.select("user_id", "ts", "event_id").join(
+    joined = base.join(
         sess,
         (F.col("user_id") == F.col("s_user"))
         & (F.col("ts") >= F.col("t0"))

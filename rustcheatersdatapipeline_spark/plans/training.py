@@ -2398,11 +2398,11 @@ def dedup_cluster(spark, sf_dir):
 
     Delegates to ``operators.graph.connected_components``: min-neighbor
     CONTRACTION — while the symmetrized edge quotient exceeds
-    ``CC_FINISH_EDGE_BUDGET`` (1M edges), relabel every node to
+    ``CC_FINISH_BYTE_BUDGET`` (96 MiB ≈ 1M edges), relabel every node to
     ``min(v, min N(v))`` and rewrite edges between labels (one
     equi-join shuffle per round; quotient nodes at least halve) — then
-    a bounded driver-side union-find FINISH over the ≤1M-edge quotient
-    (≈16 MiB Arrow collect, the same bounded-driver class as the
+    a bounded driver-side union-find FINISH over the ≤96 MiB quotient
+    (≈1M edges, ~16 MiB Arrow collect, the same bounded-driver class as the
     k-means centroid collect), whose root map broadcasts back onto the
     composed per-round (node, label) mapping. See the graph module
     docstring for why this beats propagate-to-convergence on both tiny

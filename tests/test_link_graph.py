@@ -530,11 +530,14 @@ def test_label_propagation_two_cliques(spark):
 
 def test_connected_components_contraction_path_matches_finish_path(spark, monkeypatch):
     """The distributed min-neighbor contraction rounds (taken when the
-    quotient exceeds CC_FINISH_EDGE_BUDGET) must produce byte-identical
+    quotient exceeds CC_FINISH_BYTE_BUDGET) must produce byte-identical
     components to the direct driver union-find finish. A path + a star
     + isolated self-loop nodes cover chain contraction, one-round
     collapse, and the mapping fallback for nodes whose label never
-    appears in the final quotient."""
+    appears in the final quotient. Budget 1024 bytes (~12 edges at the
+    measured ~84 B/edge; safely above the ~16 B/partition empty-block
+    floor documented on the constant) forces the same multi-round
+    contraction depth the r13 edge-count patch (8 edges) exercised."""
     import rustcheatersdatapipeline_spark.operators.graph as G
 
     edges = (
@@ -547,7 +550,7 @@ def test_connected_components_contraction_path_matches_finish_path(spark, monkey
         r["node"]: r["component"]
         for r in G.connected_components(df).collect()
     }
-    monkeypatch.setattr(G, "CC_FINISH_EDGE_BUDGET", 8)
+    monkeypatch.setattr(G, "CC_FINISH_BYTE_BUDGET", 1024)
     got = {
         r["node"]: r["component"]
         for r in G.connected_components(df).collect()

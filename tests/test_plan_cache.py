@@ -161,3 +161,42 @@ def test_bm25_and_hybrid_checkpoints_coexist(spark, sf_dir, clean_registry):
     keys = [k for _, k in plan_cache.registered(spark, sf_dir)]
     assert ("bm25_postq", "bm25_search") in keys
     assert ("bm25_postq", "hybrid_search_rrf") in keys
+
+
+def test_checkpoint_fallback_attributes_only_the_newest_rdd(
+    spark, sf_dir, clean_registry, monkeypatch
+):
+    """ADVICE r13 (low): when the primary LogicalRDD-id accessor breaks
+    and the getPersistentRDDs before/after diff takes over, the handle
+    must claim ONLY the checkpoint's own RDD (the max new id — the
+    checkpoint is created last), never a persistent RDD that build()
+    itself registered: a same-key replace or release() would otherwise
+    unpersist blocks owned by another handle."""
+    monkeypatch.setattr(
+        plan_cache,
+        "_analyzed_rdd_id",
+        lambda df: (_ for _ in ()).throw(RuntimeError("forced fallback")),
+    )
+    bystander = spark.sparkContext.parallelize(range(10)).persist()
+    bystander.count()  # registers the bystander as a persistent RDD
+
+    def build():
+        return spark.range(5).selectExpr("id as a")
+
+    plan_cache.checkpointed(spark, sf_dir, "fallback_probe", build)
+    (_, key), = [
+        (s, k) for s, k in plan_cache.registered(spark, sf_dir) if k == "fallback_probe"
+    ]
+    assert key == "fallback_probe"
+    reg = getattr(spark, plan_cache._REG_ATTR)
+    handle = next(
+        b["fallback_probe"] for b in reg.values() if "fallback_probe" in b
+    )
+    assert len(handle.rdd_ids) == 1
+    assert bystander.id() not in handle.rdd_ids
+    # releasing the handle must leave the bystander's blocks alone
+    plan_cache.release(spark, sf_dir)
+    assert bystander.getStorageLevel().useMemory
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.get(bystander.id()) is not None
+    bystander.unpersist()
