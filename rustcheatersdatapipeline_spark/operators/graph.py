@@ -48,6 +48,28 @@ from pyspark.sql import functions as F
 CC_FINISH_BYTE_BUDGET = 96 * 1024 * 1024
 
 
+def _ckpt_rdd_id(df: DataFrame) -> int | None:
+    """The persistent RDD id behind a localCheckpoint'ed DataFrame
+    (None when the internal accessor breaks — the caller then leaves
+    that generation to driver GC, the pre-r14 behavior)."""
+    try:
+        from ..plan_cache import _analyzed_rdd_id
+
+        return _analyzed_rdd_id(df)
+    except Exception:  # noqa: BLE001 — internal accessor
+        return None
+
+
+def _unpersist_rdd(sc, rdd_id: int | None) -> None:
+    """Release one checkpoint generation's blocks by RDD id (no-op for
+    None/already-gone ids)."""
+    if rdd_id is None:
+        return
+    jrdd = sc._jsc.getPersistentRDDs().get(rdd_id)
+    if jrdd is not None:
+        jrdd.unpersist(False)
+
+
 def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Min-root union-find over an edge list: node -> min node id of
     its component. Path-halving + union-by-min keeps it near-linear."""
@@ -107,6 +129,15 @@ def connected_components(
     # re-shuffled) when a contraction round actually happens.
     mapping: DataFrame | None = None
     sc = spark.sparkContext
+    # r14 (§5): each round's checkpoint used to STRAND the previous
+    # generation's blocks until driver GC (the ContextCleaner), so a
+    # long contraction held O(rounds) quotient+mapping generations of
+    # executor storage. Once generation k is materialized, generation
+    # k-1's blocks have no remaining reader (every lazy plan of round k
+    # reads generation k), so they are released eagerly. The FINAL
+    # mapping stays persisted — the returned DataFrame plans onto it.
+    prev_q_id: int | None = None
+    prev_m_id: int | None = None
     while True:
         # Materialize once per round, THEN probe: the quotient feeds
         # the size test plus (if contracting) three subtrees below
@@ -136,14 +167,24 @@ def connected_components(
         if fresh:
             newest = max(fresh, key=lambda info: info.id())
             ckpt_bytes = newest.memSize() + newest.diskSize()
+            new_q_id: int | None = newest.id()
         else:
             # defensive: an eager localCheckpoint always registers
             # blocks, so this branch should be unreachable — treat as
             # fitting so the loop terminates (a too-big collect fails
             # loudly on spark.driver.maxResultSize, never silently).
             ckpt_bytes = 0
+            new_q_id = None
+        # the new quotient is materialized: the previous generation has
+        # no remaining reader — release its blocks now instead of
+        # waiting for driver GC
+        _unpersist_rdd(sc, prev_q_id)
+        prev_q_id = new_q_id
         if ckpt_bytes <= CC_FINISH_BYTE_BUDGET:
             probe = quotient.toPandas()
+            # the probe is on the driver; the final quotient's blocks
+            # have no remaining reader either
+            _unpersist_rdd(sc, prev_q_id)
             break
         contract = (
             quotient.groupBy("a")
@@ -174,6 +215,9 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
+        # new mapping generation materialized -> previous one released
+        _unpersist_rdd(sc, prev_m_id)
+        prev_m_id = _ckpt_rdd_id(mapping)
     pairs = list(zip(probe["a"].tolist(), probe["b"].tolist()))
     roots = _union_find_roots(pairs)
 
@@ -311,6 +355,12 @@ def pagerank(
         or 0.0
     )
     base = (1.0 - damping) / n
+    # r14 (§5): release each superseded state generation's checkpoint
+    # blocks once nothing reads them (the delta join against the old
+    # state is the last reader) — the loop used to strand one full
+    # rank-table generation PER ITERATION until driver GC.
+    sc = edges.sparkSession.sparkContext
+    state_id = _ckpt_rdd_id(state)
     for _ in range(max_iter):
         contrib = (
             e.join(state, e.src == state.node)
@@ -349,9 +399,12 @@ def pagerank(
             .first()
         )
         state = new_state
+        _unpersist_rdd(sc, state_id)  # delta join was the last reader
+        state_id = _ckpt_rdd_id(state)
         dangling = stats["dangling"] or 0.0
         if stats["delta"] is not None and stats["delta"] < tol:
             break
+    _unpersist_rdd(sc, _ckpt_rdd_id(e))  # final state is lineage-free
     return state.select("node", "rank")
 
 
@@ -397,6 +450,9 @@ def hits(
     state = nodes.select(
         "node", F.lit(init).alias("h"), F.lit(init).alias("a")
     ).localCheckpoint()
+    # r14 (§5): release superseded state generations (see pagerank)
+    sc = edges.sparkSession.sparkContext
+    state_id = _ckpt_rdd_id(state)
     for _ in range(max_iter):
         a_raw = (
             e.join(state, e.src == state.node)
@@ -445,8 +501,11 @@ def hits(
             .first()[0]
         )
         state = new_state
+        _unpersist_rdd(sc, state_id)  # delta join was the last reader
+        state_id = _ckpt_rdd_id(state)
         if delta is not None and delta < tol:
             break
+    _unpersist_rdd(sc, _ckpt_rdd_id(e))  # final state is lineage-free
     return state.select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
@@ -563,6 +622,9 @@ def label_propagation(
     )
     from pyspark.sql.window import Window
 
+    # r14 (§5): release superseded label generations (see pagerank)
+    sc = edges.sparkSession.sparkContext
+    labels_id = _ckpt_rdd_id(labels)
     for _ in range(rounds):
         msgs = und.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -576,4 +638,7 @@ def label_propagation(
             .select("node", F.col("t.l").alias("label"))
             .localCheckpoint()
         )
+        _unpersist_rdd(sc, labels_id)  # new generation is materialized
+        labels_id = _ckpt_rdd_id(labels)
+    _unpersist_rdd(sc, _ckpt_rdd_id(und))  # final labels are lineage-free
     return labels

@@ -1,8 +1,12 @@
 """Focused per-query timing: median/min of N noop-sink runs at sf0.1.
 
-Usage: python scripts/time_queries.py q1 dedup_substrings ... [--reps N]
+Usage: python scripts/time_queries.py q1 dedup_substrings ... [--reps N] [--cold]
 Same methodology as bench.py (builder + noop save timed, warm session),
 for the optimization loop only — the headline number stays bench.py's.
+``--cold`` resets the plan-cache registry and sizing-scalar memos
+before every rep, matching the r14 bench loop's cold-invocation
+pricing (bench._cold_reset); without it reps 2+ reuse cached
+intermediates like the trailing warm continuity pass does.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ from rustcheatersdatapipeline_spark.session import get_spark  # noqa: E402
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     reps = 5
+    cold = "--cold" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
             reps = int(a.split("=")[1])
@@ -36,6 +41,10 @@ def main() -> None:
     qs["multimodal_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     samples: dict[str, list[float]] = {n: [] for n in args}
     for _ in range(reps):
+        if cold:
+            import bench
+
+            bench._cold_reset(spark, sf_dir)
         for name in args:
             spark.sparkContext.setJobDescription(f"time:{name}")
             t0 = time.perf_counter()

@@ -16,9 +16,43 @@ TABLES = (
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Fast default run (VERDICT r13 next-round #1): the suite grew to
+    ~1050 tests / ~63 min quiet, which no longer fits the driver's
+    verify window under host contention. Tests marked ``slow`` — the
+    heavyweight batteries profiled via ``--durations`` (scheduler
+    sleep loops, streaming-convergence end-to-ends, reference-model
+    differentials, real-media sweeps) — are SKIPPED by default and run
+    in the documented full pass:
+
+        SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/
+
+    Any explicit ``-m`` selection bypasses the gate (e.g. ``-m slow``
+    runs exactly the batteries). Nothing is deleted or weakened: every
+    skipped test still exists, still asserts the same things, and the
+    skip is visible in the run report."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    if config.getoption("-m"):
+        return  # the caller chose an explicit marker expression
+    skip_slow = pytest.mark.skip(
+        reason="slow battery — run with SPARK_GRAFT_FULL_TESTS=1 (or -m slow)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="engine-tests", cpus="4", shuffle_partitions=4)
+    # core count env-overridable for wall-time experiments; default 4
+    # (the long-standing test configuration — small SF data gains
+    # little from more cores and the verify host is shared)
+    s = get_spark(
+        app_name="engine-tests",
+        cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"),
+        shuffle_partitions=4,
+    )
     yield s
 
 

@@ -6,6 +6,7 @@ resolution, scheme filtering, canonicalization and the distinct-page
 aggregation semantics.
 """
 
+import pytest
 from rustcheatersdatapipeline_spark.functions.weburl import (
     anchor_text_summary,
     extract_anchors,
@@ -31,6 +32,7 @@ def _pages(spark, rows):
     return spark.createDataFrame(rows, "url string, html string")
 
 
+@pytest.mark.slow
 def test_extract_anchors_first_principles(spark):
     got = {
         (r["base"], r["link"], r["anchor"])

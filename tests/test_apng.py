@@ -135,6 +135,7 @@ def test_default_image_not_in_animation():
     assert np.array_equal(decode_png_pixels(buf), base)
 
 
+@pytest.mark.slow
 def test_header_and_spark_sampling(spark):
     from rustcheatersdatapipeline_spark.functions.imaging import sample_frames
     from rustcheatersdatapipeline_spark.functions.multimodal import decode_header

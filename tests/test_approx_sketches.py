@@ -4,11 +4,13 @@ answers instead — the pattern the engine uses wherever exactness isn't
 contractual at 100 TB (a sketch shuffles constant state per group vs a
 full distinct shuffle)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rustcheatersdatapipeline_spark.catalog import table
 
 
+@pytest.mark.slow
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     exact = ev.select(F.count_distinct("user_id").alias("d")).collect()[0]["d"]

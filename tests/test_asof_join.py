@@ -42,6 +42,7 @@ def _expected(left, right, direction, tolerance=None):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("seed", [3, 17])
 def test_matches_pandas_merge_asof(spark, direction, seed):

@@ -63,6 +63,7 @@ def test_degenerate_raises():
         audio_features(np.zeros((0, 1), np.int16), 8000)
 
 
+@pytest.mark.slow
 def test_spark_featurize_with_quarantine(spark):
     rate = 16000
     wav = encode_wav(_tone(440, rate), rate=rate)
@@ -124,6 +125,7 @@ def test_fingerprint_separates_unrelated_clips():
     assert sum(dists) / len(dists) > 10
 
 
+@pytest.mark.slow
 def test_audio_neardup_via_shared_banding(spark):
     """The pHash banded join is modality-blind: feed audio fingerprints
     through image_neardup and find the planted volume-twin."""

@@ -34,6 +34,7 @@ def test_interval_schedule_is_airflow_shaped():
         interval_ends(START, START + STEP, dt.timedelta(0))
 
 
+@pytest.mark.slow
 def test_backfill_runs_every_interval_once(spark, tmp_path, bronze):
     store = GoldStore(spark, str(tmp_path / "gold"))
     ran = run_interval_range(
@@ -50,6 +51,7 @@ def test_backfill_runs_every_interval_once(spark, tmp_path, bronze):
     ) == []
 
 
+@pytest.mark.slow
 def test_backfill_crash_midrange_resumes_without_duplicates(
     spark, tmp_path, bronze, monkeypatch
 ):
@@ -139,6 +141,7 @@ def test_racing_driver_skips_interval_committed_after_resume_check(
     assert len(rows) == 1  # exactly one progress row for the interval
 
 
+@pytest.mark.slow
 def test_run_scheduled_ticks_advance_ledger_and_sleep_to_boundaries(
     spark, tmp_path, bronze
 ):
@@ -168,6 +171,7 @@ def test_run_scheduled_ticks_advance_ledger_and_sleep_to_boundaries(
     assert sleeps == [STEP.total_seconds()] * 3
 
 
+@pytest.mark.slow
 def test_run_scheduled_cold_start_catches_up_then_crash_resumes(
     spark, tmp_path, bronze, monkeypatch
 ):

@@ -185,6 +185,7 @@ def test_webp_header_variants():
     assert parse_webp_header(b"RIFF\x00\x00\x00\x00WAVE") is None
 
 
+@pytest.mark.slow
 def test_phash_and_resize_cover_bmp_ico(spark):
     """Favicons join the perceptual index: a BMP and its ICO wrapping
     hash identically; resize_media thumbnails a BMP."""

@@ -1,6 +1,7 @@
 """Distributed BPE training vs a sequential reference implementation:
 the merge sequences must match exactly (same corpus, same tie-break)."""
 
+import pytest
 import duckdb
 
 from rustcheatersdatapipeline_spark.plans.training import bpe_train
@@ -33,6 +34,7 @@ def _py_bpe(word_counts: dict[str, int], n: int):
     return merges
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_sequential_reference(spark, sf_dir):
     got = [
         (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])

@@ -55,6 +55,7 @@ def _docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, label int")
 
 
+@pytest.mark.slow
 def test_nb_matches_reference_model_and_scores(spark):
     docs = _docs_df(spark, _SEED)
     model, prior = nb_train(docs, vocab_size=100, alpha=1.0)
@@ -96,6 +97,7 @@ def test_nb_single_class_fails_fast(spark):
         nb_train(docs)
 
 
+@pytest.mark.slow
 def test_nb_corpus_curation_end_to_end(spark, sf_dir):
     """Train on a synthetic seed, score the real documents table — every
     row gets a finite score (the curation-threshold input)."""
@@ -159,6 +161,7 @@ def _lr_ref(docs, buckets, n_iter, rate):
     return weights, margins
 
 
+@pytest.mark.slow
 def test_lr_quality_classifier_matches_python_replica(spark, sf_dir):
     """End-to-end bit-exactness: the distributed trainer's weights and
     every document's scaled-integer margin equal the sequential

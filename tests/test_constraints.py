@@ -48,6 +48,7 @@ def _store(spark, tmp_path):
     return store
 
 
+@pytest.mark.slow
 def test_declare_and_getter_metadata_only(spark, tmp_path):
     store = _store(spark, tmp_path)
     v = store.declare_constraints({FACT: FACT_CONS}, base_version=1)
@@ -59,6 +60,7 @@ def test_declare_and_getter_metadata_only(spark, tmp_path):
     store.validate_constraints(FACT)  # clean
 
 
+@pytest.mark.slow
 def test_declare_validates_existing_rows(spark, tmp_path):
     store = _store(spark, tmp_path)
     # existing fact rows have days 5/0, neither a nation_sk: declaring
@@ -106,6 +108,7 @@ def test_publish_enforces_each_constraint_kind(spark, tmp_path):
     assert store.constraints(FACT) == FACT_CONS
 
 
+@pytest.mark.slow
 def test_fk_resolves_against_staged_sibling_dim(spark, tmp_path):
     """Dims + facts published in ONE batch: the fact's FK must validate
     against the dim being published, not the stale stored dim — the
@@ -297,6 +300,7 @@ def test_parent_replace_rejects_when_it_would_orphan_children(spark, tmp_path):
     assert store.read(DIM).count() == 1 and store.read(FACT).count() == 1
 
 
+@pytest.mark.slow
 def test_merge_checks_declared_pk_when_it_differs_from_key_cols(spark, tmp_path):
     """Declared PRIMARY KEY != merge key_cols: the insert portion of the
     merge must not commit duplicate PKs (ADVICE r9)."""

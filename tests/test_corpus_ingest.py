@@ -2,6 +2,8 @@
 (streaming/ingest.py CorpusIngestSink): corpus + index stay atomic,
 duplicates never re-enter, replays converge."""
 
+import pytest
+
 from rustcheatersdatapipeline_spark.catalog import table
 from rustcheatersdatapipeline_spark.streaming.ingest import CorpusIngestSink
 from rustcheatersdatapipeline_spark.warehouse.persist import GoldStore
@@ -21,6 +23,7 @@ def _run_stream(spark, src_dir, ckpt, sink):
     q.awaitTermination(300)
 
 
+@pytest.mark.slow
 def test_corpus_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
     base = [
         (r["doc_id"], r["text"])
@@ -112,6 +115,7 @@ def test_ingest_appends_deltas_and_compacts(spark, sf_dir, tmp_path):
     assert store.read("dedup_index").count() == 8
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_dir_list(spark, sf_dir, tmp_path):
     """With max_dirs=2 the sink must fold the append chain back down —
     dir lists stay O(1) under an unbounded stream, content intact."""
@@ -144,6 +148,7 @@ def test_auto_compaction_bounds_dir_list(spark, sf_dir, tmp_path):
     assert store.read("dedup_index").count() == len(base)
 
 
+@pytest.mark.slow
 def test_ingest_retries_on_lost_race_and_recomputes(spark, sf_dir, tmp_path):
     """A concurrent writer advancing the store between the sink's index
     read and its publish must trigger recompute-and-retry — and the

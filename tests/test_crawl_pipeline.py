@@ -70,6 +70,7 @@ def _crawl_bytes() -> bytes:
     return b"".join(recs)
 
 
+@pytest.mark.slow
 def test_distill_and_curate_stage_effects(spark, tmp_path):
     (tmp_path / "dump.warc").write_bytes(_crawl_bytes())
     out = {r["source"]: r for r in distill_and_curate(spark, str(tmp_path)).collect()}
@@ -88,6 +89,7 @@ def test_distill_and_curate_stage_effects(spark, tmp_path):
     assert NAV in out["http://b.test/q0"]["text"]
 
 
+@pytest.mark.slow
 def test_curate_crawl_publishes_and_is_idempotent(spark, tmp_path, monkeypatch):
     (tmp_path / "dump.warc").write_bytes(_crawl_bytes())
     store = GoldStore(spark, str(tmp_path / "gold"))
@@ -150,6 +152,7 @@ def test_pdf_responses_join_the_curated_corpus(spark, tmp_path):
     assert "http://a.test/junkfont.pdf" not in out  # printable gate
 
 
+@pytest.mark.slow
 def test_streaming_curated_sink_strips_boilerplate(spark, tmp_path):
     """Drop-folder stream through CuratedCorpusIngestSink: published
     text is template-free and re-crawls are deduplicated."""
@@ -189,6 +192,7 @@ def test_streaming_curated_sink_strips_boilerplate(spark, tmp_path):
     assert store.read("corpus").count() == 6
 
 
+@pytest.mark.slow
 def test_streaming_one_page_per_batch_converges_after_repair(spark, tmp_path):
     """The round-6 gap: within-batch frequency cannot see a site spread
     one-page-per-batch. With the persisted per-site index + repair
@@ -250,6 +254,7 @@ def test_streaming_one_page_per_batch_converges_after_repair(spark, tmp_path):
     assert repair_boilerplate(store) == 0
 
 
+@pytest.mark.slow
 def test_url_frontier_drops_recrawls_across_batches(spark, tmp_path):
     """A URL re-crawled in a LATER batch with CHANGED content (rotating
     ads — content dedup would admit it) is dropped by the persisted URL
@@ -333,6 +338,7 @@ def test_url_frontier_drops_recrawls_across_batches(spark, tmp_path):
     assert store.read("corpus").count() == 5
 
 
+@pytest.mark.slow
 def test_repair_runs_automatically_on_compaction(spark, tmp_path):
     """With a small max_dirs, the boilerplate index compacts mid-stream
     and the repair sweep rides the rewrite: early pages lose their
@@ -366,6 +372,7 @@ def test_repair_runs_automatically_on_compaction(spark, tmp_path):
     assert NAV not in corpus["http://a.test/p4"]
 
 
+@pytest.mark.slow
 def test_crawl_tick_composes_every_index(spark, tmp_path):
     """One crawl_tick over a mixed batch must: ingest robots rules,
     accumulate the host graph, admit curated documents, and emit a

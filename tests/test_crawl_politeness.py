@@ -51,6 +51,7 @@ def _decide(spark, store, urls, agent="testbot"):
     return {r["url"]: (r["allowed"], r["crawl_delay"]) for r in rows}
 
 
+@pytest.mark.slow
 def test_ingest_decide_and_latest_fetch_wins(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     sink = RobotsIngestSink(store)
@@ -98,6 +99,7 @@ def test_ingest_decide_and_latest_fetch_wins(spark, tmp_path):
     assert d["http://b.test/tmp/y"][0] == 0
 
 
+@pytest.mark.slow
 def test_replayed_batch_is_decision_stable(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     sink = RobotsIngestSink(store)
@@ -113,6 +115,7 @@ def test_replayed_batch_is_decision_stable(spark, tmp_path):
     assert rules.count() == rules.distinct().count()
 
 
+@pytest.mark.slow
 def test_compaction_folds_to_latest_per_host(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     sink = RobotsIngestSink(store, max_dirs=2)
@@ -129,6 +132,7 @@ def test_compaction_folds_to_latest_per_host(spark, tmp_path):
     assert d["http://a.test/public/x"][0] == 1
 
 
+@pytest.mark.slow
 def test_prioritized_frontier_orders_by_host_rank(spark, tmp_path):
     store = GoldStore(spark, str(tmp_path / "gold"))
     RobotsIngestSink(store)(

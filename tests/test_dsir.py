@@ -7,6 +7,7 @@ shifts toward the target distribution — on planted corpora where the
 right answer is unambiguous.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from rustcheatersdatapipeline_spark.plans.training import (
@@ -23,6 +24,7 @@ EN = "the quick brown fox jumps over the lazy dog and runs away home"
 NOISE = "zzq xkcd qwop vrbl njkm plof trsk wxyz qqpp mnbv zxcv llkj"
 
 
+@pytest.mark.slow
 def test_target_like_docs_get_higher_weights(spark):
     target = _docs(spark, [(1000 + i, EN) for i in range(5)])
     raw = _docs(

@@ -42,6 +42,7 @@ def _find_html(limit=300):
     return out
 
 
+@pytest.mark.slow
 def test_every_real_html_doc_distills():
     from rustcheatersdatapipeline_spark.functions.distill import payload_to_text
     from rustcheatersdatapipeline_spark.functions.pdftext import printable_fraction
@@ -78,6 +79,7 @@ def test_every_real_html_doc_distills():
     assert distilled >= 100
 
 
+@pytest.mark.slow
 def test_real_html_corpus_through_boilerplate_removal(spark):
     """The distilled real-generator corpus must flow through the
     Spark-side boilerplate operator: per-site template lines (doxygen

@@ -286,6 +286,7 @@ def test_changes_cdc_pruned_history_raises(spark, tmp_path):
         store.changes_cdc("t", 1)
 
 
+@pytest.mark.slow
 def test_merge_upsert_sink_auto_folds_dv_debt_long_run(spark, tmp_path):
     """DV maintenance policy (r10): under SUSTAINED streaming upserts the
     sink's manifest-only pre-check triggers per-dir folds, so read-side

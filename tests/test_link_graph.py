@@ -76,6 +76,7 @@ def test_pagerank_cycle_uniform_and_star_shape(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # dangling hub conserved
 
 
+@pytest.mark.slow
 def test_pagerank_early_exit_agrees_with_reference(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
     got = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, edges), tol=1e-3, max_iter=40).collect()}

@@ -1,5 +1,6 @@
 """Gold persistence round-trip + partition pruning on date_sk."""
 
+import pytest
 import datetime
 
 from rustcheatersdatapipeline_spark.pipeline import run_batch
@@ -8,6 +9,7 @@ from rustcheatersdatapipeline_spark.warehouse.persist import read_gold, write_go
 from .fixtures import write_fixtures
 
 
+@pytest.mark.slow
 def test_gold_round_trip_and_pruning(spark, tmp_path):
     bronze = tmp_path / "bronze"
     bronze.mkdir()

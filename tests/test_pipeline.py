@@ -1,6 +1,7 @@
 """End-to-end pipeline test: bronze JSON fixtures → silver → gold
 (SURVEY.md §5.2.2 golden end-to-end)."""
 
+import pytest
 import datetime
 
 from rustcheatersdatapipeline_spark.pipeline import run_batch
@@ -27,6 +28,7 @@ def test_full_batch_end_to_end(spark, tmp_path):
         ), name
 
 
+@pytest.mark.slow
 def test_transactional_batches_through_gold_store(spark, tmp_path):
     """Full intervals publishing through GoldStore: batch 2 reads batch
     1's committed state from the manifest (cross-batch upsert

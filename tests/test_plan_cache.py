@@ -15,6 +15,11 @@ def _persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _persistent_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
 @pytest.fixture()
 def clean_registry(spark):
     plan_cache.release(spark)
@@ -23,30 +28,52 @@ def clean_registry(spark):
 
 
 def test_release_empties_persistent_rdds(spark, sf_dir, clean_registry):
-    base = _persistent_rdds(spark)
+    # compare ID SETS, not counts: Spark's ContextCleaner may
+    # concurrently unpersist unreferenced leftovers from EARLIER tests
+    # (e.g. a builder-internal localCheckpoint whose Python refs died),
+    # which made an == count assert flake in long sessions. The
+    # registry's obligation is that everything it created is gone and
+    # nothing pre-existing was touched by bookkeeping it doesn't own.
+    base_ids = _persistent_rdd_ids(spark)
     T.dedup_ngram_jaccard(spark, sf_dir).count()
     handles = plan_cache.registered(spark, sf_dir)
     assert len(handles) >= 3  # shingles, shingle_df, ppjoin_prefix
-    assert _persistent_rdds(spark) > base
+    created = _persistent_rdd_ids(spark) - base_ids
+    assert created
     released = plan_cache.release(spark, sf_dir)
     assert released == len(handles)
     assert plan_cache.registered(spark, sf_dir) == []
-    assert _persistent_rdds(spark) == base
+    assert _persistent_rdd_ids(spark) & created == set()
+
+
+def _registry_owned_rdd_ids(spark) -> set:
+    reg = getattr(spark, plan_cache._REG_ATTR, {})
+    owned: set = set()
+    for bucket in reg.values():
+        for handle in bucket.values():
+            owned |= set(handle.rdd_ids)
+    return owned
 
 
 def test_repeat_invocation_does_not_double_cache(spark, sf_dir, clean_registry):
     T.dedup_ngram_jaccard(spark, sf_dir).count()
     n_handles = len(plan_cache.registered(spark))
-    n_rdds = _persistent_rdds(spark)
-    # same builder again: same handles, same storage
+    ids = _persistent_rdd_ids(spark)
+    # same builder again: same handle count, and every NEW persistent
+    # RDD must be registry-owned (the per-invocation checkpoint
+    # REPLACES its previous generation by design, so one new owned id
+    # per checkpointed key is expected; an UNOWNED new id is what
+    # double-caching would create). Id-set compare, not counts: the
+    # ContextCleaner may concurrently drop unrelated leftovers, which
+    # made the former == count assert flake in long sessions.
     T.dedup_ngram_jaccard(spark, sf_dir).count()
     assert len(plan_cache.registered(spark)) == n_handles
-    assert _persistent_rdds(spark) == n_rdds
+    assert _persistent_rdd_ids(spark) - ids <= _registry_owned_rdd_ids(spark)
     # containment derives from the SAME shingle/df tables — its
     # invocation must reuse the jaccard entries, not re-cache them
     T.dedup_containment(spark, sf_dir).count()
     assert len(plan_cache.registered(spark)) == n_handles
-    assert _persistent_rdds(spark) == n_rdds
+    assert _persistent_rdd_ids(spark) - ids <= _registry_owned_rdd_ids(spark)
 
 
 def test_two_sf_sweeps_release_independently(spark, sf_dir, tmp_path, clean_registry):

@@ -1,6 +1,7 @@
 """Hypothesis property tests (SURVEY.md §5.2.4): contracts that must
 hold for arbitrary inputs, not just fixtures."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -36,6 +37,7 @@ def test_keyed_dedup_layout_invariant(spark, data):
     assert len(a) == len({k for k, _ in data})
 
 
+@pytest.mark.slow
 @given(data=rows, incoming=rows)
 @_settings
 def test_upsert_idempotent_and_complete(spark, data, incoming):
@@ -52,6 +54,7 @@ def test_upsert_idempotent_and_complete(spark, data, incoming):
         assert got[k] == v
 
 
+@pytest.mark.slow
 @given(data=rows, incoming=rows)
 @_settings
 def test_insert_if_absent_never_overwrites(spark, data, incoming):

@@ -1,6 +1,7 @@
 """applyInPandasWithState sessionization: closed sessions emitted by the
 stream must equal the batch sessionization's closed sessions."""
 
+import pytest
 import shutil
 
 from rustcheatersdatapipeline_spark.plans.analytics import events_sessionize
@@ -46,6 +47,7 @@ def _assert_stream_matches_batch(spark, sf_dir, tmp_path, name):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     _assert_stream_matches_batch(spark, sf_dir, tmp_path, "sessions_stream")
 

@@ -49,6 +49,7 @@ def test_script_mix_planted_labels(spark):
     assert counts[2] == 6 and counts[4] == 2
 
 
+@pytest.mark.slow
 def test_bloom_prefilter_is_exact_and_selective(spark, sf_dir):
     """decontaminate_bloom ≡ decontaminate (no false negatives by
     construction), and the scan-side filter actually prunes — the

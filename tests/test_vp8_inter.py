@@ -627,6 +627,7 @@ def _mb_spec(draw):
     seed=st.integers(0, 2**31 - 1),
     n_frames=st.integers(1, 3),
 )
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 def test_property_random_sequences_roundtrip(data, seed, n_frames):
     """Any encoder-expressible sequence round-trips bit-exactly: random
