@@ -24,9 +24,10 @@ Scale shape (per operator, audited via .explain):
   broadcast policy (explicit hints only from bounded facts; see
   SCALE.md).  The corpus-side work after the broadcast semi-join
   touches only postings that contain a query term.
-- Document length joins by doc_id against a narrow projection of the
-  scan (no extra corpus shuffle beyond the join itself; AQE
-  broadcasts it at test scale and shuffle-joins beyond).
+- Per-document length rides the posting aggregation (it is computed
+  beside the tokenize and carried through the groupBy as a min of a
+  per-doc constant), so scoring needs NO corpus-side doc_id join; the
+  global avgdl stats are one narrow no-shuffle corpus aggregate.
 - All floating-point per-term contributions are scaled by 1e6 and
   floored to int64 BEFORE any aggregation (the ``lm_score``
   discipline): the per-(query, doc) sum is order-independent integer
@@ -128,20 +129,43 @@ def _bm25_ranked(
     only query-term occurrences (not the full vocabulary word-count —
     the r10 fix that makes the arm's shuffle ∝ query-term hits); df
     for those terms is a tiny aggregate (broadcast back); document
-    lengths join by doc_id.  No quadratic step anywhere — candidate
-    rows are |postings on query terms|.
+    lengths ride the posting aggregation itself (r14 — no corpus-side
+    doc_id join).  No quadratic step anywhere — candidate rows are
+    |postings on query terms|.
     """
     qt = _query_terms(spark, sf_dir)
     terms = qt.select("term").distinct()
     # corpus token stream restricted to query terms, THEN aggregated:
     # same postings as _postings(...)⋈terms, minus the full-vocabulary
     # shuffle (the broadcast join cannot be pushed below a groupBy by
-    # Catalyst, so the pruning must be written on the token side)
+    # Catalyst, so the pruning must be written on the token side).
+    #
+    # r14 (§2.3/§2.4): the document length rides the SAME pass. The
+    # pre-r14 shape joined the scored postings back against a
+    # corpus-wide (doc_id, dl) projection — a THIRD full corpus
+    # scan+split per invocation (one for the tokenize, one for the
+    # stats aggregate, one for the join side) plus a corpus-sized join
+    # below the score projection. dl is a pure function of the doc row,
+    # so computing it next to the tokenize (the split array is bound
+    # once in its own projection — text_metrics' idiom; size() above
+    # the Generate is O(1) on the bound attribute) and carrying it
+    # through the posting aggregation (min of a per-doc constant)
+    # removes both: the checkpointed postq grows by one int64 per
+    # bounded row, the scored join-back disappears, and the only
+    # remaining corpus passes are the tokenize and the stats aggregate.
+    docs_bound = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    toks_dl = docs_bound.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
     postq = (
-        _toks(spark, sf_dir)
+        toks_dl
         .join(F.broadcast(terms), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     # postq feeds TWO consumers (dfreq and the scored join) and neither
     # Catalyst's ReuseExchange nor AQE stage reuse fires across them
@@ -166,14 +190,11 @@ def _bm25_ranked(
     # document frequency of each query term over the FULL corpus
     # (postq already spans the full corpus for those terms)
     dfreq = postq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # document lengths are consumed twice (global stats + per-doc
-    # join); deliberately NOT cached: a .cache() inside a lazy builder
-    # registers a fresh, never-unpersisted cache entry per invocation —
-    # unbounded registry growth in a long session — and caching bought
-    # no measurable wall time here (the split is a narrow scan)
-    dlen = _doc_len(spark, sf_dir)
+    # global length stats still need EVERY document (including ones
+    # with no query-term hit), so this one narrow corpus pass remains;
+    # the per-doc dl for the scored rows now rides postq (above)
     stats = (
-        dlen
+        _doc_len(spark, sf_dir)
         .agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs"))
         .select("sum_dl", "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
     )
@@ -188,7 +209,6 @@ def _bm25_ranked(
     scored = (
         postq.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qt), "term")
-        .join(dlen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -292,7 +312,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds one union + one (query_id, doc_id) hash aggregate over ≤
     (BM25_TOPK + KNN_K) rows per query — negligible at any scale.
     """
-    from .training import KNN_K, _vectors, cosine, dot_product
+    from .training import _knn_topk
 
     rrf = F.expr(f"1000000 div ({HYBRID_RRF_K} + rnk)").alias("c")
     # _bm25_ranked, not bm25_search: the fusion aggregates the ranks
@@ -304,28 +324,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id", rrf)
     )
-    # dense arm: embed_knn_bruteforce's exact plan shape (broadcast
-    # bounded query side x one corpus scan), but with the query set
-    # restricted UP FRONT to the fused probes — per-query ranks are
-    # unchanged (the rank window partitions by query), and the corpus
-    # side stops paying dot products for queries the fusion drops
-    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < BM25_QUERY_MAX_ID).alias("a")
-    x = _vectors(spark, sf_dir, partitions=64).alias("b")
-    cos = cosine(
-        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
-    ).alias("cos")
-    knn_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    # dense arm: embed_knn_bruteforce's exact compute (numpy block dots
+    # in mapInPandas, bit-identical doubles — see _knn_topk), with the
+    # query set restricted UP FRONT to the fused probes — per-query
+    # ranks are unchanged (the rank window partitions by query), and
+    # the corpus side stops paying dot products for queries the fusion
+    # drops
     vec = (
-        F.broadcast(q)
-        .join(x, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("doc_id"),
-            cos,
-        )
-        .select("query_id", "doc_id", F.row_number().over(knn_w).alias("rnk"))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("query_id", "doc_id", rrf)
+        _knn_topk(spark, sf_dir, BM25_QUERY_MAX_ID)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), rrf)
     )
     # one exchange serves BOTH the fused aggregate and the rank window:
     # hashpartitioning(query_id) satisfies the aggregate's clustered

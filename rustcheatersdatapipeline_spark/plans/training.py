@@ -869,31 +869,104 @@ def embed_neardup_cosine(spark, sf_dir):
     return out.orderBy("vec_a", "vec_b")
 
 
+def _knn_topk(spark, sf_dir, query_max_id: int):
+    """Ranked exact top-KNN_K cosine neighbors (rnk 1..KNN_K, ties by
+    neighbor_id) for query vectors vec_id < query_max_id — the shared
+    brute-force arm behind ``embed_knn_bruteforce`` and
+    ``hybrid_search_rrf``.
+
+    r14 (§4.2): the per-pair cosine used to be the interpreted
+    ``aggregate(zip_with(...))`` fold over a broadcast join of
+    query × corpus — every (query, vector, dimension) step ran the
+    higher-order-lambda interpreter (CodegenFallback), ~q·n·d lambda
+    evaluations per invocation. The same IEEE fold now runs vectorized:
+    the query block — BOUNDED by construction (< query_max_id rows,
+    the kmeans-centroid class of documented bounded driver transfer)
+    — is collected once per invocation (an eager build-time job, like
+    the registry checkpoints) and closed over a ``mapInPandas`` that
+    computes numpy block dots with sequential per-dimension
+    accumulation (``_seq_dot_blocks`` — the embed_neardup_cosine
+    proof: elementwise numpy ops are IEEE-exact and the fold order
+    matches both the old expression and the oracle's
+    list_dot_product, so every emitted double is bit-identical).
+    Each task emits only its local top-KNN_K per query under the
+    global order (cos DESC, neighbor_id ASC) — the global top-K is a
+    subset of the union of per-task top-Ks — so the rank window
+    shuffles O(K · tasks) rows instead of q·n.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = emb.filter(F.col("vec_id") < query_max_id).collect()
+    schema = "query_id bigint, neighbor_id bigint, cos double"
+    if not qrows:
+        return spark.createDataFrame([], schema + ", rnk int")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    # float32 → float64 widening is exact, same as as_double_array's cast
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt(_seq_sq_norms(qmat))
+    k = KNN_K
+
+    def topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat_b = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+            cos = _seq_dot_blocks(qmat, mat_b) / (
+                qn[:, None] * np.sqrt(_seq_sq_norms(mat_b))[None, :]
+            )
+            out = []
+            for qi in range(len(q_ids)):
+                # self-hit excluded exactly as the old join condition
+                # (a.vec_id != b.vec_id); ranks are unchanged because
+                # the window partitions by query
+                idx = np.nonzero(ids_b != q_ids[qi])[0]
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids_b[idx], -cos[qi, idx]))[:k]
+                take = idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(take.size, q_ids[qi], dtype=np.int64),
+                            "neighbor_id": ids_b[take],
+                            "cos": cos[qi, take],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    # corpus side rides the scan's NATURAL input-split parallelism
+    # (maxPartitionBytes-derived — scale-adaptive, unlike the old
+    # _vectors(partitions=64) round-robin, which existed to spread the
+    # interpreted per-pair fold and cost an exchange plus two Python
+    # task waves here). A single small-corpus task is fine now: the
+    # per-task numpy cost is q·rows·d vectorized (~ms at test scale),
+    # and at 100 TB the file splits supply the parallelism. Only
+    # vec_id + embedding cross the Arrow boundary (§4.1: pass only the
+    # needed columns).
+    pairs = emb.mapInPandas(topk, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embed_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k (k=5) for query vectors vec_id < 20.
 
-    The query side is tiny → Spark broadcasts it; every executor scans
-    its slice of the corpus once. This is the exact-ANN baseline; ties
-    broken by neighbor_id for determinism.
+    Exact-ANN baseline; ties broken by neighbor_id for determinism.
+    Compute shape: ``_knn_topk`` (numpy block dots inside mapInPandas,
+    bit-identical doubles — which see).
     """
-    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_QUERY_MAX_ID).alias("a")
-    x = _vectors(spark, sf_dir, partitions=64).alias("b")
-    cos = cosine(
-        dot_product(F.col("a.e"), F.col("b.e")), F.col("a.nrm"), F.col("b.nrm")
-    ).alias("cos")
-    pairs = (
-        F.broadcast(q)
-        .join(x, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            cos,
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        pairs.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= KNN_K)
+        _knn_topk(spark, sf_dir, KNN_QUERY_MAX_ID)
         .select("query_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "cos")
         .orderBy("query_id", "rnk")
     )
@@ -2449,8 +2522,9 @@ def dedup_substrings(spark, sf_dir):
 
     Scale shape: stride-1 grams are one row per TOKEN (not per chunk,
     but still corpus-linear); first-occurrence election is one window
-    shuffle keyed on the gram hash (md5 — uniform, portable to the
-    oracle); island merging is one doc_id window. 2 shuffles total, no
+    shuffle keyed on the gram hash (xxhash64 — uniform, engine-internal;
+    the oracle elects on its own md5); island merging is one doc_id
+    window. 2 shuffles total, no
     similarity joins, no candidate explosion. The suffix-array
     construction Lee et al. use single-node is unnecessary here: for a
     fixed minimum length W, stride-1 gram election finds the identical
@@ -2458,19 +2532,40 @@ def dedup_substrings(spark, sf_dir):
     """
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens("text")
-    n_grams = (F.size(toks) - F.lit(SUBSTR_W - 1)).cast("int")
-    # unhex(md5(...)): the election key is engine-internal (the oracle
-    # runs its own election on its own md5 hex), so carry the 16 raw
-    # digest bytes instead of 32 hex chars — half the shuffle width of
-    # the corpus-linear occurrence table with the identical 128-bit
-    # collision guarantee (guide §2.3: narrower types).
-    grams = F.when(
-        n_grams > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, SUBSTR_W)))),
-        ),
-    ).otherwise(F.array().cast("array<binary>"))
+    # Two r14 changes to the gram expansion (§4 interpreted-expression
+    # cost, §2.3 narrower types):
+    #  - xxhash64 over the W-token array slice replaces
+    #    unhex(md5(concat_ws(' ', slice))). The election key is
+    #    engine-internal (the oracle runs its own election on its own
+    #    md5 hex), so it needs neither portability nor crypto
+    #    strength; per token position the old key allocated a ~W-token
+    #    string AND ran a full MD5 over it inside an interpreted
+    #    transform() lambda. xxhash64 hashes the array slice directly
+    #    (tokens are whitespace-split, so the space-joined string and
+    #    the token sequence identify the same gram): no concat
+    #    allocation, a far cheaper hash, and an 8-byte int64 key
+    #    instead of 16 digest bytes — half the occurrence-shuffle
+    #    width again. A 64-bit collision (~1e-9 corpus-wide, the
+    #    char_shingles hash64=True precedent) would mark one spurious
+    #    window duplicated and surface as an oracle mismatch, not
+    #    silent corruption.
+    #  - the token array is bound ONCE per row via the
+    #    single-element-transform 'let' idiom (doc_fingerprint, r13):
+    #    higher-order lambdas evaluate interpreted, so the old
+    #    slice(ws_tokens(text), ...) re-ran the split+filter tokenize
+    #    at EVERY gram position — O(tokens²) work per document. The
+    #    lambda variable tk is a bound value; each position now pays
+    #    one slice + one hash.
+    grams = F.transform(
+        F.array(toks),
+        lambda tk: F.when(
+            F.size(tk) >= F.lit(SUBSTR_W),
+            F.transform(
+                F.sequence(F.lit(0), (F.size(tk) - F.lit(SUBSTR_W)).cast("int")),
+                lambda i: F.xxhash64(F.slice(tk, i + 1, SUBSTR_W)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )[0]
     # repartition BEFORE the ~n_tokens-per-doc explode (char_shingles'
     # documented practice): a small parquet arrives as one scan
     # partition, which would serialize the gram expansion + md5 on one
@@ -2561,13 +2656,25 @@ def dedup_spans(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens("text")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(SPAN_W)))
-    chunks = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * SPAN_W + 1, SPAN_W)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # token array bound ONCE per row via the single-element-transform
+    # 'let' idiom (r14, same fix as dedup_substrings): higher-order
+    # lambdas evaluate interpreted, so slice(ws_tokens(text), ...)
+    # re-ran the split+filter tokenize at every chunk position —
+    # O(tokens²/SPAN_W) work per document. The lambda variable tk is a
+    # bound value; each chunk now pays one slice + one concat.
+    chunks = F.transform(
+        F.array(toks),
+        lambda tk: F.when(
+            F.size(tk) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(tk) / F.lit(float(SPAN_W))).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(tk, i * SPAN_W + 1, SPAN_W)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
     exploded = docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )

@@ -287,10 +287,12 @@ def test_hybrid_rrf_fuses_without_extra_corpus_scans(spark, sf_dir):
     p = _plan(hybrid_search_rrf(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert re.findall(r"\(\d+\) Union", p)
-    # exactly two broadcast nested loops, both with a BOUNDED broadcast
-    # side: the kNN arm's query set and bm25's 1-row stats crossJoin —
-    # never corpus x corpus
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
+    # exactly one broadcast nested loop with a BOUNDED broadcast side:
+    # bm25's 1-row stats crossJoin — never corpus x corpus. The kNN
+    # arm's former broadcast-query nested loop is a numpy block-dot
+    # MapInPandas since r14 (_knn_topk)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    assert re.findall(r"\(\d+\) MapInPandas", p)
 
 
 @pytest.mark.parametrize(
