@@ -192,9 +192,9 @@ def _lang_case(score: Callable[[str], str]) -> str:
 # deduplication
 # --------------------------------------------------------------------------
 
-#: (session id, sf_dir) → chosen k. The probe is three bounded sample
-#: jobs; memoizing keeps repeated query builds (bench reps, the driver's
-#: correctness loop) from re-running it.
+#: (session id, sf_dir) → chosen k. The probe is ONE bounded sample
+#: job (r14); memoizing keeps repeated query builds (bench reps, the
+#: driver's correctness loop) from re-running it.
 _SHINGLE_K_CACHE: dict[tuple[int, str], int] = {}
 
 
@@ -218,39 +218,80 @@ def choose_shingle_k(spark, sf_dir) -> int:
         .select("doc_id", "text")
         .filter(F.col("doc_id") % SHINGLE_SAMPLE_MOD == 0)
     )
-    # TWO bounded jobs total: (1) per-candidate doc counts in one agg;
-    # (2) per-candidate df moments from one unioned shingle stats plan.
-    # df is measured on RAW shingle strings (not hash64) — the exact
-    # domain the oracle's ksel CTE measures, so the choice cannot
-    # diverge. Σdf² in decimal(38,0) (exact, overflow→null→fail) to
-    # mirror the oracle's HUGEINT sum.
-    nd_row = samp.agg(
-        F.count(F.lit(1)).alias("n_samp"),
-        *[
-            F.sum((F.length("text") >= k).cast("bigint")).alias(f"nd_{k}")
-            for k in SHINGLE_K_CANDIDATES
-        ],
-    ).collect()[0]
-    n_samp = nd_row["n_samp"] or 0
-    nd_by_k = {k: int(nd_row[f"nd_{k}"] or 0) for k in SHINGLE_K_CANDIDATES}
+    # ONE bounded job (r14; was two collects over four sample scans —
+    # a per-candidate doc-count agg plus a 3-branch unioned shingle
+    # plan). A single Generate explodes, per sampled doc, the gram
+    # POSITIONS of every candidate width as (k, i) structs — cheap int
+    # structs, so the interpreted transform stays trivial while the
+    # gram substring itself is computed codegen-side after the explode
+    # — plus one (k, 0) sentinel per width the doc is long enough for
+    # and one (-1, 0) sentinel per doc unconditionally. After the same
+    # per-doc DISTINCT (free: it rides the doc_id repartition),
+    # grouping by (k, g, sentinel) makes each sentinel group's df equal
+    # nd_k (n_samp at k = -1), while the non-sentinel groups carry the
+    # exact same per-gram df multiset as before — the max/Σdf²
+    # arithmetic is unchanged. df is measured on RAW shingle strings
+    # (not hash64) — the exact domain the oracle's ksel CTE measures,
+    # so the choice cannot diverge. Σdf² in decimal(38,0) (exact,
+    # overflow→null→fail) to mirror the oracle's HUGEINT sum.
+    pos_t = "array<struct<k:int,i:int>>"
 
-    d = F.col("df").cast("decimal(19,0)")
-    per_k = [
-        char_shingles(samp, "text", "doc_id", k=k).withColumn("k", F.lit(k))
-        for k in SHINGLE_K_CANDIDATES
-    ]
-    unioned = per_k[0]
-    for p in per_k[1:]:
-        unioned = unioned.unionByName(p)
-    stats = {
-        r["k"]: (r["mx"], r["s2"])
-        for r in (
-            unioned.groupBy("k", "g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .groupBy("k")
-            .agg(F.max("df").alias("mx"), F.sum(d * d).alias("s2"))
-            .collect()
+    def pos_branch(k: int):
+        return F.when(
+            F.length("text") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.struct(
+                    F.lit(k).alias("k"), i.cast("int").alias("i")
+                ),
+            ),
+        ).otherwise(F.array().cast(pos_t))
+
+    def sent_branch(k: int):
+        return F.when(
+            F.length("text") >= k,
+            F.array(F.struct(F.lit(k).alias("k"), F.lit(0).alias("i"))),
+        ).otherwise(F.array().cast(pos_t))
+
+    allk = F.concat(
+        *[pos_branch(k) for k in SHINGLE_K_CANDIDATES],
+        *[sent_branch(k) for k in SHINGLE_K_CANDIDATES],
+        F.array(F.struct(F.lit(-1).alias("k"), F.lit(0).alias("i"))),
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    ex = (
+        samp.repartition(parallelism, "doc_id")
+        .select("doc_id", "text", F.explode(allk).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.k").alias("k"),
+            F.when(F.col("e.i") > 0, F.expr("substring(text, e.i, e.k)"))
+            .otherwise(F.lit(""))
+            .alias("g"),
+            (F.col("e.i") == 0).alias("snt"),
         )
+        .distinct()
+    )
+    d = F.col("df").cast("decimal(19,0)")
+    rows = (
+        ex.groupBy("k", "g", "snt")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("k")
+        .agg(
+            F.max(F.when(~F.col("snt"), F.col("df"))).alias("mx"),
+            F.sum(F.when(~F.col("snt"), d * d)).alias("s2"),
+            F.sum(F.when(F.col("snt"), F.col("df"))).alias("nd"),
+        )
+        .collect()
+    )
+    by_k = {r["k"]: r for r in rows}
+    n_samp = int(by_k[-1]["nd"]) if -1 in by_k and by_k[-1]["nd"] is not None else 0
+    nd_by_k = {
+        k: int(by_k[k]["nd"]) if k in by_k and by_k[k]["nd"] is not None else 0
+        for k in SHINGLE_K_CANDIDATES
+    }
+    stats = {
+        k: (by_k[k]["mx"], by_k[k]["s2"]) for k in SHINGLE_K_CANDIDATES if k in by_k
     }
     chosen = SHINGLE_K_CANDIDATES[-1]
     for k in SHINGLE_K_CANDIDATES:
@@ -390,12 +431,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # and dedup_containment's identical shingle/df tables share these
     # exact entries instead of re-caching equal plans.
     k = choose_shingle_k(spark, sf_dir)
-    sh = cached(
+    # ONE shared raw-string shingle build per (session, corpus): the
+    # base cache entry is the same ("shingles", k, False) table
+    # dedup_minhash_lsh needs for its portable md5 signatures, so a
+    # session running both near-dup families pays the explode+distinct
+    # ONCE instead of building int64 and raw tables separately (r14 —
+    # the cold-invocation bench loop made the duplicate build visible:
+    # two ~0.6 s corpus expansions per rep). The int64 view this
+    # query's join/intersect-heavy subtrees want is a projection over
+    # the cached rows — no shuffle, rides the cache's hash(doc_id)
+    # partitioning; hashing after the per-doc distinct yields the same
+    # set as hash64=True's hash-before-distinct modulo the same
+    # accepted ~1e-9 collision class.
+    sh_raw = cached(
         spark,
         sf_dir,
-        ("shingles", k, True),
-        lambda: char_shingles(docs, "text", "doc_id", k=k, hash64=True),
+        ("shingles", k, False),
+        lambda: char_shingles(docs, "text", "doc_id", k=k),
     )
+    sh = sh_raw.select("doc_id", F.xxhash64("g").alias("g"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc set size as a window count over the SAME partition key as
     # the row_number — both windows share one doc_id shuffle, replacing
@@ -491,15 +545,17 @@ def dedup_containment(spark, sf_dir):
     """
     docs = table(spark, sf_dir, "documents")
     k = choose_shingle_k(spark, sf_dir)
-    # identical registry keys to dedup_ngram_jaccard's — the two
-    # builders now share ONE cached shingle table and ONE df table per
-    # (session, corpus) instead of re-caching equal plans (r13)
+    # identical registry keys to dedup_ngram_jaccard's — the builders
+    # share ONE cached raw shingle table (since r14 also with
+    # dedup_minhash_lsh) and ONE df table per (session, corpus); the
+    # int64 view is a projection over the cached rows (see
+    # dedup_ngram_jaccard)
     sh = cached(
         spark,
         sf_dir,
-        ("shingles", k, True),
-        lambda: char_shingles(docs, "text", "doc_id", k=k, hash64=True),
-    )
+        ("shingles", k, False),
+        lambda: char_shingles(docs, "text", "doc_id", k=k),
+    ).select("doc_id", F.xxhash64("g").alias("g"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc size rides a doc_id-window (bounded partitions — safe);
     # df via groupBy+join-back for the same skew rationale as
