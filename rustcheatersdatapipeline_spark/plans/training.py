@@ -437,11 +437,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # session running both near-dup families pays the explode+distinct
     # ONCE instead of building int64 and raw tables separately (r14 —
     # the cold-invocation bench loop made the duplicate build visible:
-    # two ~0.6 s corpus expansions per rep). The int64 view this
-    # query's join/intersect-heavy subtrees want is a projection over
-    # the cached rows — no shuffle, rides the cache's hash(doc_id)
-    # partitioning; hashing after the per-doc distinct yields the same
-    # set as hash64=True's hash-before-distinct modulo the same
+    # two ~0.6 s corpus expansions per rep). The int64 table this
+    # query's join/intersect-heavy subtrees want is DERIVED from the
+    # cached raw rows by one xxhash64 projection — no re-explode, no
+    # shuffle, keeps the hash(doc_id) partitioning — and is itself
+    # registry-cached: sh feeds ~6 subtrees (df, prefix both sides,
+    # verify id sets and arrays), and an uncached projection re-hashed
+    # the full gram table per consumer (measured +0.3-0.4 s on the
+    # cold bench rep). Hashing after the per-doc distinct yields the
+    # same set as hash64=True's hash-before-distinct modulo the same
     # accepted ~1e-9 collision class.
     sh_raw = cached(
         spark,
@@ -449,7 +453,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
         ("shingles", k, False),
         lambda: char_shingles(docs, "text", "doc_id", k=k),
     )
-    sh = sh_raw.select("doc_id", F.xxhash64("g").alias("g"))
+    sh = cached(
+        spark,
+        sf_dir,
+        ("shingles", k, True),
+        lambda: sh_raw.select("doc_id", F.xxhash64("g").alias("g")),
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc set size as a window count over the SAME partition key as
     # the row_number — both windows share one doc_id shuffle, replacing
@@ -547,15 +556,20 @@ def dedup_containment(spark, sf_dir):
     k = choose_shingle_k(spark, sf_dir)
     # identical registry keys to dedup_ngram_jaccard's — the builders
     # share ONE cached raw shingle table (since r14 also with
-    # dedup_minhash_lsh) and ONE df table per (session, corpus); the
-    # int64 view is a projection over the cached rows (see
-    # dedup_ngram_jaccard)
-    sh = cached(
+    # dedup_minhash_lsh), ONE derived int64 table and ONE df table per
+    # (session, corpus); see dedup_ngram_jaccard for the derivation
+    sh_raw = cached(
         spark,
         sf_dir,
         ("shingles", k, False),
         lambda: char_shingles(docs, "text", "doc_id", k=k),
-    ).select("doc_id", F.xxhash64("g").alias("g"))
+    )
+    sh = cached(
+        spark,
+        sf_dir,
+        ("shingles", k, True),
+        lambda: sh_raw.select("doc_id", F.xxhash64("g").alias("g")),
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     # per-doc size rides a doc_id-window (bounded partitions — safe);
     # df via groupBy+join-back for the same skew rationale as
@@ -2922,13 +2936,22 @@ def mixture_token_budget_sample(spark, sf_dir):
     broadcast join.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = ws_tokens("text")
-    n_tok = F.size(toks)
-    stop_cnt = marker_count("text", STOPWORDS)
+    # split bound ONCE, counts projected once, ratios reference the
+    # count attributes (text_metrics' r14 idiom): the inlined form
+    # computed 4 independent split(text) per row — higher-order
+    # filter() is CodegenFallback, so codegen subexpression
+    # elimination never commons the splits
+    bound = docs.select("doc_id", "lang", F.split("text", " ").alias("tk"))
+    counts = bound.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.col("tk"), lambda x: x != "")).alias("nt"),
+        F.size(F.filter(F.col("tk"), lambda x: x.isin(*STOPWORDS))).alias("sc"),
+    )
     q_scaled = F.floor(
         (
-            (F.least(n_tok, F.lit(200)) / F.lit(200.0))
-            * (F.lit(1.0) - stop_cnt / n_tok)
+            (F.least(F.col("nt"), F.lit(200)) / F.lit(200.0))
+            * (F.lit(1.0) - F.col("sc") / F.col("nt"))
         )
         * F.lit(1000000.0)
     ).cast("bigint")
@@ -2936,10 +2959,10 @@ def mixture_token_budget_sample(spark, sf_dir):
     budget_case = "CASE " + " ".join(
         f"WHEN lang = '{lang}' THEN {b}" for lang, b in budgets.items()
     ) + " ELSE 0 END"
-    base = docs.select(
+    base = counts.select(
         "doc_id",
         "lang",
-        n_tok.cast("bigint").alias("n_tokens"),
+        F.col("nt").cast("bigint").alias("n_tokens"),
         q_scaled.alias("q_scaled"),
         F.expr(budget_case).cast("bigint").alias("budget"),
     ).filter(F.col("budget") > 0)
